@@ -1,0 +1,262 @@
+"""Primary API: ``read_partitioned_table`` + ``write_object``.
+
+Spark-native reimplementation of the reference's API surface
+(``/root/reference/src/fsql/api.py:70-163``). The metastore-less model is kept:
+a "table" is just a URL prefix; partition columns come from the path; queries
+filter on partition columns only; output defaults to a (distributed) DataFrame.
+
+Execution strategy — two paths, picked automatically:
+
+FAST PATH (the idiomatic-Spark one; Hive layouts + Catalyst-expressible query):
+    ``spark.read.format(f).load(root).where(query.to_column())``
+    Partition discovery, pruning, predicate/projection pushdown, parallel
+    listing, vectorized scans: all Catalyst/Tungsten built-ins. Zero driver
+    crawling. This is what runs against 100 TB.
+
+DRIVER-DISCOVERY PATH (everything Catalyst can't express — SURVEY §4.3):
+    black-box :class:`AtomicQuery` predicates, value-only ``FixedColumnsParser``
+    layouts with filename columns, parser ``generate()`` grammars, non-DataFrame
+    outputs (dict / fancy-ls), ``lazy_errors``. The driver enumerates and prunes
+    partition *metadata* exactly like the reference (O(#partitions), with
+    threaded listing), then hands the surviving file list to ONE distributed
+    ``spark.read`` — the data plane stays on executors.
+
+No transactional guarantees, like the reference (`api.py:33-36`): files deleted
+between discovery and read raise (soften with
+``spark.sql.files.ignoreMissingFiles``); files added are not seen.
+"""
+
+from __future__ import annotations
+
+import io
+import warnings
+from typing import Any, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .column_parser import AUTO_PARSER, AutoParser, ColumnParser
+from .discovery import Partition, discover_partitions
+from .formats import InputFormat
+from .fs import FileSystem, get_url_and_fs
+from .queries import Query
+from .readers import DataReader, SparkReader, SPARK_READER
+from .session import get_spark
+
+
+def _active_spark(spark: Optional[SparkSession]) -> SparkSession:
+    return spark or SparkSession.getActiveSession() or get_spark()
+
+
+def _probe_first_leaf(fs: FileSystem, root: str, max_depth: int = 64) -> tuple[Optional[str], list[str]]:
+    """Descend the first directory chain to find one data file.
+
+    Returns (file_url, hive_keys_along_the_path). Used only to (a) autodetect
+    the input format and (b) learn the table's partition-column names for the
+    fast path. Cost: one ``ls`` per tree level — negligible vs. the scan.
+    Raises ValueError via AutoParser.parse when a segment is not ``key=value``
+    (callers fall back to driver discovery).
+    """
+    url = root
+    keys: list[str] = []
+    for _ in range(max_depth):
+        files, dirs = fs.ls(url)
+        files = [f for f in files if not f.startswith(("_", "."))]
+        if files and dirs:
+            # mixed files+dirs at one level: the bare-AutoParser mixed-depth
+            # quirk (reference `column_parser.py:106-110`) — Spark's native
+            # discovery silently drops the shallow files, so force the
+            # driver-discovery path which reproduces the reference's union
+            raise ValueError(f"mixed files and directories under {url}")
+        if files:
+            return url + files[0], keys
+        if not dirs:
+            return None, keys
+        key, _value = AutoParser().parse(dirs[0])
+        keys.append(key)
+        url += dirs[0] + "/"
+    return None, keys
+
+
+def read_partitioned_table(
+    url: str,
+    query: Query,
+    column_parser: ColumnParser = AUTO_PARSER,
+    data_reader: Optional[DataReader] = None,
+    fs: Optional[FileSystem] = None,
+    spark: Optional[SparkSession] = None,
+) -> Any:
+    """Read the table rooted at ``url``, filtered by ``query`` over its
+    partition-path columns (reference `api.py:70-107`).
+
+    Defaults: Hive-style ``key=value`` layout (AUTO_PARSER) and a Spark
+    DataFrame output (SPARK_READER). There is deliberately no default query —
+    pass ``Q_TRUE`` to read everything, like the reference (`api.py:80-81`).
+    Partition columns surface as strings (`tests/test_example_usage.py:39`).
+    """
+    reader = data_reader if data_reader is not None else SPARK_READER
+    spark = _active_spark(spark)
+    path, fs = get_url_and_fs(url, fs)
+    if not path.endswith("/") and fs.isdir(path):
+        path += "/"
+
+    if _fast_path_eligible(query, column_parser, reader):
+        result = _read_fast_path(spark, path, fs, query, reader)
+        if result is not None:
+            return result
+
+    root = Partition(path, {})
+    partitions = list(discover_partitions(query, column_parser, root, fs))
+    return reader.read(spark, partitions, fs, InputFormat.AUTO)
+
+
+def _fast_path_eligible(query: Query, parser: ColumnParser, reader: DataReader) -> bool:
+    return (
+        isinstance(parser, AutoParser)
+        and parser.grammars is None  # bare AutoParser: Spark-native discovery
+        and isinstance(reader, SparkReader)
+        and not reader.lazy_errors
+        and query.expressible
+    )
+
+
+def _read_fast_path(
+    spark: SparkSession, path: str, fs: FileSystem, query: Query, reader: SparkReader
+) -> Optional[DataFrame]:
+    """Catalyst-native scan; returns None to signal slow-path fallback."""
+    try:
+        probe_file, part_keys = _probe_first_leaf(fs, path)
+    except ValueError:
+        return None  # non key=value segment: not a Hive layout
+    if probe_file is None:
+        return None  # empty tree: slow path returns the canonical empty result
+    fmt = reader.input_format
+    if fmt is InputFormat.AUTO:
+        try:
+            fmt = InputFormat.from_url(probe_file)
+        except KeyError:
+            return None
+    if fmt is InputFormat.XLSX:
+        return None  # no distributed xlsx source: pandas bridge on slow path
+
+    # strings-only partition columns — the reference's contract
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    load = spark.read.format(fmt.spark_format()).options(
+        **{**fmt.spark_options(), **reader.options}
+    )
+    if reader.schema is not None:
+        load = load.schema(reader.schema)
+    try:
+        df = load.load(fs.spark_url(path))
+    except Exception:
+        # e.g. conflicting directory depths (the bare-AutoParser mixed-depth
+        # quirk, reference `column_parser.py:106-110`) — driver discovery
+        # reproduces the reference's union-of-mixed-schemas behavior
+        return None
+
+    available = frozenset(part_keys)
+    df = df.where(query.to_column(available))
+    if reader.columns:
+        keep = [c for c in reader.columns if c in df.columns]
+        keep += [c for c in df.columns if c in available and c not in keep]
+        df = df.select(*keep)
+    return df
+
+
+def read_s3_table(*args, **kwargs):
+    """Deprecated alias of :func:`read_partitioned_table` (reference `api.py:59-67`)."""
+    warnings.warn(
+        "Function `read_s3_table` is deprecated, use `read_partitioned_table` instead",
+        DeprecationWarning,
+    )
+    return read_partitioned_table(*args, **kwargs)
+
+
+def write_object(
+    url: str,
+    data: Any,
+    format: Optional[str] = None,
+    format_options: Optional[dict[str, str]] = None,
+    fs: Optional[FileSystem] = None,
+) -> None:
+    """Single-object write (reference `api.py:110-163`): pandas DataFrame ->
+    parquet (default) / csv / json; StringIO/BytesIO -> raw copy. Explicitly no
+    table semantics — no partition appends, no multi-partition inserts.
+
+    Superset: a *Spark* DataFrame writes a (directory-shaped) table via
+    ``df.write`` — use :func:`write_table` for partitioned writes.
+
+    DEVIATION: parquet engine is pyarrow (fastparquet is not installed here);
+    the ``engine`` format option accepts only ``pyarrow``.
+    """
+    import pandas as pd
+
+    path, fs = get_url_and_fs(url, fs)
+    format_options = dict(format_options or {})
+
+    if isinstance(data, DataFrame):  # Spark DataFrame: distributed write
+        fmt = format or "parquet"
+        data.write.mode(format_options.pop("mode", "overwrite")).options(**format_options).format(
+            fmt
+        ).save(fs.spark_url(path))
+        return
+
+    if isinstance(data, pd.DataFrame):
+        fmt = format or "parquet"
+        if fmt == "parquet":
+            engine = format_options.get("engine", "pyarrow")
+            if engine != "pyarrow":
+                raise ValueError(f"unsupported engine for dataframe writing: {engine}")
+            with fs.open(path, "wb") as fd:
+                data.to_parquet(fd, engine="pyarrow")
+        elif fmt == "csv":
+            with fs.open(path, "wb") as fd:
+                data.to_csv(fd)
+        elif fmt == "json":
+            with fs.open(path, "wb") as fd:
+                data.to_json(fd)
+        else:
+            raise ValueError(f"unsupported format for dataframe writing: {fmt}")
+        return
+
+    if isinstance(data, (io.StringIO, io.BytesIO)):
+        if format:
+            raise ValueError(f"cannot specify format when data is a buffer. Provided format: {format}")
+        data.seek(0)
+        mode = "wb" if isinstance(data, io.BytesIO) else "w"
+        import shutil
+
+        with fs.open(path, mode) as fd:
+            shutil.copyfileobj(data, fd)
+        return
+
+    raise ValueError(f"cannot infer writer for object of type {type(data)}")
+
+
+def write_table(
+    df: DataFrame,
+    url: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Optional[list[str]] = None,
+    fs: Optional[FileSystem] = None,
+) -> None:
+    """Partitioned table write — the superset the reference explicitly lacks
+    (`api.py:121`): Hive-style ``key=value`` layout readable back by
+    :func:`read_partitioned_table`."""
+    path, fs = get_url_and_fs(url, fs)
+    writer = df.write.mode(mode).format(format)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(fs.spark_url(path))
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names: Optional[list[str]] = None) -> None:
+    """Register each ``{sf_dir}/{name}.parquet`` as a temp view (test harness)."""
+    import os
+
+    if names is None:
+        names = sorted(
+            f[: -len(".parquet")] for f in os.listdir(sf_dir) if f.endswith(".parquet")
+        )
+    for name in names:
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).createOrReplaceTempView(name)

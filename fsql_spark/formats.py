@@ -1,0 +1,54 @@
+"""Input format detection and Spark reader-option mapping.
+
+Reference: ``InputFormat`` (``/root/reference/src/fsql/deser.py:78-95``) —
+format from URL suffix (json / parquet / csv / xlsx), fixed override possible,
+unknown suffix => KeyError, AUTO surviving to read time => ValueError.
+
+Semantics carried over: ``json`` means JSON-LINES for tabular reads
+(`deser.py:180-182`), which is exactly Spark's native JSON source. ``xlsx``
+has no distributed Spark source; it is read via pandas on the driver
+(`readers.py`) — same execution shape as the reference.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+
+class InputFormat(Enum):
+    AUTO = "auto"
+    PARQUET = "parquet"
+    CSV = "csv"
+    JSON = "json"
+    XLSX = "xlsx"
+
+    @classmethod
+    def from_url(cls, url: str) -> "InputFormat":
+        suffix = url.rsplit(".", 1)[-1].lower()
+        try:
+            return _SUFFIXES[suffix]
+        except KeyError:
+            raise KeyError(f"cannot detect input format from url suffix: {url}")
+
+    def spark_format(self) -> str:
+        if self is InputFormat.AUTO:
+            raise ValueError("AUTO format must be resolved before reading")
+        if self is InputFormat.XLSX:
+            raise ValueError("xlsx has no distributed source; use the pandas reader")
+        return self.value
+
+    def spark_options(self) -> dict[str, str]:
+        """Options aligning Spark's readers with the reference's pandas
+        defaults (header row + dtype inference for csv)."""
+        if self is InputFormat.CSV:
+            return {"header": "true", "inferSchema": "true"}
+        return {}
+
+
+_SUFFIXES = {
+    "parquet": InputFormat.PARQUET,
+    "pq": InputFormat.PARQUET,
+    "csv": InputFormat.CSV,
+    "json": InputFormat.JSON,
+    "xlsx": InputFormat.XLSX,
+}

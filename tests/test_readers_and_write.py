@@ -1,0 +1,168 @@
+"""Reader polymorphism + write_object roundtrips, mirroring the reference
+(`tests/test_dict_reader.py`, `tests/test_identity_reader.py`,
+`tests/test_pandasreader.py`, `tests/test_write_object.py`,
+`tests/test_listing_sorted.py`)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pandas as pd
+import pytest
+
+from fsql_spark import (
+    ENUMERATED_DICT_READER,
+    EnumeratedDictReader,
+    IDENTITY_READER,
+    InputFormat,
+    ListingReader,
+    PandasReader,
+    Q_TRUE,
+    SparkReader,
+    read_partitioned_table,
+    write_object,
+)
+
+from .conftest import assert_same
+
+
+def test_dict_reader_ordered(spark, tmp_path):
+    """dict output keyed by deterministic (sorted) file order
+    (`test_dict_reader.py:11-23`, `test_listing_sorted.py`)."""
+    (tmp_path / "t").mkdir()
+    # write in non-sorted order on purpose
+    for name, val in [("elem2.json", 2), ("elem1.json", 1)]:
+        (tmp_path / "t" / name).write_text(json.dumps({"val": val}))
+    out = read_partitioned_table(
+        str(tmp_path / "t"), Q_TRUE, data_reader=ENUMERATED_DICT_READER, spark=spark
+    )
+    assert out == {0: {"val": 1}, 1: {"val": 2}}
+
+
+def test_dict_reader_lazy_errors(spark, tmp_path):
+    """Garbage file: eager raises, lazy returns partial + failures
+    (`test_dict_reader.py:26-43`)."""
+    (tmp_path / "t").mkdir()
+    (tmp_path / "t" / "f1.json").write_text(json.dumps({"val": 1}))
+    (tmp_path / "t" / "f2.json").write_text("this is not json")
+    with pytest.raises(Exception):
+        read_partitioned_table(str(tmp_path / "t"), Q_TRUE, data_reader=ENUMERATED_DICT_READER, spark=spark)
+    data, failures = read_partitioned_table(
+        str(tmp_path / "t"), Q_TRUE, data_reader=EnumeratedDictReader(lazy_errors=True), spark=spark
+    )
+    assert data == {0: {"val": 1}}
+    assert len(failures) == 1 and failures[0].partition.url.endswith("f2.json")
+
+
+def test_identity_reader_consume(spark, tmp_path):
+    """Fancy-ls records + consume callback (`test_identity_reader.py:19-27`)."""
+    d = tmp_path / "t/k=1"
+    d.mkdir(parents=True)
+    (d / "f1.json").write_text(json.dumps({"val": 7}))
+    out = read_partitioned_table(str(tmp_path / "t"), Q_TRUE, data_reader=IDENTITY_READER, spark=spark)
+    assert len(out) == 1
+    fip = out[0]
+    assert fip.partition_values == {"k": "1"}
+    assert fip.consume(lambda fd: json.load(fd)) == {"val": 7}
+
+
+def test_listing_reader_dataframe(spark, tmp_path):
+    d = tmp_path / "t/k=1"
+    d.mkdir(parents=True)
+    pd.DataFrame({"a": [1]}).to_parquet(d / "f.parquet")
+    out = read_partitioned_table(str(tmp_path / "t"), Q_TRUE, data_reader=ListingReader(), spark=spark)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["k"] == "1" and rows[0]["path"].endswith("f.parquet")
+
+
+def test_projection_pushdown_and_schema_failure(spark, tmp_path):
+    """columns= projection + per-file schema mismatch collected lazily
+    (`test_pandasreader.py:29-56`)."""
+    (tmp_path / "t").mkdir()
+    pd.DataFrame({"c1": [1], "c2": [2], "c3": [3]}).to_parquet(tmp_path / "t/f2.parquet")
+    pd.DataFrame({"c1": [1], "c2": [2]}).to_parquet(tmp_path / "t/f1.parquet")
+
+    out = read_partitioned_table(
+        str(tmp_path / "t"), Q_TRUE, data_reader=SparkReader(columns=["c1"]), spark=spark
+    )
+    assert out.columns == ["c1"]
+
+    data, failures = read_partitioned_table(
+        str(tmp_path / "t"),
+        Q_TRUE,
+        data_reader=SparkReader(columns=["c3"], lazy_errors=True),
+        spark=spark,
+    )
+    assert len(failures) == 1 and failures[0].partition.url.endswith("f1.parquet")
+    assert data.count() == 1
+
+
+def test_format_override(spark, tmp_path, df1):
+    """File named .json that is actually CSV: autodetect fails, explicit format
+    succeeds (`test_pandasreader.py:13-26`)."""
+    (tmp_path / "t").mkdir()
+    df1.to_csv(tmp_path / "t/f1.json", index=False)
+    out = read_partitioned_table(
+        str(tmp_path / "t"), Q_TRUE, data_reader=SparkReader(input_format=InputFormat.CSV), spark=spark
+    )
+    assert_same(out, df1)
+
+
+def test_pandas_reader_lazy_errors(spark, tmp_path):
+    (tmp_path / "t").mkdir()
+    pd.DataFrame({"a": [1]}).to_parquet(tmp_path / "t/good.parquet")
+    (tmp_path / "t" / "bad.parquet").write_bytes(b"junk")
+    data, failures = read_partitioned_table(
+        str(tmp_path / "t"), Q_TRUE, data_reader=PandasReader(lazy_errors=True), spark=spark
+    )
+    assert data["a"].tolist() == [1]
+    assert len(failures) == 1
+
+
+def test_write_object_roundtrips(spark, tmp_path, df1):
+    """write_object -> read back, parquet/csv/json + raw buffers
+    (`test_write_object.py:12-115`)."""
+    p = tmp_path / "out.parquet"
+    write_object(str(p), df1)
+    assert_same(pd.read_parquet(p), df1)
+
+    c = tmp_path / "out.csv"
+    write_object(str(c), df1, format="csv")
+    assert_same(pd.read_csv(c, index_col=0), df1)
+
+    j = tmp_path / "out.json"
+    write_object(str(j), df1, format="json")
+    assert_same(pd.read_json(j), df1)
+
+    buf = io.BytesIO(b"raw bytes")
+    write_object(str(tmp_path / "out.bin"), buf)
+    assert (tmp_path / "out.bin").read_bytes() == b"raw bytes"
+
+    sbuf = io.StringIO("raw text")
+    write_object(str(tmp_path / "out.txt"), sbuf)
+    assert (tmp_path / "out.txt").read_text() == "raw text"
+
+    with pytest.raises(ValueError, match="cannot specify format"):
+        write_object(str(tmp_path / "x.bin"), io.BytesIO(b"z"), format="parquet")
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_object(str(tmp_path / "x.xyz"), df1, format="xyz")
+    with pytest.raises(ValueError, match="cannot infer writer"):
+        write_object(str(tmp_path / "x"), 42)
+
+
+def test_write_table_partitioned_roundtrip(spark, tmp_path, df1):
+    """Partitioned Spark write readable back via read_partitioned_table."""
+    from fsql_spark import write_table
+
+    sdf = spark.createDataFrame(df1.assign(part=["x", "y"]))
+    write_table(sdf, str(tmp_path / "t"), partition_by=["part"])
+    out = read_partitioned_table(str(tmp_path / "t"), Q_TRUE, spark=spark)
+    assert_same(out, df1.assign(part=["x", "y"]))
+
+
+def test_unknown_suffix_raises(spark, tmp_path, df1):
+    (tmp_path / "t").mkdir()
+    df1.to_csv(tmp_path / "t/f1.weird", index=False)
+    with pytest.raises(KeyError):
+        read_partitioned_table(str(tmp_path / "t"), Q_TRUE, spark=spark)
