@@ -1,0 +1,501 @@
+"""Relational query catalog over the driver's TPC-H-ish testdata.
+
+The reference delegates ALL relational compute to pandas/Dask after the scan
+(`/root/reference/src/fsql/deser.py:30-31` — "apply any transformations later
+on"); in this engine the returned DataFrame is a *Spark* DataFrame, so the
+relational surface is Spark-native (SURVEY §2.5). This module is the
+executable demonstration: joins (broadcast + shuffle, semi/anti), aggregations
+(hash, rollup/cube), window functions, sorts/top-k, set operations, scalar
+functions, JSON extraction, and time-window/sessionization over the events
+table — each paired with a DuckDB oracle (see ``__spark_entry__``).
+
+Conventions (driver correctness harness):
+- every computed column is aliased identically in Spark and oracle SQL;
+- double aggregates are rounded (2–4 dp) on BOTH sides so engine-dependent
+  floating summation order can't flip the value hash;
+- deterministic tiebreakers (keys) on every window ordering and LIMIT.
+
+Scale notes are inline per query: broadcast hints for dimension tables,
+single-shuffle groupings, AQE-friendly shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _fix_nanos(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fix_nanos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by default
+    (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild a microsecond
+    timestamp — lossless here (generator emits whole-microsecond values)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped core
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: single-pass partial+final hash aggregation over the fact
+    table; no joins, one shuffle of 4 groups. Filter is pushed to the parquet
+    scan (min/max rowgroup skipping)."""
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                            AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                       AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       ROUND(AVG(l_quantity), 2)                                            AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2)                                       AS avg_price,
+       ROUND(AVG(l_discount), 4)                                            AS avg_disc,
+       COUNT(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter broadcast into two fact
+    joins, then top-10. customer(BUILDING) is small after the filter =>
+    broadcast; orders⋈lineitem co-partitions on the join key (one shuffle)."""
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS DATE)                                        AS o_orderdate,
+       o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — region/nation/supplier broadcast (tiny),
+    customer⋈orders⋈lineitem shuffled on keys. One aggregation by nation."""
+    region = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    supplier = _t(spark, sf, "supplier")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .where(cust.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate reaches the
+    parquet reader (PushedFilters) — the whole query is one codegen stage."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join (Spark picks
+    broadcast/shuffled-hash semi automatically)."""
+    orders = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem")
+    shipped_late = li.join(
+        orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).where(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey").distinct()
+    return (
+        orders.join(shipped_late, orders.o_orderkey == shipped_late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# windows / top-k / rollup / set ops / anti-semi
+# --------------------------------------------------------------------------
+
+def q_top_parts_per_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group via ranking window; deterministic tiebreak on key.
+    Scale: window shuffles once on p_brand; k-filter keeps state bounded."""
+    part = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rk")
+    )
+
+
+Q_TOP_PARTS_SQL = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rk
+FROM (SELECT p_brand, p_partkey, p_name, p_retailprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rk
+      FROM part)
+WHERE rk <= 3
+"""
+
+
+def q_customer_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Running-sum window + last-row-per-group; two window functions sharing
+    one partitioning => single shuffle."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wdesc = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        orders.withColumn("running_spend", F.round(F.sum("o_totalprice").over(w), 2))
+        .withColumn("rn", F.row_number().over(wdesc))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("running_spend").alias("total_spend"),
+        )
+    )
+
+
+Q_RUNNING_SQL = """
+SELECT o_custkey,
+       last_orderkey,
+       total_spend
+FROM (SELECT o_custkey,
+             o_orderkey AS last_orderkey,
+             ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey), 2) AS total_spend,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_rollup_returns(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets: partial aggregation expands grouping ids map-side;
+    one shuffle for all levels."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_setops_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT over distinct key sets (both compile to aggregated
+    semi/anti joins in Spark)."""
+    cust_nations = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_nations = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cust_nations.intersect(supp_nations).withColumn("relation", F.lit("both"))
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn("relation", F.lit("customers_only"))
+    return both.unionByName(cust_only)
+
+
+Q_SETOPS_SQL = """
+SELECT nationkey, 'both' AS relation
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customers_only' AS relation
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti join (NOT EXISTS). Legitimately empty on this synthetic data —
+    the hash check still verifies the plan produces exactly the empty set."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+Q_ANTI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-function surface: string/date/math built-ins, all codegen'd
+    JVM-side (no UDFs)."""
+    orders = _t(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 20)).alias("priority_label"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.length("o_orderstatus").alias("status_len"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod"),
+    )
+
+
+Q_SCALAR_SQL = """
+SELECT o_orderkey,
+       UPPER(SUBSTRING(o_orderpriority, 3, 20))    AS priority_label,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)    AS order_year,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS order_quarter,
+       ROUND(SQRT(o_totalprice), 4)                AS price_sqrt,
+       CAST(LENGTH(o_orderstatus) AS INTEGER)      AS status_len,
+       CAST(o_orderkey % 7 AS BIGINT)              AS key_mod
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# events: time windows, sessionization, JSON
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming op in
+    fsql_spark.streaming): window() + groupBy, single shuffle."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*)               AS n_events,
+       ROUND(SUM(value), 2)   AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + running sum — the batch
+    twin of streaming session windows. Deterministic ordering tiebreak on
+    event_id. One shuffle on user_id reused by both windows."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds on both engines (seconds-casts round
+    # differently between Spark and DuckDB)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    sess = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+Q_EVENTS_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON column extraction (semi-structured data path): get_json_object is
+    codegen'd; no Python in the loop."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q_EVENTS_JSON_SQL = """
+SELECT event_type,
+       COUNT(*)                                                          AS n_events,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))           AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+RELATIONAL_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q_top_parts_per_brand": q_top_parts_per_brand,
+    "q_customer_running_total": q_customer_running_total,
+    "q_rollup_returns": q_rollup_returns,
+    "q_setops_nations": q_setops_nations,
+    "q_customers_without_orders": q_customers_without_orders,
+    "q_scalar_functions": q_scalar_functions,
+    "q_events_hourly": q_events_hourly,
+    "q_events_sessionize": q_events_sessionize,
+    "q_events_json": q_events_json,
+}
+
+RELATIONAL_ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q_top_parts_per_brand": Q_TOP_PARTS_SQL,
+    "q_customer_running_total": Q_RUNNING_SQL,
+    "q_rollup_returns": Q_ROLLUP_SQL,
+    "q_setops_nations": Q_SETOPS_SQL,
+    "q_customers_without_orders": Q_ANTI_SQL,
+    "q_scalar_functions": Q_SCALAR_SQL,
+    "q_events_hourly": Q_EVENTS_HOURLY_SQL,
+    "q_events_sessionize": Q_EVENTS_SESSIONS_SQL,
+    "q_events_json": Q_EVENTS_JSON_SQL,
+}
