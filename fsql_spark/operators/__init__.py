@@ -1,0 +1,56 @@
+"""LLM-data-pipeline operator extensions (driver north star, SURVEY §2.6):
+deduplication, similarity search, text analysis, multimodal columns."""
+
+from .dedup import (  # noqa: F401
+    DEDUP_ORACLES,
+    DEDUP_QUERIES,
+    dedup_exact,
+    dedup_exact_keys,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+from .multimodal import (  # noqa: F401
+    MEDIA_SCHEMA,
+    MULTIMODAL_ORACLES,
+    MULTIMODAL_QUERIES,
+    decode_image,
+    documents_as_media,
+    extract_features,
+    fake_decode_image,
+)
+from .similarity import (  # noqa: F401
+    SIMILARITY_ORACLES,
+    SIMILARITY_QUERIES,
+    brute_force_pairs,
+    brute_force_topk,
+    cosine,
+    dot,
+    l2_norm,
+    lsh_ann_pairs,
+)
+from .text import (  # noqa: F401
+    TEXT_ORACLES,
+    TEXT_QUERIES,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    with_text_stats,
+)
+
+EXTENSION_QUERIES = {
+    **TEXT_QUERIES,
+    **DEDUP_QUERIES,
+    **SIMILARITY_QUERIES,
+    **MULTIMODAL_QUERIES,
+}
+
+EXTENSION_ORACLES = {
+    **TEXT_ORACLES,
+    **DEDUP_ORACLES,
+    **SIMILARITY_ORACLES,
+    **MULTIMODAL_ORACLES,
+}

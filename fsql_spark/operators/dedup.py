@@ -1,0 +1,327 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+
+- **exact**: one hash-groupBy shuffle on ``sha2(text)`` — at 100 TB this is
+  the cheapest possible dedup (map-side partial aggregation applies, the
+  shuffle carries only (hash, key) pairs when run in keys-only mode).
+- **token/n-gram Jaccard (all-pairs)**: exact but quadratic in the worst
+  case — the token-inverted-index self-join explodes on frequent tokens.
+  Provided as the *oracle-able* exact formulation; use it on small/filtered
+  candidate sets.
+- **MinHash+LSH**: the scale path for near-dup. shingle -> k independent
+  min-hashes (xxhash64 with seed salts, all JVM-side) -> band signatures ->
+  bucket join => candidate pairs ~ O(true pairs), then exact-Jaccard refine.
+  Banding makes the shuffle carry only (band-hash, doc) pairs.
+- **SimHash**: 64-bit signature per doc (one map pass), near-dups = signatures
+  within Hamming distance d; bucketed by rotated prefixes for a join-friendly
+  formulation.
+- **embedding cosine**: see ``similarity.py`` — near-dup = cosine above a
+  threshold.
+
+All hashing is deterministic (xxhash64/sha2/md5), so results are stable across
+runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, content_cols: list[str], key_col: str) -> DataFrame:
+    """Keep exactly one row per distinct content (the min key) — deterministic.
+
+    Implementation: ranking window over the content hash. At scale prefer
+    ``dedup_exact_keys`` (groupBy, map-side combinable) when only keys are
+    needed."""
+    h = F.sha2(F.concat_ws("", *content_cols), 256)
+    w = Window.partitionBy(h).orderBy(F.col(key_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_exact_keys(df: DataFrame, content_cols: list[str], key_col: str) -> DataFrame:
+    """Keys of the canonical (min-key) row per distinct content; single
+    hash-aggregate shuffle."""
+    h = F.sha2(F.concat_ws("", *content_cols), 256)
+    return df.groupBy(h.alias("__h")).agg(F.min(key_col).alias(key_col)).select(key_col)
+
+
+# --------------------------------------------------------------------------
+# token-set / n-gram Jaccard (exact all-pairs; oracle-able)
+# --------------------------------------------------------------------------
+
+def _word_shingles(text: Column, n: int, distinct: bool = True) -> Column:
+    """Word n-grams (n=1 => tokens); distinct=True for set semantics
+    (Jaccard/MinHash), False for frequency-weighted consumers (SimHash)."""
+    words = F.split(text, " ")
+    if n == 1:
+        return F.array_distinct(words) if distinct else words
+    # sliding window via transform over index range; JVM-side, no UDF
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws("", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def jaccard_pairs(
+    df: DataFrame, key_col: str, text_col: str, threshold: float, ngram: int = 1
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over word n-gram sets.
+
+    Inverted-index self-join: explode distinct shingles, join on shingle,
+    count common, filter. Quadratic on frequent shingles — the exact/oracle
+    formulation; MinHash-LSH below is the scale path."""
+    base = df.select(F.col(key_col).alias("k"), _word_shingles(F.col(text_col), ngram).alias("sh"))
+    sizes = base.select("k", F.size("sh").alias("n"))
+    tok = base.select("k", F.explode("sh").alias("w"))
+    t2 = tok.select(F.col("k").alias("k2"), F.col("w").alias("w2"))
+    common = (
+        tok.join(t2, (tok.w == t2.w2) & (tok.k < t2.k2))
+        .groupBy("k", "k2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("k").alias("k"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("k").alias("k2"), F.col("n").alias("n2"))
+    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(s1, "k").join(s2, "k2")
+        .where(jac >= threshold)
+        .select(
+            F.col("k").alias("doc_a"),
+            F.col("k2").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (scale path)
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, key_col: str, text_col: str, num_hashes: int = 32, ngram: int = 3
+) -> DataFrame:
+    """k min-hashes per doc: min over shingles of xxhash64(shingle, salt_i).
+    One map pass, no shuffle; signature is an array<long>."""
+    sh = _word_shingles(F.col(text_col), ngram)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda g, i=i: F.xxhash64(g, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(key_col).alias("k"), sig.alias("sig"), sh.alias("sh"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH with exact-Jaccard verification.
+
+    bands×rows banding: docs agreeing on any band become candidates
+    (P[candidate] = 1-(1-j^r)^b). The bucket join shuffles only
+    (band_hash, doc) pairs — linear in corpus size for realistic dup rates.
+    Candidates are then verified with exact Jaccard on their shingle sets, so
+    the output has no false positives (recall is the LSH knob)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, key_col, text_col, num_hashes, ngram)
+    banded = sigs.select(
+        "k",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("k", "sh", "bb.band", "bb.bucket")
+    other = banded.select(
+        F.col("k").alias("k2"), F.col("sh").alias("sh2"), F.col("band").alias("band2"),
+        F.col("bucket").alias("bucket2"),
+    )
+    cands = (
+        banded.join(
+            other,
+            (banded.band == other.band2) & (banded.bucket == other.bucket2) & (banded.k < other.k2),
+        )
+        .select("k", "k2", "sh", "sh2")
+        .dropDuplicates(["k", "k2"])
+    )
+    inter = F.size(F.array_intersect("sh", "sh2"))
+    union = F.size("sh") + F.size("sh2") - inter
+    jac = inter / union
+    return (
+        cands.where(jac >= threshold)
+        .select(F.col("k").alias("doc_a"), F.col("k2").alias("doc_b"), F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64, ngram: int = 1) -> Column:
+    """64-bit SimHash: sign-sum of per-token hash bits. Pure JVM expression:
+    for each bit, count tokens whose xxhash64 has that bit set vs total."""
+    # frequency-weighted (non-distinct) tokens: the classic SimHash weighting,
+    # which keeps bit majorities stable under small edits
+    sh = _word_shingles(text, ngram, distinct=False)
+    hashes = F.transform(sh, lambda g: F.xxhash64(g))
+    n = F.size(sh)
+
+    def bit_mask(b: int) -> int:
+        return (1 << b) if b < 63 else -(1 << 63)  # avoid long overflow at bit 63
+
+    def has_bit(mask: int):
+        # unary lambda via factory: a default-arg closure would make Spark
+        # treat the lambda as binary (value, index)
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    bit_cols = []
+    for b in range(bits):
+        mask = bit_mask(b)
+        ones = F.size(F.filter(hashes, has_bit(mask)))
+        bit_cols.append(F.when(ones * 2 > n, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, key_col: str, text_col: str, max_hamming: int = 3, bits: int = 64
+) -> DataFrame:
+    """Pairs within Hamming distance d of SimHash signatures.
+
+    Block-permutation bucketing: split the signature into (d+1) blocks — any
+    pair within distance d agrees exactly on >=1 block (pigeonhole), so the
+    join key is (block_idx, block_value): linear shuffle, exact verify after."""
+    blocks = max_hamming + 1
+    block_bits = bits // blocks
+    sigs = df.select(F.col(key_col).alias("k"), simhash(F.col(text_col)).alias("sig"))
+
+    def block(col: Column, i: int) -> Column:
+        return F.shiftrightunsigned(col, i * block_bits).bitwiseAND(F.lit((1 << block_bits) - 1))
+
+    exploded = sigs.select(
+        "k", "sig",
+        F.explode(F.array(*[F.struct(F.lit(i).alias("bi"), block(F.col("sig"), i).alias("bv")) for i in range(blocks)])).alias("b"),
+    ).select("k", "sig", "b.bi", "b.bv")
+    other = exploded.select(
+        F.col("k").alias("k2"), F.col("sig").alias("sig2"), F.col("bi").alias("bi2"), F.col("bv").alias("bv2")
+    )
+    cands = (
+        exploded.join(other, (exploded.bi == other.bi2) & (exploded.bv == other.bv2) & (exploded.k < other.k2))
+        .select("k", "k2", "sig", "sig2")
+        .dropDuplicates(["k", "k2"])
+    )
+    ham = F.bit_count(F.col("sig").bitwiseXOR(F.col("sig2")))
+    return cands.where(ham <= max_hamming).select(
+        F.col("k").alias("doc_a"), F.col("k2").alias("doc_b"), ham.cast("int").alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entries + oracles
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup_exact_keys(docs, ["text"], "doc_id")
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def q_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
+    )
+
+
+Q_DEDUP_STATS_SQL = """
+SELECT COUNT(*)                         AS n_docs,
+       COUNT(DISTINCT text)             AS n_distinct_texts,
+       COUNT(*) - COUNT(DISTINCT text)  AS n_exact_dups
+FROM documents
+"""
+
+
+def q_jaccard_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return jaccard_pairs(docs, "doc_id", "text", threshold=0.95, ngram=1)
+
+
+Q_JACCARD_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+FROM common
+JOIN sizes s1 ON doc_a = s1.doc_id
+JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.95
+"""
+
+
+def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # LSH-bucketed near-dup (scale path); exact-verified so output is a
+    # subset of the exact Jaccard pairs. Rows-only check (hash functions are
+    # not SQL-expressible in DuckDB).
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.9, ngram=1)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+DEDUP_QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_stats": q_dedup_stats,
+    "q_jaccard_near_dups": q_jaccard_near_dups,
+    "q_minhash_near_dups": q_minhash_near_dups,
+    "q_simhash_near_dups": q_simhash_near_dups,
+}
+
+DEDUP_ORACLES = {
+    "q_dedup_exact": Q_DEDUP_EXACT_SQL,
+    "q_dedup_stats": Q_DEDUP_STATS_SQL,
+    "q_jaccard_near_dups": Q_JACCARD_SQL,
+    # q_minhash_near_dups / q_simhash_near_dups: rows-only (hash-based)
+}

@@ -1,0 +1,262 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- **brute-force cosine top-k / threshold**: exact baseline. The query set is
+  broadcast; candidates stream through one codegen stage (higher-order
+  functions ``zip_with``+``aggregate`` — no Python, no shuffle besides the
+  final top-k window on the small result).
+- **random-hyperplane LSH (ANN scale path)**: deterministic signed-projection
+  bucket signature per vector (numpy planes from a fixed seed, Arrow-batched
+  pandas_udf); candidate pairs share a bucket, then exact cosine refine.
+  At 100 TB the bucket join replaces the quadratic cross product; recall is
+  tuned by (n_planes, n_tables).
+
+Norms are precomputed once per side; all arithmetic in float64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+
+def _as_double(col) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Element-wise dot product, JVM-side (zip_with + aggregate fold)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_pairs(
+    vectors: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All (query, candidate) pairs with cosine >= threshold. Queries are
+    broadcast => the big side never shuffles."""
+    cand = vectors.select(
+        F.col(key_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("v"),
+    ).withColumn("nv", l2_norm(F.col("v")))
+    qs = queries.select(
+        F.col(key_col).alias("query_id"),
+        _as_double(vec_col).alias("q"),
+    ).withColumn("nq", l2_norm(F.col("q")))
+    cos = dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv"))
+    return (
+        cand.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .where(cos >= threshold)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine; deterministic tiebreak on
+    neighbor key. Window is over the (small) scored pair set."""
+    cand = vectors.select(F.col(key_col).alias("neighbor_id"), _as_double(vec_col).alias("v"))
+    qs = queries.select(F.col(key_col).alias("query_id"), _as_double(vec_col).alias("q"))
+    scored = (
+        cand.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# --------------------------------------------------------------------------
+
+def lsh_ann_pairs(
+    vectors: DataFrame,
+    key_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine-similar pairs: random-hyperplane signatures bucket
+    the vectors (n_tables independent tables of n_planes bits); same-bucket
+    pairs are refined with exact cosine. Deterministic (seeded planes)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def _bucket(vecs, table):
+        mat = np.stack(vecs.to_numpy())  # (batch, dim) Arrow-batched
+        out = np.zeros(len(vecs), dtype=np.int64)
+        for t in table.unique():
+            mask = table.to_numpy() == t
+            bits = (mat[mask] @ planes[int(t)].T) > 0  # (rows, n_planes)
+            out[mask] = bits.dot(1 << np.arange(n_planes)).astype(np.int64) + (int(t) << n_planes)
+        return pd.Series(out)
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would stringify inline hints and break Spark's eval-type inference
+    _bucket.__annotations__ = {"vecs": pd.Series, "table": pd.Series, "return": pd.Series}
+    bucket_of = pandas_udf(_bucket, LongType())
+
+    base = vectors.select(F.col(key_col).alias("k"), _as_double(vec_col).alias("v"))
+    tabled = base.withColumn("t", F.explode(F.array(*[F.lit(i) for i in range(n_tables)])))
+    bucketed = tabled.withColumn("bucket", bucket_of(F.col("v"), F.col("t")))
+    other = bucketed.select(
+        F.col("k").alias("k2"), F.col("v").alias("v2"), F.col("bucket").alias("bucket2")
+    )
+    cands = (
+        bucketed.join(other, (F.col("bucket") == F.col("bucket2")) & (F.col("k") < F.col("k2")))
+        .select("k", "k2", "v", "v2")
+        .dropDuplicates(["k", "k2"])
+    )
+    cos = cosine(F.col("v"), F.col("v2"))
+    return cands.where(cos >= threshold).select(
+        F.col("k").alias("vec_a"), F.col("k2").alias("vec_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entries + oracles
+# --------------------------------------------------------------------------
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def q_embedding_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    qs = emb.where(F.col("vec_id") < 10)
+    return brute_force_pairs(emb, qs, "vec_id", "embedding", threshold=0.30)
+
+
+# oracle does the cosine in explicit float64 (unnest + join on position) so
+# both engines compute the same IEEE values; the output carries ids only, so
+# summation-order noise (~1e-15) can't flip a hash unless a pair sits within
+# float ulps of the threshold.
+Q_EMB_PAIRS_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS d
+  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id != a.vec_id
+  WHERE a.vec_id < 10
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id
+FROM dots
+JOIN norms na ON query_id = na.vec_id
+JOIN norms nb ON neighbor_id = nb.vec_id
+WHERE d / (na.nrm * nb.nrm) >= 0.30
+"""
+
+
+def q_embedding_knn(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    qs = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(emb, qs, "vec_id", "embedding", k=10)
+
+
+Q_EMB_KNN_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS d
+  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id != a.vec_id
+  WHERE a.vec_id < 10
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY d / (na.nrm * nb.nrm) DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM dots
+  JOIN norms na ON query_id = na.vec_id
+  JOIN norms nb ON neighbor_id = nb.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # rows-only check: approximate by construction; tests assert recall vs
+    # the brute-force baseline instead (tests/test_operators.py)
+    emb = _emb(spark, sf)
+    return lsh_ann_pairs(emb, "vec_id", "embedding", threshold=0.30)
+
+
+def q_embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid norms — array aggregation via posexplode + regroup
+    (the shuffle carries (label, pos, val) triples; at scale this is the
+    standard map-reduce for dense vectors)."""
+    emb = _emb(spark, sf)
+    pos = emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"))
+    cent = pos.groupBy("label", "i").agg(F.avg("x").alias("cx"))
+    return (
+        cent.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("cx") * F.col("cx"))), 4).alias("centroid_norm"),
+             F.count(F.lit(1)).alias("dim"))
+    )
+
+
+Q_EMB_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (SELECT label, i, AVG(x) AS cx FROM ex GROUP BY label, i)
+SELECT label,
+       ROUND(sqrt(SUM(cx * cx)), 4) AS centroid_norm,
+       COUNT(*)                     AS dim
+FROM cent
+GROUP BY label
+"""
+
+
+SIMILARITY_QUERIES = {
+    "q_embedding_similar_pairs": q_embedding_similar_pairs,
+    "q_embedding_knn": q_embedding_knn,
+    "q_embedding_ann_lsh": q_embedding_ann_lsh,
+    "q_embedding_label_centroids": q_embedding_label_centroids,
+}
+
+SIMILARITY_ORACLES = {
+    "q_embedding_similar_pairs": Q_EMB_PAIRS_SQL,
+    "q_embedding_knn": Q_EMB_KNN_SQL,
+    # q_embedding_ann_lsh: rows-only (approximate)
+    "q_embedding_label_centroids": Q_EMB_CENTROIDS_SQL,
+}

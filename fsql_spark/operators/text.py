@@ -1,0 +1,195 @@
+"""Text-analysis operators for LLM-data pipelines: token counting, language
+ID, quality scoring, document fingerprinting.
+
+Everything here is pure ``pyspark.sql.functions`` composition — JVM-side,
+whole-stage-codegen'd, no Python in the row loop — so each operator scales to
+100 TB as a plain map over the documents table (no shuffle at all). Each has
+an exact DuckDB-SQL twin (same expressions) for the driver's oracle gate.
+
+These ops have no counterpart in the reference (fsql delegates all row
+compute to pandas, `/root/reference/src/fsql/deser.py:30-31`); they are the
+driver-mandated extension surface (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# language-marker stopwords: tiny, deterministic n-gram-style heuristic.
+# Word-boundary regexes keep Spark (Java regex) and DuckDB (RE2) agreeing.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|la|et|les|est)\b",
+    "es": r"\b(el|los|que|de la|es)\b",
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (split-based, matching DuckDB string_split)."""
+    return F.size(F.split(col, " "))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-flavored upper estimate: word pieces + punctuation + digit runs.
+
+    ~chars/4 heuristics underestimate code/punct-heavy text; counting regex
+    pieces (letter runs, digit runs, single punct) tracks real tokenizers
+    more closely while staying JVM-side."""
+    return F.size(F.regexp_extract_all(F.col(col) if isinstance(col, str) else col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    n = token_count(col)
+    return (F.length(col) - n + 1) / n
+
+
+def marker_count(col: Column | str, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(F.col(col) if isinstance(col, str) else col, F.lit(pattern), F.lit(0)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Deterministic argmax over language-marker counts; 'und' when no
+    markers hit. Ties resolve in fixed en>de>fr>es order (mirrored in SQL)."""
+    counts = {lang: marker_count(col, pat) for lang, pat in LANG_MARKERS.items()}
+    en, de, fr, es = counts["en"], counts["de"], counts["fr"], counts["es"]
+    total = en + de + fr + es
+    return (
+        F.when(total == 0, F.lit("und"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + word-shape band +
+    stopword presence. Fully arithmetic => identical in Spark and DuckDB."""
+    n = token_count(col)
+    awl = avg_token_len(col)
+    # non-overlapping occurrence count of " the " via length-difference trick
+    stop_hits = (F.length(col) - F.length(F.replace(F.col(col) if isinstance(col, str) else col, F.lit(" the "), F.lit("")))) / 5
+    length_part = F.least(n / F.lit(100.0), F.lit(1.0)) * 0.5
+    shape_part = F.when((awl >= 3) & (awl <= 8), F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_part = F.least(stop_hits / F.lit(3.0), F.lit(1.0)) * 0.2
+    return F.round(length_part + shape_part + stop_part, 4)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 (hex) — byte-identical across engines."""
+    return F.md5(col)
+
+
+def normalized_fingerprint(col: Column | str) -> Column:
+    """Fingerprint robust to case/outer whitespace."""
+    return F.md5(F.lower(F.trim(col)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_pieces", bpe_ish_token_count(text_col))
+        .withColumn("avg_token_len", F.round(avg_token_len(text_col), 4))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entries (driver harness) + oracles
+# --------------------------------------------------------------------------
+
+def q_doc_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return with_text_stats(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "quality", "fingerprint"
+    )
+
+
+Q_TEXT_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         len(string_split(text, ' ')) AS n_tokens_raw
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       ROUND((LENGTH(text) - n_tokens_raw + 1) * 1.0 / n_tokens_raw, 4) AS avg_token_len,
+       ROUND(
+         LEAST(n_tokens_raw / 100.0, 1.0) * 0.5
+         + CASE WHEN (LENGTH(text) - n_tokens_raw + 1) * 1.0 / n_tokens_raw BETWEEN 3 AND 8
+                THEN 0.3 ELSE 0.0 END
+         + LEAST(((LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5) / 3.0, 1.0) * 0.2,
+         4) AS quality,
+       md5(text) AS fingerprint
+FROM t
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        docs.withColumn("lang_pred", lang_id("text"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+Q_LANG_ID_SQL = r"""
+WITH m AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\b(the|and|of|to|is)\b'))     AS en,
+         len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b'))  AS de,
+         len(regexp_extract_all(text, '\b(le|la|et|les|est)\b'))     AS fr,
+         len(regexp_extract_all(text, '\b(el|los|que|de la|es)\b'))  AS es
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN en + de + fr + es = 0 THEN 'und'
+            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       COUNT(*) AS n_docs
+FROM m
+GROUP BY 1, 2
+"""
+
+
+def q_docs_by_lang_source(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(token_count("text")), 2).alias("avg_tokens"),
+        )
+    )
+
+
+Q_DOCS_BY_LANG_SQL = """
+SELECT lang, source,
+       COUNT(*)                                        AS n_docs,
+       ROUND(AVG(n_chars), 2)                          AS avg_chars,
+       ROUND(AVG(len(string_split(text, ' '))), 2)     AS avg_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+TEXT_QUERIES = {
+    "q_doc_text_stats": q_doc_text_stats,
+    "q_doc_lang_id": q_doc_lang_id,
+    "q_docs_by_lang_source": q_docs_by_lang_source,
+}
+
+TEXT_ORACLES = {
+    "q_doc_text_stats": Q_TEXT_STATS_SQL,
+    "q_doc_lang_id": Q_LANG_ID_SQL,
+    "q_docs_by_lang_source": Q_DOCS_BY_LANG_SQL,
+}

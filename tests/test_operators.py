@@ -1,0 +1,133 @@
+"""Behavioral tests for the LLM-pipeline operators: approximate paths are
+checked against their exact baselines (recall/subset properties), dedup against
+synthesized duplicates — properties the SQL-oracle harness can't express."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fsql_spark.operators import (
+    brute_force_topk,
+    dedup_exact,
+    dedup_exact_keys,
+    extract_features,
+    fake_decode_image,
+    jaccard_pairs,
+    lsh_ann_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    with_text_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    # synthesize exact + near duplicates with known ids
+    exact = docs.limit(10).select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    near = docs.limit(10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_dedup_exact_removes_synthesized_dups(docs_with_dups):
+    out = dedup_exact(docs_with_dups, ["text"], "doc_id")
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert len(kept) == 60  # 50 originals + 10 near (not exact) dups
+    assert all(k < 100000 or k >= 200000 for k in kept)  # min-key kept per group
+    keys_only = dedup_exact_keys(docs_with_dups, ["text"], "doc_id")
+    assert {r["doc_id"] for r in keys_only.collect()} == kept
+
+
+def test_minhash_lsh_is_verified_subset_of_exact(spark, docs_with_dups):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs_with_dups, "doc_id", "text", 0.9, ngram=3).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs_with_dups, "doc_id", "text", 0.9, ngram=3).collect()
+    }
+    assert lsh <= exact  # exact-verified: no false positives
+    assert len(exact) >= 10  # the 10 synthesized near-dup pairs are present
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_finds_near_dups(docs_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs_with_dups, "doc_id", "text", 7).collect()
+    }
+    # one extra token on 10-99-token docs moves a few bits of a 64-bit
+    # simhash; radius 7 should recover nearly all synthesized near-dups
+    near_found = sum(1 for a, b in pairs if a < 100000 and b == a + 200000)
+    assert near_found >= 8, f"only {near_found}/10 near-dups found"
+    # identical texts collapse to identical signatures (distance 0)
+    exact_found = sum(1 for a, b in pairs if a < 100000 and b == a + 100000)
+    assert exact_found == 10
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from fsql_spark.operators.similarity import brute_force_pairs
+
+    exact = {
+        tuple(sorted((r["query_id"], r["neighbor_id"])))
+        for r in brute_force_pairs(emb, emb, "vec_id", "embedding", 0.30).collect()
+    }
+    # these synthetic embeddings are near-isotropic noise (max pairwise cosine
+    # ~0.5), so a 0.30 "neighbor" sits at ~72 degrees — the hard regime for
+    # hyperplane LSH. Short signatures + many tables buy recall back
+    # (p_bucket = 1-(1-p_bit^planes)^tables ~ 0.89 here).
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_ann_pairs(emb, "vec_id", "embedding", 0.30, n_planes=4, n_tables=16).collect()
+    }
+    assert approx <= exact  # refined with exact cosine: no false positives
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.6, f"ANN recall too low: {recall} ({len(approx)}/{len(exact)})"
+
+
+def test_brute_force_topk_shape(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, qs, "vec_id", "embedding", k=5).toPandas()
+    assert len(out) == 15
+    assert set(out["rank"]) == {1, 2, 3, 4, 5}
+    assert (out["query_id"] != out["neighbor_id"]).all()
+
+
+def test_text_stats_columns(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    out = with_text_stats(docs).toPandas()
+    assert {"n_tokens", "n_pieces", "avg_token_len", "lang_pred", "quality", "fingerprint"} <= set(out.columns)
+    assert (out["quality"].between(0, 1)).all()
+    assert out["fingerprint"].str.len().eq(32).all()
+
+
+def test_multimodal_plumbing(spark):
+    from fsql_spark.operators.multimodal import documents_as_media
+
+    media = documents_as_media(spark, SF).limit(8)
+    feats = extract_features(media).toPandas()
+    raw = media.select("media_id", "content").toPandas()
+    assert len(feats) == 8
+    joined = feats.merge(raw, on="media_id")
+    assert (joined["n_bytes"] == joined["content"].map(len)).all()
+    meta = fake_decode_image(bytes(joined["content"].iloc[0]))
+    assert meta["n_bytes"] == joined["n_bytes"].iloc[0]
+
+
+def test_decode_image_stub_raises():
+    from fsql_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
