@@ -1,0 +1,240 @@
+"""Streaming window operators + stateful processing.
+
+Scale notes:
+- watermarks bound state: ``withWatermark`` lets Spark drop window state
+  older than the lateness allowance — mandatory at 100 TB/day event volumes;
+- tumbling/sliding windows shuffle once on (window, keys); AQE sizes the
+  state-store partitions;
+- ``applyInPandasWithState`` keeps per-key state in the state store with
+  Arrow-batched user code — the escape hatch for operators Spark lacks.
+
+The ``q_stream_*`` catalog entries execute genuine streaming queries
+(file-stream source, availableNow trigger, memory sink) whose final output is
+verified against batch SQL oracles — the streaming/batch unification Spark
+promises, demonstrated.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from typing import Iterable, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+    StringType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long (see relational._fix_nanos)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one file = one micro-batch;
+    in production this is a directory that keeps receiving files / Kafka).
+
+    The file stream source requires a *directory*, so the single events
+    parquet is staged into a temp dir via symlink (zero-copy)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="fsql_stream_src_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet")
+    raw = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(stage)
+    # integer div: double division drops ulps at ns magnitudes
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, every: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", every).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, length: str = "1 hour", slide: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding windows: each event lands in length/slide overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", length, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows (gap-merged) per user: state merges adjacent
+    events within the gap; watermark closes/evicts stale sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("s", DoubleType())]
+)
+
+
+def _user_totals_fn(
+    key: Tuple[int], batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Custom stateful operator: cumulative per-user totals across batches."""
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: per-user running totals in the state store.
+    Emits the updated total for every user seen in each micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=_USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming query to completion (availableNow) into an
+    in-memory sink; returns the result table."""
+    spark = stream_df.sparkSession
+    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fsql_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# catalog entries + oracles
+# --------------------------------------------------------------------------
+
+def q_stream_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    out = run_to_memory(tumbling_counts(events_stream(spark, sf)), mode="complete")
+    return out
+
+
+Q_STREAM_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*)               AS n_events,
+       ROUND(SUM(value), 2)   AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    out = run_to_memory(session_aggregate(events_stream(spark, sf)), mode="complete")
+    return out
+
+
+# batch oracle for gap-based session windows: lag/cumsum sessionization
+Q_STREAM_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts)              AS session_start,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, sess
+"""
+
+
+def q_stream_user_totals(spark: SparkSession, sf: str) -> DataFrame:
+    raw = run_to_memory(stateful_user_totals(events_stream(spark, sf)), mode="update")
+    # update mode emits one row per (user, micro-batch); the final total per
+    # user is the row with the highest (monotone) event count
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+    )
+
+
+Q_STREAM_USER_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+STREAMING_QUERIES = {
+    "q_stream_hourly": q_stream_hourly,
+    "q_stream_sessions": q_stream_sessions,
+    "q_stream_user_totals": q_stream_user_totals,
+}
+
+STREAMING_ORACLES = {
+    "q_stream_hourly": Q_STREAM_HOURLY_SQL,
+    "q_stream_sessions": Q_STREAM_SESSIONS_SQL,
+    "q_stream_user_totals": Q_STREAM_USER_TOTALS_SQL,
+}
