@@ -48,6 +48,19 @@ def main() -> None:
         except Exception as exc:  # a failing query must not hide the rest
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = float("nan")
+            try:  # if the JVM died, restart so later queries still run
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                from pyspark.sql import SparkSession
+
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+                spark = get_spark(
+                    app_name="fsql-spark-bench",
+                    master=f"local[{cpus}]",
+                    shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+                )
+                spark.sparkContext.setLogLevel("ERROR")
             continue
         timings[name] = round(time.perf_counter() - start, 4)
 

@@ -1,0 +1,99 @@
+"""Vectorized (numpy) signature kernels for SimHash / MinHash.
+
+Why not pure Column expressions: a 64-bit-majority SimHash needs 64
+array passes per row — the expression tree blows past the whole-stage-codegen
+method limit and Spark falls back to interpreted evaluation (measured ~7 s for
+5k docs). An Arrow-batched pandas_udf with flat-token numpy kernels does the
+same work in milliseconds per batch; the Arrow transfer of the text column is
+the only overhead, amortized across all signatures at once.
+
+Hashes here are deterministic FNV-1a(64) + splitmix64 seed mixing — stable
+across runs, batch sizes, and cluster layouts (signature algorithms only need
+internal consistency, not cross-engine parity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_SHIFTS = np.arange(64, dtype=np.uint64)
+_WEIGHTS = (np.uint64(1) << _SHIFTS)
+
+
+def fnv1a64(tokens: list[str]) -> np.ndarray:
+    """Vectorized FNV-1a over a flat token list: pad to a byte matrix and
+    fold position-wise (max-token-length iterations, each fully vectorized)."""
+    if not tokens:
+        return np.empty(0, np.uint64)
+    encoded = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in encoded), np.int64, len(encoded))
+    maxlen = int(lens.max()) if len(lens) else 0
+    mat = np.zeros((len(encoded), maxlen), np.uint8)
+    for i, b in enumerate(encoded):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+    with np.errstate(over="ignore"):
+        h = np.full(len(encoded), _FNV_OFFSET, np.uint64)
+        for p in range(maxlen):
+            active = lens > p
+            h[active] = (h[active] ^ mat[active, p].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _flat_tokens(texts: pd.Series, ngram: int) -> tuple[list[str], np.ndarray]:
+    """All docs' shingles flattened + per-doc counts (ngram>1 => word n-grams)."""
+    counts = np.empty(len(texts), np.int64)
+    flat: list[str] = []
+    for j, t in enumerate(texts):
+        words = t.split(" ") if isinstance(t, str) else []
+        if ngram > 1:
+            toks = ["\x01".join(words[i : i + ngram]) for i in range(max(0, len(words) - ngram + 1))]
+        else:
+            toks = words
+        counts[j] = len(toks)
+        flat.extend(toks)
+    return flat, counts
+
+
+def simhash_batch(texts: pd.Series, ngram: int = 1) -> pd.Series:
+    """64-bit frequency-weighted SimHash per doc, one vectorized pass."""
+    flat, counts = _flat_tokens(texts, ngram)
+    h = fnv1a64(flat)
+    bits = ((h[:, None] >> _SHIFTS) & np.uint64(1)).astype(np.int64)  # (T, 64)
+    offsets = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    # reduceat needs nonempty segments: guard zero-token docs
+    safe_offsets = np.minimum(offsets, max(len(flat) - 1, 0))
+    sums = np.add.reduceat(bits, safe_offsets, axis=0) if len(flat) else np.zeros((len(counts), 64), np.int64)
+    sums[counts == 0] = 0
+    maj = (sums * 2) > counts[:, None]
+    sig = (maj.astype(np.uint64) * _WEIGHTS).sum(axis=1, dtype=np.uint64)
+    return pd.Series(sig.view(np.int64))
+
+
+def minhash_batch(texts: pd.Series, num_hashes: int, ngram: int) -> pd.Series:
+    """k-minhash signature per doc (array<long>), vectorized: one FNV pass,
+    k seed mixes, segmented min."""
+    flat, counts = _flat_tokens(texts, ngram)
+    base = fnv1a64(flat)
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    offsets = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    out = np.full((len(counts), num_hashes), np.iinfo(np.int64).max, np.int64)
+    if len(flat):
+        mixed = _splitmix64(base[:, None] ^ seeds[None, :]).view(np.int64)  # (T, k)
+        safe_offsets = np.minimum(offsets, len(flat) - 1)
+        mins = np.minimum.reduceat(mixed, safe_offsets, axis=0)
+        mins[counts == 0] = np.iinfo(np.int64).max
+        out = mins
+    return pd.Series(list(out))
