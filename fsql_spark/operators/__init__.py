@@ -1,6 +1,12 @@
 """LLM-data-pipeline operator extensions (driver north star, SURVEY §2.6):
 deduplication, similarity search, text analysis, multimodal columns."""
 
+from .asof import (  # noqa: F401
+    ASOF_ORACLES,
+    ASOF_QUERIES,
+    asof_join,
+    range_join,
+)
 from .dedup import (  # noqa: F401
     DEDUP_ORACLES,
     DEDUP_QUERIES,
@@ -46,6 +52,7 @@ EXTENSION_QUERIES = {
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
+    **ASOF_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -53,4 +60,5 @@ EXTENSION_ORACLES = {
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
     **MULTIMODAL_ORACLES,
+    **ASOF_ORACLES,
 }

@@ -1,0 +1,172 @@
+"""Temporal joins Spark lacks natively: as-of join and banded range join.
+
+**As-of join** (each left row matched to the latest right row at-or-before its
+timestamp, per key): implemented with the union+ordered-window technique — tag
+both sides, sort within key by (time, side), carry right-side values forward
+with ``last(ignorenulls)``, keep left rows. ONE shuffle + sort, no point
+lookups, no skew beyond the key distribution: the standard scalable
+formulation (same shape Flint/pandas merge_asof use).
+
+**Range join** (pairs within a time tolerance, per key): the naive theta join
+is quadratic per key; the banded formulation buckets time into
+tolerance-width bins and joins only adjacent bins — candidates shrink from
+O(n^2) to O(n * density), then the exact |dt| <= tolerance filter applies.
+
+Both have exact DuckDB oracles (ASOF JOIN is native there; range join is a
+plain non-equi join at oracle scale).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    suffix: str = "_right",
+    tolerance_us: Optional[int] = None,
+) -> DataFrame:
+    """Backward as-of join: latest right row with ``right_ts <= left_ts`` per
+    ``on`` key. Inner semantics (unmatched left rows dropped); optional
+    tolerance bounds the lookback."""
+    carried = [right_ts] + right_value_cols
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn("__t", F.col(left_ts))
+    r_tag = (
+        right.select(*on, *carried)
+        .withColumnRenamed(right_ts, right_ts + suffix)
+        .withColumns({c + suffix: F.col(c) for c in right_value_cols})
+        .drop(*right_value_cols)
+        .withColumn("__side", F.lit(0))
+        .withColumn("__t", F.col(right_ts + suffix))
+    )
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # right rows (side=0) sort before left rows at equal time => inclusive <=
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried_out = [right_ts + suffix] + [c + suffix for c in right_value_cols]
+    filled = unioned.withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in carried_out}
+    )
+    out = filled.where(F.col("__side") == 1).drop("__side", "__t")
+    out = out.where(F.col(right_ts + suffix).isNotNull())
+    if tolerance_us is not None:
+        gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts + suffix))
+        out = out.where(gap <= tolerance_us)
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int,
+) -> DataFrame:
+    """All (left, right) pairs with |left_ts - right_ts| <= tolerance per key.
+
+    Banded: join on (key, time_bucket) for the three adjacent
+    tolerance-width buckets, then exact filter."""
+    lb = left.withColumn("__lb", (F.unix_micros(F.col(left_ts)) / tolerance_us).cast("long"))
+    rb = right
+    for k in on:  # disambiguate self-join key columns
+        rb = rb.withColumnRenamed(k, f"__r_{k}")
+    rb = rb.withColumn("__rb", (F.unix_micros(F.col(right_ts)) / tolerance_us).cast("long"))
+    rb = rb.withColumn("__rb_adj", F.explode(F.array(F.col("__rb") - 1, F.col("__rb"), F.col("__rb") + 1)))
+    cond = [lb[k] == rb[f"__r_{k}"] for k in on] + [lb["__lb"] == rb["__rb_adj"]]
+    joined = lb.join(rb, cond if cond else None)
+    gap = F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts)))
+    return joined.where(gap <= tolerance_us).drop(
+        "__lb", "__rb", "__rb_adj", *[f"__r_{k}" for k in on]
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entries + oracles (events table: clicks vs purchases)
+# --------------------------------------------------------------------------
+
+def q_asof_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """For every click, the user's most recent purchase at-or-before it."""
+    from ..relational import _t
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    ).withColumnRenamed("event_id", "purchase_event")
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["purchase_event", "value"],
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("purchase_event_right").alias("purchase_id"),
+        F.round("value_right", 2).alias("purchase_value"),
+    )
+
+
+Q_ASOF_SQL = """
+SELECT l.event_id            AS click_id,
+       l.user_id             AS user_id,
+       r.event_id            AS purchase_id,
+       ROUND(r.value, 2)     AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_join_bursts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs of distinct events by the same user within 60 seconds — burst
+    detection shape. Output: ordered id pairs + gap in ms."""
+    from ..relational import _t
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    other = ev.select(
+        F.col("event_id").alias("event_b"), F.col("user_id"), F.col("ts").alias("ts_b")
+    )
+    out = range_join(ev, other, ["user_id"], "ts", "ts_b", 60_000_000)
+    # strict id ordering: each unordered pair exactly once
+    out = out.where(F.col("event_id") < F.col("event_b"))
+    gap_ms = (F.abs(F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_b"))) / 1000).cast("long")
+    return out.select("user_id", F.col("event_id").alias("event_a"), "event_b", gap_ms.alias("gap_ms"))
+
+
+Q_RANGE_JOIN_SQL = """
+SELECT a.user_id AS user_id,
+       a.event_id AS event_a,
+       b.event_id AS event_b,
+       CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) // 1000 AS BIGINT) AS gap_ms
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
+"""
+
+ASOF_QUERIES = {
+    "q_asof_click_purchase": q_asof_click_purchase,
+    "q_range_join_bursts": q_range_join_bursts,
+}
+
+ASOF_ORACLES = {
+    "q_asof_click_purchase": Q_ASOF_SQL,
+    "q_range_join_bursts": Q_RANGE_JOIN_SQL,
+}

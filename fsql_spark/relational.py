@@ -304,6 +304,69 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets over two dimensions (all 4 grouping combinations in
+    one shuffle via grouping-id expansion)."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+Q_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_price_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact DISCRETE quantiles per segment via ranking windows: the value at
+    position ceil(q*n). Interpolated quantiles (percentile/quantile_cont)
+    were rejected on purpose: midpoints of 2-decimal prices land exactly on
+    .xx5 rounding boundaries where Spark's and DuckDB's midpoint formulas
+    differ by one ulp — a systematic cross-engine hash hazard, not a fluke."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    ranked = joined.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment"))
+    )
+    at = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("int"), F.col("o_totalprice"))
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.round(at(0.5), 2).alias("median_price"),
+        F.round(at(0.9), 2).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+Q_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+       ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS INTEGER) THEN o_totalprice END), 2) AS median_price,
+       ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS INTEGER) THEN o_totalprice END), 2) AS p90_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM ranked
+GROUP BY c_mktsegment
+"""
+
+
 def q_setops_nations(spark: SparkSession, sf: str) -> DataFrame:
     """INTERSECT / EXCEPT over distinct key sets (both compile to aggregated
     semi/anti joins in Spark)."""
@@ -476,6 +539,8 @@ RELATIONAL_QUERIES = {
     "q_top_parts_per_brand": q_top_parts_per_brand,
     "q_customer_running_total": q_customer_running_total,
     "q_rollup_returns": q_rollup_returns,
+    "q_cube_order_stats": q_cube_order_stats,
+    "q_price_quantiles": q_price_quantiles,
     "q_setops_nations": q_setops_nations,
     "q_customers_without_orders": q_customers_without_orders,
     "q_scalar_functions": q_scalar_functions,
@@ -493,6 +558,8 @@ RELATIONAL_ORACLES = {
     "q_top_parts_per_brand": Q_TOP_PARTS_SQL,
     "q_customer_running_total": Q_RUNNING_SQL,
     "q_rollup_returns": Q_ROLLUP_SQL,
+    "q_cube_order_stats": Q_CUBE_SQL,
+    "q_price_quantiles": Q_QUANTILES_SQL,
     "q_setops_nations": Q_SETOPS_SQL,
     "q_customers_without_orders": Q_ANTI_SQL,
     "q_scalar_functions": Q_SCALAR_SQL,
