@@ -36,6 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(RELATIONAL_QUERIES)
+    from fsql_spark.sql import SQL_QUERIES
+
+    out.update(SQL_QUERIES)
     try:  # extension operators land incrementally; never break the contract
         from fsql_spark.operators import EXTENSION_QUERIES
 
@@ -54,6 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
+    from fsql_spark.sql import SQL_ORACLES
+
+    out.update(SQL_ORACLES)
     try:
         from fsql_spark.operators import EXTENSION_ORACLES
 

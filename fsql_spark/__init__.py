@@ -15,6 +15,7 @@ from .api import (  # noqa: F401
     read_partitioned_table,
     read_s3_table,
     register_tables,
+    write_bucketed_table,
     write_object,
     write_table,
 )
@@ -55,5 +56,6 @@ from .readers import (  # noqa: F401
     SparkReader,
 )
 from .session import get_spark  # noqa: F401
+from .sql import register_path_tables, sql  # noqa: F401
 
 __version__ = "0.1.0"

@@ -250,6 +250,27 @@ def write_table(
     writer.save(fs.spark_url(path))
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: Optional[list[str]] = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (in-session catalog, spark-warehouse dir).
+
+    Bucketing pre-shuffles data at write time: two tables bucketed on the
+    same key with the same bucket count join WITHOUT any Exchange — the
+    standard co-located-join strategy for repeatedly-joined 100 TB facts
+    (verified by tests/test_scale_plans.py: no Exchange in the join plan)."""
+    writer = df.write.mode(mode).format(format).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def register_tables(spark: SparkSession, sf_dir: str, names: Optional[list[str]] = None) -> None:
     """Register each ``{sf_dir}/{name}.parquet`` as a temp view (test harness)."""
     import os
