@@ -37,6 +37,10 @@ def _fix_nanos(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild a microsecond
     timestamp — lossless here (generator emits whole-microsecond values)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp_micros() builds TIMESTAMP_LTZ, whose window()/date alignment
+    # follows the session TZ — pin UTC so results don't depend on the caller's
+    # session config (the driver harness brings its own SparkSession)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         # integer div: double division drops ulps at ns magnitudes

@@ -55,6 +55,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # LTZ window alignment
     stage = tempfile.mkdtemp(prefix="fsql_stream_src_")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet")
     raw = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(stage)
