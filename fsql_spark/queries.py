@@ -287,8 +287,15 @@ class LexRangeQuery(Query):
             if r.name not in columns:
                 return on_missing
             value = columns[r.name]
-            vs_min = r.comparator.compare(value, r.min_value)
-            vs_max = r.comparator.compare(value, r.max_value)
+            try:
+                vs_min = r.comparator.compare(value, r.min_value)
+                vs_max = r.comparator.compare(value, r.max_value)
+            except ValueError:
+                # DEVIATION (documented): a non-int()-able value under the num
+                # comparator crashes the reference mid-crawl; here it simply
+                # doesn't match — aligned with the Catalyst path, where
+                # try_cast yields NULL => filtered
+                return False
             if tied_min:
                 if vs_min < 0:
                     return False
@@ -334,7 +341,11 @@ class LexRangeQuery(Query):
 
         def val(r: ColumnRange) -> Column:
             c = F.col(r.name)
-            return c.cast("long") if r.comparator is ColumnComparator.num else c
+            # try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW
+            # on non-numeric values, crashing the scan; NULL comparisons
+            # propagate to NULL and the filter drops the row — matching the
+            # Python evaluator's lenient semantics above
+            return c.try_cast("long") if r.comparator is ColumnComparator.num else c
 
         def lo(r: ColumnRange) -> Column:
             return F.lit(int(r.min_value) if r.comparator is ColumnComparator.num else r.min_value)
@@ -357,7 +368,10 @@ class LexRangeQuery(Query):
             r = effective[i]
             return (val(r) < hi(r)) | ((val(r) == hi(r)) & lt_max(i + 1))
 
-        return ge_min(0) & lt_max(0)
+        # coalesce: try_cast NULLs (non-numeric under num) must read as a
+        # definite False, not three-valued NULL (the language has no NOT, so
+        # this is exact)
+        return F.coalesce(ge_min(0) & lt_max(0), F.lit(False))
 
 
 def _parse_date(spec: Union[str, datetime.date]) -> datetime.date:
