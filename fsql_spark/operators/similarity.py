@@ -141,6 +141,22 @@ def lsh_ann_pairs(
     )
 
 
+def embedding_near_dup_keys(
+    vectors: DataFrame, key_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-dup dedup: drop every vector that is
+    cosine-similar (>= threshold) to a LOWER-keyed vector; keep the rest.
+
+    Greedy-by-key suppression (not connected components): deterministic, one
+    pass over the pair relation. At scale, feed the pair relation from
+    ``lsh_ann_pairs`` instead of the brute-force cross product."""
+    pairs = brute_force_pairs(
+        vectors, vectors, key_col, vec_col, threshold
+    ).where(F.col("query_id") < F.col("neighbor_id"))
+    dropped = pairs.select(F.col("neighbor_id").alias(key_col)).distinct()
+    return vectors.select(key_col).join(dropped, key_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # catalog entries + oracles
 # --------------------------------------------------------------------------
@@ -211,6 +227,35 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
 """
 
 
+def q_embedding_near_dup_keys(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    return embedding_near_dup_keys(emb, "vec_id", "embedding", threshold=0.30)
+
+
+Q_EMB_NEAR_DUP_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.v * b.v) AS d
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT nid AS vec_id
+  FROM dots
+  JOIN norms na ON qid = na.vec_id
+  JOIN norms nb ON nid = nb.vec_id
+  WHERE d / (na.nrm * nb.nrm) >= 0.30
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def q_embedding_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # rows-only check: approximate by construction; tests assert recall vs
     # the brute-force baseline instead (tests/test_operators.py)
@@ -251,6 +296,7 @@ SIMILARITY_QUERIES = {
     "q_embedding_similar_pairs": q_embedding_similar_pairs,
     "q_embedding_knn": q_embedding_knn,
     "q_embedding_ann_lsh": q_embedding_ann_lsh,
+    "q_embedding_near_dup_keys": q_embedding_near_dup_keys,
     "q_embedding_label_centroids": q_embedding_label_centroids,
 }
 
@@ -258,5 +304,6 @@ SIMILARITY_ORACLES = {
     "q_embedding_similar_pairs": Q_EMB_PAIRS_SQL,
     "q_embedding_knn": Q_EMB_KNN_SQL,
     # q_embedding_ann_lsh: rows-only (approximate)
+    "q_embedding_near_dup_keys": Q_EMB_NEAR_DUP_SQL,
     "q_embedding_label_centroids": Q_EMB_CENTROIDS_SQL,
 }

@@ -229,6 +229,14 @@ class PandasReader(DataReader):
         self.kwargs = pdread_kwargs
 
     def _read_single(self, partition: Partition, fs: FileSystem, fallback: InputFormat = InputFormat.AUTO):
+        # FileNotFound retry once: listing-cache staleness workaround
+        # (reference `deser.py:224-230`)
+        try:
+            return self._read_single_once(partition, fs, fallback)
+        except FileNotFoundError:
+            return self._read_single_once(partition, fs, fallback)
+
+    def _read_single_once(self, partition: Partition, fs: FileSystem, fallback: InputFormat):
         import pandas as pd
 
         fmt = self.input_format if self.input_format is not InputFormat.AUTO else fallback

@@ -166,3 +166,22 @@ def test_unknown_suffix_raises(spark, tmp_path, df1):
     df1.to_csv(tmp_path / "t/f1.weird", index=False)
     with pytest.raises(KeyError):
         read_partitioned_table(str(tmp_path / "t"), Q_TRUE, spark=spark)
+
+
+def test_xlsx_gated_on_openpyxl(spark, tmp_path, df1):
+    """xlsx path exists but is import-gated: without openpyxl it raises a
+    clear ImportError (the env has no xlsx codec; reference `deser.py:83-95`)."""
+    (tmp_path / "t").mkdir()
+    # a file with the xlsx suffix; the reader should fail on the missing
+    # engine import before ever parsing content
+    (tmp_path / "t" / "f1.xlsx").write_bytes(b"PK\x03\x04 fake")
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl installed; xlsx path is exercised for real")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="(?i)openpyxl"):
+        read_partitioned_table(
+            str(tmp_path / "t"), Q_TRUE, data_reader=PandasReader(), spark=spark
+        )
