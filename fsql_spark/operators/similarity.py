@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 from pyspark.sql.window import Window
 
 
@@ -38,6 +38,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _query_matrix(queries: DataFrame, key_col: str, vec_col: str):
+    """Collect the (small) query set to a normalized float64 matrix.
+
+    The query side of a brute-force scan must fit in memory anyway — this is
+    the standard blocked-GEMM formulation: the corpus streams through
+    mapInPandas in Arrow batches, each batch doing ONE BLAS matmul against
+    the broadcast query matrix. (The pure Column formulation with
+    zip_with+aggregate is interpreted per element — measured 25 s vs <1 s for
+    2k x 2k x 64 at sf0.1.)"""
+    import numpy as np
+
+    rows = queries.select(key_col, vec_col).collect()
+    keys = np.array([r[key_col] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return keys, mat
+
+
 def brute_force_pairs(
     vectors: DataFrame,
     queries: DataFrame,
@@ -45,22 +63,32 @@ def brute_force_pairs(
     vec_col: str,
     threshold: float,
 ) -> DataFrame:
-    """All (query, candidate) pairs with cosine >= threshold. Queries are
-    broadcast => the big side never shuffles."""
-    cand = vectors.select(
-        F.col(key_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("v"),
-    ).withColumn("nv", l2_norm(F.col("v")))
-    qs = queries.select(
-        F.col(key_col).alias("query_id"),
-        _as_double(vec_col).alias("q"),
-    ).withColumn("nq", l2_norm(F.col("q")))
-    cos = dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv"))
-    return (
-        cand.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
-        .where(cos >= threshold)
-        .select("query_id", "neighbor_id")
+    """All (query, candidate) pairs with cosine >= threshold — exact,
+    BLAS-blocked: corpus never shuffles, queries broadcast in the closure."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    q_keys, q_mat = _query_matrix(queries, key_col, vec_col)
+    schema = StructType(
+        [StructField("query_id", LongType()), StructField("neighbor_id", LongType())]
     )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ q_mat.T  # (batch, nq)
+            vi, qi = np.nonzero(sims >= threshold)
+            n_ids = pdf[key_col].to_numpy()[vi]
+            q_ids = q_keys[qi]
+            keep = q_ids != n_ids
+            yield pd.DataFrame({"query_id": q_ids[keep], "neighbor_id": n_ids[keep]})
+
+    return vectors.select(key_col, vec_col).mapInPandas(kernel, schema)
 
 
 def brute_force_topk(
@@ -71,13 +99,45 @@ def brute_force_topk(
     k: int,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine; deterministic tiebreak on
-    neighbor key. Window is over the (small) scored pair set."""
-    cand = vectors.select(F.col(key_col).alias("neighbor_id"), _as_double(vec_col).alias("v"))
-    qs = queries.select(F.col(key_col).alias("query_id"), _as_double(vec_col).alias("q"))
-    scored = (
-        cand.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q"), F.col("v")))
+    neighbor key. Each Arrow batch emits its LOCAL top-k per query (the
+    global top-k is a subset of the union), then one small window finalizes —
+    shuffle carries at most k * n_queries rows per batch."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    q_keys, q_mat = _query_matrix(queries, key_col, vec_col)
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
     )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ q_mat.T  # (batch, nq)
+            n_ids = pdf[key_col].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                mask = n_ids != q_keys[j]
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                top = cand[np.argsort(-col[cand], kind="stable")[: k]]
+                out_q.extend([q_keys[j]] * len(top))
+                out_n.extend(n_ids[top])
+                out_c.extend(col[top])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
+
+    scored = vectors.select(key_col, vec_col).mapInPandas(kernel, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -138,6 +198,119 @@ def lsh_ann_pairs(
     cos = cosine(F.col("v"), F.col("v2"))
     return cands.where(cos >= threshold).select(
         F.col("k").alias("vec_a"), F.col("k2").alias("vec_b")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    key_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    seed: int = 42,
+) -> tuple[DataFrame, "object"]:
+    """IVF coarse quantizer: deterministic k-means-lite.
+
+    Centroid init = hash-ordered sample (stable across runs/cluster layout);
+    each Lloyd iteration is one distributed assign (Arrow-batched argmin) +
+    one aggregation (posexplode/regroup). Returns (assigned_df, centroids
+    ndarray); ``assigned_df`` = vectors + ``centroid_id``.
+
+    Scale: centroids live on the driver (n_centroids x dim floats — KBs) and
+    broadcast inside the UDF closure; the big table is touched ``iterations+1``
+    times, map-only except the centroid averaging shuffle of (id, pos, val).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    base = vectors.select(F.col(key_col).alias("k"), _as_double(vec_col).alias("v"))
+    init = (
+        base.withColumn("__h", F.xxhash64("k", F.lit(seed)))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .select("v")
+        .collect()
+    )
+    centroids = np.array([r["v"] for r in init], dtype=np.float64)
+
+    def make_assigner(cents: "np.ndarray"):
+        norm = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+        def _assign(vecs):
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            return pd.Series((mat @ norm.T).argmax(axis=1).astype(np.int32))
+
+        _assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        return pandas_udf(_assign, IntegerType())
+
+    for _ in range(iterations):
+        assigned = base.withColumn("centroid_id", make_assigner(centroids)(F.col("v")))
+        pos = assigned.select("centroid_id", F.posexplode("v").alias("i", "x"))
+        means = (
+            pos.groupBy("centroid_id", "i").agg(F.avg("x").alias("cx")).collect()
+        )
+        new = centroids.copy()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["centroid_id"], {})[r["i"]] = r["cx"]
+        for cid, dims in by_c.items():
+            for i, val in dims.items():
+                new[cid, i] = val
+        centroids = new
+
+    assigned = base.withColumn("centroid_id", make_assigner(centroids)(F.col("v")))
+    return assigned, centroids
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    vec_col: str,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their ``n_probe`` nearest
+    centroids; exact cosine runs only within the probed inverted lists
+    (candidates ~ corpus * n_probe / n_centroids instead of the full cross
+    product)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    assigned, centroids = ivf_assign(vectors, key_col, vec_col, n_centroids=n_centroids, seed=seed)
+    norm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def _probe(vecs):
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ norm.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    _probe.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    probe_udf = pandas_udf(_probe, ArrayType(IntegerType()))
+
+    qs = queries.select(F.col(key_col).alias("query_id"), _as_double(vec_col).alias("q"))
+    probed = qs.withColumn("centroid_id", F.explode(probe_udf(F.col("q"))))
+    cands = probed.join(
+        assigned.withColumnRenamed("k", "neighbor_id"), "centroid_id"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.withColumn("cos", cosine(F.col("q"), F.col("v"))).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
     )
 
 
@@ -263,6 +436,13 @@ def q_embedding_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_ann_pairs(emb, "vec_id", "embedding", threshold=0.30)
 
 
+def q_embedding_ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
+    # rows-only check (approximate); recall asserted vs brute force in tests
+    emb = _emb(spark, sf)
+    qs = emb.where(F.col("vec_id") < 10)
+    return ivf_ann_topk(emb, qs, "vec_id", "embedding", k=10)
+
+
 def q_embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label centroid norms — array aggregation via posexplode + regroup
     (the shuffle carries (label, pos, val) triples; at scale this is the
@@ -296,6 +476,7 @@ SIMILARITY_QUERIES = {
     "q_embedding_similar_pairs": q_embedding_similar_pairs,
     "q_embedding_knn": q_embedding_knn,
     "q_embedding_ann_lsh": q_embedding_ann_lsh,
+    "q_embedding_ivf_knn": q_embedding_ivf_knn,
     "q_embedding_near_dup_keys": q_embedding_near_dup_keys,
     "q_embedding_label_centroids": q_embedding_label_centroids,
 }

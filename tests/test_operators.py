@@ -131,3 +131,35 @@ def test_decode_image_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    from fsql_spark.operators.similarity import brute_force_topk, ivf_ann_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qs, "vec_id", "embedding", k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, qs, "vec_id", "embedding", k=10, n_probe=6).collect()
+    }
+    assert len(approx) == len(exact) == 100
+    recall = len(approx & exact) / len(exact)
+    # near-isotropic noise embeddings: true neighbors are barely closer than
+    # random, the worst case for coarse quantization - still expect majority
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_is_deterministic(spark):
+    from fsql_spark.operators.similarity import ivf_ann_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, ivf_ann_topk(emb, qs, "vec_id", "embedding", k=5).collect()))
+    b = sorted(map(tuple, ivf_ann_topk(emb, qs, "vec_id", "embedding", k=5).collect()))
+    assert a == b
