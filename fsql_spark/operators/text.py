@@ -87,6 +87,27 @@ def normalized_fingerprint(col: Column | str) -> Column:
     return F.md5(F.lower(F.trim(col)))
 
 
+def rolling_fingerprint(col: Column | str) -> Column:
+    """64-bit rolling (polynomial/FNV-1a) content hash — the classic
+    incremental document fingerprint, computed by the vectorized byte kernel
+    in ``_hashing`` (Arrow-batched; no per-row Python)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from ._hashing import fnv1a64
+
+    def _fp(texts):
+        import numpy as np
+
+        vals = fnv1a64([t if isinstance(t, str) else "" for t in texts])
+        return pd.Series(vals.view(np.int64))
+
+    _fp.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_fp, LongType())(F.col(col) if isinstance(col, str) else col)
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family."""
     return (
@@ -96,6 +117,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text_col))
         .withColumn("quality", quality_score(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
+        .withColumn("rolling_fp", rolling_fingerprint(text_col))
     )
 
 

@@ -108,9 +108,10 @@ def test_brute_force_topk_shape(spark):
 def test_text_stats_columns(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
     out = with_text_stats(docs).toPandas()
-    assert {"n_tokens", "n_pieces", "avg_token_len", "lang_pred", "quality", "fingerprint"} <= set(out.columns)
+    assert {"n_tokens", "n_pieces", "avg_token_len", "lang_pred", "quality", "fingerprint", "rolling_fp"} <= set(out.columns)
     assert (out["quality"].between(0, 1)).all()
     assert out["fingerprint"].str.len().eq(32).all()
+    assert out["rolling_fp"].nunique() == len(out)  # distinct texts, distinct fps
 
 
 def test_multimodal_plumbing(spark):
