@@ -141,20 +141,31 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+def run_to_memory(stream_df: DataFrame, mode: str, state_partitions: int = 8) -> DataFrame:
     """Execute a streaming query to completion (availableNow) into an
-    in-memory sink; returns the result table."""
+    in-memory sink; returns the result table.
+
+    ``state_partitions`` pins shuffle/state-store partitioning for the query
+    (set at stream start, immutable afterwards): each state partition costs a
+    state-store instance + (for Python-stateful ops) a worker round trip per
+    batch, so small demo streams want few; size it to key cardinality in
+    production."""
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fsql_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="fsql_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -130,3 +130,33 @@ def test_generation_skips_listing_entirely(spark, tmp_path):
     df = read_partitioned_table(str(tmp_path / "t"), Q_TRUE, column_parser=parser, fs=CountingFS(), spark=spark)
     assert df.count() == 1
     assert all("t/k=1" in u for u in listed), listed  # root level never listed
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be result-invariant: same rows as the plain join, with the
+    salt spreading each key across n_salts join sub-keys."""
+    from fsql_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_orderstatus")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy("o_orderstatus").count()
+    # disable broadcast so the salted shuffle path is actually exercised
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = (
+            salted_join(
+                li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                orders,
+                on=["o_orderkey"],
+                n_salts=8,
+                salt_source="l_partkey",
+            )
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        a = {(r["o_orderstatus"], r["count"]) for r in plain.collect()}
+        b = {(r["o_orderstatus"], r["count"]) for r in salted.collect()}
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -69,3 +69,90 @@ def test_stateful_totals(spark):
     joined = final.merge(batch, on="user_id")
     assert (joined["n_events"] == joined["n"]).all()
     assert (abs(joined["sum_value"] - joined["s"]) < 1e-6).all()
+
+
+def _staged_stream(spark, tmp_path, frames):
+    """Stage multiple parquet files -> multiple micro-batches (one per file
+    via maxFilesPerTrigger) for true incremental processing tests."""
+    import os
+
+    from pyspark.sql import functions as F
+    from fsql_spark.streaming.windows import EVENT_SCHEMA
+
+    stage = tmp_path / "stream_src"
+    stage.mkdir()
+    for i, pdf in enumerate(frames):
+        target = stage / f"batch_{i}.parquet"
+        pdf.to_parquet(target)
+        # the file source orders pending files by modification time; equal
+        # mtimes make batch order nondeterministic
+        os.utime(target, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(stage))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _mk_events(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[ns]"),
+            "user_id": [r[2] for r in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+
+
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState must carry state across micro-batches: the same
+    user appearing in two files ends with the combined total."""
+    b0 = _mk_events([(1, "2024-01-01 10:00:00", 7), (2, "2024-01-01 10:01:00", 7)])
+    b1 = _mk_events([(3, "2024-01-01 12:00:00", 7), (4, "2024-01-01 12:05:00", 8)])
+    stream = _staged_stream(spark, tmp_path, [b0, b1])
+    raw = run_to_memory(stateful_user_totals(stream), "update").toPandas()
+    final = raw.sort_values("n_events").groupby("user_id").last()
+    assert final.loc[7, "n_events"] == 3  # 2 from batch 0 + 1 from batch 1
+    assert final.loc[8, "n_events"] == 1
+    # and the intermediate (batch-0) emission for user 7 was 2
+    assert sorted(raw[raw.index.isin(raw.index)][raw["user_id"] == 7]["n_events"]) == [2, 3]
+
+
+def test_watermark_finalizes_windows_and_drops_very_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark across three
+    micro-batches: windows are emitted exactly once when the watermark passes
+    them, and an event arriving AFTER its window was finalized is dropped —
+    no duplicate emission, no resurrected window.
+
+    (Note: a late event landing in the same micro-batch in which its window
+    is being finalized can still merge — Spark applies the late filter
+    against the previous batch's watermark; the guarantee is about windows
+    already evicted from state.)"""
+    from pyspark.sql import functions as F
+
+    b0 = _mk_events([(1, "2024-01-01 10:05:00", 1), (2, "2024-01-01 12:00:00", 1)])
+    b1 = _mk_events([(3, "2024-01-01 14:00:00", 1)])  # watermark -> 13:50; 10:00 window evicted
+    b2 = _mk_events([(4, "2024-01-01 10:06:00", 1), (5, "2024-01-01 16:00:00", 1)])  # 4 is 4h late
+    stream = _staged_stream(spark, tmp_path, [b0, b1, b2])
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    out = run_to_memory(agg, "append").toPandas()
+    starts = [str(s) for s in out["start"]]
+    # exactly ONE emission of the 10:00 window, with only the on-time event
+    assert starts.count("2024-01-01 10:00:00") == 1, out.to_string()
+    n_1000 = int(out[out["start"].astype(str) == "2024-01-01 10:00:00"]["n"].iloc[0])
+    assert n_1000 == 1, out.to_string()  # the 4h-late event was dropped
+    assert starts.count("2024-01-01 12:00:00") == 1  # finalized exactly once too
