@@ -408,9 +408,12 @@ class DateRangeQuery(Query):
     def eval_all(self, columns: dict[str, str]) -> bool:
         if not self.referenced_columns().issubset(columns):
             return False
-        d = datetime.date(
-            int(columns[self.year_name]), int(columns[self.month_name]), int(columns[self.day_name])
-        )
+        try:
+            d = datetime.date(
+                int(columns[self.year_name]), int(columns[self.month_name]), int(columns[self.day_name])
+            )
+        except ValueError:
+            return False  # malformed y/m/d binding matches nothing (lenient, like to_column)
         return self.start <= d < self.end
 
     def eval_available(self, columns: dict[str, str]) -> bool:
@@ -428,9 +431,16 @@ class DateRangeQuery(Query):
     def to_column(self, available: frozenset[str] | None = None) -> Column:
         if available is not None and not self.referenced_columns().issubset(available):
             return F.lit(False)
-        d = F.make_date(
-            F.col(self.year_name).cast("int"),
-            F.col(self.month_name).cast("int"),
-            F.col(self.day_name).cast("int"),
+        # try_to_date, NOT make_date: under ANSI mode (Spark 4 default)
+        # make_date THROWS on invalid combos, and Catalyst's constant
+        # propagation can synthesize them — e.g. `month='2' AND
+        # make_date(year, month, day)` substitutes month=2 into make_date,
+        # which then evaluates (year, 2, 31) on March partitions before the
+        # month filter applies. try_to_date yields NULL; coalesce => False.
+        d = F.try_to_date(
+            F.concat_ws(
+                "-", F.col(self.year_name), F.col(self.month_name), F.col(self.day_name)
+            ),
+            "y-M-d",
         )
-        return (d >= F.lit(self.start)) & (d < F.lit(self.end))
+        return F.coalesce((d >= F.lit(self.start)) & (d < F.lit(self.end)), F.lit(False))

@@ -160,3 +160,48 @@ def test_salted_join_equals_plain_join(spark):
         assert a == b
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_hypertable_roundtrip_with_date_pruning(spark, tmp_path):
+    """End-to-end time-partitioned table ("hypertable" shape): partition
+    lineitem by ship year/month with write_table, query back through
+    read_partitioned_table + DateRangeQuery(+day), verify (a) values match a
+    direct filter of the source and (b) the scan prunes partitions."""
+    from fsql_spark import DateRangeQuery, Q_AND, Q_EQ, write_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = (
+        li.withColumn("year", F.year("l_shipdate").cast("string"))
+        .withColumn("month", F.month("l_shipdate").cast("string"))
+        .withColumn("day", F.dayofmonth("l_shipdate").cast("string"))
+    )
+    write_table(part, str(tmp_path / "li"), partition_by=["year", "month", "day"])
+
+    q = DateRangeQuery("1996/02/01", "1996/04/01")
+    out = read_partitioned_table(str(tmp_path / "li"), q, spark=spark)
+    expected = li.where(
+        (F.col("l_shipdate") >= "1996-02-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    assert out.count() == expected.count() > 0
+    assert sorted(r["l_orderkey"] for r in out.select("l_orderkey").collect()) == sorted(
+        r["l_orderkey"] for r in expected.select("l_orderkey").collect()
+    )
+    # the date predicate must reach PartitionFilters (pruned at listing time,
+    # not post-scan); metadata strings truncate at 100 chars by default
+    import re
+
+    prev_len = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = plan_of(read_partitioned_table(str(tmp_path / "li"), q, spark=spark))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev_len)
+    m = re.search(r"PartitionFilters: \[(.+?)\]", plan)
+    assert m and "concat_ws(-, year" in m.group(1), plan[:1500]
+
+    # composed with a partition equality: same pruning machinery
+    both = read_partitioned_table(
+        str(tmp_path / "li"), Q_AND(q, Q_EQ("month", "2")), spark=spark
+    )
+    feb = expected.where(F.month("l_shipdate") == 2)
+    assert both.count() == feb.count()
