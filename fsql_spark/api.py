@@ -61,6 +61,7 @@ def _probe_first_leaf(fs: FileSystem, root: str, max_depth: int = 64) -> tuple[O
     for _ in range(max_depth):
         files, dirs = fs.ls(url)
         files = [f for f in files if not f.startswith(("_", "."))]
+        dirs = [d for d in dirs if not d.startswith(("_", "."))]  # _spark_metadata etc.
         if files and dirs:
             # mixed files+dirs at one level: the bare-AutoParser mixed-depth
             # quirk (reference `column_parser.py:106-110`) — Spark's native

@@ -73,6 +73,10 @@ def _walk(query: Query, parser: ColumnParser, part: Partition, fs: FileSystem) -
             files, dirs = [], list(generated)
     else:
         files, dirs = fs.ls(part.url)
+        # Spark/Hive convention: metadata paths (_spark_metadata, _SUCCESS,
+        # .crc, ...) are invisible to table readers
+        files = [f for f in files if not f.startswith(("_", "."))]
+        dirs = [d for d in dirs if not d.startswith(("_", "."))]
 
     survivors = []
     for d in dirs:

@@ -141,6 +141,50 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval: each side buffers
+    state bounded by its watermark + the join interval (Spark evicts
+    unmatched rows once they can no longer join — the state-bounding
+    condition is the interval clause)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {within}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def stream_to_partitioned_table(
+    stream_df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    checkpoint: str | None = None,
+) -> None:
+    """Sink a stream into a Hive-partitioned parquet tree (availableNow) —
+    the streaming half feeding the batch half: the result is exactly the
+    layout ``read_partitioned_table`` queries with partition pruning."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="fsql_ckpt_"))
+        .partitionBy(*partition_by)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(stream_df: DataFrame, mode: str, state_partitions: int = 8) -> DataFrame:
     """Execute a streaming query to completion (availableNow) into an
     in-memory sink; returns the result table.

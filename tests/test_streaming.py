@@ -156,3 +156,68 @@ def test_watermark_finalizes_windows_and_drops_very_late_events(spark, tmp_path)
     n_1000 = int(out[out["start"].astype(str) == "2024-01-01 10:00:00"]["n"].iloc[0])
     assert n_1000 == 1, out.to_string()  # the 4h-late event was dropped
     assert starts.count("2024-01-01 12:00:00") == 1  # finalized exactly once too
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join: each click joined to same-user purchases within
+    the preceding 30 minutes; verified against the equivalent batch join."""
+    from pyspark.sql import functions as F
+    from fsql_spark.streaming import stream_stream_join
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),   # purchase u1
+        (2, "2024-01-01 10:10:00", 1),   # click u1 -> joins 1
+        (3, "2024-01-01 11:00:00", 1),   # click u1 -> too late for 1
+        (4, "2024-01-01 10:05:00", 2),   # click u2 -> no purchase
+    ]
+    pdf = _mk_events(rows)
+    pdf.loc[pdf.event_id.isin([1]), "event_type"] = "purchase"
+    (tmp_path / "src").mkdir()
+    pdf.to_parquet(tmp_path / "src" / "b0.parquet")
+
+    from fsql_spark.streaming.windows import EVENT_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(str(tmp_path / "src"))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    clicks = raw.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = raw.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withColumnRenamed("p_user", "user_id")
+    joined = stream_stream_join(
+        clicks, purchases, on="user_id", left_ts="click_ts", right_ts="purchase_ts"
+    )
+    out = run_to_memory(joined.select("click_id", "purchase_id"), "append").toPandas()
+    assert {(r.click_id, r.purchase_id) for r in out.itertuples()} == {(2, 1)}
+
+
+def test_stream_sink_feeds_read_partitioned_table(spark, tmp_path):
+    """Integration of the two engine halves: a stream sinks into a
+    Hive-partitioned tree; read_partitioned_table queries it back with
+    partition pruning."""
+    from pyspark.sql import functions as F
+    from fsql_spark import Q_EQ, Q_TRUE, read_partitioned_table
+    from fsql_spark.streaming import events_stream, stream_to_partitioned_table
+
+    ev = events_stream(spark, SF)
+    enriched = ev.withColumn("event_date", F.to_date("ts").cast("string"))
+    target = str(tmp_path / "events_table")
+    stream_to_partitioned_table(
+        enriched.select("event_id", "user_id", "event_type", "value", "event_date"),
+        target,
+        partition_by=["event_date", "event_type"],
+    )
+    total = read_partitioned_table(target, Q_TRUE, spark=spark)
+    assert total.count() == _batch_events(spark).count()
+    clicks = read_partitioned_table(target, Q_EQ("event_type", "click"), spark=spark)
+    expected = _batch_events(spark).where(F.col("event_type") == "click").count()
+    assert clicks.count() == expected
+    # partition cols surface as strings, per the engine contract
+    assert dict(clicks.dtypes)["event_type"] == "string"
+    assert dict(clicks.dtypes)["event_date"] == "string"
