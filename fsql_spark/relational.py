@@ -229,6 +229,127 @@ GROUP BY o_orderpriority
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + two-level aggregation (count of
+    counts) — the distribution query. One shuffle per aggregation level."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").where(~F.col("o_orderpriority").startswith("1"))
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority NOT LIKE '1%'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + join — the plan Catalyst produces for
+    the correlated SQL form, written explicitly."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").where(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.8).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.8 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped fact feeding a semi join back
+    into the detail tables."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE)   AS o_orderdate,
+       ROUND(o_totalprice, 2)      AS o_totalprice,
+       ROUND(total_qty, 2)         AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunctive predicate groups across the join —
+    exercises predicate normalization/pushdown (Catalyst extracts the common
+    join key and pushes the per-branch filters)."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity") >= 15))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 15)
+"""
+
+
 # --------------------------------------------------------------------------
 # windows / top-k / rollup / set ops / anti-semi
 # --------------------------------------------------------------------------
@@ -540,6 +661,10 @@ RELATIONAL_QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q_top_parts_per_brand": q_top_parts_per_brand,
     "q_customer_running_total": q_customer_running_total,
     "q_rollup_returns": q_rollup_returns,
@@ -559,6 +684,10 @@ RELATIONAL_ORACLES = {
     "q4_order_priority": Q4_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "q19_disjunctive_predicates": Q19_SQL,
     "q_top_parts_per_brand": Q_TOP_PARTS_SQL,
     "q_customer_running_total": Q_RUNNING_SQL,
     "q_rollup_returns": Q_ROLLUP_SQL,
