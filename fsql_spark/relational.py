@@ -229,6 +229,114 @@ GROUP BY o_orderpriority
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation flow analysis — double nation join with a
+    disjunctive nation-pair predicate, grouped by both ends + year."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supplier = _t(spark, sf, "supplier")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio (promo revenue share)."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(100 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100 * SUM(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
 def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q13 shape: left outer join + two-level aggregation (count of
     counts) — the distribution query. One shuffle per aggregation level."""
@@ -661,6 +769,9 @@ RELATIONAL_QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_effect": q14_promo_effect,
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
@@ -684,6 +795,9 @@ RELATIONAL_ORACLES = {
     "q4_order_priority": Q4_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q14_promo_effect": Q14_SQL,
     "q13_customer_distribution": Q13_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_volume_customers": Q18_SQL,
