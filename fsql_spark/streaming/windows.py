@@ -232,6 +232,27 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    return run_to_memory(sliding_counts(events_stream(spark, sf)), mode="complete")
+
+
+# sliding 1h windows every 30min: an event at ts belongs to window starts
+# {bucket30(ts) - 30min, bucket30(ts)} — expressed as a union in SQL
+Q_STREAM_SLIDING_SQL = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket, event_type FROM events
+),
+m AS (
+  SELECT bucket AS win_start, event_type FROM b
+  UNION ALL
+  SELECT bucket - INTERVAL '30 minutes' AS win_start, event_type FROM b
+)
+SELECT win_start, event_type, COUNT(*) AS n_events
+FROM m
+GROUP BY 1, 2
+"""
+
+
 def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     out = run_to_memory(session_aggregate(events_stream(spark, sf)), mode="complete")
     return out
@@ -285,12 +306,14 @@ GROUP BY user_id
 
 STREAMING_QUERIES = {
     "q_stream_hourly": q_stream_hourly,
+    "q_stream_sliding": q_stream_sliding,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_user_totals": q_stream_user_totals,
 }
 
 STREAMING_ORACLES = {
     "q_stream_hourly": Q_STREAM_HOURLY_SQL,
+    "q_stream_sliding": Q_STREAM_SLIDING_SQL,
     "q_stream_sessions": Q_STREAM_SESSIONS_SQL,
     "q_stream_user_totals": Q_STREAM_USER_TOTALS_SQL,
 }
