@@ -27,6 +27,12 @@ from .multimodal import (  # noqa: F401
     extract_features,
     fake_decode_image,
 )
+from .profile import (  # noqa: F401
+    PROFILE_ORACLES,
+    PROFILE_QUERIES,
+    histogram,
+    profile,
+)
 from .similarity import (  # noqa: F401
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
@@ -53,6 +59,7 @@ EXTENSION_QUERIES = {
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
     **ASOF_QUERIES,
+    **PROFILE_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -61,4 +68,5 @@ EXTENSION_ORACLES = {
     **SIMILARITY_ORACLES,
     **MULTIMODAL_ORACLES,
     **ASOF_ORACLES,
+    **PROFILE_ORACLES,
 }
