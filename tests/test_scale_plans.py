@@ -205,3 +205,31 @@ def test_hypertable_roundtrip_with_date_pruning(spark, tmp_path):
     )
     feb = expected.where(F.month("l_shipdate") == 2)
     assert both.count() == feb.count()
+
+
+def test_compaction_reduces_files_preserves_data(spark, tmp_path):
+    """Small-file compaction: fragmented tree -> right-sized files, identical
+    rows, layout measured before/after by file_stats."""
+    from fsql_spark.maintenance import compact, file_stats
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    target = str(tmp_path / "frag")
+    # fragment deliberately: 40 files per partition value
+    li.withColumn("flag", F.col("l_returnflag")).repartition(40).write.partitionBy(
+        "flag"
+    ).parquet(target)
+    before = file_stats(spark, target).agg(F.sum("n_files")).collect()[0][0]
+    assert before > 60  # genuinely fragmented
+
+    rows_before = li.count()
+    compact(spark, target, target_file_bytes=64 * 1024 * 1024, partition_by=["flag"])
+    after_stats = file_stats(spark, target)
+    after = after_stats.agg(F.sum("n_files")).collect()[0][0]
+    assert after < before / 10
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    assert spark.read.parquet(target).count() == rows_before
+    # still a valid fsql-readable partitioned tree
+    from fsql_spark import Q_EQ, read_partitioned_table
+
+    sub = read_partitioned_table(target, Q_EQ("flag", "R"), spark=spark)
+    assert sub.count() == li.where(F.col("l_returnflag") == "R").count()
