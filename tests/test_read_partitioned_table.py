@@ -219,3 +219,38 @@ def test_mixed_depth_quirk(spark, tmp_path, df1, df2):
     assert len(pdf) == 4
     assert set(pdf.columns) == {"c1", "c2", "k"}
     assert pdf["k"].isna().sum() == 2
+
+
+def test_valueonly_named_with_atomic_filter(spark, tmp_path, df1, df2, df3):
+    """FixedColumns + AtomicQuery on the first positional column; filename
+    column present in output (`test_fsql.py:85-105`)."""
+    write_jsonl(tmp_path, "t2/read_me/sub1/a.json", df1)
+    write_jsonl(tmp_path, "t2/read_me/sub2/b.json", df2)
+    write_jsonl(tmp_path, "t2/ignore_me/sub3/c.json", df3)
+    parser = FixedColumnsParser.from_str("c1/c2/fname")
+    out = read_partitioned_table(
+        str(tmp_path / "t2"),
+        AtomicQuery(lambda c1: not c1.startswith("ignore")),
+        column_parser=parser,
+        spark=spark,
+    )
+    pdf = out.toPandas()
+    assert sorted(pdf["fname"].unique()) == ["a.json", "b.json"]
+    assert set(pdf["c1"]) == {"read_me"}
+    expected = pd.concat(
+        [df1.assign(c1="read_me", c2="sub1", fname="a.json"),
+         df2.assign(c1="read_me", c2="sub2", fname="b.json")]
+    )
+    assert_same(out, expected)
+
+
+def test_spark_reader_is_lazy(spark, tmp_path, df1):
+    """The default reader defers I/O to action time (the Dask-model parity,
+    SURVEY §1.3): corrupting the file AFTER building the DataFrame but
+    BEFORE the action fails at the action - proof no eager read happened."""
+    write_csv(tmp_path, "t/k=1/f1.csv", df1)
+    df = read_partitioned_table(str(tmp_path / "t"), Q_TRUE, spark=spark)
+    # plan construction done; now break the file
+    (tmp_path / "t/k=1/f1.csv").write_text("c1,c2\n9,late-edit\n")
+    got = df.toPandas()  # action reads NOW and sees the edited content
+    assert got["c2"].tolist() == ["late-edit"]
