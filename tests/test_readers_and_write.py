@@ -185,3 +185,23 @@ def test_xlsx_gated_on_openpyxl(spark, tmp_path, df1):
         read_partitioned_table(
             str(tmp_path / "t"), Q_TRUE, data_reader=PandasReader(), spark=spark
         )
+
+
+def test_mixed_formats_in_one_tree(spark, tmp_path, df1, df2):
+    """Different file formats under one table root: the driver path groups
+    files per detected format and NaN-pad unions the results (per-file
+    format dispatch, reference `deser.py:132-136`)."""
+    from fsql_spark import AtomicQuery
+
+    (tmp_path / "t/k=csv").mkdir(parents=True)
+    (tmp_path / "t/k=json").mkdir(parents=True)
+    df1.to_csv(tmp_path / "t/k=csv/f.csv", index=False)
+    df2.to_json(tmp_path / "t/k=json/f.json", orient="records", lines=True)
+    # AtomicQuery forces the driver path (fast path needs a single format)
+    out = read_partitioned_table(
+        str(tmp_path / "t"), AtomicQuery(lambda k: True), spark=spark
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == 4
+    assert set(pdf["k"]) == {"csv", "json"}
+    assert sorted(pdf["c1"].astype(int).tolist()) == [0, 1, 2, 3]
