@@ -39,6 +39,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fsql_spark.sql import SQL_QUERIES
 
     out.update(SQL_QUERIES)
+    from fsql_spark.fsql_catalog import FSQL_QUERIES
+
+    out.update(FSQL_QUERIES)
     try:  # extension operators land incrementally; never break the contract
         from fsql_spark.operators import EXTENSION_QUERIES
 
@@ -60,6 +63,9 @@ def oracle_sql() -> dict[str, str]:
     from fsql_spark.sql import SQL_ORACLES
 
     out.update(SQL_ORACLES)
+    from fsql_spark.fsql_catalog import FSQL_ORACLES
+
+    out.update(FSQL_ORACLES)
     try:
         from fsql_spark.operators import EXTENSION_ORACLES
 

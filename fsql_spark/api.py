@@ -36,11 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .column_parser import AUTO_PARSER, AutoParser, ColumnParser
 from .discovery import Partition, discover_partitions
-from .formats import InputFormat
+from .formats import InputFormat, _SUFFIXES
 from .fs import FileSystem, get_url_and_fs
 from .queries import Query
 from .readers import DataReader, SparkReader, SPARK_READER
-from .session import get_spark
+from .session import get_spark, temp_conf
 
 
 def _active_spark(spark: Optional[SparkSession]) -> SparkSession:
@@ -139,20 +139,36 @@ def _read_fast_path(
     if fmt is InputFormat.XLSX:
         return None  # no distributed xlsx source: pandas bridge on slow path
 
-    # strings-only partition columns — the reference's contract
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     load = spark.read.format(fmt.spark_format()).options(
         **{**fmt.spark_options(), **reader.options}
     )
     if reader.schema is not None:
         load = load.schema(reader.schema)
     try:
-        df = load.load(fs.spark_url(path))
+        # strings-only partition columns — the reference's contract. The conf
+        # is consumed eagerly (partition schema inference runs inside load()),
+        # so it can be restored immediately without touching the caller's
+        # unrelated spark.read behavior.
+        with temp_conf(
+            spark, **{"spark.sql.sources.partitionColumnTypeInference.enabled": "false"}
+        ):
+            df = load.load(fs.spark_url(path))
     except Exception:
         # e.g. conflicting directory depths (the bare-AutoParser mixed-depth
         # quirk, reference `column_parser.py:106-110`) — driver discovery
         # reproduces the reference's union-of-mixed-schemas behavior
         return None
+
+    if reader.input_format is InputFormat.AUTO:
+        # format was detected from ONE probe file; a tree mixing data formats
+        # (csv+json, which the driver-discovery path reads per-file like the
+        # reference) would be silently parsed entirely as the probe's format.
+        # inputFiles() is metadata-only (the file index is needed by the scan
+        # anyway); any suffix mapping to a different — or no — format falls
+        # back to per-file driver discovery.
+        suffixes = {f.rsplit(".", 1)[-1].lower() for f in df.inputFiles()}
+        if any(_SUFFIXES.get(s) is not fmt for s in suffixes):
+            return None
 
     available = frozenset(part_keys)
     df = df.where(query.to_column(available))

@@ -72,7 +72,14 @@ def _walk(query: Query, parser: ColumnParser, part: Partition, fs: FileSystem) -
         else:
             files, dirs = [], list(generated)
     else:
-        files, dirs = fs.ls(part.url)
+        try:
+            files, dirs = fs.ls(part.url)
+        except FileNotFoundError:
+            # a GENERATED parent (zero-ls candidate synthesis) may name a
+            # partition that holds no data — e.g. a DateRangeGenerator day
+            # with no files. Treat as empty instead of crashing; listings of
+            # real (listed) parents can't hit this outside delete races.
+            files, dirs = [], []
         # Spark/Hive convention: metadata paths (_spark_metadata, _SUCCESS,
         # .crc, ...) are invisible to table readers
         files = [f for f in files if not f.startswith(("_", "."))]

@@ -91,6 +91,23 @@ class FileSystem(ABC):
     def makedirs(self, url: str) -> None:  # only needed by write_object
         raise NotImplementedError
 
+    def size(self, url: str) -> int:
+        """File size in bytes (metadata-only; used by maintenance stats)."""
+        raise NotImplementedError
+
+    def move(self, src: str, dst: str) -> None:
+        """Rename/move a file or directory tree.
+
+        NOT atomic on object stores (copy+delete under fsspec) — callers that
+        swap directories (``maintenance.compact``) must tolerate a visible
+        intermediate state there; on a local/HDFS-like FS the rename IS atomic.
+        """
+        raise NotImplementedError
+
+    def rmtree(self, url: str) -> None:
+        """Recursively delete a directory tree (no error if absent)."""
+        raise NotImplementedError
+
     def spark_url(self, url: str) -> str:
         """URL form Spark's Hadoop connectors understand."""
         return url
@@ -116,6 +133,17 @@ class LocalFileSystem(FileSystem):
 
     def makedirs(self, url: str) -> None:
         os.makedirs(url, exist_ok=True)
+
+    def size(self, url: str) -> int:
+        return os.path.getsize(url)
+
+    def move(self, src: str, dst: str) -> None:
+        os.rename(src, dst)  # atomic on POSIX within one filesystem
+
+    def rmtree(self, url: str) -> None:
+        import shutil
+
+        shutil.rmtree(url, ignore_errors=True)
 
     def spark_url(self, url: str) -> str:
         return "file://" + os.path.abspath(url)
@@ -145,6 +173,17 @@ class FsspecFileSystem(FileSystem):  # pragma: no cover - exercised only with fs
 
     def makedirs(self, url: str) -> None:
         self._fs.makedirs(url, exist_ok=True)
+
+    def size(self, url: str) -> int:
+        return self._fs.size(url)
+
+    def move(self, src: str, dst: str) -> None:
+        # object stores: copy+delete, NOT atomic (see FileSystem.move)
+        self._fs.mv(src, dst, recursive=True)
+
+    def rmtree(self, url: str) -> None:
+        if self._fs.exists(url):
+            self._fs.rm(url, recursive=True)
 
     def spark_url(self, url: str) -> str:
         scheme = "s3a" if self._protocol == "s3" else self._protocol

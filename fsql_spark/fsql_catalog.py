@@ -1,0 +1,310 @@
+"""Oracle-gated catalog entries for the fsql CORE scan path.
+
+Every entry here answers an aggregate THROUGH :func:`fsql_spark.api.
+read_partitioned_table` over a partitioned tree materialized from the flat
+testdata — so the driver's DuckDB oracle exercises the engine's own scan
+machinery (partition discovery, pruning-query compilation, driver discovery,
+value-only layouts), not just ``spark.read.parquet`` (reference surface:
+`api.py:70-107`, `query.py`, `daterange_utils.py`, `column_parser.py`).
+
+Tree materialization is write-once per (scale-factor, layout) into
+``/tmp/fsql_spark_trees`` with a ready-marker, built through the engine's own
+writers (:func:`write_table` / :func:`write_object`), and repartitioned by the
+partition keys first so each Hive partition gets ONE file instead of
+``tasks x keys`` shards — the small-file discipline that matters at 100 TB.
+
+Paths exercised per entry:
+
+- ``q_fsql_daterange_revenue`` — FAST PATH (Catalyst): DateRangeQuery compiled
+  to a partition-pruning Column over a year/month/day tree.
+- ``q_fsql_lexrange_revenue`` — FAST PATH: LexRangeQuery (num comparators)
+  tuple-range expansion over year/month.
+- ``q_fsql_eq_in_pushdown`` — FAST PATH: Q_AND/Q_EQ/Q_IN + ``columns=``
+  projection pushdown.
+- ``q_fsql_atomic_discovery`` — DRIVER DISCOVERY: black-box AtomicQuery
+  evaluated over enumerated partition bindings, then one distributed scan.
+- ``q_fsql_generated_scan`` — DRIVER DISCOVERY with zero-``ls`` partition
+  GENERATION (DateRangeGenerator) + DateRangeQuery file-level filter.
+- ``q_fsql_fixed_columns`` — DRIVER DISCOVERY: value-only layout +
+  filename-as-column (FixedColumnsParser), files written via write_object.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .api import read_partitioned_table, write_object, write_table
+from .column_parser import DateRangeGenerator, FixedColumnsParser
+from .queries import (
+    ColumnComparator,
+    ColumnRange,
+    DateRangeQuery,
+    LexRangeQuery,
+    AtomicQuery,
+    Q_AND,
+    Q_EQ,
+    Q_IN,
+)
+from .readers import SparkReader
+
+_TREE_ROOT = "/tmp/fsql_spark_trees"
+
+
+def _tree_dir(sf_dir: str, layout: str) -> str:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_TREE_ROOT, sf_tag, layout)
+
+
+def _ready(dest: str) -> str:
+    return os.path.join(dest, "_FSQL_READY")
+
+
+def _orders_ym_tree(spark: SparkSession, sf_dir: str) -> str:
+    """orders partitioned Hive-style by (year, month) from o_orderdate."""
+    dest = _tree_dir(sf_dir, "orders_ym")
+    if not os.path.exists(_ready(dest)):
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = df.withColumn("year", F.year("o_orderdate").cast("string")).withColumn(
+            "month", F.month("o_orderdate").cast("string")
+        )
+        write_table(out.repartition("year", "month"), dest, partition_by=["year", "month"])
+        with open(_ready(dest), "w") as fd:
+            fd.write("ok")
+    return dest
+
+
+def _orders_ymd_tree(spark: SparkSession, sf_dir: str) -> str:
+    """One year of orders partitioned by (year, month, day) — the date-range
+    pruning layout (~365 partitions, bounded at any SF)."""
+    dest = _tree_dir(sf_dir, "orders_1995_ymd")
+    if not os.path.exists(_ready(dest)):
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        out = (
+            df.withColumn("year", F.year("o_orderdate").cast("string"))
+            .withColumn("month", F.month("o_orderdate").cast("string"))
+            .withColumn("day", F.dayofmonth("o_orderdate").cast("string"))
+        )
+        write_table(
+            out.repartition("year", "month", "day"), dest, partition_by=["year", "month", "day"]
+        )
+        with open(_ready(dest), "w") as fd:
+            fd.write("ok")
+    return dest
+
+
+def _nation_by_region_tree(spark: SparkSession, sf_dir: str) -> str:
+    """Value-only layout ``{r_name}/{n_name}.parquet`` — non-Hive dirs plus the
+    filename-bears-information convention (reference README.md:22), written
+    file-by-file through write_object."""
+    dest = _tree_dir(sf_dir, "nation_by_region")
+    if not os.path.exists(_ready(dest)):
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        joined = nation.join(
+            region, nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_regionkey", "n_name", "r_name")
+        pdf = joined.toPandas()
+        for r_name, group in pdf.groupby("r_name"):
+            for _, row in group.iterrows():
+                os.makedirs(os.path.join(dest, str(r_name)), exist_ok=True)
+                write_object(
+                    os.path.join(dest, str(r_name), f"{row['n_name']}.parquet"),
+                    group[group["n_name"] == row["n_name"]][
+                        ["n_nationkey", "n_regionkey", "n_name"]
+                    ].reset_index(drop=True),
+                )
+        with open(_ready(dest), "w") as fd:
+            fd.write("ok")
+    return dest
+
+
+# --------------------------------------------------------------------------
+# catalog entries
+# --------------------------------------------------------------------------
+
+def q_fsql_daterange_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """FAST PATH: DateRangeQuery [1995-03-15, 1995-06-01) compiled to a
+    Catalyst partition filter over the y/m/d tree (asserted to reach the scan
+    as PartitionFilters in tests/test_scale_plans.py)."""
+    url = _orders_ymd_tree(spark, sf)
+    df = read_partitioned_table(url, DateRangeQuery("1995/03/15", "1995/06/01"), spark=spark)
+    return df.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_DATERANGE_SQL = """
+SELECT CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR) AS month,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-03-15 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-06-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q_fsql_lexrange_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """FAST PATH: lexicographic tuple range [(1996,2), (1998,9)) with num
+    comparators over the year/month tree (per-column min<=max is the
+    ColumnRange contract, reference `query.py:129-140`)."""
+    url = _orders_ym_tree(spark, sf)
+    query = LexRangeQuery(
+        [
+            ColumnRange("year", "1996", "1998", ColumnComparator.num),
+            ColumnRange("month", "2", "9", ColumnComparator.num),
+        ]
+    )
+    df = read_partitioned_table(url, query, spark=spark)
+    return df.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_LEXRANGE_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS year,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE (EXTRACT(year FROM o_orderdate) > 1996
+       OR (EXTRACT(year FROM o_orderdate) = 1996 AND EXTRACT(month FROM o_orderdate) >= 2))
+  AND (EXTRACT(year FROM o_orderdate) < 1998
+       OR (EXTRACT(year FROM o_orderdate) = 1998 AND EXTRACT(month FROM o_orderdate) < 9))
+GROUP BY 1
+"""
+
+
+def q_fsql_eq_in_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """FAST PATH: Q_AND(Q_EQ, Q_IN) partition pruning + ``columns=``
+    projection pushdown (reference `deser.py:170-176`)."""
+    url = _orders_ym_tree(spark, sf)
+    query = Q_AND(Q_EQ("year", "1997"), Q_IN("month", ["2", "3", "5"]))
+    df = read_partitioned_table(
+        url, query, data_reader=SparkReader(columns=["o_totalprice"]), spark=spark
+    )
+    return df.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_EQ_IN_SQL = """
+SELECT CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR) AS month,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1997
+  AND EXTRACT(month FROM o_orderdate) IN (2, 3, 5)
+GROUP BY 1
+"""
+
+
+def q_fsql_atomic_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """DRIVER DISCOVERY: black-box Python predicate (AtomicQuery) — Catalyst
+    can't push it, so the engine prunes enumerated partition bindings
+    driver-side (O(#partitions), like the reference) and hands surviving
+    paths to ONE distributed scan (SURVEY §4.3.1)."""
+    url = _orders_ym_tree(spark, sf)
+    query = AtomicQuery(lambda year, month: int(month) % 3 == 0 and int(year) >= 1999)
+    df = read_partitioned_table(url, query, spark=spark)
+    return df.groupBy("year", "month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_ATOMIC_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR)  AS year,
+       CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR) AS month,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE EXTRACT(month FROM o_orderdate) % 3 = 0
+  AND EXTRACT(year FROM o_orderdate) >= 1999
+GROUP BY 1, 2
+"""
+
+
+def q_fsql_generated_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """DRIVER DISCOVERY with zero-``ls`` partition GENERATION: the
+    DateRangeGenerator synthesizes candidate y/m/d segments instead of
+    listing (reference `daterange_utils.py:90-180`); the DateRangeQuery
+    applies the exact [start, end) file-level filter."""
+    url = _orders_ymd_tree(spark, sf)
+    start, end = "1995/07/01", "1995/09/15"
+    df = read_partitioned_table(
+        url,
+        DateRangeQuery(start, end),
+        column_parser=DateRangeGenerator.build(start, end),
+        spark=spark,
+    )
+    return df.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_GENERATED_SQL = """
+SELECT CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR) AS month,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-09-15 00:00:00'
+GROUP BY 1
+"""
+
+
+def q_fsql_fixed_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """DRIVER DISCOVERY: value-only dirs + filename column
+    (FixedColumnsParser, reference `column_parser.py:123-147`): the path
+    grammar is ``{region_name}/{fname}``, so the region binds from the dir
+    name and the file name itself becomes a column."""
+    url = _nation_by_region_tree(spark, sf)
+    # MIDDLE EAST contains a space: the value-only dir name round-trips
+    # through driver discovery and the literal-column binding untouched
+    query = Q_IN("region_name", ["ASIA", "MIDDLE EAST"])
+    df = read_partitioned_table(
+        url, query, column_parser=FixedColumnsParser.from_str("region_name/fname"), spark=spark
+    )
+    return df.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "region_name",
+        "fname",
+    )
+
+
+Q_FSQL_FIXED_SQL = """
+SELECT CAST(n_nationkey AS BIGINT)  AS n_nationkey,
+       r_name                       AS region_name,
+       n_name || '.parquet'         AS fname
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'MIDDLE EAST')
+"""
+
+
+FSQL_QUERIES = {
+    "q_fsql_daterange_revenue": q_fsql_daterange_revenue,
+    "q_fsql_lexrange_revenue": q_fsql_lexrange_revenue,
+    "q_fsql_eq_in_pushdown": q_fsql_eq_in_pushdown,
+    "q_fsql_atomic_discovery": q_fsql_atomic_discovery,
+    "q_fsql_generated_scan": q_fsql_generated_scan,
+    "q_fsql_fixed_columns": q_fsql_fixed_columns,
+}
+
+FSQL_ORACLES = {
+    "q_fsql_daterange_revenue": Q_FSQL_DATERANGE_SQL,
+    "q_fsql_lexrange_revenue": Q_FSQL_LEXRANGE_SQL,
+    "q_fsql_eq_in_pushdown": Q_FSQL_EQ_IN_SQL,
+    "q_fsql_atomic_discovery": Q_FSQL_ATOMIC_SQL,
+    "q_fsql_generated_scan": Q_FSQL_GENERATED_SQL,
+    "q_fsql_fixed_columns": Q_FSQL_FIXED_SQL,
+}

@@ -5,17 +5,36 @@ frequent small appends produce millions of tiny files, and scan throughput
 collapses under per-file open/footer overhead. ``compact`` rewrites a
 partitioned tree with right-sized files; ``file_stats`` measures the layout
 so compaction can be triggered by policy (e.g. median file < 16 MB).
+
+Both operate through the :class:`~fsql_spark.fs.FileSystem` abstraction, so
+they work on any protocol the engine can discover over. CAVEAT (documented on
+``FileSystem.move``): the directory swap in ``compact`` is an atomic rename on
+local/HDFS-like filesystems but copy+delete on object stores — there, readers
+can observe a missing/partial table during the swap. At cluster scale, compact
+per-partition-subset and swap one partition at a time to bound both the
+rewrite working set and the visibility window.
 """
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .fs import FileSystem, get_url_and_fs
+from .session import temp_conf
+
+
+def _walk_files(fs: FileSystem, url: str, rel: str = "") -> list[tuple[str, str]]:
+    """Recursive (relative_dir, file_name) listing of data files via fs.ls."""
+    files, dirs = fs.ls(url)
+    out = [(rel, f) for f in files if not f.startswith(("_", "."))]
+    for d in dirs:
+        if d.startswith(("_", ".")):
+            continue
+        out += _walk_files(fs, url.rstrip("/") + "/" + d + "/", f"{rel}/{d}".lstrip("/"))
+    return out
 
 
 def file_stats(spark: SparkSession, url: str, fs: Optional[FileSystem] = None) -> DataFrame:
@@ -24,14 +43,14 @@ def file_stats(spark: SparkSession, url: str, fs: Optional[FileSystem] = None) -
     Driver-side metadata walk (O(#files) stat calls, no data I/O) — the same
     cost class as partition discovery."""
     path, fs = get_url_and_fs(url, fs)
-    rows = []
-    for dirpath, _dirnames, filenames in os.walk(path):
-        data_files = [f for f in filenames if not f.startswith(("_", "."))]
-        if not data_files:
-            continue
-        sizes = [os.path.getsize(os.path.join(dirpath, f)) for f in data_files]
-        rel = os.path.relpath(dirpath, path)
-        rows.append((rel if rel != "." else "", len(sizes), sum(sizes), min(sizes), max(sizes)))
+    by_dir: dict[str, list[int]] = {}
+    for rel, fname in _walk_files(fs, path):
+        full = path.rstrip("/") + "/" + (f"{rel}/{fname}" if rel else fname)
+        by_dir.setdefault(rel, []).append(fs.size(full))
+    rows = [
+        (rel, len(sizes), sum(sizes), min(sizes), max(sizes))
+        for rel, sizes in sorted(by_dir.items())
+    ]
     return spark.createDataFrame(
         rows, ["partition", "n_files", "total_bytes", "min_bytes", "max_bytes"]
     )
@@ -48,19 +67,24 @@ def compact(
 
     Reads the whole table, repartitions to ceil(total_bytes / target) tasks
     (per partition-key when ``partition_by`` is given, so each Hive partition
-    compacts independently), and atomically swaps directories. At cluster
-    scale run per-partition-subset to bound the rewrite working set."""
+    compacts independently), and swaps directories. The swap is atomic only
+    where ``FileSystem.move`` is (local/HDFS) — see the module docstring for
+    the object-store caveat. At cluster scale run per-partition-subset to
+    bound the rewrite working set."""
     import math
-    import shutil
-    import tempfile
 
     path, fs = get_url_and_fs(url, fs)
     stats = file_stats(spark, path, fs).agg(F.sum("total_bytes")).collect()[0][0] or 0
     n_out = max(1, math.ceil(stats / target_file_bytes))
 
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    df = spark.read.parquet(fs.spark_url(path))
-    staging = tempfile.mkdtemp(prefix="fsql_compact_", dir=os.path.dirname(os.path.abspath(path)))
+    # strings-only partition columns, restored after load (the conf is
+    # consumed eagerly by partition schema inference inside load())
+    with temp_conf(
+        spark, **{"spark.sql.sources.partitionColumnTypeInference.enabled": "false"}
+    ):
+        df = spark.read.parquet(fs.spark_url(path))
+    staging = path.rstrip("/") + ".compact_staging"
+    fs.rmtree(staging)
     writer = df.repartition(n_out, *partition_by) if partition_by else df.repartition(n_out)
     out = writer.write.mode("overwrite")
     if partition_by:
@@ -68,7 +92,7 @@ def compact(
     out.parquet(fs.spark_url(staging))
 
     backup = path.rstrip("/") + ".compact_backup"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(path.rstrip("/"), backup)
-    os.rename(staging, path.rstrip("/"))
-    shutil.rmtree(backup, ignore_errors=True)
+    fs.rmtree(backup)
+    fs.move(path.rstrip("/"), backup)
+    fs.move(staging, path.rstrip("/"))
+    fs.rmtree(backup)

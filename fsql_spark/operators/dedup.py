@@ -72,29 +72,79 @@ def _word_shingles(text: Column, n: int, distinct: bool = True) -> Column:
     return F.array_distinct(grams) if distinct else grams
 
 
+class CandidateExplosionError(ValueError):
+    """The inverted-index self-join would materialize too many pairs."""
+
+
 def jaccard_pairs(
-    df: DataFrame, key_col: str, text_col: str, threshold: float, ngram: int = 1
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int = 1,
+    max_candidate_pairs: int | None = 25_000_000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram sets.
 
-    Inverted-index self-join: explode distinct shingles, join on shingle,
-    count common, filter. Quadratic on frequent shingles — the exact/oracle
-    formulation; MinHash-LSH below is the scale path."""
+    Inverted-index self-join: explode distinct shingles, join on shingle to
+    form candidate pairs, verify with exact Jaccard on the full shingle sets.
+    Quadratic on frequent shingles — the exact/oracle formulation; MinHash-LSH
+    below is the scale path.
+
+    Guard rails (the unguarded form OOMs the JVM on a frequent-shingle corpus
+    — ~500M joined rows on the 31-word-vocab documents table at sf0.1):
+
+    - ``max_candidate_pairs``: before joining, the candidate count is bounded
+      above by sum_w C(df_w, 2) over shingle document frequencies (one cheap
+      aggregate over the already-exploded tokens). If the bound exceeds the
+      cap a :class:`CandidateExplosionError` is raised naming the remedies.
+      ``None`` disables the check.
+    - ``max_shingle_df``: drop shingles appearing in more than this many
+      documents from CANDIDATE GENERATION only (the standard frequent-token
+      cut); verification still uses the full sets, so emitted Jaccard values
+      stay exact. Near-exact rather than exact: a pair whose every common
+      shingle is frequent can be missed — at a high threshold such pairs
+      barely exist (frequent shingles are shared with everyone, so they can't
+      dominate a high-Jaccard pair's intersection alone).
+    """
     base = df.select(F.col(key_col).alias("k"), _word_shingles(F.col(text_col), ngram).alias("sh"))
-    sizes = base.select("k", F.size("sh").alias("n"))
     tok = base.select("k", F.explode("sh").alias("w"))
-    t2 = tok.select(F.col("k").alias("k2"), F.col("w").alias("w2"))
-    common = (
-        tok.join(t2, (tok.w == t2.w2) & (tok.k < t2.k2))
-        .groupBy("k", "k2")
-        .agg(F.count(F.lit(1)).alias("c"))
+    cand_tok = tok
+    if max_shingle_df is not None:
+        dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df_w"))
+        rare = dfreq.where(F.col("df_w") <= max_shingle_df).select("w")
+        cand_tok = tok.join(F.broadcast(rare), "w")
+    if max_candidate_pairs is not None:
+        est = (
+            cand_tok.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"))
+            .collect()[0]["pairs"]
+            or 0
+        )
+        if est > max_candidate_pairs:
+            raise CandidateExplosionError(
+                f"jaccard_pairs would join up to {int(est):,} candidate pairs "
+                f"(cap {max_candidate_pairs:,}). Use minhash_lsh_pairs (the "
+                "bucketed scale path), set max_shingle_df to cut frequent "
+                "shingles from candidate generation, or raise "
+                "max_candidate_pairs explicitly."
+            )
+    t2 = cand_tok.select(F.col("k").alias("k2"), F.col("w").alias("w2"))
+    cand_keys = (
+        cand_tok.join(t2, (cand_tok.w == t2.w2) & (cand_tok.k < t2.k2))
+        .select("k", "k2")
+        .distinct()
     )
-    s1 = sizes.select(F.col("k").alias("k"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("k").alias("k2"), F.col("n").alias("n2"))
-    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
+    # verify on the FULL shingle sets (exact even under max_shingle_df)
+    s1 = base.select("k", "sh")
+    s2 = base.select(F.col("k").alias("k2"), F.col("sh").alias("sh2"))
+    cands = cand_keys.join(s1, "k").join(s2, "k2")
+    inter = F.size(F.array_intersect("sh", "sh2"))
+    jac = inter / (F.size("sh") + F.size("sh2") - inter)
     return (
-        common.join(s1, "k").join(s2, "k2")
-        .where(jac >= threshold)
+        cands.where(jac >= threshold)
         .select(
             F.col("k").alias("doc_a"),
             F.col("k2").alias("doc_b"),

@@ -196,8 +196,11 @@ def lsh_ann_pairs(
         .dropDuplicates(["k", "k2"])
     )
     cos = cosine(F.col("v"), F.col("v2"))
+    # the exact cosine rides along (rounded 4dp): candidate generation is
+    # approximate, but every RETURNED pair carries its exactly-verified score
+    # — value-level auditability for an op that has no SQL oracle
     return cands.where(cos >= threshold).select(
-        F.col("k").alias("vec_a"), F.col("k2").alias("vec_b")
+        F.col("k").alias("vec_a"), F.col("k2").alias("vec_b"), F.round(cos, 4).alias("cos")
     )
 
 
@@ -307,26 +310,53 @@ def ivf_ann_topk(
         ["query_id", "neighbor_id"]
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # exact cosine (4dp) emitted per returned neighbor — value-level
+    # auditability for the approximate op (see lsh_ann_pairs)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
     )
 
 
-def embedding_near_dup_keys(
+def brute_force_self_pairs(
     vectors: DataFrame, key_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs (vec_a < vec_b) with cosine >= threshold.
+
+    O(N^2) with a driver-side collect of the full corpus — the ORACLE
+    formulation only. At scale use :func:`lsh_ann_pairs` (bucketed)."""
+    pairs = brute_force_pairs(vectors, vectors, key_col, vec_col, threshold).where(
+        F.col("query_id") < F.col("neighbor_id")
+    )
+    return pairs.select(F.col("query_id").alias("vec_a"), F.col("neighbor_id").alias("vec_b"))
+
+
+def embedding_near_dup_keys(
+    vectors: DataFrame,
+    key_col: str,
+    vec_col: str,
+    threshold: float,
+    pairs_fn=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup dedup: drop every vector that is
     cosine-similar (>= threshold) to a LOWER-keyed vector; keep the rest.
 
     Greedy-by-key suppression (not connected components): deterministic, one
-    pass over the pair relation. At scale, feed the pair relation from
-    ``lsh_ann_pairs`` instead of the brute-force cross product."""
-    pairs = brute_force_pairs(
-        vectors, vectors, key_col, vec_col, threshold
-    ).where(F.col("query_id") < F.col("neighbor_id"))
-    dropped = pairs.select(F.col("neighbor_id").alias(key_col)).distinct()
+    pass over the pair relation.
+
+    ``pairs_fn(vectors, key_col, vec_col, threshold) -> DataFrame`` supplies
+    the similar-pair relation; its first two columns are the pair keys. The
+    DEFAULT is :func:`lsh_ann_pairs` — bucketed candidate generation with
+    exact-cosine verification, the 100 TB path (the corpus never collects to
+    the driver and never cross-joins). Pass :func:`brute_force_self_pairs`
+    only for exact/oracle runs on bounded data."""
+    if pairs_fn is None:
+        pairs_fn = lsh_ann_pairs
+    pairs = pairs_fn(vectors, key_col, vec_col, threshold)
+    a, b = pairs.columns[:2]
+    # suppress the higher key of each pair, whatever orientation pairs_fn used
+    dropped = pairs.select(F.greatest(F.col(a), F.col(b)).alias(key_col)).distinct()
     return vectors.select(key_col).join(dropped, key_col, "left_anti")
 
 
@@ -401,6 +431,19 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
 
 
 def q_embedding_near_dup_keys(spark: SparkSession, sf: str) -> DataFrame:
+    # ORACLE formulation: exact pair relation (bounded data only) — the
+    # operator's default is the LSH scale path, demonstrated by
+    # q_embedding_near_dup_keys_lsh below
+    emb = _emb(spark, sf)
+    return embedding_near_dup_keys(
+        emb, "vec_id", "embedding", threshold=0.30, pairs_fn=brute_force_self_pairs
+    )
+
+
+def q_embedding_near_dup_keys_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # DEFAULT (scale) wiring: bucketed LSH candidates + exact-cosine verify.
+    # Rows-only check (candidate recall is approximate by construction);
+    # tests assert kept-set ⊇ exact kept-set + recall vs brute force.
     emb = _emb(spark, sf)
     return embedding_near_dup_keys(emb, "vec_id", "embedding", threshold=0.30)
 
@@ -478,6 +521,7 @@ SIMILARITY_QUERIES = {
     "q_embedding_ann_lsh": q_embedding_ann_lsh,
     "q_embedding_ivf_knn": q_embedding_ivf_knn,
     "q_embedding_near_dup_keys": q_embedding_near_dup_keys,
+    "q_embedding_near_dup_keys_lsh": q_embedding_near_dup_keys_lsh,
     "q_embedding_label_centroids": q_embedding_label_centroids,
 }
 

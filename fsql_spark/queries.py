@@ -276,16 +276,21 @@ class LexRangeQuery(Query):
         self.ranges = list(ranges)
 
     def referenced_columns(self) -> frozenset[str]:
-        return frozenset(r.name for r in self.ranges if r.comparator is not ColumnComparator.wld)
+        # wld columns included: the reference checks column presence BEFORE
+        # the wld skip (`query.py:161-164`), so a binding lacking a wld column
+        # early-stops with the missing-column verdict
+        return frozenset(r.name for r in self.ranges)
 
     def _eval(self, columns: dict[str, str], on_missing: bool) -> bool:
         tied_min = True  # bound columns so far exactly equal the min tuple
         tied_max = True  # ... exactly equal the max tuple
         for r in self.ranges:
-            if r.comparator is ColumnComparator.wld:
-                continue
+            # missing-column check first, THEN the wld skip — reference order
+            # (`query.py:161-164`): an unbound wld column still early-stops
             if r.name not in columns:
                 return on_missing
+            if r.comparator is ColumnComparator.wld:
+                continue
             value = columns[r.name]
             try:
                 vs_min = r.comparator.compare(value, r.min_value)
@@ -328,16 +333,18 @@ class LexRangeQuery(Query):
         prefix" — the comparison never reaches the missing column — so both
         bounds become strict over the surviving prefix.
         """
-        effective = [r for r in self.ranges if r.comparator is not ColumnComparator.wld]
+        # walk the chain in declared order: wld columns contribute no
+        # comparison but DO participate in the availability check (reference
+        # checks missing before the wld skip, `query.py:161-164`) — an
+        # unavailable column (wld or not) truncates the chain there
+        effective: list[ColumnRange] = []
         truncated = False
-        if available is not None:
-            kept: list[ColumnRange] = []
-            for r in effective:
-                if r.name not in available:
-                    truncated = True
-                    break
-                kept.append(r)
-            effective = kept
+        for r in self.ranges:
+            if available is not None and r.name not in available:
+                truncated = True
+                break
+            if r.comparator is not ColumnComparator.wld:
+                effective.append(r)
 
         def val(r: ColumnRange) -> Column:
             c = F.col(r.name)
@@ -419,13 +426,20 @@ class DateRangeQuery(Query):
     def eval_available(self, columns: dict[str, str]) -> bool:
         if self.year_name not in columns:
             return True
-        year = int(columns[self.year_name])
-        month_lo = int(columns.get(self.month_name, "1"))
-        month_hi = int(columns.get(self.month_name, "12"))
-        day_lo = int(columns.get(self.day_name, "1"))
-        day_hi = int(columns.get(self.day_name, str(calendar.monthrange(year, month_hi)[1])))
-        leftmost = datetime.date(year, month_lo, day_lo)
-        rightmost = datetime.date(year, month_hi, day_hi)
+        try:
+            year = int(columns[self.year_name])
+            month_lo = int(columns.get(self.month_name, "1"))
+            month_hi = int(columns.get(self.month_name, "12"))
+            day_lo = int(columns.get(self.day_name, "1"))
+            day_hi = int(columns.get(self.day_name, str(calendar.monthrange(year, month_hi)[1])))
+            leftmost = datetime.date(year, month_lo, day_lo)
+            rightmost = datetime.date(year, month_hi, day_hi)
+        except ValueError:
+            # malformed binding (month=2/day=30, non-numeric, month=13):
+            # every completion is invalid, so the subtree can never match —
+            # same lenient non-match semantics as eval_all and to_column
+            # (keeps the crawl and the Catalyst path consistent)
+            return False
         return leftmost < self.end and rightmost >= self.start
 
     def to_column(self, available: frozenset[str] | None = None) -> Column:

@@ -43,6 +43,19 @@ from .discovery import Partition
 from .formats import InputFormat
 from .fs import FileSystem
 
+def _hadoop_uri(url: str) -> str:
+    """Percent-encode a path URL the way Hadoop ``Path.toUri`` does (RFC 2396
+    path rules), to match what ``input_file_name()`` returns at scan time."""
+    from urllib.parse import quote
+
+    scheme = ""
+    if "://" in url:
+        scheme, _, url = url.partition("://")
+        scheme += "://"
+    # java.net.URI leaves RFC 2396 path characters and marks unescaped
+    return scheme + quote(url, safe="/@:&=+$,;!'()*~-._")
+
+
 _POOL_SIZE = 32  # reference `deser.py:153`
 #: above this many distinct partition bindings the SparkReader switches from
 #: per-group literal columns to a single scan + broadcast path-join
@@ -168,12 +181,16 @@ class SparkReader(DataReader):
             return out
 
         # many partitions: ONE scan over all files + broadcast join on the
-        # file path -> bindings mapping (mapping is metadata-sized)
+        # file path -> bindings mapping (mapping is metadata-sized).
+        # input_file_name() returns the Hadoop Path.toUri form — PERCENT-
+        # ENCODED — so the mapping side is encoded the same way; otherwise
+        # paths with spaces/special chars silently miss the join and get NULL
+        # partition columns.
         all_paths = [path for paths in by_binding.values() for path in paths]
         df = reader.load(all_paths).withColumn("__fsql_path", F.input_file_name())
         keys = sorted({k for binding in by_binding for k, _ in binding})
         rows = [
-            (path, *[dict(binding).get(k) for k in keys])
+            (_hadoop_uri(path), *[dict(binding).get(k) for k in keys])
             for binding, paths in by_binding.items()
             for path in paths
         ]

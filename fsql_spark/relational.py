@@ -35,7 +35,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _fix_nanos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by default
     (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild a microsecond
-    timestamp — lossless here (generator emits whole-microsecond values)."""
+    timestamp — lossless here (generator emits whole-microsecond values).
+
+    These two confs are deliberately NOT save/restored (unlike the eagerly-
+    consumed partition-inference conf, see ``session.temp_conf``): both are
+    captured at ACTION time — nanosAsLong by the parquet schema converter on
+    executors, timeZone by timestamp_micros/window alignment — so restoring
+    them before the caller materializes the returned (lazy) DataFrame would
+    break the read. nanosAsLong only affects TIMESTAMP(NANOS) files, which
+    stock Spark cannot read at all; the UTC pin is the engine's documented
+    session contract (session.SPARK_DEFAULTS)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamp_micros() builds TIMESTAMP_LTZ, whose window()/date alignment
     # follows the session TZ — pin UTC so results don't depend on the caller's

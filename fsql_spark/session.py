@@ -64,6 +64,38 @@ def get_spark(
     return builder.getOrCreate()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def temp_conf(spark: SparkSession, **confs: str):
+    """Set session confs for the duration of the block, then restore.
+
+    Use ONLY around operations that consume the conf eagerly (e.g. partition
+    schema inference, which runs at ``load()`` time) — execution-time confs
+    (captured when an action runs) must NOT be restored early. Dotted conf
+    keys are passed via ``temp_conf(spark, **{"spark.sql....": "false"})``.
+    """
+    saved: dict[str, str | None] = {}
+    for key, val in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                try:
+                    spark.conf.unset(key)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(key, old)
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an existing session."""
     for key, val in SPARK_DEFAULTS.items():

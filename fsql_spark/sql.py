@@ -3,16 +3,14 @@ else here.
 
 The reference has no SQL front end ("no proper parser & grammar & query
 optimiser is used", reference README.md:42); in this engine SQL comes free
-from Spark once path tables are registered as temp views. ``sql()`` resolves
-table names lazily: any identifier in the statement that matches a
-``{root}/{name}.parquet`` file (or a partitioned subdirectory) is registered
-before execution.
+from Spark once path tables are registered as temp views. ``sql()`` registers
+every ``{root}/{name}.parquet`` file (or partitioned subdirectory) as a view
+named ``{name}`` before execution — registration is metadata-only.
 """
 
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,22 +46,15 @@ def register_path_tables(spark: SparkSession, root: str) -> list[str]:
 def sql(query: str, root: str, spark: SparkSession | None = None) -> DataFrame:
     """Run ANSI SQL against the path tables under ``root``.
 
-    Registration is lazy and name-driven: only identifiers that appear in the
-    query text are registered (cheap — view registration reads one footer)."""
+    All tables under ``root`` are registered unconditionally — registration is
+    metadata-only (one footer read each), and matching identifiers textually
+    is unsound (a regex scan registers keywords/aliases and misses quoted
+    identifiers; a parser walk is py4j-fragile). Views persist in the session,
+    so repeat calls are near-free."""
     from .api import _active_spark
 
     spark = _active_spark(spark)
-    mentioned = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
-    for entry in sorted(os.listdir(root)):
-        name = entry[: -len(".parquet")] if entry.endswith(".parquet") else entry
-        if name in mentioned:
-            path = os.path.join(root, entry)
-            if name == "events":
-                from .relational import _fix_nanos
-
-                _fix_nanos(spark, root).createOrReplaceTempView(name)
-            elif entry.endswith(".parquet") or os.path.isdir(path):
-                spark.read.parquet(path).createOrReplaceTempView(name)
+    register_path_tables(spark, root)
     return spark.sql(query)
 
 

@@ -155,6 +155,90 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_jaccard_guard_fails_fast_on_candidate_explosion(spark):
+    """A frequent-shingle corpus must raise the guard error instead of
+    OOM-killing the JVM (PERF.md documents the unguarded ~500M-row join)."""
+    from fsql_spark.operators.dedup import CandidateExplosionError
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(CandidateExplosionError, match="minhash_lsh_pairs"):
+        jaccard_pairs(docs, "doc_id", "text", 0.95, ngram=1, max_candidate_pairs=10_000)
+
+
+def test_jaccard_shingle_df_cap_keeps_exact_verification(spark, docs_with_dups):
+    """max_shingle_df prunes candidate GENERATION only; emitted pairs and
+    jaccard values stay exactly verified (subset of the uncapped result)."""
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs_with_dups, "doc_id", "text", 0.9, ngram=3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            docs_with_dups, "doc_id", "text", 0.9, ngram=3, max_shingle_df=30
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    assert all(capped[k] == full[k] for k in capped)  # values from FULL sets
+    # 3-gram shingles on this corpus are rare, so nothing should be lost here
+    assert len(capped) == len(full)
+
+
+def test_embedding_near_dup_default_is_lsh_and_recalls_exact(spark):
+    """Default wiring must NOT collect the corpus to the driver; its kept set
+    is a superset of the exact kept set (LSH can only miss pairs => drop
+    fewer) with high recall of the exact drops."""
+    from fsql_spark.operators.similarity import (
+        brute_force_self_pairs,
+        embedding_near_dup_keys,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact_kept = {
+        r["vec_id"]
+        for r in embedding_near_dup_keys(
+            emb, "vec_id", "embedding", 0.30, pairs_fn=brute_force_self_pairs
+        ).collect()
+    }
+    lsh_kept = {
+        r["vec_id"]
+        for r in embedding_near_dup_keys(
+            emb,
+            "vec_id",
+            "embedding",
+            0.30,
+            pairs_fn=lambda v, k, c, t: lsh_ann_pairs(v, k, c, t, n_planes=4, n_tables=16),
+        ).collect()
+    }
+    assert exact_kept <= lsh_kept  # LSH misses only ADD keeps, never drops extra
+    n_all = emb.count()
+    exact_dropped = n_all - len(exact_kept)
+    lsh_dropped = n_all - len(lsh_kept)
+    if exact_dropped:
+        recall = lsh_dropped / exact_dropped
+        assert recall >= 0.6, f"near-dup drop recall too low: {recall}"
+
+
+def test_approx_ops_emit_exact_scores(spark):
+    """The rows-only (no-SQL-oracle) ops carry their exactly-verified score in
+    the output; recompute each returned pair's cosine and compare — the
+    value-level audit the driver's rows-only check can't do."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = lsh_ann_pairs(emb, "vec_id", "embedding", 0.30, n_planes=4, n_tables=8).toPandas()
+    assert list(pairs.columns) == ["vec_a", "vec_b", "cos"]
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for _, row in pairs.iterrows():
+        a, b = vecs[row["vec_a"]], vecs[row["vec_b"]]
+        expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(row["cos"] - round(expect, 4)) <= 1e-4
+        assert row["cos"] >= 0.30 - 1e-4
+
+
 def test_ivf_is_deterministic(spark):
     from fsql_spark.operators.similarity import ivf_ann_topk
     from pyspark.sql import functions as F
