@@ -467,6 +467,335 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
 """
 
 
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional-sum ratio over a
+    7-table star (all dims broadcast, facts shuffle once on the join keys)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf, "customer")
+    supplier = _t(spark, sf, "supplier")
+    part = _t(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN part      ON l_partkey = p_partkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by (supplier nation, year).
+    DEVIATION (documented): testdata has no partsupp table, so the
+    ps_supplycost term is dropped — profit = discounted revenue."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    supplier = _t(spark, sf, "supplier")
+    part = _t(spark, sf, "part").where(F.col("p_name").contains("widget"))
+    nation = _t(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix by shipping-delay class.
+    DEVIATION (documented): testdata lineitem has no
+    l_shipmode/l_commitdate/l_receiptdate — the class is derived from the
+    ship delay (l_shipdate - o_orderdate > 60 days => 'LATE')."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, F.lit("LATE")
+    ).otherwise(F.lit("ONTIME"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy(bucket.alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+            THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue "view" per supplier over a quarter, then the
+    supplier(s) achieving the maximum (scalar-subquery comparison). Revenue
+    rounded to 2dp on BOTH engines before the max-equality so summation-order
+    ulps can't break the tie."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = _t(spark, sf, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("m"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute triple.
+    DEVIATION (documented): no partsupp table — lineitem serves as the
+    observed part<->supplier relation."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_part_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers with significant stock movement of a part
+    family, semi-joined back to names + nation.
+    DEVIATION (documented): no partsupp/availqty — the threshold applies to
+    shipped quantity observed in lineitem during 1996."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf, "part").where(F.col("p_name").startswith("small"))
+    supplier = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(heavy, supplier.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 50
+)
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-late-supplier-in-a-multi-supplier-order
+    pattern (EXISTS + NOT EXISTS), expressed as per-order supplier/late
+    counts — the decorrelated plan Catalyst would produce.
+    DEVIATION (documented): no l_commitdate/l_receiptdate — "late" means
+    shipped > 30 days after the order date."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    supplier = _t(spark, sf, "supplier")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 30).alias("late"),
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("supp_late").alias("n_late")
+    )
+    waiting = (
+        per_supp.where(F.col("supp_late") == 1)
+        .join(per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+    )
+    return (
+        waiting.join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_supp AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+  FROM lines GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late
+  FROM per_supp GROUP BY 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_supp
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE supp_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-dormant customers by country code.
+    DEVIATION (documented): no c_phone in testdata — the "country code" is
+    c_nationkey % 5; "dormant" means no orders on/after 1999-01-01 (every
+    customer has SOME order in this synthetic data). The average-balance
+    threshold is rounded to 2dp on both engines (ulp hazard)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = round(
+        cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0] or 0.0, 2
+    )
+    rich = cust.where(F.col("c_acctbal") > F.lit(avg_bal))
+    dormant = rich.join(
+        orders.select("o_custkey"), rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        dormant.groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+       COUNT(*)                 AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # windows / top-k / rollup / set ops / anti-semi
 # --------------------------------------------------------------------------
@@ -782,9 +1111,17 @@ RELATIONAL_QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q14_promo_effect": q14_promo_effect,
     "q13_customer_distribution": q13_customer_distribution,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q12_late_shipment_priority": q12_late_shipment_priority,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q_top_parts_per_brand": q_top_parts_per_brand,
     "q_customer_running_total": q_customer_running_total,
     "q_rollup_returns": q_rollup_returns,
@@ -808,9 +1145,17 @@ RELATIONAL_ORACLES = {
     "q10_returned_items": Q10_SQL,
     "q14_promo_effect": Q14_SQL,
     "q13_customer_distribution": Q13_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q12_late_shipment_priority": Q12_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_volume_customers": Q18_SQL,
     "q19_disjunctive_predicates": Q19_SQL,
+    "q20_part_promotion_suppliers": Q20_SQL,
+    "q21_waiting_supplier": Q21_SQL,
+    "q22_global_sales_opportunity": Q22_SQL,
     "q_top_parts_per_brand": Q_TOP_PARTS_SQL,
     "q_customer_running_total": Q_RUNNING_SQL,
     "q_rollup_returns": Q_ROLLUP_SQL,
