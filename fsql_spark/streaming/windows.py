@@ -51,7 +51,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     in production this is a directory that keeps receiving files / Kafka).
 
     The file stream source requires a *directory*, so the single events
-    parquet is staged into a temp dir via symlink (zero-copy)."""
+    parquet is staged into a temp dir via symlink (zero-copy). POSIX-local
+    assumption, harness-only: on an object store there is no symlink — point
+    the stream at the real landing directory instead (the production shape)."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -37,6 +37,15 @@ def test_q6_zero_shuffle_scan_agg(spark):
     assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan
 
 
+def test_q8_seven_table_star_is_broadcast_single_shuffle(spark):
+    from fsql_spark.relational import q8_market_share
+
+    plan = plan_of(q8_market_share(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("Exchange hashpartitioning") <= 1  # only the final agg
+
+
 def test_q3_broadcasts_filtered_dimensions(spark):
     plan = plan_of(q3_shipping_priority(spark, SF))
     assert "BroadcastHashJoin" in plan
