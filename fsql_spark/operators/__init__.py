@@ -33,6 +33,12 @@ from .profile import (  # noqa: F401
     histogram,
     profile,
 )
+from .sampling import (  # noqa: F401
+    SAMPLING_ORACLES,
+    SAMPLING_QUERIES,
+    hash_fraction_sample,
+    sample_per_group,
+)
 from .similarity import (  # noqa: F401
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
@@ -60,6 +66,7 @@ EXTENSION_QUERIES = {
     **MULTIMODAL_QUERIES,
     **ASOF_QUERIES,
     **PROFILE_QUERIES,
+    **SAMPLING_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -69,4 +76,5 @@ EXTENSION_ORACLES = {
     **MULTIMODAL_ORACLES,
     **ASOF_ORACLES,
     **PROFILE_ORACLES,
+    **SAMPLING_ORACLES,
 }

@@ -1,0 +1,155 @@
+"""Deterministic sampling / data-mixing operators for training pipelines.
+
+Dataset assembly at 100 TB needs reproducible sampling: the same corpus +
+the same config must yield the SAME rows on any cluster layout, any restart.
+Spark's ``df.sample`` is seed-stable only per partitioning, so both
+operators here derive the decision from a content hash instead:
+
+- :func:`hash_fraction_sample` — keep a row iff the hex-string prefix of
+  ``md5(key)`` falls below the fraction threshold. MAP-ONLY: no shuffle, no
+  state, linearly scan-bound — the right sampler for a 1000-executor scan.
+  Per-stratum fractions give weighted dataset mixing (e.g. 100% wiki,
+  10% crawl).
+- :func:`sample_per_group` — exactly ``k`` rows per group, chosen by the
+  same hash order (deterministic "random" top-k). One shuffle on the group
+  key; row_number streams, so skewed groups don't blow memory.
+
+Both are SQL-expressible (md5 agrees byte-for-byte across engines when fed
+the same string), so the catalog entries are fully oracle-checked — unlike
+seeded-RNG sampling, which no two engines reproduce identically.
+
+No reference counterpart (the reference delegates all row-level compute,
+`/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension
+surface (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_hex(key: Column) -> Column:
+    """First 8 hex chars of md5(key-as-string): uniform in [0, 2^32) and
+    identical in any engine that implements md5 (lexicographic comparison of
+    lowercase hex == numeric comparison)."""
+    return F.substring(F.md5(key.cast("string")), 1, 8)
+
+
+def fraction_to_hex_threshold(fraction: float) -> str:
+    """Map a fraction in [0, 1] to its 8-hex-digit threshold string."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+
+
+def hash_fraction_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float | None = None,
+    stratum_col: Optional[str] = None,
+    fractions: Optional[Mapping[str, float]] = None,
+) -> DataFrame:
+    """Deterministic ~fraction sample, map-only (no shuffle).
+
+    Either a global ``fraction``, or per-stratum ``fractions`` keyed by the
+    values of ``stratum_col`` (strata absent from the mapping are dropped —
+    the dataset-mixing contract: unlisted sources don't leak in).
+    """
+    h = _hash_hex(F.col(key_col))
+    if fractions is not None:
+        if stratum_col is None:
+            raise ValueError("fractions requires stratum_col")
+        thresh = F.create_map(
+            *[F.lit(x) for kv in fractions.items() for x in (kv[0], fraction_to_hex_threshold(kv[1]))]
+        )[F.col(stratum_col)]
+        return df.where(thresh.isNotNull() & (h < thresh))
+    if fraction is None:
+        raise ValueError("pass fraction or fractions")
+    return df.where(h < F.lit(fraction_to_hex_threshold(fraction)))
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, hash-ordered (deterministic
+    pseudo-random), ties broken by the key itself. One shuffle on the group
+    columns; bounded state per group (streaming row_number)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        _hash_hex(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entries + oracles
+# --------------------------------------------------------------------------
+
+def q_sample_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 20-doc sample per language (hash-ordered top-k)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return sample_per_group(docs, ["lang"], "doc_id", k=20).select("lang", "doc_id")
+
+
+Q_SAMPLE_PER_LANG_SQL = """
+SELECT lang, doc_id
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+"""
+
+
+def q_sample_mix_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted dataset mix: per-source keep-fractions, map-only decision
+    (the 100 TB path: the sampler never shuffles)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mixed = hash_fraction_sample(
+        docs,
+        "doc_id",
+        stratum_col="source",
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+# CAST(SUM(..) AS BIGINT): DuckDB sums BIGINT into HUGEINT, which its
+# pandas bridge renders as float64 — cast for schema parity with Spark's long
+Q_SAMPLE_MIX_SQL = f"""
+SELECT source,
+       COUNT(*)                      AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)  AS sum_chars
+FROM documents
+WHERE (source = 'src0' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{fraction_to_hex_threshold(1.0)}')
+   OR (source = 'src1' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{fraction_to_hex_threshold(0.5)}')
+   OR (source = 'src2' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{fraction_to_hex_threshold(0.25)}')
+GROUP BY source
+"""
+
+
+SAMPLING_QUERIES = {
+    "q_sample_per_lang": q_sample_per_lang,
+    "q_sample_mix_weighted": q_sample_mix_weighted,
+}
+
+SAMPLING_ORACLES = {
+    "q_sample_per_lang": Q_SAMPLE_PER_LANG_SQL,
+    "q_sample_mix_weighted": Q_SAMPLE_MIX_SQL,
+}

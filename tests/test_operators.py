@@ -239,6 +239,37 @@ def test_approx_ops_emit_exact_scores(spark):
         assert row["cos"] >= 0.30 - 1e-4
 
 
+def test_hash_fraction_sample_is_deterministic_and_map_only(spark):
+    from fsql_spark.operators import hash_fraction_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"] for r in hash_fraction_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_fraction_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert a == b  # content-hash decision: stable across runs/partitionings
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # ~fraction
+    # nested fractions nest: sample(0.1) is a subset of sample(0.3)
+    c = {r["doc_id"] for r in hash_fraction_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    assert c <= a
+    # the 100 TB contract: the sampler itself never shuffles
+    plan = hash_fraction_sample(docs, "doc_id", 0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sample_per_group_exact_counts(spark):
+    from fsql_spark.operators import sample_per_group
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sample_per_group(docs, ["lang"], "doc_id", k=7).toPandas()
+    sizes = out.groupby("lang").size()
+    full_sizes = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, got in sizes.items():
+        assert got == min(7, int(full_sizes[lang]))
+    # deterministic
+    again = sample_per_group(docs, ["lang"], "doc_id", k=7).toPandas()
+    assert set(out["doc_id"]) == set(again["doc_id"])
+
+
 def test_ivf_is_deterministic(spark):
     from fsql_spark.operators.similarity import ivf_ann_topk
     from pyspark.sql import functions as F
