@@ -55,7 +55,7 @@ from .readers import (  # noqa: F401
     SPARK_READER,
     SparkReader,
 )
-from .session import get_spark  # noqa: F401
+from .session import get_spark, temp_conf  # noqa: F401
 from .sql import register_path_tables, sql  # noqa: F401
 
 __version__ = "0.1.0"

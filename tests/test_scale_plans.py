@@ -52,6 +52,30 @@ def test_q3_broadcasts_filtered_dimensions(spark):
     assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
 
 
+def test_fsql_catalog_fast_paths_prune_natively(spark):
+    """The three fast-path fsql catalog entries must compile their queries
+    into PartitionFilters (pruned at listing time) with NO post-scan filter
+    — the claim COVERAGE.md/PERF.md make for the oracle-gated core scans."""
+    import re
+
+    from fsql_spark.fsql_catalog import (
+        q_fsql_daterange_revenue,
+        q_fsql_eq_in_pushdown,
+        q_fsql_lexrange_revenue,
+    )
+
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "500")
+    try:
+        for fn in (q_fsql_daterange_revenue, q_fsql_lexrange_revenue, q_fsql_eq_in_pushdown):
+            plan = plan_of(fn(spark, SF))
+            m = re.search(r"PartitionFilters: \[([^\]]+)", plan)
+            assert m and m.group(1).strip(), f"{fn.__name__}: no PartitionFilters\n{plan[:800]}"
+            assert plan.count("Filter (") == 0, f"{fn.__name__}: post-scan Filter present"
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
 def test_partition_filters_reach_the_scan(spark, tmp_path):
     for v in ["a", "b"]:
         d = tmp_path / f"t/k={v}"
