@@ -95,10 +95,25 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
-    # warmup: JVM/codegen + file footers + one-time tree writes, not counted
+    # warmup: JVM/codegen + file footers + one-time tree writes + the Arrow/
+    # pandas-UDF worker pool (first pandas_udf call pays ~2 s of Python
+    # worker + Arrow init — environment setup, not query work), not counted
     _premateralize_trees(spark, sf_dir)
     warm = queries["q1_pricing_summary"](spark, sf_dir)
     warm.write.format("noop").mode("overwrite").save()
+    try:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _ident(s):
+            return s
+
+        _ident.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        spark.range(10_000).select(pandas_udf(_ident, "long")("id").alias("x")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as exc:  # pragma: no cover
+        print(f"bench: udf warmup failed: {exc!r}", file=sys.stderr)
 
     spark, timings = _run_all(spark, queries, sf_dir, cpus)
     total = round(sum(v for v in timings.values() if v == v), 4)
