@@ -163,7 +163,8 @@ def stream_stream_join(
         & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {within}"))
         & (rw[right_ts] <= lw[left_ts])
     )
-    return lw.join(rw, cond, "inner")
+    # drop the right-side key: the output carries ONE unambiguous join column
+    return lw.join(rw, cond, "inner").drop(rw[on])
 
 
 def stream_to_partitioned_table(
@@ -306,14 +307,53 @@ GROUP BY user_id
 """
 
 
+def q_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL stream-stream interval join: purchases joined to the same user's
+    clicks within the preceding 30 minutes — two independent file-stream
+    sources, state bounded by watermark + join interval on both sides. The
+    per-user aggregation runs batch-side on the joined (append-mode) output."""
+    purchases = (
+        events_stream(spark, sf)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+    )
+    clicks = (
+        events_stream(spark, sf)
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value"))
+    )
+    joined = stream_stream_join(purchases, clicks, "user_id", "p_ts", "c_ts", within="30 minutes")
+    out = run_to_memory(joined, mode="append")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("c_value"), 2).alias("click_value"),
+    )
+
+
+Q_STREAM_JOIN_SQL = """
+SELECT p.user_id,
+       COUNT(*)                AS n_pairs,
+       ROUND(SUM(c.value), 2)  AS click_value
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '30 minutes'
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.user_id
+"""
+
+
 STREAMING_QUERIES = {
     "q_stream_hourly": q_stream_hourly,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_user_totals": q_stream_user_totals,
+    "q_stream_join": q_stream_join,
 }
 
 STREAMING_ORACLES = {
+    "q_stream_join": Q_STREAM_JOIN_SQL,
     "q_stream_hourly": Q_STREAM_HOURLY_SQL,
     "q_stream_sliding": Q_STREAM_SLIDING_SQL,
     "q_stream_sessions": Q_STREAM_SESSIONS_SQL,
