@@ -53,34 +53,70 @@ from .readers import SparkReader
 _TREE_ROOT = "/tmp/fsql_spark_trees"
 
 
-def _tree_dir(sf_dir: str, layout: str) -> str:
+def _tree_dir(sf_dir: str, layout: str, source_table: str) -> str:
+    """Cache key includes a fingerprint of the SOURCE parquet (mtime+size):
+    regenerated testdata gets a fresh tree instead of silently reusing a
+    stale one that would diverge from the oracle's flat view."""
+    import hashlib
+
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(_TREE_ROOT, sf_tag, layout)
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{source_table}.parquet"))
+        fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    except OSError:
+        fp = "nosrc"
+    return os.path.join(_TREE_ROOT, sf_tag, f"{layout}_{fp}")
 
 
 def _ready(dest: str) -> str:
     return os.path.join(dest, "_FSQL_READY")
 
 
+def _build_once(dest: str, build) -> str:
+    """Build into a unique staging dir, then atomically rename into place —
+    concurrent first builds (pytest + bench) each stage privately and the
+    rename loser simply adopts the winner's tree."""
+    import shutil
+    import uuid
+
+    if os.path.exists(_ready(dest)):
+        return dest
+    staging = f"{dest}.staging_{uuid.uuid4().hex[:8]}"
+    try:
+        build(staging)
+        with open(os.path.join(staging, "_FSQL_READY"), "w") as fd:
+            fd.write("ok")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        if os.path.isdir(dest) and not os.path.exists(_ready(dest)):
+            shutil.rmtree(dest, ignore_errors=True)  # crashed build leftover
+        try:
+            os.rename(staging, dest)
+        except OSError:
+            if not os.path.exists(_ready(dest)):  # lost the race AND no winner
+                raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return dest
+
+
 def _orders_ym_tree(spark: SparkSession, sf_dir: str) -> str:
     """orders partitioned Hive-style by (year, month) from o_orderdate."""
-    dest = _tree_dir(sf_dir, "orders_ym")
-    if not os.path.exists(_ready(dest)):
+
+    def build(staging: str) -> None:
         df = spark.read.parquet(f"{sf_dir}/orders.parquet")
         out = df.withColumn("year", F.year("o_orderdate").cast("string")).withColumn(
             "month", F.month("o_orderdate").cast("string")
         )
-        write_table(out.repartition("year", "month"), dest, partition_by=["year", "month"])
-        with open(_ready(dest), "w") as fd:
-            fd.write("ok")
-    return dest
+        write_table(out.repartition("year", "month"), staging, partition_by=["year", "month"])
+
+    return _build_once(_tree_dir(sf_dir, "orders_ym", "orders"), build)
 
 
 def _orders_ymd_tree(spark: SparkSession, sf_dir: str) -> str:
     """One year of orders partitioned by (year, month, day) — the date-range
     pruning layout (~365 partitions, bounded at any SF)."""
-    dest = _tree_dir(sf_dir, "orders_1995_ymd")
-    if not os.path.exists(_ready(dest)):
+
+    def build(staging: str) -> None:
         df = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
             (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
@@ -91,37 +127,34 @@ def _orders_ymd_tree(spark: SparkSession, sf_dir: str) -> str:
             .withColumn("day", F.dayofmonth("o_orderdate").cast("string"))
         )
         write_table(
-            out.repartition("year", "month", "day"), dest, partition_by=["year", "month", "day"]
+            out.repartition("year", "month", "day"),
+            staging,
+            partition_by=["year", "month", "day"],
         )
-        with open(_ready(dest), "w") as fd:
-            fd.write("ok")
-    return dest
+
+    return _build_once(_tree_dir(sf_dir, "orders_1995_ymd", "orders"), build)
 
 
 def _nation_by_region_tree(spark: SparkSession, sf_dir: str) -> str:
     """Value-only layout ``{r_name}/{n_name}.parquet`` — non-Hive dirs plus the
     filename-bears-information convention (reference README.md:22), written
     file-by-file through write_object."""
-    dest = _tree_dir(sf_dir, "nation_by_region")
-    if not os.path.exists(_ready(dest)):
+
+    def build(staging: str) -> None:
         nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
         region = spark.read.parquet(f"{sf_dir}/region.parquet")
         joined = nation.join(
             region, nation.n_regionkey == region.r_regionkey
         ).select("n_nationkey", "n_regionkey", "n_name", "r_name")
         pdf = joined.toPandas()
-        for r_name, group in pdf.groupby("r_name"):
-            for _, row in group.iterrows():
-                os.makedirs(os.path.join(dest, str(r_name)), exist_ok=True)
-                write_object(
-                    os.path.join(dest, str(r_name), f"{row['n_name']}.parquet"),
-                    group[group["n_name"] == row["n_name"]][
-                        ["n_nationkey", "n_regionkey", "n_name"]
-                    ].reset_index(drop=True),
-                )
-        with open(_ready(dest), "w") as fd:
-            fd.write("ok")
-    return dest
+        for (r_name, n_name), group in pdf.groupby(["r_name", "n_name"]):
+            os.makedirs(os.path.join(staging, str(r_name)), exist_ok=True)
+            write_object(
+                os.path.join(staging, str(r_name), f"{n_name}.parquet"),
+                group[["n_nationkey", "n_regionkey", "n_name"]].reset_index(drop=True),
+            )
+
+    return _build_once(_tree_dir(sf_dir, "nation_by_region", "nation"), build)
 
 
 # --------------------------------------------------------------------------

@@ -83,16 +83,22 @@ def compact(
         spark, **{"spark.sql.sources.partitionColumnTypeInference.enabled": "false"}
     ):
         df = spark.read.parquet(fs.spark_url(path))
-    staging = path.rstrip("/") + ".compact_staging"
-    fs.rmtree(staging)
-    writer = df.repartition(n_out, *partition_by) if partition_by else df.repartition(n_out)
-    out = writer.write.mode("overwrite")
-    if partition_by:
-        out = out.partitionBy(*partition_by)
-    out.parquet(fs.spark_url(staging))
+    # unique staging/backup names: concurrent (or retried) compact calls on
+    # the same table must not delete each other's in-flight output
+    import uuid
 
-    backup = path.rstrip("/") + ".compact_backup"
-    fs.rmtree(backup)
-    fs.move(path.rstrip("/"), backup)
-    fs.move(staging, path.rstrip("/"))
-    fs.rmtree(backup)
+    tag = uuid.uuid4().hex[:8]
+    staging = path.rstrip("/") + f".compact_staging_{tag}"
+    try:
+        writer = df.repartition(n_out, *partition_by) if partition_by else df.repartition(n_out)
+        out = writer.write.mode("overwrite")
+        if partition_by:
+            out = out.partitionBy(*partition_by)
+        out.parquet(fs.spark_url(staging))
+
+        backup = path.rstrip("/") + f".compact_backup_{tag}"
+        fs.move(path.rstrip("/"), backup)
+        fs.move(staging, path.rstrip("/"))
+        fs.rmtree(backup)
+    finally:
+        fs.rmtree(staging)

@@ -112,9 +112,11 @@ def jaccard_pairs(
     tok = base.select("k", F.explode("sh").alias("w"))
     cand_tok = tok
     if max_shingle_df is not None:
+        # broadcast the FREQUENT set (few shingles by Zipf — KBs) and anti-join
+        # it away; broadcasting the rare set would ship the large side
         dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df_w"))
-        rare = dfreq.where(F.col("df_w") <= max_shingle_df).select("w")
-        cand_tok = tok.join(F.broadcast(rare), "w")
+        frequent = dfreq.where(F.col("df_w") > max_shingle_df).select("w")
+        cand_tok = tok.join(F.broadcast(frequent), "w", "left_anti")
     if max_candidate_pairs is not None:
         est = (
             cand_tok.groupBy("w")

@@ -40,10 +40,16 @@ def _hash_hex(key: Column) -> Column:
 
 
 def fraction_to_hex_threshold(fraction: float) -> str:
-    """Map a fraction in [0, 1] to its 8-hex-digit threshold string."""
+    """Map a fraction in [0, 1] to its threshold string for a strict
+    ``md5_prefix < threshold`` comparison. fraction >= 1.0 returns ``"g"``,
+    which is lexicographically above every hex string — a genuine keep-ALL
+    (clamping to ``ffffffff`` would silently drop rows whose prefix is
+    exactly ffffffff, ~1 per 4B keys: real losses at 100 TB)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1]: {fraction}")
-    return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * 2**32), "08x")
 
 
 def hash_fraction_sample(

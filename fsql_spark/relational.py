@@ -32,7 +32,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _fix_nanos(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fix_nanos(spark: SparkSession, sf_dir: str, pin_tz: bool = True) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by default
     (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild a microsecond
     timestamp — lossless here (generator emits whole-microsecond values).
@@ -44,12 +44,17 @@ def _fix_nanos(spark: SparkSession, sf_dir: str) -> DataFrame:
     them before the caller materializes the returned (lazy) DataFrame would
     break the read. nanosAsLong only affects TIMESTAMP(NANOS) files, which
     stock Spark cannot read at all; the UTC pin is the engine's documented
-    session contract (session.SPARK_DEFAULTS)."""
+    session contract (session.SPARK_DEFAULTS). ``pin_tz=False`` (used by the
+    generic ``sql()`` table registration) skips the TZ pin so registering the
+    events view does not change the caller's session-wide timestamp
+    behavior — their windows then align to their OWN session TZ."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # timestamp_micros() builds TIMESTAMP_LTZ, whose window()/date alignment
-    # follows the session TZ — pin UTC so results don't depend on the caller's
-    # session config (the driver harness brings its own SparkSession)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if pin_tz:
+        # timestamp_micros() builds TIMESTAMP_LTZ, whose window()/date
+        # alignment follows the session TZ — pin UTC so catalog results don't
+        # depend on the caller's session config (the driver harness brings
+        # its own SparkSession)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         # integer div: double division drops ulps at ns magnitudes

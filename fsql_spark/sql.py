@@ -15,11 +15,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
-def register_path_tables(spark: SparkSession, root: str) -> list[str]:
+def register_path_tables(
+    spark: SparkSession, root: str, pin_tz: bool = False
+) -> list[str]:
     """Register every parquet table under ``root`` as a temp view.
 
     ``{root}/{name}.parquet`` single files and ``{root}/{name}/`` partitioned
-    directories both become views named ``{name}``."""
+    directories both become views named ``{name}``. The events special case
+    (TIMESTAMP(NANOS)) defaults to ``pin_tz=False``: registering a table must
+    not silently change the caller's session timezone; pass ``pin_tz=True``
+    for the engine's UTC-pinned catalog semantics."""
     names: list[str] = []
     for entry in sorted(os.listdir(root)):
         path = os.path.join(root, entry)
@@ -33,7 +38,7 @@ def register_path_tables(spark: SparkSession, root: str) -> list[str]:
             if name == "events":  # TIMESTAMP(NANOS) special case
                 from .relational import _fix_nanos
 
-                df = _fix_nanos(spark, root)
+                df = _fix_nanos(spark, root, pin_tz=pin_tz)
             else:
                 df = spark.read.parquet(path)
         except Exception:
@@ -43,18 +48,26 @@ def register_path_tables(spark: SparkSession, root: str) -> list[str]:
     return names
 
 
+#: (spark appId, root) pairs whose tables are already registered this session
+_REGISTERED: set[tuple[str, str]] = set()
+
+
 def sql(query: str, root: str, spark: SparkSession | None = None) -> DataFrame:
     """Run ANSI SQL against the path tables under ``root``.
 
-    All tables under ``root`` are registered unconditionally — registration is
-    metadata-only (one footer read each), and matching identifiers textually
-    is unsound (a regex scan registers keywords/aliases and misses quoted
-    identifiers; a parser walk is py4j-fragile). Views persist in the session,
-    so repeat calls are near-free."""
+    All tables under ``root`` are registered — registration is metadata-only
+    (one footer read each), and matching identifiers textually is unsound (a
+    regex scan registers keywords/aliases and misses quoted identifiers; a
+    parser walk is py4j-fragile). Registration is cached per (session, root):
+    views persist in the session, so repeat calls skip the footer reads
+    (drop a view manually => call register_path_tables yourself)."""
     from .api import _active_spark
 
     spark = _active_spark(spark)
-    register_path_tables(spark, root)
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(root))
+    if cache_key not in _REGISTERED:
+        register_path_tables(spark, root)
+        _REGISTERED.add(cache_key)
     return spark.sql(query)
 
 
