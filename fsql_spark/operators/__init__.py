@@ -7,6 +7,12 @@ from .asof import (  # noqa: F401
     asof_join,
     range_join,
 )
+from .clustering import (  # noqa: F401
+    CLUSTERING_ORACLES,
+    CLUSTERING_QUERIES,
+    cluster_representatives,
+    connected_components,
+)
 from .dedup import (  # noqa: F401
     DEDUP_ORACLES,
     DEDUP_QUERIES,
@@ -37,7 +43,9 @@ from .sampling import (  # noqa: F401
     SAMPLING_ORACLES,
     SAMPLING_QUERIES,
     hash_fraction_sample,
+    pack_shards,
     sample_per_group,
+    split_by_hash,
 )
 from .similarity import (  # noqa: F401
     SIMILARITY_ORACLES,
@@ -54,7 +62,9 @@ from .text import (  # noqa: F401
     TEXT_QUERIES,
     fingerprint,
     lang_id,
+    normalize_text,
     quality_score,
+    redact,
     token_count,
     with_text_stats,
 )
@@ -67,6 +77,7 @@ EXTENSION_QUERIES = {
     **ASOF_QUERIES,
     **PROFILE_QUERIES,
     **SAMPLING_QUERIES,
+    **CLUSTERING_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -77,4 +88,5 @@ EXTENSION_ORACLES = {
     **ASOF_ORACLES,
     **PROFILE_ORACLES,
     **SAMPLING_ORACLES,
+    **CLUSTERING_ORACLES,
 }
