@@ -97,6 +97,67 @@ def sample_per_group(
     )
 
 
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    splits: Mapping[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test-style split label.
+
+    ``splits`` maps label -> fraction (must sum to 1; insertion order defines
+    the hash-space bands). Map-only like :func:`hash_fraction_sample`: the
+    label is a pure function of ``md5(key)``, so the assignment is identical
+    on any cluster layout, any engine, any day — the property a training
+    pipeline needs so val rows can never drift into train between runs.
+    The LAST split takes the open-ended remainder band (no float-gap rows)."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    h = _hash_hex(F.col(key_col))
+    names = list(splits)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = h < F.lit(fraction_to_hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, label)
+
+
+def pack_shards(
+    df: DataFrame,
+    key_col: str,
+    cost_col: str,
+    budget: float,
+    partition_cols: Sequence[str] = (),
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Greedy sequence packing: number rows into shards of ~``budget`` total
+    cost (tokens/chars/bytes), in deterministic hash order.
+
+    ``shard_id = floor(running_cost_before_row / budget)`` over a running-sum
+    window — rows may straddle a boundary (classic greedy packing; shards are
+    >= budget-minus-one-row full). With ``partition_cols`` the packing runs
+    independently per partition — THE scale form: each partition sorts and
+    streams its own running sum in parallel. An empty ``partition_cols``
+    means one global ordered window (single-task sort at 100 TB) — only for
+    small frames; pass a bucket/group column at scale."""
+    order = [_hash_hex(F.col(key_col)).asc(), F.col(key_col).asc()]
+    w = (
+        Window.partitionBy(*partition_cols).orderBy(*order)
+        if partition_cols
+        else Window.orderBy(*order)
+    )
+    cum_before = F.sum(cost_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ) - F.col(cost_col)
+    return df.withColumn(shard_col, F.floor(cum_before / F.lit(float(budget))))
+
+
 # --------------------------------------------------------------------------
 # catalog entries + oracles
 # --------------------------------------------------------------------------
@@ -150,12 +211,70 @@ GROUP BY source
 """
 
 
+def q_split_train_val_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 90/5/5 split assignment, audited per (split, lang)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    labeled = split_by_hash(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return labeled.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+Q_SPLIT_SQL = f"""
+SELECT CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{fraction_to_hex_threshold(0.9)}'  THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{fraction_to_hex_threshold(0.95)}' THEN 'val'
+         ELSE 'test'
+       END AS split,
+       lang,
+       COUNT(*)                     AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget shard packing (cost = n_chars, budget 20k) per language;
+    per-shard fill audit. Per-lang windows = the parallel scale form."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    packed = pack_shards(docs, "doc_id", "n_chars", budget=20_000, partition_cols=["lang"])
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+Q_PACK_SQL = """
+WITH ordered AS (
+  SELECT lang, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ASC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING
+         ) - n_chars AS cum_before
+  FROM documents
+)
+SELECT lang,
+       CAST(FLOOR(cum_before / 20000.0) AS BIGINT) AS shard_id,
+       COUNT(*)                     AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM ordered
+GROUP BY 1, 2
+"""
+
+
 SAMPLING_QUERIES = {
     "q_sample_per_lang": q_sample_per_lang,
     "q_sample_mix_weighted": q_sample_mix_weighted,
+    "q_split_train_val_test": q_split_train_val_test,
+    "q_pack_shards": q_pack_shards,
 }
 
 SAMPLING_ORACLES = {
     "q_sample_per_lang": Q_SAMPLE_PER_LANG_SQL,
     "q_sample_mix_weighted": Q_SAMPLE_MIX_SQL,
+    "q_split_train_val_test": Q_SPLIT_SQL,
+    "q_pack_shards": Q_PACK_SQL,
 }

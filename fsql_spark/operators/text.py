@@ -108,6 +108,33 @@ def rolling_fingerprint(col: Column | str) -> Column:
     return pandas_udf(_fp, LongType())(F.col(col) if isinstance(col, str) else col)
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form: lowercase, whitespace runs collapsed to single
+    spaces, outer whitespace stripped. The standard pre-dedup normalization
+    (casing/spacing variants must hash identically). Pure JVM expressions;
+    ``\\s`` behaves identically in Java regex and RE2."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+#: pattern -> replacement chain applied by redact(); email-shaped tokens and
+#: long digit runs are the classic PII masks. Patterns restricted to syntax
+#: shared by Java regex (Spark) and RE2 (DuckDB) so oracles stay exact.
+DEFAULT_REDACTIONS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+    (r"[0-9][0-9 ().+-]{6,}[0-9]", "<PHONE>"),
+    (r"[0-9]{4,}", "<NUM>"),
+]
+
+
+def redact(col: Column | str, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Mask every occurrence of each pattern (applied in order). Spark's
+    ``regexp_replace`` is global; the DuckDB twin needs the ``'g'`` flag."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pattern, replacement in patterns or DEFAULT_REDACTIONS:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family."""
     return (
@@ -204,14 +231,55 @@ FROM documents
 GROUP BY lang, source
 """
 
+def q_doc_redact_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization + PII-mask redaction, fingerprint-audited. The corpus has
+    no PII, so deterministic email/number tokens derived from doc_id are
+    appended first — the redactor must strip exactly those."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit("  Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 7919 + 10007).cast("string"),
+        F.lit(" tel 555 123 4567."),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("norm_fp"),
+        F.md5(redact(dirty)).alias("redacted_fp"),
+    )
+
+
+Q_REDACT_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || '  Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ref ' || CAST(doc_id * 7919 + 10007 AS VARCHAR)
+              || ' tel 555 123 4567.' AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_fp,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             '[0-9][0-9 ().+-]{6,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g')) AS redacted_fp
+FROM dirty
+JOIN documents USING (doc_id)
+"""
+
+
 TEXT_QUERIES = {
     "q_doc_text_stats": q_doc_text_stats,
     "q_doc_lang_id": q_doc_lang_id,
     "q_docs_by_lang_source": q_docs_by_lang_source,
+    "q_doc_redact_normalize": q_doc_redact_normalize,
 }
 
 TEXT_ORACLES = {
     "q_doc_text_stats": Q_TEXT_STATS_SQL,
     "q_doc_lang_id": Q_LANG_ID_SQL,
     "q_docs_by_lang_source": Q_DOCS_BY_LANG_SQL,
+    "q_doc_redact_normalize": Q_REDACT_SQL,
 }

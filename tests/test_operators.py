@@ -279,3 +279,67 @@ def test_ivf_is_deterministic(spark):
     a = sorted(map(tuple, ivf_ann_topk(emb, qs, "vec_id", "embedding", k=5).collect()))
     b = sorted(map(tuple, ivf_ann_topk(emb, qs, "vec_id", "embedding", k=5).collect()))
     assert a == b
+
+
+def test_split_by_hash_partitions_rows(spark):
+    from fsql_spark.operators import split_by_hash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    labeled = split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # exhaustive + exclusive: every row gets exactly one label
+    assert labeled.count() == docs.count()
+    counts = {r["split"]: r["count"] for r in labeled.groupBy("split").count().collect()}
+    assert set(counts) <= {"train", "val", "test"} and counts["train"] > counts.get("val", 0)
+    # deterministic across invocations
+    a = {(r.doc_id, r.split) for r in labeled.select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    # map-only: the assignment itself must not shuffle
+    plan = labeled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1})
+
+
+def test_pack_shards_fills_contiguously(spark):
+    from fsql_spark.operators import pack_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    packed = pack_shards(docs, "doc_id", "n_chars", budget=5000, partition_cols=["lang"])
+    pdf = packed.select("lang", "shard_id", "n_chars").toPandas()
+    max_cost = pdf["n_chars"].max()
+    for lang, grp in pdf.groupby("lang"):
+        sizes = grp.groupby("shard_id")["n_chars"].sum().sort_index()
+        # shard ids contiguous from 0
+        assert list(sizes.index) == list(range(len(sizes)))
+        # greedy invariant: a shard closes only when the running sum crosses
+        # its boundary, so no shard (bar the last) is under budget by more
+        # than one row's cost (the straddling row charges the earlier shard)
+        assert (sizes.iloc[:-1] >= 5000 - max_cost).all()
+        assert (sizes.iloc[:-1] <= 5000 + max_cost).all()
+
+
+def test_normalize_and_redact_examples(spark):
+    from fsql_spark.operators import normalize_text, redact
+
+    df = spark.createDataFrame(
+        [
+            ("  A  B\tC  ", "write bob.smith+x@corp.example.org now"),
+            ("already clean", "ids 123 then 4567 code and tel 555 123 4567."),
+        ],
+        "a string, b string",
+    )
+    got = df.select(
+        normalize_text("a").alias("na"), redact("b").alias("rb")
+    ).collect()
+    assert got[0].na == "a b c"
+    assert got[0].rb == "write <EMAIL> now"
+    assert got[1].na == "already clean"
+    # 123 is too short to mask; 4567 is a digit run; the space-separated
+    # phone masks wholesale (its pattern spans digit groups)
+    assert got[1].rb == "ids 123 then <NUM> code and tel <PHONE>."
