@@ -58,8 +58,13 @@ def _hadoop_uri(url: str) -> str:
 
 _POOL_SIZE = 32  # reference `deser.py:153`
 #: above this many distinct partition bindings the SparkReader switches from
-#: per-group literal columns to a single scan + broadcast path-join
-_LIT_GROUP_LIMIT = 64
+#: per-group literal columns to a single scan + broadcast path-join. Each
+#: per-binding branch costs its own load (schema inference + footer reads)
+#: plus a union arm in the plan — measured ~60 ms/binding of pure driver
+#: overhead on a local tree — while the join path is one scan whatever the
+#: binding count. Literals only win while the plan is small enough for
+#: Catalyst constant folding to matter, so the crossover sits low.
+_LIT_GROUP_LIMIT = 8
 
 
 @dataclass
