@@ -102,3 +102,33 @@ def compact(
         fs.rmtree(backup)
     finally:
         fs.rmtree(staging)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    url: str,
+    partition_by: list[str],
+    fs: Optional[FileSystem] = None,
+) -> None:
+    """Incremental ingest: replace ONLY the Hive partitions present in ``df``,
+    leaving every other partition untouched (dynamic partition overwrite).
+
+    The idempotent backfill/restatement primitive — re-running yesterday's
+    pipeline rewrites yesterday's partitions and nothing else, so a crashed
+    job reruns safely. Unlike static ``mode("overwrite")`` (which would drop
+    the whole table), only directories matching ``df``'s partition values are
+    swapped; the swap is per-partition-directory and commits via Spark's file
+    commit protocol. At 100 TB this is how daily/hourly increments land in a
+    table that ``read_partitioned_table`` then prunes."""
+    path, fs = get_url_and_fs(url, fs)
+    if not partition_by:
+        raise ValueError("overwrite_partitions requires partition_by columns")
+    spark = df.sparkSession
+    # consumed at write-action time, which happens INSIDE the block —
+    # restoring afterwards cannot affect the committed write
+    with temp_conf(spark, **{"spark.sql.sources.partitionOverwriteMode": "dynamic"}):
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(fs.spark_url(path))
+        )

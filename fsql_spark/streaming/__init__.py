@@ -21,6 +21,7 @@ from .windows import (  # noqa: F401
     session_aggregate,
     sliding_counts,
     stateful_user_totals,
+    stream_dedup,
     stream_stream_join,
     stream_to_partitioned_table,
     tumbling_counts,

@@ -307,6 +307,33 @@ GROUP BY user_id
 """
 
 
+def stream_dedup(
+    events: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST event per key combination,
+    with state bounded by the watermark (``dropDuplicatesWithinWatermark`` —
+    a key's dedup state is dropped once the watermark passes it, so state
+    stays proportional to keys-per-watermark-window, not keys-ever-seen).
+    The streaming twin of ``dedup_exact_keys``: at-least-once upstream
+    delivery (Kafka, retried file lands) becomes exactly-once rows."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Real streaming dedup on (user_id, event_type); the surviving firsts
+    are audited per event type batch-side (over the append-mode output)."""
+    ded = stream_dedup(events_stream(spark, sf), ["user_id", "event_type"])
+    out = run_to_memory(ded, mode="append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_users"))
+
+
+Q_STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """REAL stream-stream interval join: purchases joined to the same user's
     clicks within the preceding 30 minutes — two independent file-stream
@@ -345,6 +372,7 @@ GROUP BY p.user_id
 
 
 STREAMING_QUERIES = {
+    "q_stream_dedup": q_stream_dedup,
     "q_stream_hourly": q_stream_hourly,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_sessions": q_stream_sessions,
@@ -353,6 +381,7 @@ STREAMING_QUERIES = {
 }
 
 STREAMING_ORACLES = {
+    "q_stream_dedup": Q_STREAM_DEDUP_SQL,
     "q_stream_join": Q_STREAM_JOIN_SQL,
     "q_stream_hourly": Q_STREAM_HOURLY_SQL,
     "q_stream_sliding": Q_STREAM_SLIDING_SQL,

@@ -266,3 +266,36 @@ def test_compaction_reduces_files_preserves_data(spark, tmp_path):
 
     sub = read_partitioned_table(target, Q_EQ("flag", "R"), spark=spark)
     assert sub.count() == li.where(F.col("l_returnflag") == "R").count()
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: re-landing one month replaces that month
+    and leaves the others byte-identical — the idempotent-backfill contract."""
+    import pandas as pd
+
+    from fsql_spark.api import read_partitioned_table, write_table
+    from fsql_spark.maintenance import overwrite_partitions
+    from fsql_spark.queries import Q_TRUE
+
+    target = str(tmp_path / "incr")
+    base = spark.createDataFrame(
+        [(m, i, float(i)) for m in (1, 2, 3) for i in range(10)],
+        "month int, k int, v double",
+    ).withColumn("month", F.col("month").cast("string"))
+    write_table(base, target, partition_by=["month"])
+
+    # restate month 2 with different rows; months 1/3 absent from the frame
+    restated = spark.createDataFrame(
+        [("2", 99, 42.0), ("2", 98, 41.0)], "month string, k int, v double"
+    )
+    overwrite_partitions(restated, target, partition_by=["month"])
+
+    out = read_partitioned_table(target, Q_TRUE, spark=spark).toPandas()
+    by_month = out.groupby("month").size().to_dict()
+    assert by_month == {"1": 10, "2": 2, "3": 10}
+    assert set(out[out["month"] == "2"]["k"]) == {98, 99}
+    # static overwrite semantics must NOT have leaked: conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").upper()
+        == "STATIC"
+    )
