@@ -901,6 +901,66 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_pivot_priority_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: order counts per year spread across priority columns. The
+    explicit value list matters at scale — without it Spark runs an extra
+    distinct-collect job over the pivot column before planning."""
+    orders = _t(spark, sf, "orders")
+    p = (
+        orders.withColumn("year", F.year("o_orderdate"))
+        .groupBy("year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    # absent (year, priority) combos pivot to NULL; the CASE-sum oracle
+    # yields 0 — align on 0 (also the analytically useful form)
+    renames = {v: f"p{v[0]}_orders" for v in _PRIORITIES}
+    return p.select(
+        "year", *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(renames[v]) for v in _PRIORITIES]
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS year,
+       COUNT(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 END) AS p1_orders,
+       COUNT(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 END) AS p2_orders,
+       COUNT(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 END) AS p3_orders,
+       COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_orders,
+       COUNT(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 END) AS p5_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): totals by
+    (status, priority), by status alone, and grand total — one shuffle via
+    grouping-id expansion, same engine path as rollup/cube. SQL surface
+    (the DataFrame API exposes only rollup/cube in this Spark line)."""
+    _t(spark, sf, "orders").createOrReplaceTempView("fsql_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM fsql_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 def q_price_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact DISCRETE quantiles per segment via ranking windows: the value at
     position ceil(q*n). Interpolated quantiles (percentile/quantile_cont)
@@ -1131,6 +1191,8 @@ RELATIONAL_QUERIES = {
     "q_customer_running_total": q_customer_running_total,
     "q_rollup_returns": q_rollup_returns,
     "q_cube_order_stats": q_cube_order_stats,
+    "q_pivot_priority_by_year": q_pivot_priority_by_year,
+    "q_grouping_sets_revenue": q_grouping_sets_revenue,
     "q_price_quantiles": q_price_quantiles,
     "q_setops_nations": q_setops_nations,
     "q_customers_without_orders": q_customers_without_orders,
@@ -1165,6 +1227,8 @@ RELATIONAL_ORACLES = {
     "q_customer_running_total": Q_RUNNING_SQL,
     "q_rollup_returns": Q_ROLLUP_SQL,
     "q_cube_order_stats": Q_CUBE_SQL,
+    "q_pivot_priority_by_year": Q_PIVOT_SQL,
+    "q_grouping_sets_revenue": Q_GROUPING_SETS_SQL,
     "q_price_quantiles": Q_QUANTILES_SQL,
     "q_setops_nations": Q_SETOPS_SQL,
     "q_customers_without_orders": Q_ANTI_SQL,
