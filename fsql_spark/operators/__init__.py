@@ -13,6 +13,12 @@ from .clustering import (  # noqa: F401
     cluster_representatives,
     connected_components,
 )
+from .decontam import (  # noqa: F401
+    DECONTAM_ORACLES,
+    DECONTAM_QUERIES,
+    contamination_check,
+    repetition_score,
+)
 from .dedup import (  # noqa: F401
     DEDUP_ORACLES,
     DEDUP_QUERIES,
@@ -78,6 +84,7 @@ EXTENSION_QUERIES = {
     **PROFILE_QUERIES,
     **SAMPLING_QUERIES,
     **CLUSTERING_QUERIES,
+    **DECONTAM_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -89,4 +96,5 @@ EXTENSION_ORACLES = {
     **PROFILE_ORACLES,
     **SAMPLING_ORACLES,
     **CLUSTERING_ORACLES,
+    **DECONTAM_ORACLES,
 }

@@ -1,0 +1,141 @@
+"""Benchmark decontamination + repetition quality signals.
+
+Two pre-training hygiene operators every large corpus pipeline runs:
+
+- :func:`contamination_check` — flag corpus documents sharing any word
+  n-gram with a benchmark/eval set (train-test leakage). Scale shape: the
+  BENCHMARK side is small by nature (eval sets are KB-MB), so its distinct
+  n-gram set broadcasts and the corpus side is a map-only explode + broadcast
+  semi/inner join — no corpus shuffle, no all-pairs anything. The corpus is
+  never collected or self-joined.
+- :func:`repetition_score` — fraction of repeated tokens per document
+  (1 - distinct/total), the cheapest of the Gopher-style repetition filters;
+  pure JVM array expressions, zero shuffle.
+
+No reference counterpart (the reference delegates row-level compute,
+`/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension surface
+(SURVEY §2.6). Both have exact DuckDB twins for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _word_shingles
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_key: str,
+    corpus_text: str,
+    benchmark_text: str,
+    ngram: int = 5,
+) -> DataFrame:
+    """(key, n_hits) for corpus docs sharing >= 1 word ``ngram``-gram with any
+    benchmark document; n_hits = how many DISTINCT contaminated n-grams.
+
+    Real pipelines use 8-13-grams; the knob is ``ngram``. Drop flagged docs
+    with an anti-join on the result."""
+    bench_grams = (
+        benchmark.select(F.explode(_word_shingles(F.col(benchmark_text), ngram)).alias("g"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(corpus_key).alias("k"),
+        F.explode(_word_shingles(F.col(corpus_text), ngram)).alias("g"),
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("k")
+        .agg(F.countDistinct("g").alias("n_hits"))
+        .select(F.col("k").alias(corpus_key), "n_hits")
+    )
+
+
+def repetition_score(text: Column | str, ngram: int = 1) -> Column:
+    """1 - distinct/total over word n-grams: 0 = no repetition, -> 1 for
+    degenerate loops. The standard cheap repetition filter (drop > ~0.2 at
+    ngram >= 2 in real pipelines)."""
+    grams = _word_shingles(F.col(text) if isinstance(text, str) else text, ngram, distinct=False)
+    n = F.size(grams)
+    # empty gram list (doc shorter than n tokens) => 0, not a division by
+    # zero (which THROWS under Spark 4's default ANSI mode)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(1 - F.size(F.array_distinct(grams)) / n, 4)
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entries + oracles
+# --------------------------------------------------------------------------
+
+def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus = documents, benchmark = the 20 lowest doc_ids (stand-in eval
+    set); 4-gram overlap audit. The 31-word synthetic vocabulary makes short
+    n-grams collide on purpose — plenty of hits to verify."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.where(F.col("doc_id") < 20)
+    corpus = docs.where(F.col("doc_id") >= 20)
+    return contamination_check(corpus, bench, "doc_id", "text", "text", ngram=4)
+
+
+Q_CONTAMINATION_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 3, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+3], chr(1))
+         )) AS gs
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < 20
+),
+corpus AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id >= 20
+)
+SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_hits
+FROM corpus c JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        repetition_score("text", ngram=1).alias("rep1"),
+        repetition_score("text", ngram=2).alias("rep2"),
+    )
+
+
+Q_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w1,
+         list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+1], chr(1))
+         ) AS w2
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(w1) = 0 THEN 0.0
+            ELSE ROUND(1 - len(list_distinct(w1)) * 1.0 / len(w1), 4) END AS rep1,
+       CASE WHEN len(w2) = 0 THEN 0.0
+            ELSE ROUND(1 - len(list_distinct(w2)) * 1.0 / len(w2), 4) END AS rep2
+FROM t
+"""
+
+
+DECONTAM_QUERIES = {
+    "q_contamination": q_contamination,
+    "q_doc_repetition": q_doc_repetition,
+}
+
+DECONTAM_ORACLES = {
+    "q_contamination": Q_CONTAMINATION_SQL,
+    "q_doc_repetition": Q_REPETITION_SQL,
+}

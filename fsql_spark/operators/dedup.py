@@ -63,11 +63,16 @@ def _word_shingles(text: Column, n: int, distinct: bool = True) -> Column:
     words = F.split(text, " ")
     if n == 1:
         return F.array_distinct(words) if distinct else words
-    # sliding window via transform over index range; JVM-side, no UDF
+    # sliding window via transform over index range; JVM-side, no UDF.
+    # k <= 0 (doc shorter than n tokens) must short-circuit to an EMPTY
+    # array: Spark's sequence(0, -1) is a DESCENDING [0, -1], whose -1 index
+    # then feeds slice(start=0) and throws INVALID_PARAMETER_VALUE
     k = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-        lambda i: F.concat_ws("", F.slice(words, i + 1, n)),
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws("", F.slice(words, i + 1, n)),
+        )
     )
     return F.array_distinct(grams) if distinct else grams
 

@@ -343,3 +343,41 @@ def test_normalize_and_redact_examples(spark):
     # 123 is too short to mask; 4567 is a digit run; the space-separated
     # phone masks wholesale (its pattern spans digit groups)
     assert got[1].rb == "ids 123 then <NUM> code and tel <PHONE>."
+
+
+def test_contamination_flags_benchmark_copies(spark):
+    from fsql_spark.operators import contamination_check
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") < 5).select("doc_id", "text")
+    # corpus: clean synthetic rows + one verbatim copy of a benchmark doc
+    copy = bench.limit(1).select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    clean = spark.createDataFrame(
+        [(600000 + i, f"zz{i} yy{i} xx{i} ww{i} vv{i} uu{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    corpus = copy.unionByName(clean)
+    hits = contamination_check(corpus, bench, "doc_id", "text", "text", ngram=4)
+    flagged = {r.doc_id for r in hits.collect()}
+    assert flagged == {copy.collect()[0].doc_id}
+    # scale contract: the benchmark side broadcasts (no corpus-side shuffle
+    # before the join)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_score_orders_degenerate_docs(spark):
+    from fsql_spark.operators import repetition_score
+
+    df = spark.createDataFrame(
+        [("loop", "a b a b a b a b"), ("fresh", "a b c d e f g h"), ("one", "a")],
+        "k string, text string",
+    )
+    got = {r.k: (r.r1, r.r2) for r in df.select(
+        "k",
+        repetition_score("text", 1).alias("r1"),
+        repetition_score("text", 2).alias("r2"),
+    ).collect()}
+    assert got["fresh"] == (0.0, 0.0)
+    assert got["loop"][0] > 0.7 and got["loop"][1] > 0.7  # 2 distinct of 8 / 2 of 7
+    assert got["one"] == (0.0, 0.0)  # single token: defined, not div-by-zero
