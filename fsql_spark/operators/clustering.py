@@ -38,6 +38,7 @@ def connected_components(
     key_a: str = "doc_a",
     key_b: str = "doc_b",
     max_iterations: int = 25,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``; cluster_id is
     the MINIMUM key reachable from the node — deterministic, stable across
@@ -48,16 +49,36 @@ def connected_components(
     only ever decrease, so the fixpoint is exactly the per-component min key.
     Nodes not mentioned in ``pairs`` (singletons) are absent from the output
     by design — callers union them back as their own representatives (see
-    :func:`cluster_representatives`)."""
+    :func:`cluster_representatives`).
+
+    ``loop_partitions`` pins the shuffle width for the loop's joins/aggs:
+    the pair graph is usually orders of magnitude smaller than the corpus,
+    so session-wide widths (sized for the corpus) waste a task-launch per
+    empty partition PER ROUND. None keeps the session setting."""
+    from ..session import temp_conf
+
+    conf = (
+        {"spark.sql.shuffle.partitions": str(loop_partitions)}
+        if loop_partitions
+        else {}
+    )
+    with temp_conf(pairs.sparkSession, **conf):
+        return _cc_loop(pairs, key_a, key_b, max_iterations)
+
+
+def _cc_loop(
+    pairs: DataFrame, key_a: str, key_b: str, max_iterations: int
+) -> DataFrame:
     edges = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
     # symmetric closure: propagation must flow both directions
     edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.distinct().persist()
 
+    # seed with min(self, neighbors) — the first propagation round for free
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy("src")
+        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
         .localCheckpoint()
     )
     for _ in range(max_iterations):
@@ -124,7 +145,8 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 500)
     pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.95, ngram=1)
-    comps = connected_components(pairs)
+    # the pair graph is tiny relative to the corpus: narrow loop shuffles
+    comps = connected_components(pairs, loop_partitions=8)
     return comps.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
