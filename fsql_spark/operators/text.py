@@ -111,9 +111,11 @@ def rolling_fingerprint(col: Column | str) -> Column:
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form: lowercase, whitespace runs collapsed to single
     spaces, outer whitespace stripped. The standard pre-dedup normalization
-    (casing/spacing variants must hash identically). Pure JVM expressions;
-    ``\\s`` behaves identically in Java regex and RE2."""
-    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    (casing/spacing variants must hash identically). The whitespace class is
+    spelled explicitly: Java's ``\\s`` includes U+000B where RE2's does not,
+    so the shorthand is a silent cross-engine divergence (and the explicit
+    class also skips Java's slower shorthand machinery)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"[ \t\n\f\r]+", " ")))
 
 
 #: pattern -> replacement chain applied by redact(); email-shaped tokens and
@@ -260,7 +262,7 @@ WITH dirty AS (
   FROM documents
 )
 SELECT doc_id,
-       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_fp,
+       md5(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')))) AS norm_fp,
        md5(regexp_replace(regexp_replace(regexp_replace(t,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
              '[0-9][0-9 ().+-]{6,}[0-9]', '<PHONE>', 'g'),
