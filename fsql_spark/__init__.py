@@ -16,6 +16,7 @@ from .api import (  # noqa: F401
     read_s3_table,
     register_tables,
     write_bucketed_table,
+    write_sorted_table,
     write_object,
     write_table,
 )

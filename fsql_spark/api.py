@@ -33,6 +33,7 @@ import warnings
 from typing import Any, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .column_parser import AUTO_PARSER, AutoParser, ColumnParser
 from .discovery import Partition, discover_partitions
@@ -262,6 +263,36 @@ def write_table(
     :func:`read_partitioned_table`."""
     path, fs = get_url_and_fs(url, fs)
     writer = df.write.mode(mode).format(format)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(fs.spark_url(path))
+
+
+def write_sorted_table(
+    df: DataFrame,
+    url: str,
+    sort_cols: list[str],
+    n_files: Optional[int] = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Optional[list[str]] = None,
+    fs: Optional[FileSystem] = None,
+) -> None:
+    """Range-clustered write: ``repartitionByRange`` on ``sort_cols`` +
+    ``sortWithinPartitions`` before the write.
+
+    The poor man's Z-order (exact for a single leading column): each output
+    file covers a DISJOINT range of the sort key, so parquet footer min/max
+    statistics let later selective scans skip whole files/row-groups instead
+    of reading the table — the data-skipping layout for the columns a 100 TB
+    table is habitually filtered on. ``n_files`` sizes the range partitioning
+    (default: current session shuffle parallelism)."""
+    path, fs = get_url_and_fs(url, fs)
+    cols = [F.col(c) for c in sort_cols]
+    ranged = (
+        df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
+    ).sortWithinPartitions(*cols)
+    writer = ranged.write.mode(mode).format(format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(fs.spark_url(path))

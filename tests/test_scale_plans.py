@@ -299,3 +299,55 @@ def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").upper()
         == "STATIC"
     )
+
+
+def test_pack_shards_single_shuffle_per_partitioning(spark):
+    """Partitioned packing = one Exchange (hashpartitioning on the group
+    cols) + in-partition sort; no global single-task window."""
+    from fsql_spark.operators import pack_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_shards(docs, "doc_id", "n_chars", budget=10_000, partition_cols=["lang"])
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+    # the unpartitioned form IS the global window — documented, discouraged
+    global_plan = (
+        pack_shards(docs, "doc_id", "n_chars", budget=10_000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" in global_plan
+
+
+def test_write_sorted_table_produces_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered layout: every output file covers a disjoint range of
+    the sort key (parquet footer min/max), so selective scans can skip whole
+    files — assert the actual footer statistics, not just the plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fsql_spark.api import write_sorted_table
+
+    target = str(tmp_path / "sorted")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_sorted_table(orders, target, sort_cols=["o_totalprice"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{target}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("o_totalprice")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # range partitioning actually split the data
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # row count preserved
+    back = spark.read.parquet(target)
+    assert back.count() == orders.count()
