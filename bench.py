@@ -74,6 +74,13 @@ def _run_all(spark, queries, sf_dir: str, cpus: str):
                 spark = _fresh_spark(cpus)
             continue
         timings[name] = round(time.perf_counter() - start, 4)
+        # several operators persist() intermediates (LSH signatures etc.);
+        # without this, 74 queries accumulate cached blocks and the GC
+        # pressure inflates late-running queries' times run-over-run
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
     return spark, timings
 
 
