@@ -381,3 +381,20 @@ def test_repetition_score_orders_degenerate_docs(spark):
     assert got["fresh"] == (0.0, 0.0)
     assert got["loop"][0] > 0.7 and got["loop"][1] > 0.7  # 2 distinct of 8 / 2 of 7
     assert got["one"] == (0.0, 0.0)  # single token: defined, not div-by-zero
+
+
+def test_minhash_emitted_jaccard_values_are_exact(spark, docs_with_dups):
+    """The rows-only minhash entry carries an exactly-verified jaccard per
+    pair — audit the VALUES against the exact all-pairs computation (the
+    conditional oracle the driver's rows-only check can't do)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs_with_dups, "doc_id", "text", 0.9, ngram=3).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs_with_dups, "doc_id", "text", 0.9, ngram=3).collect()
+    }
+    assert lsh  # non-vacuous
+    for pair, j in lsh.items():
+        assert j == exact[pair], f"{pair}: emitted {j} != exact {exact[pair]}"

@@ -205,3 +205,26 @@ def test_mixed_formats_in_one_tree(spark, tmp_path, df1, df2):
     assert len(pdf) == 4
     assert set(pdf["k"]) == {"csv", "json"}
     assert sorted(pdf["c1"].astype(int).tolist()) == [0, 1, 2, 3]
+
+
+def test_fast_path_merge_schema_option_passthrough(spark, tmp_path):
+    """Schema evolution: reader options reach the Catalyst fast path —
+    mergeSchema unions per-file schemas instead of sampling one footer."""
+    import pandas as pd
+
+    from fsql_spark.api import read_partitioned_table
+    from fsql_spark.queries import Q_TRUE
+    from fsql_spark.readers import SparkReader
+
+    root = tmp_path / "evolve"
+    (root / "v=1").mkdir(parents=True)
+    (root / "v=2").mkdir(parents=True)
+    pd.DataFrame({"a": [1]}).to_parquet(root / "v=1" / "f.parquet")
+    pd.DataFrame({"a": [2], "b": ["new"]}).to_parquet(root / "v=2" / "f.parquet")
+
+    out = read_partitioned_table(
+        str(root), Q_TRUE, data_reader=SparkReader(options={"mergeSchema": "true"}), spark=spark
+    ).toPandas()
+    assert set(out.columns) == {"a", "b", "v"}
+    assert sorted(out["a"]) == [1, 2]
+    assert out.loc[out["v"] == "2", "b"].iloc[0] == "new"
