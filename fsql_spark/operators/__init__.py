@@ -30,6 +30,13 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_pairs,
 )
+from .inference import (  # noqa: F401
+    INFERENCE_ORACLES,
+    INFERENCE_QUERIES,
+    fake_quality_model,
+    hashed_embedding,
+    score_with_model,
+)
 from .multimodal import (  # noqa: F401
     MEDIA_SCHEMA,
     MULTIMODAL_ORACLES,
@@ -85,6 +92,7 @@ EXTENSION_QUERIES = {
     **SAMPLING_QUERIES,
     **CLUSTERING_QUERIES,
     **DECONTAM_QUERIES,
+    **INFERENCE_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -97,4 +105,5 @@ EXTENSION_ORACLES = {
     **SAMPLING_ORACLES,
     **CLUSTERING_ORACLES,
     **DECONTAM_ORACLES,
+    **INFERENCE_ORACLES,
 }

@@ -398,3 +398,75 @@ def test_minhash_emitted_jaccard_values_are_exact(spark, docs_with_dups):
     assert lsh  # non-vacuous
     for pair, j in lsh.items():
         assert j == exact[pair], f"{pair}: emitted {j} != exact {exact[pair]}"
+
+
+def test_hashed_embedding_properties(spark):
+    from fsql_spark.operators import hashed_embedding
+
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30).select("doc_id", "text")
+    emb = hashed_embedding(docs, "text").toPandas()
+    vecs = np.stack(emb["embedding"].to_numpy())
+    # unit-norm, correct dims
+    assert vecs.shape[1] == 64
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-5)
+    # deterministic across invocations
+    again = hashed_embedding(docs, "text").toPandas()
+    np.testing.assert_array_equal(vecs, np.stack(again["embedding"].to_numpy()))
+    # a near-duplicate text embeds closer than an unrelated one
+    pdf = docs.toPandas()
+    import pandas as pd
+
+    probe = pd.DataFrame({
+        "doc_id": [900001, 900002],
+        "text": [pdf["text"].iloc[0] + " zzqx", "qq ww ee rr tt yy uu ii"],
+    })
+    both = hashed_embedding(
+        spark.createDataFrame(pd.concat([pdf.iloc[[0]], probe])), "text"
+    ).toPandas().set_index("doc_id")
+    base = np.array(both["embedding"].loc[pdf["doc_id"].iloc[0]])
+    near = np.array(both["embedding"].loc[900001])
+    far = np.array(both["embedding"].loc[900002])
+    assert base @ near > 0.9 > base @ far
+
+
+def test_text_embed_knn_matches_numpy(spark):
+    """The rows-only embed-knn entry's neighbor ordering must equal a numpy
+    recomputation of the same hashed embeddings (conditional oracle)."""
+    from fsql_spark.operators import hashed_embedding
+    from fsql_spark.operators.inference import q_text_embed_knn
+
+    import numpy as np
+
+    got = q_text_embed_knn(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    emb = hashed_embedding(docs, "text").toPandas()
+    ids = emb["doc_id"].to_numpy()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    for qid in [i for i in ids if i < 10]:
+        qv = vecs[ids == qid][0]
+        cos = vecs @ qv
+        cos[ids == qid] = -np.inf  # exclude self, like brute_force_topk
+        order = ids[np.argsort(-cos, kind="stable")]
+        expect = list(order[:3])
+        mine = list(
+            got[got["query_id"] == qid].sort_values("rank")["neighbor_id"]
+        )
+        # ties at equal cosine make exact order ambiguous; compare cosines
+        qcos = {i: c for i, c in zip(ids, cos)}
+        assert [round(qcos[i], 5) for i in mine] == [round(qcos[i], 5) for i in expect]
+
+
+def test_score_with_model_matches_direct_predict(spark):
+    from fsql_spark.operators import fake_quality_model, score_with_model
+
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    out = score_with_model(docs, "text").select("doc_id", "model_score").toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    direct = fake_quality_model()(pdf["text"])
+    merged = out.set_index("doc_id")["model_score"].loc[pdf["doc_id"]].to_numpy()
+    np.testing.assert_array_equal(merged, direct.to_numpy())
+    assert ((out["model_score"] >= 0) & (out["model_score"] <= 1)).all()
