@@ -81,6 +81,13 @@ from .text import (  # noqa: F401
     token_count,
     with_text_stats,
 )
+from .vocab import (  # noqa: F401
+    VOCAB_ORACLES,
+    VOCAB_QUERIES,
+    term_frequencies,
+    tf_idf,
+    vocabulary,
+)
 
 EXTENSION_QUERIES = {
     **TEXT_QUERIES,
@@ -93,6 +100,7 @@ EXTENSION_QUERIES = {
     **CLUSTERING_QUERIES,
     **DECONTAM_QUERIES,
     **INFERENCE_QUERIES,
+    **VOCAB_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -106,4 +114,5 @@ EXTENSION_ORACLES = {
     **CLUSTERING_ORACLES,
     **DECONTAM_ORACLES,
     **INFERENCE_ORACLES,
+    **VOCAB_ORACLES,
 }

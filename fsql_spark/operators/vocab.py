@@ -1,0 +1,216 @@
+"""Vocabulary / term-statistics operators: term frequencies, document
+frequencies, TF-IDF — the corpus-statistics layer a tokenizer-training or
+relevance-weighting pipeline needs.
+
+Scale shape (the whole point at 100 TB):
+
+- :func:`term_frequencies` is **map-only** — each document's (token, tf)
+  pairs are computed row-locally inside one Arrow batch, so the corpus never
+  shuffles to count terms. A naive ``explode + groupBy(doc, token)`` pays a
+  full exchange of the token stream for keys that never span partitions;
+  this emits the already-aggregated pairs with zero shuffle.
+- :func:`vocabulary` is the single unavoidable shuffle: a token-keyed
+  aggregate over the distinct (doc, token) pairs, map-side combinable.
+- :func:`tf_idf` joins the pairs against the vocabulary. The vocabulary is
+  corpus-level metadata (≪ corpus size after a ``min_df`` cut), so it
+  broadcasts; the pair stream itself never shuffles.
+
+No reference counterpart (the reference delegates row-level compute,
+`/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension
+surface (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def term_frequencies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    tf_col: str = "tf",
+) -> DataFrame:
+    """Distinct (id, token, tf) per document, whitespace tokens, empties
+    dropped. Map-only: counting happens inside the Arrow batch (the tokens
+    of one document are row-local by construction), so there is NO shuffle —
+    unlike explode+groupBy, which exchanges the full token stream."""
+    src = df.select(id_col, text_col)
+    schema = StructType(
+        [src.schema[id_col], StructField(token_col, StringType()), StructField(tf_col, LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            flat: list[str] = []
+            counts = np.empty(len(pdf), np.int64)
+            for j, t in enumerate(texts):
+                toks = [x for x in t.split(" ") if x]
+                counts[j] = len(toks)
+                flat.extend(toks)
+            pairs = pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), counts),
+                    token_col: flat,
+                }
+            )
+            agg = (
+                pairs.groupby([id_col, token_col], sort=False)
+                .size()
+                .rename(tf_col)
+                .reset_index()
+            )
+            yield agg
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def vocabulary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """(token, doc_freq, total_tf) over the corpus — the vocab-building
+    aggregate. One token-keyed shuffle; the map side already carries one row
+    per (doc, token), so partial aggregation collapses everything local
+    before the exchange. ``min_df`` applies the standard rare-token cut."""
+    tf = term_frequencies(df, id_col, text_col)
+    vocab = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),  # tf rows are distinct per (doc, token)
+        F.sum("tf").alias("total_tf"),
+    )
+    if min_df > 1:
+        vocab = vocab.where(F.col("doc_freq") >= min_df)
+    return vocab
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    n_docs: int | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(id, token, tf, doc_freq, tfidf) with the smoothed sklearn-style
+    weight ``tfidf = tf * (ln((1 + N) / (1 + df)) + 1)``.
+
+    The term-frequency stream is computed ONCE and persisted (the vocabulary
+    aggregate and the final join both consume it — without the persist, the
+    self-referencing plan re-tokenizes the corpus twice). The vocabulary side
+    broadcasts by default: after a ``min_df`` cut it is corpus metadata, not
+    corpus data; pass ``broadcast_vocab=False`` for a pathological vocabulary
+    that genuinely exceeds executor memory (then it's a shuffle join on
+    token). ``n_docs`` skips the extra count job when the caller knows N."""
+    tf = term_frequencies(df, id_col, text_col).persist()
+    if n_docs is None:
+        n_docs = df.count()  # one metadata-cheap count job, driver-side scalar
+    vocab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    if min_df > 1:
+        vocab = vocab.where(F.col("doc_freq") >= min_df)
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    idf = F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("doc_freq"))) + 1.0
+    return tf.join(vocab, "token").select(
+        id_col, "token", "tf", "doc_freq", (F.col("tf") * idf).alias("tfidf")
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entries + oracles
+# --------------------------------------------------------------------------
+
+def q_vocab_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 corpus tokens by total term frequency (vocab building)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        vocabulary(docs, "doc_id", "text")
+        .orderBy(F.desc("total_tf"), "token")
+        .limit(20)
+    )
+
+
+Q_VOCAB_TOP_TOKENS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       CAST(COUNT(*) AS BIGINT)               AS total_tf
+FROM toks
+WHERE token <> ''
+GROUP BY token
+ORDER BY total_tf DESC, token
+LIMIT 20
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document for the 20 lowest doc_ids (corpus-wide
+    df/N; deterministic tie-break on token)."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    scored = tf_idf(docs, "doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.where(F.col("doc_id") < 20)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "token", "tf", "doc_freq",
+            F.round("tfidf", 4).alias("tfidf"), "rnk",
+        )
+    )
+
+
+Q_TFIDF_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+filtered AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM filtered GROUP BY doc_id, token
+),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM tf GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, vocab.doc_freq,
+         tf.tf * (LN((1.0 + n.n_docs) / (1.0 + vocab.doc_freq)) + 1.0) AS tfidf
+  FROM tf JOIN vocab USING (token) CROSS JOIN n
+),
+ranked AS (
+  -- rank on the UNROUNDED weight (like the Spark side), round for output only
+  SELECT doc_id, token, tf, doc_freq, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+  WHERE doc_id < 20
+)
+SELECT doc_id, token, tf, doc_freq, ROUND(tfidf, 4) AS tfidf, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+VOCAB_QUERIES = {
+    "q_vocab_top_tokens": q_vocab_top_tokens,
+    "q_tfidf_terms": q_tfidf_terms,
+}
+
+VOCAB_ORACLES = {
+    "q_vocab_top_tokens": Q_VOCAB_TOP_TOKENS_SQL,
+    "q_tfidf_terms": Q_TFIDF_TERMS_SQL,
+}

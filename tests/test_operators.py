@@ -470,3 +470,58 @@ def test_score_with_model_matches_direct_predict(spark):
     merged = out.set_index("doc_id")["model_score"].loc[pdf["doc_id"]].to_numpy()
     np.testing.assert_array_equal(merged, direct.to_numpy())
     assert ((out["model_score"] >= 0) & (out["model_score"] <= 1)).all()
+
+
+def test_term_frequencies_match_counter(spark):
+    """Map-only TF must equal a per-document Counter recomputation."""
+    from collections import Counter
+
+    from fsql_spark.operators import term_frequencies
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40).select("doc_id", "text")
+    got = term_frequencies(docs, "doc_id", "text").toPandas()
+    pdf = docs.toPandas()
+    for _, row in pdf.iterrows():
+        expect = Counter(t for t in (row["text"] or "").split(" ") if t)
+        mine = got[got["doc_id"] == row["doc_id"]].set_index("token")["tf"].to_dict()
+        assert mine == dict(expect), f"doc {row['doc_id']}"
+    # map-only: no Exchange in the physical plan (full read — the test's own
+    # .limit() would add a SinglePartition exchange unrelated to the operator)
+    full = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = term_frequencies(full, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_tf_idf_matches_numpy(spark):
+    from collections import Counter
+
+    import numpy as np
+
+    from fsql_spark.operators import tf_idf
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60).select("doc_id", "text")
+    got = tf_idf(docs, "doc_id", "text").toPandas()
+    pdf = docs.toPandas()
+    n = len(pdf)
+    tok_lists = {r["doc_id"]: [t for t in (r["text"] or "").split(" ") if t] for _, r in pdf.iterrows()}
+    df_counts = Counter()
+    for toks in tok_lists.values():
+        df_counts.update(set(toks))
+    for _, r in got.iterrows():
+        tf = Counter(tok_lists[r["doc_id"]])[r["token"]]
+        dfreq = df_counts[r["token"]]
+        assert r["tf"] == tf and r["doc_freq"] == dfreq
+        expect = tf * (np.log((1.0 + n) / (1.0 + dfreq)) + 1.0)
+        assert abs(r["tfidf"] - expect) < 1e-9
+    # every (doc, token) pair is present
+    assert len(got) == sum(len(set(t)) for t in tok_lists.values())
+
+
+def test_vocabulary_min_df_cut(spark):
+    from fsql_spark.operators import vocabulary
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    full = vocabulary(docs).toPandas().set_index("token")
+    cut = vocabulary(docs, min_df=50).toPandas()
+    assert set(cut["token"]) == {t for t, r in full.iterrows() if r["doc_freq"] >= 50}
+    assert (full["total_tf"] >= full["doc_freq"]).all()
