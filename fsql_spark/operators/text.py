@@ -137,6 +137,48 @@ def redact(col: Column | str, patterns: list[tuple[str, str]] | None = None) -> 
     return out
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    pretraining chunking step (long doc -> training-context-sized pieces).
+
+    Pure JVM composition (split / sequence / posexplode / slice — no HOF
+    lambda, no Python), zero shuffle: at 100 TB it is a flatMap over the
+    corpus scan. Start offsets step by ``chunk_tokens - overlap``; the last
+    start is capped at ``n - overlap - 1`` so the final window still adds new
+    tokens yet fully covers the tail (step algebra: last_start + chunk >= n).
+    Guard: ``sequence(0, x)`` with negative x DESCENDS in Spark, so the upper
+    bound clamps via ``greatest(..., 0)`` for docs shorter than the overlap.
+
+    Output: id, chunk_idx, start_token, n_tokens, chunk_text.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    step = chunk_tokens - overlap
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step))
+    sliced = df.select(
+        id_col,
+        F.posexplode(starts).alias("chunk_idx", "start_token"),
+        toks.alias("__toks"),
+        n.alias("__n"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start_token") + 1, chunk_tokens)
+    return sliced.select(
+        id_col,
+        "chunk_idx",
+        "start_token",
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("start_token")).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family."""
     return (
@@ -272,11 +314,45 @@ JOIN documents USING (doc_id)
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Pretraining chunking: 32-token windows, 4-token overlap, fingerprinted
+    per chunk (md5 is byte-identical cross-engine) for the 40 lowest doc_ids."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 40)
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=4)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_fp"),
+    )
+
+
+Q_CHUNK_DOCUMENTS_SQL = """
+WITH sized AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks,
+         len(string_split(COALESCE(text, ''), ' ')) AS n
+  FROM documents WHERE doc_id < 40
+),
+starts AS (
+  SELECT doc_id, toks, n, s.start_token
+  FROM sized, unnest(generate_series(0, greatest(n - 5, 0), 28)) AS s(start_token)
+)
+SELECT doc_id,
+       start_token // 28                      AS chunk_idx,
+       start_token,
+       LEAST(32, n - start_token)             AS n_tokens,
+       md5(array_to_string(list_slice(toks, start_token + 1, start_token + 32), ' ')) AS chunk_fp
+FROM starts
+"""
+
+
 TEXT_QUERIES = {
     "q_doc_text_stats": q_doc_text_stats,
     "q_doc_lang_id": q_doc_lang_id,
     "q_docs_by_lang_source": q_docs_by_lang_source,
     "q_doc_redact_normalize": q_doc_redact_normalize,
+    "q_chunk_documents": q_chunk_documents,
 }
 
 TEXT_ORACLES = {
@@ -284,4 +360,5 @@ TEXT_ORACLES = {
     "q_doc_lang_id": Q_LANG_ID_SQL,
     "q_docs_by_lang_source": Q_DOCS_BY_LANG_SQL,
     "q_doc_redact_normalize": Q_REDACT_SQL,
+    "q_chunk_documents": Q_CHUNK_DOCUMENTS_SQL,
 }

@@ -525,3 +525,39 @@ def test_vocabulary_min_df_cut(spark):
     cut = vocabulary(docs, min_df=50).toPandas()
     assert set(cut["token"]) == {t for t, r in full.iterrows() if r["doc_freq"] >= 50}
     assert (full["total_tf"] >= full["doc_freq"]).all()
+
+
+def test_chunk_documents_invariants(spark):
+    """Chunks cover every token exactly (reconstruction), overlap is exact,
+    short docs yield one chunk, and the plan is shuffle-free."""
+    from fsql_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    out = chunk_documents(docs, chunk_tokens=32, overlap=4)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    got = out.limit(0).toPandas()  # schema probe
+    assert list(got.columns) == ["doc_id", "chunk_idx", "start_token", "n_tokens", "chunk_text"]
+
+    pdf = docs.limit(25).toPandas()
+    chunks = chunk_documents(spark.createDataFrame(pdf), chunk_tokens=32, overlap=4).toPandas()
+    for _, row in pdf.iterrows():
+        toks = (row["text"] or "").split(" ")
+        mine = chunks[chunks["doc_id"] == row["doc_id"]].sort_values("chunk_idx")
+        # reconstruction: drop the first `overlap` tokens of every non-first
+        # chunk, concatenation equals the document
+        rebuilt: list[str] = []
+        for i, (_, c) in enumerate(mine.iterrows()):
+            ctoks = c["chunk_text"].split(" ") if c["chunk_text"] else [""]
+            assert c["n_tokens"] == len(ctoks)
+            assert c["start_token"] == c["chunk_idx"] * 28
+            rebuilt.extend(ctoks[4:] if i else ctoks)
+        assert rebuilt == toks, f"doc {row['doc_id']} reconstruction"
+        if len(toks) <= 32:
+            assert len(mine) == 1
+        # every chunk past the first adds new tokens (no redundant tail)
+        assert (mine["n_tokens"].iloc[1:] > 4).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
