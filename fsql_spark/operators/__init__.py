@@ -22,10 +22,12 @@ from .decontam import (  # noqa: F401
 from .dedup import (  # noqa: F401
     DEDUP_ORACLES,
     DEDUP_QUERIES,
+    dedup_against,
     dedup_exact,
     dedup_exact_keys,
     jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_against,
     minhash_signatures,
     simhash,
     simhash_pairs,

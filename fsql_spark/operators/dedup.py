@@ -189,6 +189,27 @@ def minhash_signatures(
     )
 
 
+def _banded_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(k, band, bucket) from a signature table — ONLY the narrow key triple
+    rides the bucket-join shuffle, never signatures or shingle arrays."""
+    return sigs.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("k", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     key_col: str,
@@ -210,24 +231,7 @@ def minhash_lsh_pairs(
     # reuse them instead of recomputing k*|shingles| hashes per reference.
     # At scale this is a slim table: key + k longs + the shingle set.
     sigs = minhash_signatures(df, key_col, text_col, num_hashes, ngram).persist()
-    # banded bucket table carries ONLY (key, band, bucket) — never the shingle
-    # arrays — so the bucket-join shuffle stays narrow even on skewed buckets
-    banded = sigs.select(
-        "k",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("k", "bb.band", "bb.bucket")
+    banded = _banded_buckets(sigs, bands, rows_per_band)
     other = banded.select(
         F.col("k").alias("k2"), F.col("band").alias("band2"), F.col("bucket").alias("bucket2")
     )
@@ -249,6 +253,87 @@ def minhash_lsh_pairs(
     return (
         cands.where(jac >= threshold)
         .select(F.col("k").alias("doc_a"), F.col("k2").alias("doc_b"), F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental (cross-corpus) dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+
+def dedup_against(
+    df_new: DataFrame,
+    corpus: DataFrame,
+    content_cols: list[str],
+    normalize: bool = False,
+) -> DataFrame:
+    """Rows of ``df_new`` whose content does NOT already appear in ``corpus``
+    — the incremental-ingest dedup (new crawl vs training corpus).
+
+    Scale shape: the corpus collapses to its DISTINCT content hashes first
+    (map-side combinable aggregate — the 100 TB corpus becomes a hash set,
+    never re-read per batch), then one left-anti hash join; only 32-byte
+    hashes ride the shuffle. ``normalize=True`` applies the standard
+    pre-dedup canonicalization (case/whitespace variants count as dups).
+    Within-batch duplicates are NOT removed — compose with
+    :func:`dedup_exact` for that."""
+    from .text import normalize_text
+
+    def _h(df: DataFrame) -> Column:
+        cols = [normalize_text(c) if normalize else F.col(c) for c in content_cols]
+        return F.sha2(F.concat_ws("\x01", *cols), 256)
+
+    seen = corpus.select(_h(corpus).alias("__h")).distinct()
+    return df_new.withColumn("__h", _h(df_new)).join(seen, "__h", "left_anti").drop("__h")
+
+
+def minhash_lsh_pairs_against(
+    df_new: DataFrame,
+    corpus: DataFrame,
+    key_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a new batch and an existing corpus (never
+    within either side): banded MinHash buckets on both sides, bucket join,
+    exact-Jaccard verify — same guarantees as :func:`minhash_lsh_pairs`
+    (no false positives; recall is the banding knob).
+
+    Scale shape: corpus signatures are a slim (key, sig, shingles) table —
+    at 100 TB they'd be computed once and PERSISTED TO STORAGE, with each
+    incoming batch joining against the materialized buckets; here both sides
+    are derived in-plan. The bucket join shuffles narrow (band, bucket, key)
+    triples; shingle sets are re-attached only to surviving candidates.
+
+    Output: (new_key, corpus_key, jaccard)."""
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures(df_new, key_col, text_col, num_hashes, ngram).persist()
+    corpus_sigs = minhash_signatures(corpus, key_col, text_col, num_hashes, ngram).persist()
+    new_banded = _banded_buckets(new_sigs, bands, rows_per_band)
+    corpus_banded = _banded_buckets(corpus_sigs, bands, rows_per_band).select(
+        F.col("k").alias("k2"), F.col("band").alias("band2"), F.col("bucket").alias("bucket2")
+    )
+    cand_keys = (
+        new_banded.join(
+            corpus_banded,
+            (new_banded.band == corpus_banded.band2)
+            & (new_banded.bucket == corpus_banded.bucket2),
+        )
+        .select("k", "k2")
+        .distinct()
+    )
+    s1 = new_sigs.select("k", "sh")
+    s2 = corpus_sigs.select(F.col("k").alias("k2"), F.col("sh").alias("sh2"))
+    cands = cand_keys.join(s1, "k").join(s2, "k2")
+    inter = F.size(F.array_intersect("sh", "sh2"))
+    union = F.size("sh") + F.size("sh2") - inter
+    jac = inter / union
+    return cands.where(jac >= threshold).select(
+        F.col("k").alias("new_key"),
+        F.col("k2").alias("corpus_key"),
+        F.round(jac, 4).alias("jaccard"),
     )
 
 
@@ -372,6 +457,75 @@ WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.95
 """
 
 
+def _incremental_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synthetic ingest batch: docs 0-49 as CASE VARIANTS of
+    corpus docs (dups under normalization), docs 50-79 truncated to their
+    first half (novel at any near-dup threshold >= 0.8)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    dups = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    words = F.split(F.col("text"), " ")
+    half = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(F.floor(F.size(words) / 2).cast("int"), F.lit(1)))
+    )
+    novel = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), half.alias("text")
+    )
+    return dups.unionByName(novel)
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental exact dedup: anti-join the synthetic batch against the
+    corpus on normalized content — case variants vanish, truncations survive."""
+    corpus = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = _incremental_batch(spark, sf)
+    return dedup_against(batch, corpus, ["text"], normalize=True).select("doc_id")
+
+
+Q_DEDUP_INCREMENTAL_SQL = r"""
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id, UPPER(text) AS text
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      greatest(len(string_split(text, ' ')) // 2, 1)),
+           ' ')
+  FROM documents WHERE doc_id >= 50 AND doc_id < 80
+),
+corpus_keys AS (
+  SELECT DISTINCT LOWER(TRIM(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS norm
+  FROM documents
+)
+SELECT doc_id FROM batch
+WHERE LOWER(TRIM(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) NOT IN
+      (SELECT norm FROM corpus_keys)
+"""
+
+
+def q_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus near-dup on a batch of appended-token variants (docs
+    0-24, J ~ 0.97 vs source) + half-truncations (docs 50-79, J ~ 0.5):
+    only the variants may match at threshold 0.8. Rows-only (hash-based);
+    emitted jaccard values are exact and audited in pytest."""
+    corpus = spark.read.parquet(f"{sf}/documents.parquet")
+    variants = corpus.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+    )
+    words = F.split(F.col("text"), " ")
+    half = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(F.floor(F.size(words) / 2).cast("int"), F.lit(1)))
+    )
+    truncs = corpus.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), half.alias("text")
+    )
+    batch = variants.unionByName(truncs)
+    return minhash_lsh_pairs_against(batch, corpus, "doc_id", "text", threshold=0.8, ngram=3)
+
+
 def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     # LSH-bucketed near-dup (scale path); exact-verified so output is a
     # subset of the exact Jaccard pairs. Rows-only check (hash functions are
@@ -394,11 +548,15 @@ DEDUP_QUERIES = {
     "q_jaccard_near_dups": q_jaccard_near_dups,
     "q_minhash_near_dups": q_minhash_near_dups,
     "q_simhash_near_dups": q_simhash_near_dups,
+    "q_dedup_incremental": q_dedup_incremental,
+    "q_minhash_incremental": q_minhash_incremental,
 }
 
 DEDUP_ORACLES = {
     "q_dedup_exact": Q_DEDUP_EXACT_SQL,
     "q_dedup_stats": Q_DEDUP_STATS_SQL,
     "q_jaccard_near_dups": Q_JACCARD_SQL,
-    # q_minhash_near_dups / q_simhash_near_dups: rows-only (hash-based)
+    "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
+    # q_minhash_near_dups / q_simhash_near_dups / q_minhash_incremental:
+    # rows-only (hash-based)
 }

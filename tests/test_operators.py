@@ -561,3 +561,47 @@ def test_chunk_documents_invariants(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_dedup_against_incremental(spark):
+    """Case variants of corpus docs are removed under normalize=True, novel
+    truncations survive; corpus side reduces to a distinct hash set."""
+    from fsql_spark.operators import dedup_against
+    from fsql_spark.operators.dedup import _incremental_batch
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = _incremental_batch(spark, SF)
+    kept = dedup_against(batch, corpus, ["text"], normalize=True).toPandas()
+    assert set(kept["doc_id"]) == set(range(200050, 200080))  # novel only
+    # without normalization the upper-cased variants are NOT corpus dups
+    raw_kept = dedup_against(batch, corpus, ["text"]).count()
+    assert raw_kept == batch.count()
+
+
+def test_minhash_against_cross_corpus(spark):
+    """Appended-token variants match their source doc; half-truncations and
+    within-side pairs never appear; jaccard values are exact."""
+    from fsql_spark.operators import jaccard_pairs, minhash_lsh_pairs_against
+    from fsql_spark.operators.dedup import q_minhash_incremental
+
+    got = q_minhash_incremental(spark, SF).toPandas()
+    assert (got["new_key"] >= 100000).all() and (got["corpus_key"] < 100000).all()
+    # all matches are variant->source at this threshold, none from truncations
+    assert (got["new_key"] < 200000).all()
+    hits = {(r["new_key"], r["corpus_key"]) for _, r in got.iterrows()}
+    assert len(hits & {(i + 100000, i) for i in range(25)}) >= 20  # recall
+    # exactness audit: same pairs from the quadratic exact operator
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    variants = corpus.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+    )
+    both = corpus.select("doc_id", "text").unionByName(variants)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(both, "doc_id", "text", 0.8, ngram=3).collect()
+    }
+    for _, r in got.iterrows():
+        pair = (r["corpus_key"], r["new_key"])
+        if pair in exact:  # cross pairs present in the exact all-pairs run
+            assert r["jaccard"] == exact[pair]
