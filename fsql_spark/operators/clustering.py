@@ -39,6 +39,7 @@ def connected_components(
     key_b: str = "doc_b",
     max_iterations: int = 25,
     loop_partitions: int | None = None,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``; cluster_id is
     the MINIMUM key reachable from the node — deterministic, stable across
@@ -51,6 +52,19 @@ def connected_components(
     by design — callers union them back as their own representatives (see
     :func:`cluster_representatives`).
 
+    Two execution paths, chosen by measured edge count (the edge table is
+    already persisted for the loop, so the count is one cheap action):
+
+    - ``<= driver_edge_threshold`` edges: union-find on the driver
+      (path-compressed, O(E α(E))). The pair graph of a dedup run is
+      O(duplicates) — orders of magnitude smaller than the corpus — so even
+      a 100 TB corpus typically yields an edge list of MBs. A driver pass
+      beats 4-6 distributed jobs PER ROUND of the loop by ~10x wall clock
+      and occupies zero executors; this is the same candidate-pairs-are-
+      small insight the LSH operators exploit.
+    - larger graphs: the distributed pointer-jumping loop below, whose
+      per-round cost is what the threshold is protecting against.
+
     ``loop_partitions`` pins the shuffle width for the loop's joins/aggs:
     the pair graph is usually orders of magnitude smaller than the corpus,
     so session-wide widths (sized for the corpus) waste a task-launch per
@@ -62,18 +76,66 @@ def connected_components(
         if loop_partitions
         else {}
     )
+    # temp_conf covers the edge-building distinct too — its shuffle (and the
+    # probe collect's task count) should match the slim graph, not the
+    # corpus-sized session default
     with temp_conf(pairs.sparkSession, **conf):
-        return _cc_loop(pairs, key_a, key_b, max_iterations)
+        edges = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+        # symmetric closure: propagation must flow both directions
+        edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges = edges.distinct().persist()
+
+        # ONE action decides the path AND fetches the small graph: limit(t+1)
+        # either returns the complete edge list (<= t rows) or proves it's big.
+        # (A separate count + toLocalIterator costs a job per partition.)
+        head = edges.limit(driver_edge_threshold + 1).collect()
+        if len(head) <= driver_edge_threshold:
+            try:
+                return _cc_driver(pairs.sparkSession, edges.schema, head)
+            finally:
+                edges.unpersist()
+
+        return _cc_loop(edges, max_iterations)
 
 
-def _cc_loop(
-    pairs: DataFrame, key_a: str, key_b: str, max_iterations: int
-) -> DataFrame:
-    edges = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
-    # symmetric closure: propagation must flow both directions
-    edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.distinct().persist()
+def _cc_driver(spark: SparkSession, edge_schema, rows: list) -> DataFrame:
+    """Path-compressed union-find over a collected edge list. Identical
+    output contract to the loop: (node, cluster_id = min reachable key)."""
+    from pyspark.sql.types import StructField, StructType
 
+    key_type = edge_schema["src"].dataType
+    schema = StructType(
+        [StructField("node", key_type), StructField("cluster_id", key_type)]
+    )
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in rows:
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    min_label: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = min_label.get(root)
+        if cur is None or node < cur:
+            min_label[root] = node
+    out = [(node, min_label[find(node)]) for node in parent]
+    return spark.createDataFrame(out, schema)
+
+
+def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
     # seed with min(self, neighbors) — the first propagation round for free
     labels = (
         edges.groupBy("src")
@@ -144,7 +206,12 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from .dedup import jaccard_pairs
 
     docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 500)
-    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.95, ngram=1)
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.95, ngram=1,
+        # the doc_id slice already bounds the join; skip the guard's
+        # candidate-estimation aggregate (one whole Spark job at bench time)
+        max_candidate_pairs=None,
+    )
     # the pair graph is tiny relative to the corpus: narrow loop shuffles
     comps = connected_components(pairs, loop_partitions=8)
     return comps.select(F.col("node").alias("doc_id"), "cluster_id")

@@ -434,7 +434,12 @@ def q_jaccard_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     # runs it on a bounded candidate slice (the scale path is
     # q_minhash_near_dups); the oracle applies the identical bound
     docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 500)
-    return jaccard_pairs(docs, "doc_id", "text", threshold=0.95, ngram=1)
+    return jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.95, ngram=1,
+        # the doc_id slice already bounds the join; skip the guard's
+        # candidate-estimation aggregate (one whole Spark job at bench time)
+        max_candidate_pairs=None,
+    )
 
 
 Q_JACCARD_SQL = """

@@ -51,9 +51,27 @@ def test_representatives_keep_min_member_and_singletons(spark):
 
 def test_long_chain_converges_and_guard_raises(spark):
     # pointer jumping: a 30-link chain must converge in O(log n) rounds,
-    # well under the default max_iterations
+    # well under the default max_iterations (driver_edge_threshold=0 forces
+    # the distributed loop — small graphs take the union-find path)
     chain = [(i, i + 1) for i in range(30)]
-    comps = connected_components(_pairs(spark, chain))
+    comps = connected_components(_pairs(spark, chain), driver_edge_threshold=0)
     assert {r.cluster_id for r in comps.collect()} == {0}
     with pytest.raises(ComponentsNotConverged):
-        connected_components(_pairs(spark, chain), max_iterations=1)
+        connected_components(_pairs(spark, chain), max_iterations=1, driver_edge_threshold=0)
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    # same graph through both execution paths => identical labeling
+    edges = [(1, 2), (2, 3), (9, 3), (20, 21), (40, 21), (50, 51)]
+    driver = {
+        (r.node, r.cluster_id)
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    dist = {
+        (r.node, r.cluster_id)
+        for r in connected_components(
+            _pairs(spark, edges), driver_edge_threshold=0
+        ).collect()
+    }
+    assert driver == dist
+    assert {(1, 1), (9, 1), (40, 20), (51, 50)} <= driver
