@@ -32,34 +32,52 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP (LTZ) regardless of how the
+    parquet encoded it. The driver regenerates testdata between rounds and
+    has shipped three physical encodings so far:
+
+    - ``TIMESTAMP(NANOS)`` read as ``bigint`` under the ``nanosAsLong``
+      legacy conf -> rebuild with integer div (double division drops ulps at
+      ns magnitudes);
+    - ``timestamp[us]`` isAdjustedToUTC=false -> reads as TIMESTAMP_NTZ;
+      cast to LTZ (interpreted in the session TZ — callers pin UTC) so that
+      ``unix_micros``/watermarks/interval arithmetic work uniformly;
+    - ``timestamp[us]`` UTC-adjusted -> already TIMESTAMP, pass through.
+
+    Works on batch and streaming DataFrames (pure column expressions)."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _fix_nanos(spark: SparkSession, sf_dir: str, pin_tz: bool = True) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by default
-    (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild a microsecond
-    timestamp — lossless here (generator emits whole-microsecond values).
+    """Load the events table with ``ts`` normalized to TIMESTAMP (LTZ) —
+    see ``normalize_events_ts`` for the per-encoding rules.
 
     These two confs are deliberately NOT save/restored (unlike the eagerly-
     consumed partition-inference conf, see ``session.temp_conf``): both are
     captured at ACTION time — nanosAsLong by the parquet schema converter on
-    executors, timeZone by timestamp_micros/window alignment — so restoring
-    them before the caller materializes the returned (lazy) DataFrame would
-    break the read. nanosAsLong only affects TIMESTAMP(NANOS) files, which
-    stock Spark cannot read at all; the UTC pin is the engine's documented
-    session contract (session.SPARK_DEFAULTS). ``pin_tz=False`` (used by the
-    generic ``sql()`` table registration) skips the TZ pin so registering the
-    events view does not change the caller's session-wide timestamp
-    behavior — their windows then align to their OWN session TZ."""
+    executors, timeZone by timestamp_micros/NTZ-cast/window alignment — so
+    restoring them before the caller materializes the returned (lazy)
+    DataFrame would break the read. nanosAsLong only affects TIMESTAMP(NANOS)
+    files, which stock Spark cannot read at all; the UTC pin is the engine's
+    documented session contract (session.SPARK_DEFAULTS). ``pin_tz=False``
+    (used by the generic ``sql()`` table registration) skips the TZ pin so
+    registering the events view does not change the caller's session-wide
+    timestamp behavior — their windows then align to their OWN session TZ."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if pin_tz:
-        # timestamp_micros() builds TIMESTAMP_LTZ, whose window()/date
-        # alignment follows the session TZ — pin UTC so catalog results don't
-        # depend on the caller's session config (the driver harness brings
-        # its own SparkSession)
+        # both timestamp_micros() and the NTZ->LTZ cast resolve against the
+        # session TZ — pin UTC so catalog results don't depend on the
+        # caller's session config (the driver harness brings its own
+        # SparkSession)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        # integer div: double division drops ulps at ns magnitudes
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_events_ts(df)
 
 
 # --------------------------------------------------------------------------
@@ -546,9 +564,15 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_profit"
+            # sum in DECIMAL(18,4): double summation order differs between
+            # engines and flips the 2dp rounding at ~175 groups; the decimal
+            # sum is exact, so both engines round the same value
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")),
+                2,
             )
+            .cast("double")
+            .alias("sum_profit")
         )
     )
 
@@ -556,7 +580,7 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
 Q9_SQL = """
 SELECT n_name AS nation,
        CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -591,8 +615,8 @@ def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
 Q12_SQL = """
 SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
             THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """

@@ -34,10 +34,15 @@ from pyspark.sql.types import (
     StringType,
 )
 
+# Stream schema for tests that stage their own legacy TIMESTAMP(NANOS)
+# parquet (read as long under the nanosAsLong conf). The production
+# ``events_stream`` source no longer hardcodes this — it derives the schema
+# from the actual file footer, because the physical ts encoding varies
+# (nanos-long / timestamp_ntz / timestamp — see relational.normalize_events_ts).
 EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long (see relational._fix_nanos)
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -50,19 +55,27 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one file = one micro-batch;
     in production this is a directory that keeps receiving files / Kafka).
 
+    The stream schema is read from the parquet footer (one driver-side
+    metadata read — no data scan) rather than hardcoded, so the source tracks
+    whatever physical ts encoding the data currently has; ``ts`` is then
+    normalized to TIMESTAMP (LTZ) exactly like the batch path
+    (relational.normalize_events_ts).
+
     The file stream source requires a *directory*, so the single events
     parquet is staged into a temp dir via symlink (zero-copy). POSIX-local
     assumption, harness-only: on an object store there is no symlink — point
     the stream at the real landing directory instead (the production shape)."""
     import os
 
+    from ..relational import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # LTZ window alignment
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # LTZ alignment + NTZ cast
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stage = tempfile.mkdtemp(prefix="fsql_stream_src_")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet")
-    raw = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(stage)
-    # integer div: double division drops ulps at ns magnitudes
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(schema).format("parquet").load(stage)
+    return normalize_events_ts(raw)
 
 
 def tumbling_counts(
