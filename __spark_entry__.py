@@ -33,6 +33,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
 
 
+def _last_checked_round() -> dict[str, int]:
+    """Per-query: the latest round whose driver CORRECTNESS file has a row
+    for it (any row — errors and rows-only checks count as checked)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(RELATIONAL_QUERIES)
@@ -54,7 +79,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(STREAMING_QUERIES)
     except ImportError:
         pass
-    return out
+    # The driver correctness harness checks only the FIRST 50 registry
+    # entries per round. With >50 registered queries a fixed order starves
+    # the tail forever, so rotate: never-driver-checked entries first, then
+    # ascending by the round each was last checked (ties keep registration
+    # order). Every query gets a driver row within two rounds.
+    last = _last_checked_round()
+    names = list(out)
+    order = {n: i for i, n in enumerate(names)}
+    names.sort(key=lambda n: (last.get(n, -1), order[n]))
+    return {n: out[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -144,7 +144,35 @@ def main() -> None:
         out["queries_sf2"] = timings2
         out["scaling_ratio"] = ratios
 
+    # The driver keeps only a short TAIL of stdout, so a single giant line
+    # loses the headline fields (BENCH_r01..r03 all recorded parsed:null).
+    # Emit the full detail FIRST, then a compact final line that always
+    # survives truncation; per-query detail also lands in BENCH_DETAIL.json.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not write {detail_path}: {exc!r}", file=sys.stderr)
     print(json.dumps(out))
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t == t),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:5]
+    )
+    compact = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_tag(sf_dir),
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t != t),
+        "slowest": slowest,
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,13 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canonical(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Columns sorted by name, rows sorted by all columns, tz dropped."""
+    """Columns sorted by name, rows sorted by all columns, tz dropped.
+
+    Temporal columns are unified to datetime64[us]: Spark's toPandas gives
+    object-dtype ``datetime.date`` for DATE columns where DuckDB gives
+    datetime64 — a representation difference, not a value difference."""
+    import datetime
+
     pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
     for col in pdf.columns:
         s = pdf[col]
@@ -38,6 +44,10 @@ def canonical(pdf: pd.DataFrame) -> pd.DataFrame:
             except TypeError:
                 pass
             pdf[col] = s.astype("datetime64[us]")
+        elif s.dtype == object and s.notna().any() and isinstance(
+            s.dropna().iloc[0], (datetime.date, datetime.datetime)
+        ):
+            pdf[col] = pd.to_datetime(s).astype("datetime64[us]")
     if len(pdf.columns):
         pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
     return pdf
