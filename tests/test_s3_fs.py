@@ -1,0 +1,282 @@
+"""S3/remote-FS slice: the reference's test suite is substantially
+moto-mocked S3 (``/root/reference/tests/conftest.py``); this is the engine's
+counterpart. fsspec/s3fs are not installed in this environment, so the tests
+drive :class:`fsql_spark.fs.FsspecFileSystem` through a minimal
+fsspec-compatible S3 filesystem backed by boto3 against moto — the adapter
+surface (`ls(detail=True)` / `open` / `mv` / `rm` / `makedirs`) is exactly
+what s3fs exposes, so the code under test runs unmodified.
+
+Covered: protocol dispatch + env/default config merging (fs.py), discovery +
+partition pruning over a mocked ``s3://`` hive tree (only surviving
+partitions' objects are fetched), PandasReader/EnumeratedDictReader
+round-trips, write_object, and the s3a Spark conf mapping."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pandas as pd
+import pytest
+
+try:
+    import boto3
+    from moto import mock_aws
+except ImportError:  # pragma: no cover - both baked into this environment
+    pytest.skip("moto/boto3 not installed", allow_module_level=True)
+
+import fsql_spark.fs as fsmod
+from fsql_spark import Q_AND, Q_EQ, Q_TRUE, read_partitioned_table, write_object
+from fsql_spark.fs import FsspecFileSystem, get_url_and_fs, s3_spark_conf
+from fsql_spark.readers import EnumeratedDictReader, PandasReader
+
+BUCKET = "test-bucket"
+
+
+class FakeS3FileSystem:
+    """fsspec-shaped S3 filesystem over boto3 (runs against moto).
+
+    Paths are fsspec-style: ``bucket/key/parts`` without a scheme. Records
+    every object fetched so tests can assert partition pruning."""
+
+    def __init__(self, client):
+        self.client = client
+        self.fetched: list[str] = []
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str]:
+        path = path.lstrip("/")
+        bucket, _, key = path.partition("/")
+        return bucket, key
+
+    def ls(self, path: str, detail: bool = True):
+        bucket, key = self._split(path)
+        prefix = key.rstrip("/") + "/" if key else ""
+        resp = self.client.list_objects_v2(Bucket=bucket, Prefix=prefix, Delimiter="/")
+        out = []
+        for obj in resp.get("Contents", []):
+            out.append({"name": f"{bucket}/{obj['Key']}", "type": "file", "size": obj["Size"]})
+        for cp in resp.get("CommonPrefixes", []):
+            out.append({"name": f"{bucket}/{cp['Prefix'].rstrip('/')}", "type": "directory"})
+        return out
+
+    def isdir(self, path: str) -> bool:
+        bucket, key = self._split(path)
+        if not key:
+            return True
+        prefix = key.rstrip("/") + "/"
+        resp = self.client.list_objects_v2(Bucket=bucket, Prefix=prefix, MaxKeys=1)
+        return resp["KeyCount"] > 0
+
+    def exists(self, path: str) -> bool:
+        bucket, key = self._split(path)
+        try:
+            self.client.head_object(Bucket=bucket, Key=key)
+            return True
+        except Exception:
+            return self.isdir(path)
+
+    def open(self, path: str, mode: str = "rb"):
+        bucket, key = self._split(path)
+        if "r" in mode:
+            self.fetched.append(key)
+            body = self.client.get_object(Bucket=bucket, Key=key)["Body"].read()
+            return io.BytesIO(body)
+        client = self.client
+
+        class _Writer(io.BytesIO):
+            def close(self_w):
+                client.put_object(Bucket=bucket, Key=key, Body=self_w.getvalue())
+                super().close()
+
+        return _Writer()
+
+    def makedirs(self, path: str, exist_ok: bool = True) -> None:
+        pass  # object stores have no directories
+
+    def size(self, path: str) -> int:
+        bucket, key = self._split(path)
+        return self.client.head_object(Bucket=bucket, Key=key)["ContentLength"]
+
+    def mv(self, src: str, dst: str, recursive: bool = False) -> None:
+        bucket, key = self._split(src)
+        dbucket, dkey = self._split(dst)
+        self.client.copy_object(
+            Bucket=dbucket, Key=dkey, CopySource={"Bucket": bucket, "Key": key}
+        )
+        self.client.delete_object(Bucket=bucket, Key=key)
+
+    def rm(self, path: str, recursive: bool = False) -> None:
+        bucket, key = self._split(path)
+        if recursive:
+            resp = self.client.list_objects_v2(Bucket=bucket, Prefix=key.rstrip("/") + "/")
+            for obj in resp.get("Contents", []):
+                self.client.delete_object(Bucket=bucket, Key=obj["Key"])
+        self.client.delete_object(Bucket=bucket, Key=key)
+
+
+class FakeFsspecModule:
+    """Stands in for the fsspec module: records the (protocol, config) that
+    fs.get_url_and_fs dispatches with."""
+
+    def __init__(self, fs):
+        self._fs = fs
+        self.calls: list[tuple[str, dict]] = []
+
+    def filesystem(self, protocol: str, **config):
+        self.calls.append((protocol, config))
+        return self._fs
+
+
+def _put_parquet(client, key: str, pdf: pd.DataFrame) -> None:
+    buf = io.BytesIO()
+    pdf.to_parquet(buf)
+    client.put_object(Bucket=BUCKET, Key=key, Body=buf.getvalue())
+
+
+@pytest.fixture()
+def s3_tree(monkeypatch):
+    """Mocked S3 hive tree + fsql_spark.fs patched to dispatch s3:// to the
+    fake fsspec. Yields (fake_fs, fake_fsspec_module)."""
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "testing-key")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "testing-secret")
+    monkeypatch.delenv("AWS_SESSION_TOKEN", raising=False)
+    monkeypatch.delenv("AWS_ENDPOINT_URL", raising=False)
+    with mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket=BUCKET)
+        for year, month, lo in [("2024", "01", 0), ("2024", "02", 10), ("2025", "01", 20)]:
+            _put_parquet(
+                client,
+                f"table/year={year}/month={month}/part-0.parquet",
+                pd.DataFrame({"v": [lo, lo + 1]}),
+            )
+        fake_fs = FakeS3FileSystem(client)
+        fake_mod = FakeFsspecModule(fake_fs)
+        monkeypatch.setattr(fsmod, "fsspec", fake_mod, raising=False)
+        monkeypatch.setattr(fsmod, "_HAS_FSSPEC", True)
+        yield fake_fs, fake_mod
+
+
+def test_dispatch_merges_env_and_default_config(s3_tree, monkeypatch):
+    _, fake_mod = s3_tree
+    # set AFTER mock_aws is active — moto replaces the AWS env vars
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "testing-key")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "testing-secret")
+    fsmod.set_default_config("s3", {"endpoint_url": "http://minio:9000"})
+    try:
+        path, fs = get_url_and_fs(f"s3://{BUCKET}/table")
+        assert path == f"{BUCKET}/table"
+        assert isinstance(fs, FsspecFileSystem)
+        protocol, config = fake_mod.calls[-1]
+        assert protocol == "s3"
+        assert config["key"] == "testing-key"
+        assert config["secret"] == "testing-secret"
+        assert config["endpoint_url"] == "http://minio:9000"  # default over env
+    finally:
+        fsmod._DEFAULT_CONFIGS.pop("s3", None)
+
+
+def test_single_slash_fsql_url_form(s3_tree):
+    # the reference accepts "s3:/bucket/key" (single slash)
+    path, fs = get_url_and_fs(f"s3:/{BUCKET}/table")
+    assert path == f"{BUCKET}/table"
+    assert isinstance(fs, FsspecFileSystem)
+
+
+def test_ls_contract_sorted_split(s3_tree):
+    fake_fs, _ = s3_tree
+    fs = FsspecFileSystem(fake_fs, "s3")
+    files, dirs = fs.ls(f"{BUCKET}/table")
+    assert files == []
+    assert dirs == ["year=2024", "year=2025"]  # sorted base names
+    files, dirs = fs.ls(f"{BUCKET}/table/year=2024/month=01")
+    assert files == ["part-0.parquet"] and dirs == []
+
+
+def test_read_partitioned_table_prunes_and_reads(s3_tree, spark):
+    fake_fs, _ = s3_tree
+    out = read_partitioned_table(
+        f"s3://{BUCKET}/table",
+        Q_EQ("year", "2024"),
+        data_reader=PandasReader(),
+        spark=spark,
+    )
+    assert sorted(out["v"]) == [0, 1, 10, 11]
+    # partition columns surface as strings — the engine contract
+    assert set(out["year"]) == {"2024"} and set(out["month"]) == {"01", "02"}
+    # pruning: the 2025 partition's object was never fetched
+    assert all("year=2025" not in k for k in fake_fs.fetched)
+
+    fake_fs.fetched.clear()
+    both = read_partitioned_table(
+        f"s3://{BUCKET}/table",
+        Q_AND(Q_EQ("year", "2024"), Q_EQ("month", "02")),
+        data_reader=PandasReader(),
+        spark=spark,
+    )
+    assert sorted(both["v"]) == [10, 11]
+    assert fake_fs.fetched == ["table/year=2024/month=02/part-0.parquet"]
+
+
+def test_enumerated_dict_reader_over_s3(s3_tree, spark):
+    fake_fs, _ = s3_tree
+    client = fake_fs.client
+    for i, year in enumerate(["2024", "2025"]):
+        client.put_object(
+            Bucket=BUCKET,
+            Key=f"meta/year={year}/meta.json",
+            Body=json.dumps({"n": i}).encode(),
+        )
+    out = read_partitioned_table(
+        f"s3://{BUCKET}/meta",
+        Q_TRUE,
+        data_reader=EnumeratedDictReader(),
+        spark=spark,
+    )
+    assert out == {0: {"n": 0, "year": "2024"}, 1: {"n": 1, "year": "2025"}}
+
+
+def test_write_object_round_trip(s3_tree):
+    fake_fs, _ = s3_tree
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    write_object(f"s3://{BUCKET}/out/obj.parquet", pdf)
+    fs = FsspecFileSystem(fake_fs, "s3")
+    with fs.open(f"{BUCKET}/out/obj.parquet", "rb") as fd:
+        back = pd.read_parquet(fd)
+    pd.testing.assert_frame_equal(back, pdf)
+    assert fs.size(f"{BUCKET}/out/obj.parquet") > 0
+
+
+def test_move_and_rmtree(s3_tree):
+    fake_fs, _ = s3_tree
+    fs = FsspecFileSystem(fake_fs, "s3")
+    write_object(f"s3://{BUCKET}/a/f.parquet", pd.DataFrame({"x": [1]}))
+    fs.move(f"{BUCKET}/a/f.parquet", f"{BUCKET}/b/f.parquet")
+    assert not fs.exists(f"{BUCKET}/a/f.parquet")
+    assert fs.exists(f"{BUCKET}/b/f.parquet")
+    fs.rmtree(f"{BUCKET}/b")
+    assert not fs.exists(f"{BUCKET}/b/f.parquet")
+
+
+def test_spark_url_maps_s3_to_s3a(s3_tree):
+    fake_fs, _ = s3_tree
+    fs = FsspecFileSystem(fake_fs, "s3")
+    assert fs.spark_url(f"{BUCKET}/table") == f"s3a://{BUCKET}/table"
+
+
+def test_s3_spark_conf_mapping(monkeypatch):
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "k")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "s")
+    monkeypatch.setenv("AWS_ENDPOINT_URL", "http://minio:9000")
+    conf = s3_spark_conf()
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "k"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "s"
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+
+def test_s3_without_fsspec_raises(monkeypatch):
+    monkeypatch.setattr(fsmod, "_HAS_FSSPEC", False)
+    with pytest.raises(ValueError, match="needs fsspec"):
+        get_url_and_fs("s3://bucket/table")
