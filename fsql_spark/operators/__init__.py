@@ -29,8 +29,10 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     minhash_lsh_pairs_against,
     minhash_signatures,
+    read_corpus_signatures,
     simhash,
     simhash_pairs,
+    write_corpus_signatures,
 )
 from .inference import (  # noqa: F401
     INFERENCE_ORACLES,

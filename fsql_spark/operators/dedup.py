@@ -286,15 +286,62 @@ def dedup_against(
     return df_new.withColumn("__h", _h(df_new)).join(seen, "__h", "left_anti").drop("__h")
 
 
+#: constant metadata columns stored with persisted signature tables so a
+#: batch computed under a different (num_hashes, ngram) config fails loudly
+#: instead of silently bucketing garbage
+_SIG_META_COLS = ("__num_hashes", "__ngram")
+
+
+def write_corpus_signatures(
+    corpus: DataFrame,
+    key_col: str,
+    text_col: str,
+    url: str,
+    num_hashes: int = 64,
+    ngram: int = 3,
+) -> None:
+    """Materialize the corpus MinHash signature table (key, sig, shingles)
+    to storage — the 100 TB incremental-dedup shape: the corpus text is
+    hashed exactly ONCE, and every future ingest batch joins against this
+    slim table (key + k longs + shingle set) instead of re-reading and
+    re-hashing the corpus. The (num_hashes, ngram) config is stored as
+    constant columns and validated on read."""
+    from ..api import write_table
+
+    sigs = minhash_signatures(corpus, key_col, text_col, num_hashes, ngram)
+    sigs = sigs.withColumn("__num_hashes", F.lit(num_hashes)).withColumn("__ngram", F.lit(ngram))
+    write_table(sigs, url)
+
+
+def read_corpus_signatures(
+    spark: SparkSession, url: str, num_hashes: int, ngram: int
+) -> DataFrame:
+    """Read a persisted signature table, validating that it was built with
+    the SAME (num_hashes, ngram) the caller's batch side will use — mixed
+    configs produce structurally-valid but meaningless bucket joins."""
+    from ..fs import get_url_and_fs
+
+    path, fs = get_url_and_fs(url)
+    df = spark.read.parquet(fs.spark_url(path))
+    meta = df.select(*_SIG_META_COLS).first()
+    if meta is None or meta[0] != num_hashes or meta[1] != ngram:
+        raise ValueError(
+            f"signature table at {url} was built with (num_hashes, ngram)="
+            f"{tuple(meta) if meta else None}, caller expects ({num_hashes}, {ngram})"
+        )
+    return df.drop(*_SIG_META_COLS)
+
+
 def minhash_lsh_pairs_against(
     df_new: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     key_col: str,
     text_col: str,
     threshold: float = 0.7,
     num_hashes: int = 32,
     bands: int = 8,
     ngram: int = 3,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN a new batch and an existing corpus (never
     within either side): banded MinHash buckets on both sides, bucket join,
@@ -302,15 +349,20 @@ def minhash_lsh_pairs_against(
     (no false positives; recall is the banding knob).
 
     Scale shape: corpus signatures are a slim (key, sig, shingles) table —
-    at 100 TB they'd be computed once and PERSISTED TO STORAGE, with each
-    incoming batch joining against the materialized buckets; here both sides
-    are derived in-plan. The bucket join shuffles narrow (band, bucket, key)
-    triples; shingle sets are re-attached only to surviving candidates.
+    at 100 TB they are computed once via :func:`write_corpus_signatures` and
+    each incoming batch joins against the materialized table (pass it as
+    ``corpus_sigs``, from :func:`read_corpus_signatures`; ``corpus`` is then
+    ignored and may be None). Without ``corpus_sigs`` both sides are derived
+    in-plan. The bucket join shuffles narrow (band, bucket, key) triples;
+    shingle sets are re-attached only to surviving candidates.
 
     Output: (new_key, corpus_key, jaccard)."""
     rows_per_band = num_hashes // bands
     new_sigs = minhash_signatures(df_new, key_col, text_col, num_hashes, ngram).persist()
-    corpus_sigs = minhash_signatures(corpus, key_col, text_col, num_hashes, ngram).persist()
+    if corpus_sigs is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or corpus_sigs")
+        corpus_sigs = minhash_signatures(corpus, key_col, text_col, num_hashes, ngram).persist()
     new_banded = _banded_buckets(new_sigs, bands, rows_per_band)
     corpus_banded = _banded_buckets(corpus_sigs, bands, rows_per_band).select(
         F.col("k").alias("k2"), F.col("band").alias("band2"), F.col("bucket").alias("bucket2")
@@ -513,8 +565,14 @@ WHERE LOWER(TRIM(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) NOT IN
 def q_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus near-dup on a batch of appended-token variants (docs
     0-24, J ~ 0.97 vs source) + half-truncations (docs 50-79, J ~ 0.5):
-    only the variants may match at threshold 0.8. Rows-only (hash-based);
-    emitted jaccard values are exact and audited in pytest."""
+    only the variants may match at threshold 0.8.
+
+    Oracle: the exact cross-corpus 3-gram-Jaccard twin. Valid because the
+    LSH output is exact-verified (no false positives) and the 16-band x
+    4-row banding makes a miss of any qualifying pair (J >= 0.8, and the
+    data's qualifying pairs sit at J >= 0.89) a < 1e-6 event — the entry
+    asserts recall 1, which the config makes near-certain rather than
+    guaranteed; a mismatch here means the banding margin eroded."""
     corpus = spark.read.parquet(f"{sf}/documents.parquet")
     variants = corpus.where(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -528,18 +586,87 @@ def q_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"), half.alias("text")
     )
     batch = variants.unionByName(truncs)
-    return minhash_lsh_pairs_against(batch, corpus, "doc_id", "text", threshold=0.8, ngram=3)
+    return minhash_lsh_pairs_against(
+        batch, corpus, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, ngram=3
+    )
+
+
+# exact cross-corpus twin of q_minhash_incremental: 3-gram shingles joined
+# WITHOUT separator, mirroring _word_shingles(concat_ws("", slice(...)))
+Q_MINHASH_INCREMENTAL_SQL = """
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id, text || ' zzqx' AS text
+  FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      greatest(len(string_split(text, ' ')) // 2, 1)),
+           ' ')
+  FROM documents WHERE doc_id >= 50 AND doc_id < 80
+),
+btok AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM batch)
+  WHERE len(ws) >= 3
+),
+ctok AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 3
+),
+bsz AS (SELECT doc_id, COUNT(*) AS n FROM btok GROUP BY doc_id),
+csz AS (SELECT doc_id, COUNT(*) AS n FROM ctok GROUP BY doc_id),
+common AS (
+  SELECT b.doc_id AS new_key, c.doc_id AS corpus_key, COUNT(*) AS c
+  FROM btok b JOIN ctok c ON b.w = c.w
+  GROUP BY 1, 2
+)
+SELECT new_key, corpus_key,
+       ROUND(c * 1.0 / (b.n + cs.n - c), 4) AS jaccard
+FROM common
+JOIN bsz b  ON new_key = b.doc_id
+JOIN csz cs ON corpus_key = cs.doc_id
+WHERE c * 1.0 / (b.n + cs.n - c) >= 0.8
+"""
 
 
 def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    # LSH-bucketed near-dup (scale path); exact-verified so output is a
-    # subset of the exact Jaccard pairs. Rows-only check (hash functions are
-    # not SQL-expressible in DuckDB).
+    """LSH-bucketed near-dup (scale path) with exact-Jaccard verification.
+
+    Oracle: the exact all-pairs 3-gram-Jaccard query. The LSH stage has no
+    false positives (exact verify) and the 16x4 banding bounds the
+    probability of missing any J >= 0.8 pair below ~4e-4 per pair even at
+    the threshold itself (< 1e-6 at the J >= 0.89 this data exhibits), so
+    the entry asserts recall 1 as a checked property, not an assumption."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     # 3-gram shingles: over a tiny vocabulary, unigram signatures collide en
     # masse (every doc shares most tokens) and the bucket join degenerates;
     # richer shingles keep candidate counts ~linear
-    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3)
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, ngram=3)
+
+
+Q_MINHASH_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+  FROM words WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+FROM common
+JOIN sizes s1 ON doc_a = s1.doc_id
+JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8
+"""
 
 
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -562,6 +689,10 @@ DEDUP_ORACLES = {
     "q_dedup_stats": Q_DEDUP_STATS_SQL,
     "q_jaccard_near_dups": Q_JACCARD_SQL,
     "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
-    # q_minhash_near_dups / q_simhash_near_dups / q_minhash_incremental:
-    # rows-only (hash-based)
+    # exact-Jaccard twins: valid oracles because the LSH entries are
+    # exact-verified (no false positives) and banded for ~recall-1 (see
+    # the entries' docstrings). q_simhash_near_dups stays rows-only: the
+    # simhash VALUE is the engine's own hash function, not SQL-expressible.
+    "q_minhash_near_dups": Q_MINHASH_SQL,
+    "q_minhash_incremental": Q_MINHASH_INCREMENTAL_SQL,
 }

@@ -605,3 +605,44 @@ def test_minhash_against_cross_corpus(spark):
         pair = (r["corpus_key"], r["new_key"])
         if pair in exact:  # cross pairs present in the exact all-pairs run
             assert r["jaccard"] == exact[pair]
+
+
+def test_persisted_corpus_signatures_reused_by_batch(spark, tmp_path):
+    """The 100 TB incremental flow: corpus signatures materialized ONCE via
+    write_corpus_signatures, read back, and joined by a later batch —
+    results identical to the in-plan (recompute-everything) formulation,
+    and a config-mismatched read fails loudly."""
+    import pytest as _pytest
+
+    from fsql_spark.operators import (
+        minhash_lsh_pairs_against,
+        read_corpus_signatures,
+        write_corpus_signatures,
+    )
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = corpus.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+    )
+    url = str(tmp_path / "corpus_sigs")
+    write_corpus_signatures(corpus, "doc_id", "text", url, num_hashes=64, ngram=3)
+
+    sigs = read_corpus_signatures(spark, url, num_hashes=64, ngram=3)
+    from_persisted = minhash_lsh_pairs_against(
+        batch, None, "doc_id", "text",
+        threshold=0.8, num_hashes=64, bands=16, ngram=3, corpus_sigs=sigs,
+    ).toPandas().sort_values(["new_key", "corpus_key"], ignore_index=True)
+    in_plan = minhash_lsh_pairs_against(
+        batch, corpus, "doc_id", "text",
+        threshold=0.8, num_hashes=64, bands=16, ngram=3,
+    ).toPandas().sort_values(["new_key", "corpus_key"], ignore_index=True)
+    assert from_persisted.equals(in_plan)
+    assert len(from_persisted) > 0
+
+    # wrong-config read must fail loudly, not bucket garbage
+    with _pytest.raises(ValueError, match="num_hashes"):
+        read_corpus_signatures(spark, url, num_hashes=32, ngram=3)
+    # and the no-source, no-signatures call is rejected
+    with _pytest.raises(ValueError, match="corpus_sigs"):
+        minhash_lsh_pairs_against(batch, None, "doc_id", "text")
