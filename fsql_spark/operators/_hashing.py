@@ -91,9 +91,16 @@ def minhash_batch(texts: pd.Series, num_hashes: int, ngram: int) -> pd.Series:
     np.cumsum(counts[:-1], out=offsets[1:])
     out = np.full((len(counts), num_hashes), np.iinfo(np.int64).max, np.int64)
     if len(flat):
-        mixed = _splitmix64(base[:, None] ^ seeds[None, :]).view(np.int64)  # (T, k)
         safe_offsets = np.minimum(offsets, len(flat) - 1)
-        mins = np.minimum.reduceat(mixed, safe_offsets, axis=0)
+        # per-seed column loop, NOT a (T, k) broadcast: the broadcast form
+        # materializes ~7 (T, k) uint64 temporaries inside _splitmix64
+        # (memory-bandwidth-bound, measured 10x slower at k=64); per-column
+        # temps are token-count-sized and stay in cache
+        mins = np.empty((len(counts), num_hashes), np.int64)
+        with np.errstate(over="ignore"):
+            for j in range(num_hashes):
+                col = _splitmix64(base ^ seeds[j]).view(np.int64)
+                mins[:, j] = np.minimum.reduceat(col, safe_offsets)
         mins[counts == 0] = np.iinfo(np.int64).max
         out = mins
     return pd.Series(list(out))
