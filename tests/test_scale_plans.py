@@ -351,3 +351,45 @@ def test_write_sorted_table_produces_disjoint_file_ranges(spark, tmp_path):
     # row count preserved
     back = spark.read.parquet(target)
     assert back.count() == orders.count()
+
+
+def test_dedup_against_is_anti_join_of_hashes_only(spark):
+    """Incremental dedup: the corpus side must collapse to DISTINCT 32-byte
+    hashes (map-side-combinable aggregate) feeding ONE left-anti join — the
+    shape where a 100 TB corpus shuffles only its hash set, never rows."""
+    from fsql_spark.operators import dedup_against
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = docs.limit(50)
+    plan = plan_of(dedup_against(batch, docs, ["text"]))
+    assert "LeftAnti" in plan
+    assert plan.count("LeftAnti") == 1
+    assert "HashAggregate" in plan  # the distinct on the corpus hash set
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_has_no_cartesian_and_narrow_bucket_join(spark):
+    """The LSH candidate stage must be an equi-join on (band, bucket) —
+    never a cross product — and the signature/shingle arrays must not ride
+    the bucket-join shuffle (only re-attached to surviving candidates)."""
+    from fsql_spark.operators import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, ngram=3)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # candidate join keys are the band/bucket pair, not signatures
+    assert "bucket" in plan
+    df.sparkSession.catalog.clearCache()
+
+
+def test_brute_force_similarity_corpus_never_shuffles(spark):
+    """Embedding brute-force: corpus flows scan -> mapInPandas with NO
+    Exchange before the kernel (queries broadcast in the closure)."""
+    from fsql_spark.operators.similarity import brute_force_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5)
+    plan = plan_of(brute_force_pairs(emb, qs, "vec_id", "embedding", threshold=0.3))
+    before_kernel = plan.split("MapInPandas")[-1]  # executed plan prints top-down
+    assert "Exchange" not in before_kernel
