@@ -480,10 +480,41 @@ def q_embedding_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
-    # rows-only check (approximate); recall asserted vs brute force in tests
+    """IVF top-k run at FULL probe (n_probe = n_centroids), which makes IVF
+    exact — equal to a flat scan — so the whole machinery (k-means-lite
+    assignment, inverted-list routing, per-list scoring, global merge) is
+    byte-verifiable against the exact SQL twin. Production sets
+    n_probe < n_centroids for the speed/recall trade; that approximate
+    config's recall is asserted vs brute force in tests/test_operators.py."""
     emb = _emb(spark, sf)
     qs = emb.where(F.col("vec_id") < 10)
-    return ivf_ann_topk(emb, qs, "vec_id", "embedding", k=10)
+    return ivf_ann_topk(emb, qs, "vec_id", "embedding", k=10, n_centroids=16, n_probe=16)
+
+
+Q_EMB_IVF_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS d
+  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id != a.vec_id
+  WHERE a.vec_id < 10
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY d / (na.nrm * nb.nrm) DESC, neighbor_id ASC) AS INTEGER) AS rank,
+         ROUND(d / (na.nrm * nb.nrm), 4) AS cos
+  FROM dots
+  JOIN norms na ON query_id = na.vec_id
+  JOIN norms nb ON neighbor_id = nb.vec_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10
+"""
 
 
 def q_embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
@@ -528,7 +559,10 @@ SIMILARITY_QUERIES = {
 SIMILARITY_ORACLES = {
     "q_embedding_similar_pairs": Q_EMB_PAIRS_SQL,
     "q_embedding_knn": Q_EMB_KNN_SQL,
-    # q_embedding_ann_lsh: rows-only (approximate)
+    # q_embedding_ann_lsh / q_embedding_near_dup_keys_lsh: rows-only — their
+    # hyperplane-LSH recall is < 1 by design at this threshold (asserted vs
+    # brute force in pytest), so no exact twin can match them
+    "q_embedding_ivf_knn": Q_EMB_IVF_SQL,  # full-probe config => exact
     "q_embedding_near_dup_keys": Q_EMB_NEAR_DUP_SQL,
     "q_embedding_label_centroids": Q_EMB_CENTROIDS_SQL,
 }
