@@ -33,9 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
 
 
-def _last_checked_round() -> dict[str, int]:
-    """Per-query: the latest round whose driver CORRECTNESS file has a row
-    for it (any row — errors and rows-only checks count as checked)."""
+def _last_verified_round(has_oracle: set[str]) -> dict[str, int]:
+    """Per-query: the latest round whose driver CORRECTNESS row actually
+    VERIFIED it at its current strength — a hash-match for oracle-backed
+    entries, any rows-only record for entries without an oracle. Errored or
+    hash-mismatched rows don't count (those queries need re-checking), and
+    a rows-only record doesn't count for an entry that HAS an oracle now
+    (the oracle was added after that check and has never been exercised)."""
     import glob
     import json
     import re
@@ -52,8 +56,16 @@ def _last_checked_round() -> dict[str, int]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
-        if isinstance(rows, dict):
-            for name in rows:
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if name in has_oracle:
+                verified = row.get("hash_match") is True
+            else:
+                verified = row.get("err") == "no_oracle" or row.get("hash_match") is True
+            if verified:
                 seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
@@ -81,10 +93,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pass
     # The driver correctness harness checks only the FIRST 50 registry
     # entries per round. With >50 registered queries a fixed order starves
-    # the tail forever, so rotate: never-driver-checked entries first, then
-    # ascending by the round each was last checked (ties keep registration
-    # order). Every query gets a driver row within two rounds.
-    last = _last_checked_round()
+    # the tail forever, so rotate: never-verified entries first (including
+    # ones whose last row errored, hash-mismatched, or predates their
+    # oracle), then ascending by the round each was last verified (ties keep
+    # registration order). Every query gets a driver row within two rounds.
+    last = _last_verified_round(set(oracle_sql()))
     names = list(out)
     order = {n: i for i, n in enumerate(names)}
     names.sort(key=lambda n: (last.get(n, -1), order[n]))
