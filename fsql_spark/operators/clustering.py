@@ -200,17 +200,17 @@ def cluster_representatives(
 # --------------------------------------------------------------------------
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Connected components over the exact-Jaccard near-dup pair graph (the
-    oracle-able pair source; at scale feed minhash_lsh_pairs instead — the
-    operator is pair-source-agnostic)."""
-    from .dedup import jaccard_pairs
+    """Connected components over the near-dup pair graph, pair source =
+    banded MinHash-LSH over the FULL corpus — the 100 TB wiring (no
+    quadratic stage, no corpus cap; candidates ~ true dups). The LSH output
+    is exact-verified, and at J >= 0.95 the 16x4 banding misses a qualifying
+    pair with p ~ 2e-12, so the recursive-CTE oracle over the exact
+    3-gram-Jaccard pair graph is an equality check, not an approximation."""
+    from .dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 500)
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.95, ngram=1,
-        # the doc_id slice already bounds the join; skip the guard's
-        # candidate-estimation aggregate (one whole Spark job at bench time)
-        max_candidate_pairs=None,
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16, ngram=3
     )
     # the pair graph is tiny relative to the corpus: narrow loop shuffles
     comps = connected_components(pairs, loop_partitions=8)
@@ -218,9 +218,13 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q_DEDUP_CLUSTERS_SQL = """
-WITH RECURSIVE tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-  FROM documents WHERE doc_id < 500
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+  FROM words WHERE len(ws) >= 3
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
 common AS (
