@@ -21,6 +21,11 @@ class InputFormat(Enum):
     CSV = "csv"
     JSON = "json"
     XLSX = "xlsx"
+    # EXTENSION beyond the reference's suffix set (`deser.py:78-95`): the
+    # driver's stated target is "Spark SQL over Parquet/ORC partitions" —
+    # ORC is a first-class columnar Spark source (vectorized reader,
+    # predicate pushdown, partition pruning), one enum entry here.
+    ORC = "orc"
 
     @classmethod
     def from_url(cls, url: str) -> "InputFormat":
@@ -51,4 +56,5 @@ _SUFFIXES = {
     "csv": InputFormat.CSV,
     "json": InputFormat.JSON,
     "xlsx": InputFormat.XLSX,
+    "orc": InputFormat.ORC,
 }

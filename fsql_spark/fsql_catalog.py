@@ -135,6 +135,27 @@ def _orders_ymd_tree(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(_tree_dir(sf_dir, "orders_1995_ymd", "orders"), build)
 
 
+def _orders_ym_orc_tree(spark: SparkSession, sf_dir: str) -> str:
+    """orders partitioned Hive-style by (year, month) in ORC — the driver's
+    north star names "Spark SQL over Parquet/ORC partitions"; same layout as
+    the parquet tree so the scan path (discovery, pruning, pushdown) is
+    format-agnostic and only the leaf source differs."""
+
+    def build(staging: str) -> None:
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = df.withColumn("year", F.year("o_orderdate").cast("string")).withColumn(
+            "month", F.month("o_orderdate").cast("string")
+        )
+        write_table(
+            out.repartition("year", "month"),
+            staging,
+            format="orc",
+            partition_by=["year", "month"],
+        )
+
+    return _build_once(_tree_dir(sf_dir, "orders_ym_orc", "orders"), build)
+
+
 def _nation_by_region_tree(spark: SparkSession, sf_dir: str) -> str:
     """Value-only layout ``{r_name}/{n_name}.parquet`` — non-Hive dirs plus the
     filename-bears-information convention (reference README.md:22), written
@@ -296,6 +317,33 @@ GROUP BY 1
 """
 
 
+def q_fsql_orc_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """FAST PATH over ORC: format autodetected from the ``.orc`` leaf suffix,
+    Q_AND(Q_EQ, Q_IN) partition pruning + ``columns=`` projection — the same
+    Catalyst machinery as the parquet entries (ORC has its own vectorized
+    reader + pushdown), proving the scan path is source-format-agnostic."""
+    url = _orders_ym_orc_tree(spark, sf)
+    query = Q_AND(Q_EQ("year", "1996"), Q_IN("month", ["1", "4", "11"]))
+    df = read_partitioned_table(
+        url, query, data_reader=SparkReader(columns=["o_totalprice"]), spark=spark
+    )
+    return df.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_ORC_SQL = """
+SELECT CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR) AS month,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1996
+  AND EXTRACT(month FROM o_orderdate) IN (1, 4, 11)
+GROUP BY 1
+"""
+
+
 def q_fsql_fixed_columns(spark: SparkSession, sf: str) -> DataFrame:
     """DRIVER DISCOVERY: value-only dirs + filename column
     (FixedColumnsParser, reference `column_parser.py:123-147`): the path
@@ -331,6 +379,7 @@ FSQL_QUERIES = {
     "q_fsql_atomic_discovery": q_fsql_atomic_discovery,
     "q_fsql_generated_scan": q_fsql_generated_scan,
     "q_fsql_fixed_columns": q_fsql_fixed_columns,
+    "q_fsql_orc_scan": q_fsql_orc_scan,
 }
 
 FSQL_ORACLES = {
@@ -340,4 +389,5 @@ FSQL_ORACLES = {
     "q_fsql_atomic_discovery": Q_FSQL_ATOMIC_SQL,
     "q_fsql_generated_scan": Q_FSQL_GENERATED_SQL,
     "q_fsql_fixed_columns": Q_FSQL_FIXED_SQL,
+    "q_fsql_orc_scan": Q_FSQL_ORC_SQL,
 }

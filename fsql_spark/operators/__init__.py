@@ -64,6 +64,11 @@ from .sampling import (  # noqa: F401
     sample_per_group,
     split_by_hash,
 )
+from .skew import (  # noqa: F401
+    SKEW_ORACLES,
+    SKEW_QUERIES,
+    salted_join,
+)
 from .similarity import (  # noqa: F401
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
@@ -105,6 +110,7 @@ EXTENSION_QUERIES = {
     **DECONTAM_QUERIES,
     **INFERENCE_QUERIES,
     **VOCAB_QUERIES,
+    **SKEW_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -119,4 +125,5 @@ EXTENSION_ORACLES = {
     **DECONTAM_ORACLES,
     **INFERENCE_ORACLES,
     **VOCAB_ORACLES,
+    **SKEW_ORACLES,
 }

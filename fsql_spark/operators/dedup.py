@@ -316,18 +316,23 @@ def write_corpus_signatures(
 def read_corpus_signatures(
     spark: SparkSession, url: str, num_hashes: int, ngram: int
 ) -> DataFrame:
-    """Read a persisted signature table, validating that it was built with
-    the SAME (num_hashes, ngram) the caller's batch side will use — mixed
-    configs produce structurally-valid but meaningless bucket joins."""
+    """Read a persisted signature table, validating that EVERY row was built
+    with the SAME (num_hashes, ngram) the caller's batch side will use —
+    mixed configs (e.g. a table appended to under a different config)
+    produce structurally-valid but meaningless bucket joins, so the check is
+    an aggregate over the whole table, not a first-row sample. The distinct
+    scan reads only the two dictionary-encoded constant columns (column
+    pruning), so it stays metadata-cheap even on a large signature table."""
     from ..fs import get_url_and_fs
 
     path, fs = get_url_and_fs(url)
     df = spark.read.parquet(fs.spark_url(path))
-    meta = df.select(*_SIG_META_COLS).first()
-    if meta is None or meta[0] != num_hashes or meta[1] != ngram:
+    configs = [tuple(r) for r in df.select(*_SIG_META_COLS).distinct().limit(3).collect()]
+    if len(configs) != 1 or configs[0] != (num_hashes, ngram):
         raise ValueError(
             f"signature table at {url} was built with (num_hashes, ngram)="
-            f"{tuple(meta) if meta else None}, caller expects ({num_hashes}, {ngram})"
+            f"{configs if configs else None}, caller expects ({num_hashes}, {ngram})"
+            + (" — table contains MIXED configs" if len(configs) > 1 else "")
         )
     return df.drop(*_SIG_META_COLS)
 

@@ -306,16 +306,20 @@ def ivf_ann_topk(
     cands = probed.join(
         assigned.withColumnRenamed("k", "neighbor_id"), "centroid_id"
     ).where(F.col("query_id") != F.col("neighbor_id"))
-    scored = cands.withColumn("cos", cosine(F.col("q"), F.col("v"))).dropDuplicates(
-        ["query_id", "neighbor_id"]
-    )
+    scored = cands.withColumn(
+        "cos", F.round(cosine(F.col("q"), F.col("v")), 4)
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    # rank by the ROUNDED cosine (the value the oracle compares): Spark and
+    # DuckDB sum dot products in different orders, so ranking full-precision
+    # doubles lets ~1e-15 summation noise flip near-tied ranks cross-engine;
+    # on the rounded value ties break deterministically on neighbor_id
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     # exact cosine (4dp) emitted per returned neighbor — value-level
     # auditability for the approximate op (see lsh_ann_pairs)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+        .select("query_id", "neighbor_id", "rank", "cos")
     )
 
 
@@ -507,7 +511,7 @@ dots AS (
 ranked AS (
   SELECT query_id, neighbor_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                 ORDER BY d / (na.nrm * nb.nrm) DESC, neighbor_id ASC) AS INTEGER) AS rank,
+                                 ORDER BY ROUND(d / (na.nrm * nb.nrm), 4) DESC, neighbor_id ASC) AS INTEGER) AS rank,
          ROUND(d / (na.nrm * nb.nrm), 4) AS cos
   FROM dots
   JOIN norms na ON query_id = na.vec_id

@@ -44,3 +44,42 @@ def salted_join(
     )
     out = left.join(right, on + ["__salt"], how)
     return out.drop("__salt")
+
+
+# --------------------------------------------------------------------------
+# catalog entry + oracle
+# --------------------------------------------------------------------------
+
+def q_salted_join(spark, sf: str):
+    """Salted fact-to-dim join, oracle-checked for RESULT INVARIANCE: the
+    salt must not change what the join computes, only how its shuffle fans
+    out (each hot l_suppkey spreads over 16 sub-keys; the dim replicates 16x
+    — |supplier| * 16 rows, still dim-sized). The oracle is the PLAIN join,
+    so a hash match proves salting is semantically free."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on=["l_suppkey"], n_salts=16, salt_source="l_orderkey")
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+Q_SALTED_JOIN_SQL = """
+SELECT s_nationkey,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+SKEW_QUERIES = {
+    "q_salted_join": q_salted_join,
+}
+
+SKEW_ORACLES = {
+    "q_salted_join": Q_SALTED_JOIN_SQL,
+}

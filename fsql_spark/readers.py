@@ -272,6 +272,8 @@ class PandasReader(DataReader):
                 frame = pd.read_json(fd, lines=True, **self.kwargs)
             elif fmt is InputFormat.XLSX:
                 frame = pd.read_excel(fd, engine="openpyxl", **self.kwargs)
+            elif fmt is InputFormat.ORC:
+                frame = pd.read_orc(fd, **self.kwargs)
             else:  # pragma: no cover
                 raise ValueError(f"unreadable format: {fmt}")
         for key, value in partition.columns.items():

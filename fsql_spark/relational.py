@@ -41,8 +41,15 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
       legacy conf -> rebuild with integer div (double division drops ulps at
       ns magnitudes);
     - ``timestamp[us]`` isAdjustedToUTC=false -> reads as TIMESTAMP_NTZ;
-      cast to LTZ (interpreted in the session TZ — callers pin UTC) so that
-      ``unix_micros``/watermarks/interval arithmetic work uniformly;
+      the NTZ wall-clock is treated as UTC *regardless of session TZ* (the
+      plain NTZ->LTZ cast resolves in the caller's TZ, which would make the
+      same logical data yield different ``unix_micros`` across physical
+      encodings in non-UTC sessions): ``from_utc_timestamp(cast(ts), tz)``
+      re-adds the session offset the cast subtracted, leaving the instant at
+      wall-clock-as-UTC — identity under UTC sessions. (Wall-clocks inside a
+      DST transition hour of the session zone are ambiguous by nature; the
+      cast and the re-shift use the same zone rules, so the round trip stays
+      consistent.)
     - ``timestamp[us]`` UTC-adjusted -> already TIMESTAMP, pass through.
 
     Works on batch and streaming DataFrames (pure column expressions)."""
@@ -50,7 +57,8 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif dt == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        df = df.withColumn("ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz))
     return df
 
 
