@@ -22,6 +22,7 @@ from .decontam import (  # noqa: F401
 from .dedup import (  # noqa: F401
     DEDUP_ORACLES,
     DEDUP_QUERIES,
+    corpus_signatures_cached,
     dedup_against,
     dedup_exact,
     dedup_exact_keys,

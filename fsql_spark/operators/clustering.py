@@ -205,12 +205,17 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     quadratic stage, no corpus cap; candidates ~ true dups). The LSH output
     is exact-verified, and at J >= 0.95 the 16x4 banding misses a qualifying
     pair with p ~ 2e-12, so the recursive-CTE oracle over the exact
-    3-gram-Jaccard pair graph is an equality check, not an approximation."""
-    from .dedup import minhash_lsh_pairs
+    3-gram-Jaccard pair graph is an equality check, not an approximation.
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    Signatures come from the materialized compute-once table
+    (``corpus_signatures_cached``) shared with the q_minhash_* entries — at
+    100 TB you never hash the corpus twice just to change the question you
+    ask of the pair graph."""
+    from .dedup import corpus_signatures_cached, minhash_lsh_pairs
+
+    sigs = corpus_signatures_cached(spark, sf, num_hashes=64, ngram=3)
     pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16, ngram=3
+        None, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16, ngram=3, sigs=sigs
     )
     # the pair graph is tiny relative to the corpus: narrow loop shuffles
     comps = connected_components(pairs, loop_partitions=8)

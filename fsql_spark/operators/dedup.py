@@ -211,13 +211,14 @@ def _banded_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFram
 
 
 def minhash_lsh_pairs(
-    df: DataFrame,
+    df: DataFrame | None,
     key_col: str,
     text_col: str,
     threshold: float = 0.7,
     num_hashes: int = 32,
     bands: int = 8,
     ngram: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH with exact-Jaccard verification.
 
@@ -225,12 +226,21 @@ def minhash_lsh_pairs(
     (P[candidate] = 1-(1-j^r)^b). The bucket join shuffles only
     (band_hash, doc) pairs — linear in corpus size for realistic dup rates.
     Candidates are then verified with exact Jaccard on their shingle sets, so
-    the output has no false positives (recall is the LSH knob)."""
+    the output has no false positives (recall is the LSH knob).
+
+    ``sigs``: a precomputed (k, sig, sh) signature table (e.g. from
+    :func:`read_corpus_signatures` / :func:`corpus_signatures_cached`) —
+    the corpus text is then never touched; ``df`` may be None. At 100 TB the
+    corpus is hashed exactly once and every consumer (near-dup pairs at any
+    threshold, clustering, incremental batches) joins the slim table."""
+    if sigs is None and df is None:
+        raise ValueError("pass either df or sigs")
     rows_per_band = num_hashes // bands
-    # persist signatures: both sides of the self-join (and the verify step)
-    # reuse them instead of recomputing k*|shingles| hashes per reference.
-    # At scale this is a slim table: key + k longs + the shingle set.
-    sigs = minhash_signatures(df, key_col, text_col, num_hashes, ngram).persist()
+    if sigs is None:
+        # persist signatures: both sides of the self-join (and the verify
+        # step) reuse them instead of recomputing k*|shingles| hashes per
+        # reference. At scale this is a slim table: key + k longs + shingles.
+        sigs = minhash_signatures(df, key_col, text_col, num_hashes, ngram).persist()
     banded = _banded_buckets(sigs, bands, rows_per_band)
     other = banded.select(
         F.col("k").alias("k2"), F.col("band").alias("band2"), F.col("bucket").alias("bucket2")
@@ -335,6 +345,42 @@ def read_corpus_signatures(
             + (" — table contains MIXED configs" if len(configs) > 1 else "")
         )
     return df.drop(*_SIG_META_COLS)
+
+
+def corpus_signatures_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 64,
+    ngram: int = 3,
+    table: str = "documents",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Compute-once corpus MinHash signatures for a testdata sf dir: the
+    first caller materializes them via :func:`write_corpus_signatures` into
+    a fingerprinted /tmp cache (same build-once/staging-rename discipline as
+    the fsql partition trees; regenerated testdata invalidates by mtime);
+    every later caller — near-dup pairs at any threshold, cluster
+    resolution, incremental batches — reads the slim (key, sig, shingles)
+    table instead of re-reading and re-hashing the corpus text. This is the
+    100 TB signature lifecycle, exercised by the catalog itself."""
+    from ..fsql_catalog import _build_once, _tree_dir
+
+    def build(staging: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        # single-file testdata arrives as ONE split: spread the hash kernel
+        # and the parquet encode across cores (signatures are per-row, so
+        # repartitioning can't change values). On a real many-file corpus the
+        # input parallelism already exists and this is a no-op cost-wise.
+        par = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
+        write_corpus_signatures(docs, key_col, text_col, staging, num_hashes, ngram)
+
+    dest = _build_once(
+        _tree_dir(sf_dir, f"sigs_{table}_nh{num_hashes}_ng{ngram}", table), build
+    )
+    return read_corpus_signatures(spark, dest, num_hashes, ngram)
 
 
 def minhash_lsh_pairs_against(
@@ -591,8 +637,12 @@ def q_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"), half.alias("text")
     )
     batch = variants.unionByName(truncs)
+    # corpus side reads the materialized signature table (compute-once flow)
+    # — only the small batch is hashed per run
+    sigs = corpus_signatures_cached(spark, sf, num_hashes=64, ngram=3)
     return minhash_lsh_pairs_against(
-        batch, corpus, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, ngram=3
+        batch, None, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, ngram=3,
+        corpus_sigs=sigs,
     )
 
 
@@ -646,11 +696,15 @@ def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     probability of missing any J >= 0.8 pair below ~4e-4 per pair even at
     the threshold itself (< 1e-6 at the J >= 0.89 this data exhibits), so
     the entry asserts recall 1 as a checked property, not an assumption."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
     # 3-gram shingles: over a tiny vocabulary, unigram signatures collide en
     # masse (every doc shares most tokens) and the bucket join degenerates;
-    # richer shingles keep candidate counts ~linear
-    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, ngram=3)
+    # richer shingles keep candidate counts ~linear. Signatures come from the
+    # materialized compute-once table shared with q_dedup_clusters /
+    # q_minhash_incremental — the corpus text is hashed once per dataset.
+    sigs = corpus_signatures_cached(spark, sf, num_hashes=64, ngram=3)
+    return minhash_lsh_pairs(
+        None, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, ngram=3, sigs=sigs
+    )
 
 
 Q_MINHASH_SQL = """
