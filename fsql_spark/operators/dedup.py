@@ -729,8 +729,49 @@ WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8
 
 
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Block-pigeonhole SimHash pairs. Oracle: a FULL DuckDB replica of the
+    signature — FNV-1a(64) folded over token code points (bit-identical to
+    the numpy kernel, see Q_TEXT_EMBED_KNN_SQL for the technique), 64
+    bit-majority sums, then all-pairs popcount(xor) <= d. The operator's
+    block bucketing is candidates-only (pigeonhole guarantees every
+    qualifying pair shares a block; the Hamming verify is exact), so the
+    all-pairs SQL formulation yields the identical result set."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+Q_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND text != ''
+),
+hashed AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST('14695981039346656037' AS UBIGINT),
+                        [CAST(unicode(tok[i]) AS UBIGINT) FOR i IN range(1, length(tok) + 1)]),
+           (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                          % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)
+         ) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b.range AS bit,
+         SUM(CAST((h >> b.range) & 1 AS BIGINT)) AS s, COUNT(*) AS c
+  FROM hashed, range(0, 64) b
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN 2 * s > c THEN CAST(1 AS UBIGINT) << CAST(bit AS INTEGER)
+                       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sg
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sg, b.sg)) <= 3
+"""
 
 
 DEDUP_QUERIES = {
@@ -750,8 +791,9 @@ DEDUP_ORACLES = {
     "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
     # exact-Jaccard twins: valid oracles because the LSH entries are
     # exact-verified (no false positives) and banded for ~recall-1 (see
-    # the entries' docstrings). q_simhash_near_dups stays rows-only: the
-    # simhash VALUE is the engine's own hash function, not SQL-expressible.
+    # the entries' docstrings). The simhash twin goes further: it replicates
+    # the signature itself in SQL (FNV fold + bit-majority), bit-identical.
     "q_minhash_near_dups": Q_MINHASH_SQL,
     "q_minhash_incremental": Q_MINHASH_INCREMENTAL_SQL,
+    "q_simhash_near_dups": Q_SIMHASH_SQL,
 }

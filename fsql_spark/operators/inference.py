@@ -171,15 +171,71 @@ GROUP BY lang
 
 def q_text_embed_knn(spark: SparkSession, sf: str) -> DataFrame:
     """Text-native similarity: hash-embed the documents, then brute-force
-    top-3 neighbors for the 10 lowest doc_ids. Rows-only (the FNV bucket
-    assignment is not SQL-expressible); the neighbor ordering is audited in
-    pytest against a numpy recomputation of the same embeddings."""
+    top-3 neighbors (rounded-cosine ranking) for the 10 lowest doc_ids.
+
+    Oracle: a FULL DuckDB replica of the pipeline — FNV-1a(64) is folded
+    over each token's code points with ``list_reduce`` + HUGEINT mod-2^64
+    arithmetic (bit-identical to the numpy kernel; tokens are ASCII so code
+    point == UTF-8 byte, which the oracle's regex guard enforces), buckets/
+    signs/L2-normalize/float32-cast mirror ``hashed_embedding``, and ranking
+    compares the same 4dp-rounded cosine on both engines."""
     from .similarity import brute_force_topk
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     emb = hashed_embedding(docs.select("doc_id", "text"), "text").select("doc_id", "embedding")
     queries = emb.where(F.col("doc_id") < 10)
-    return brute_force_topk(emb, queries, "doc_id", "embedding", k=3)
+    return brute_force_topk(emb, queries, "doc_id", "embedding", k=3, rounded=True)
+
+
+# FNV-1a(64) over token code points, exactly the kernel's fold: h starts at
+# the offset basis and folds h = ((h XOR byte) * prime) mod 2^64 per byte —
+# UBIGINT keeps unsigned semantics, the multiply routes through HUGEINT for
+# the wraparound. sign/bucket/normalize/REAL-cast mirror hashed_embedding;
+# the second normalization + rounded ranking mirror brute_force_topk.
+Q_TEXT_EMBED_KNN_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND text != ''
+),
+hashed AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST('14695981039346656037' AS UBIGINT),
+                        [CAST(unicode(tok[i]) AS UBIGINT) FOR i IN range(1, length(tok) + 1)]),
+           (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                          % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)
+         ) AS h
+  FROM toks
+),
+w AS (
+  SELECT doc_id, CAST(h % 64 AS INTEGER) AS bucket,
+         SUM(CASE WHEN ((h >> 32) & 1) = 1 THEN 1.0 ELSE -1.0 END) AS wt
+  FROM hashed GROUP BY 1, 2
+),
+n1 AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+f32 AS (
+  SELECT w.doc_id, bucket,
+         CAST(CAST(wt / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS REAL) AS DOUBLE) AS v
+  FROM w JOIN n1 USING (doc_id)
+),
+n2 AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm2 FROM f32 GROUP BY doc_id),
+dots AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, SUM(q.v * c.v) AS d
+  FROM f32 q JOIN f32 c ON q.bucket = c.bucket AND c.doc_id != q.doc_id
+  WHERE q.doc_id < 10
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY ROUND(d / (a.nrm2 * b.nrm2), 4) DESC, neighbor_id ASC) AS INTEGER) AS rank,
+         ROUND(d / (a.nrm2 * b.nrm2), 4) AS cos
+  FROM dots
+  JOIN n2 a ON query_id = a.doc_id
+  JOIN n2 b ON neighbor_id = b.doc_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
+"""
 
 
 INFERENCE_QUERIES = {
@@ -189,5 +245,5 @@ INFERENCE_QUERIES = {
 
 INFERENCE_ORACLES = {
     "q_model_scores": Q_MODEL_SCORES_SQL,
-    # q_text_embed_knn: rows-only (hash-based embedding)
+    "q_text_embed_knn": Q_TEXT_EMBED_KNN_SQL,
 }

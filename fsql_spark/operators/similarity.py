@@ -97,11 +97,21 @@ def brute_force_topk(
     key_col: str,
     vec_col: str,
     k: int,
+    rounded: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine; deterministic tiebreak on
     neighbor key. Each Arrow batch emits its LOCAL top-k per query (the
-    global top-k is a subset of the union), then one small window finalizes —
-    shuffle carries at most k * n_queries rows per batch."""
+    global top-k is a subset of the union under the same total order), then
+    one small window finalizes — shuffle carries at most k * n_queries rows
+    per batch.
+
+    ``rounded=True`` ranks by the 4dp-ROUNDED cosine (ties broken by
+    neighbor key) and emits the rounded cosine: the total order is then over
+    the value a cross-engine oracle compares, so mathematically-near-equal
+    cosines computed with different summation orders cannot flip ranks —
+    the same robustness trade as :func:`ivf_ann_topk`. The kernel's local
+    selection uses the identical (rounded cos, key) order, keeping the
+    subset property exact."""
     import numpy as np
     import pandas as pd
 
@@ -131,19 +141,26 @@ def brute_force_topk(
                 cand = np.nonzero(mask)[0]
                 if not len(cand):
                     continue
-                top = cand[np.argsort(-col[cand], kind="stable")[: k]]
+                if rounded:
+                    # same total order as the final window: lexsort is
+                    # last-key-primary, so (-rounded cos, id)
+                    order = np.lexsort((n_ids[cand], -np.round(col[cand], 4)))[:k]
+                else:
+                    order = np.argsort(-col[cand], kind="stable")[:k]
+                top = cand[order]
                 out_q.extend([q_keys[j]] * len(top))
                 out_n.extend(n_ids[top])
                 out_c.extend(col[top])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
 
     scored = vectors.select(key_col, vec_col).mapInPandas(kernel, schema)
+    if rounded:
+        scored = scored.withColumn("cos", F.round("cos", 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if rounded:
+        return ranked.select("query_id", "neighbor_id", "rank", "cos")
+    return ranked.select("query_id", "neighbor_id", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -477,10 +494,88 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    # rows-only check: approximate by construction; tests assert recall vs
-    # the brute-force baseline instead (tests/test_operators.py)
+    """Hyperplane-LSH ANN pairs. Oracle: an EXACT DuckDB replica of the
+    whole approximate pipeline — the seeded plane matrix is inlined into the
+    SQL as a literal, so DuckDB derives the same sign bits, the same bucket
+    ids, the same candidate pairs, and the same exact-cosine refinement.
+    Sub-recall-1 approximation is therefore no obstacle to a value-level
+    oracle: determinism is (seeded planes + exact verify), and the twin
+    checks every emitted pair AND that no extra pair appears. Cross-engine
+    float risk is a sign flip of a near-zero projection (|dot| ~ 1e-15,
+    probability negligible — same class as the accepted cosine-threshold
+    entries)."""
     emb = _emb(spark, sf)
     return lsh_ann_pairs(emb, "vec_id", "embedding", threshold=0.30)
+
+
+def _lsh_oracle_cte(
+    n_planes: int = 12, n_tables: int = 6, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB CTE prefix replicating lsh_ann_pairs' bucket + verify stages:
+    the same np.random.default_rng(seed) planes the Spark kernel uses are
+    emitted as a flat list literal (repr round-trips float64 exactly);
+    bucket = sign-bit integer + (table << n_planes), exactly the kernel's
+    ``bits.dot(1 << arange) + (t << n_planes)``."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    flat = ", ".join(repr(float(x)) for x in planes.ravel())
+    return f"""
+WITH flatp AS (SELECT [{flat}] AS w),
+ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, t.range AS t, p.range AS p,
+         SUM(e.v * flatp.w[((t.range * {n_planes} + p.range) * {dim}) + e.i]) AS d
+  FROM ex e, range(0, {n_tables}) t, range(0, {n_planes}) p, flatp
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN d > 0 THEN 1::BIGINT << p ELSE 0 END) + (t::BIGINT << {n_planes}) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS k, b.vec_id AS k2
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+pairdot AS (
+  SELECT c.k, c.k2, SUM(ea.v * eb.v) AS d
+  FROM cand c
+  JOIN ex ea ON ea.vec_id = c.k
+  JOIN ex eb ON eb.vec_id = c.k2 AND eb.i = ea.i
+  GROUP BY 1, 2
+)
+"""
+
+
+Q_EMB_ANN_LSH_SQL = _lsh_oracle_cte() + """
+SELECT c.k AS vec_a, c.k2 AS vec_b, ROUND(c.d / (na.nrm * nb.nrm), 4) AS cos
+FROM pairdot c
+JOIN norms na ON c.k = na.vec_id
+JOIN norms nb ON c.k2 = nb.vec_id
+WHERE c.d / (na.nrm * nb.nrm) >= 0.30
+"""
+
+
+# kept-keys twin: same LSH replica; drop the GREATER key of every passing
+# pair (pairs are oriented k < k2, so the dropped side is k2)
+Q_EMB_NEAR_DUP_LSH_SQL = _lsh_oracle_cte() + """
+, dropped AS (
+  SELECT DISTINCT c.k2 AS vec_id
+  FROM pairdot c
+  JOIN norms na ON c.k = na.vec_id
+  JOIN norms nb ON c.k2 = nb.vec_id
+  WHERE c.d / (na.nrm * nb.nrm) >= 0.30
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
 
 
 def q_embedding_ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
@@ -563,9 +658,11 @@ SIMILARITY_QUERIES = {
 SIMILARITY_ORACLES = {
     "q_embedding_similar_pairs": Q_EMB_PAIRS_SQL,
     "q_embedding_knn": Q_EMB_KNN_SQL,
-    # q_embedding_ann_lsh / q_embedding_near_dup_keys_lsh: rows-only — their
-    # hyperplane-LSH recall is < 1 by design at this threshold (asserted vs
-    # brute force in pytest), so no exact twin can match them
+    # the LSH entries' twins REPLICATE the approximate pipeline exactly in
+    # SQL (inlined seeded plane matrix) — sub-recall-1 is no obstacle to a
+    # value-level oracle because the pipeline is deterministic end-to-end
+    "q_embedding_ann_lsh": Q_EMB_ANN_LSH_SQL,
+    "q_embedding_near_dup_keys_lsh": Q_EMB_NEAR_DUP_LSH_SQL,
     "q_embedding_ivf_knn": Q_EMB_IVF_SQL,  # full-probe config => exact
     "q_embedding_near_dup_keys": Q_EMB_NEAR_DUP_SQL,
     "q_embedding_label_centroids": Q_EMB_CENTROIDS_SQL,
