@@ -221,6 +221,14 @@ def lsh_ann_pairs(
     )
 
 
+def _centroid_seed_hash(key: Column, seed: int) -> Column:
+    """Engine-portable sampling hash for centroid init: md5 over
+    ``"{key}-{seed}"``. Identical hex (and so identical lexicographic order)
+    in Spark and DuckDB — which is what lets an oracle reproduce the
+    sampled-centroid quantizer exactly (see Q_EMB_IVF_ANN_SQL)."""
+    return F.md5(F.concat_ws("-", key.cast("string"), F.lit(str(seed))))
+
+
 def ivf_assign(
     vectors: DataFrame,
     key_col: str,
@@ -231,14 +239,20 @@ def ivf_assign(
 ) -> tuple[DataFrame, "object"]:
     """IVF coarse quantizer: deterministic k-means-lite.
 
-    Centroid init = hash-ordered sample (stable across runs/cluster layout);
-    each Lloyd iteration is one distributed assign (Arrow-batched argmin) +
-    one aggregation (posexplode/regroup). Returns (assigned_df, centroids
-    ndarray); ``assigned_df`` = vectors + ``centroid_id``.
+    Centroid init = hash-ordered sample (md5 of the key — stable across
+    runs, cluster layouts, AND engines; ``iterations=0`` is the
+    sampled-centroid IVF-Flat baseline, fully reproducible in SQL); each
+    Lloyd iteration is one distributed assign (Arrow-batched argmin) + one
+    partial-sum reduction. Returns (assigned_df, centroids ndarray);
+    ``assigned_df`` = vectors + ``centroid_id``.
 
     Scale: centroids live on the driver (n_centroids x dim floats — KBs) and
-    broadcast inside the UDF closure; the big table is touched ``iterations+1``
-    times, map-only except the centroid averaging shuffle of (id, pos, val).
+    broadcast inside the UDF closure; the big table is touched
+    ``iterations+1`` times, and every pass is MAP-ONLY: the centroid update
+    reduces to one (centroid, count, sum-vector) row per Arrow batch —
+    partitions x n_centroids tiny rows to the driver — instead of exploding
+    the corpus into per-dimension shuffle rows (the old posexplode/regroup
+    exchanged corpus x dim rows per iteration).
     """
     import numpy as np
 
@@ -246,10 +260,19 @@ def ivf_assign(
 
     import pandas as pd
 
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField,
+        StructType,
+    )
+
     base = vectors.select(F.col(key_col).alias("k"), _as_double(vec_col).alias("v"))
     init = (
-        base.withColumn("__h", F.xxhash64("k", F.lit(seed)))
-        .orderBy("__h")
+        base.withColumn("__h", _centroid_seed_hash(F.col("k"), seed))
+        .orderBy("__h", "k")
         .limit(n_centroids)
         .select("v")
         .collect()
@@ -267,19 +290,48 @@ def ivf_assign(
         _assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
         return pandas_udf(_assign, IntegerType())
 
+    partial_schema = StructType(
+        [
+            StructField("centroid_id", _Int()),
+            StructField("cnt", _Long()),
+            StructField("sums", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _partials(batches):
+        # one (centroid, count, sum-vector) row per centroid per TASK — the
+        # classic treeAggregate shape; nothing corpus-sized leaves the map
+        acc: dict[int, tuple[int, "np.ndarray"]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            cids = pdf["centroid_id"].to_numpy()
+            for c in np.unique(cids):
+                rows = mat[cids == c]
+                cnt, s = acc.get(int(c), (0, np.zeros(mat.shape[1])))
+                acc[int(c)] = (cnt + len(rows), s + rows.sum(axis=0))
+        yield pd.DataFrame(
+            {
+                "centroid_id": list(acc),
+                "cnt": [acc[c][0] for c in acc],
+                "sums": [list(acc[c][1]) for c in acc],
+            }
+        )
+
     for _ in range(iterations):
         assigned = base.withColumn("centroid_id", make_assigner(centroids)(F.col("v")))
-        pos = assigned.select("centroid_id", F.posexplode("v").alias("i", "x"))
-        means = (
-            pos.groupBy("centroid_id", "i").agg(F.avg("x").alias("cx")).collect()
-        )
+        partials = assigned.select("centroid_id", "v").mapInPandas(
+            _partials, partial_schema
+        ).collect()
         new = centroids.copy()
-        by_c: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_c.setdefault(r["centroid_id"], {})[r["i"]] = r["cx"]
-        for cid, dims in by_c.items():
-            for i, val in dims.items():
-                new[cid, i] = val
+        agg: dict[int, tuple[int, "np.ndarray"]] = {}
+        for r in partials:
+            cnt, s = agg.get(r["centroid_id"], (0, np.zeros(centroids.shape[1])))
+            agg[r["centroid_id"]] = (cnt + r["cnt"], s + np.array(r["sums"]))
+        for cid, (cnt, s) in agg.items():
+            if cnt:
+                new[cid] = s / cnt
         centroids = new
 
     assigned = base.withColumn("centroid_id", make_assigner(centroids)(F.col("v")))
@@ -295,6 +347,7 @@ def ivf_ann_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    iterations: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: queries probe their ``n_probe`` nearest
     centroids; exact cosine runs only within the probed inverted lists
@@ -306,13 +359,17 @@ def ivf_ann_topk(
 
     import pandas as pd
 
-    assigned, centroids = ivf_assign(vectors, key_col, vec_col, n_centroids=n_centroids, seed=seed)
+    assigned, centroids = ivf_assign(
+        vectors, key_col, vec_col, n_centroids=n_centroids, seed=seed, iterations=iterations
+    )
     norm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
 
     def _probe(vecs):
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(mat @ norm.T), axis=1)[:, :n_probe].astype(np.int32)
+        # stable sort: centroid ties (exact-equal cosines) break on ascending
+        # centroid id — the same total order the SQL twin's window uses
+        order = np.argsort(-(mat @ norm.T), axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 
     _probe.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
@@ -338,6 +395,90 @@ def ivf_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def q_embedding_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF top-k at PARTIAL probe (4 of 16 lists) — the honest approximate
+    path: each query scores only ~1/4 of the corpus (the speed/recall trade,
+    driver-visible). Quantizer config: sampled centroids (md5-ordered,
+    ``iterations=0`` — the IVF-Flat random-centroid baseline), which makes
+    the WHOLE pipeline engine-portable: the oracle re-derives the same
+    centroid sample, the same argmax assignment, the same probed lists, and
+    the same rounded-cosine ranking in SQL. The trained-k-means quantizer is
+    exercised by q_embedding_ivf_knn (full probe = exact) and by the pytest
+    recall-floor tests (a trained quantizer is not SQL-reproducible — its
+    Lloyd means depend on engine summation order)."""
+    emb = _emb(spark, sf)
+    qs = emb.where(F.col("vec_id") < 10)
+    return ivf_ann_topk(
+        emb, qs, "vec_id", "embedding", k=10, n_centroids=16, n_probe=4, iterations=0
+    )
+
+
+# full replica of the sampled-centroid IVF pipeline (see q_embedding_ivf_ann):
+# cent = the 16 lowest (md5("{id}-42"), id) keys, cid = position in that
+# order (matching the Spark centroid array index); assignment = argmax
+# normalized dot (ties -> lowest cid); queries probe their top-4 lists;
+# exact cosine + rounded ranking over probed candidates only.
+Q_EMB_IVF_ANN_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+cent AS (
+  SELECT vec_id AS cid_key,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '-42'), vec_id) AS INTEGER) - 1 AS cid
+  FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '-42'), vec_id) <= 16
+),
+cvec AS (
+  SELECT c.cid, e.i, e.v / GREATEST(n.nrm, 1e-12) AS cv
+  FROM cent c JOIN ex e ON e.vec_id = c.cid_key JOIN norms n ON n.vec_id = c.cid_key
+),
+uvec AS (
+  SELECT e.vec_id, e.i, e.v / GREATEST(n.nrm, 1e-12) AS uv
+  FROM ex e JOIN norms n ON n.vec_id = e.vec_id
+),
+sim AS (
+  SELECT u.vec_id, c.cid, SUM(u.uv * c.cv) AS s
+  FROM uvec u JOIN cvec c ON u.i = c.i
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sim) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sim WHERE vec_id < 10) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id != p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, SUM(ea.v * eb.v) AS d
+  FROM cand c
+  JOIN ex ea ON ea.vec_id = c.query_id
+  JOIN ex eb ON eb.vec_id = c.neighbor_id AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY ROUND(d / (na.nrm * nb.nrm), 4) DESC, neighbor_id ASC) AS INTEGER) AS rank,
+         ROUND(d / (na.nrm * nb.nrm), 4) AS cos
+  FROM dots
+  JOIN norms na ON query_id = na.vec_id
+  JOIN norms nb ON neighbor_id = nb.vec_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10
+"""
 
 
 def brute_force_self_pairs(
@@ -650,6 +791,7 @@ SIMILARITY_QUERIES = {
     "q_embedding_knn": q_embedding_knn,
     "q_embedding_ann_lsh": q_embedding_ann_lsh,
     "q_embedding_ivf_knn": q_embedding_ivf_knn,
+    "q_embedding_ivf_ann": q_embedding_ivf_ann,
     "q_embedding_near_dup_keys": q_embedding_near_dup_keys,
     "q_embedding_near_dup_keys_lsh": q_embedding_near_dup_keys_lsh,
     "q_embedding_label_centroids": q_embedding_label_centroids,
@@ -664,6 +806,7 @@ SIMILARITY_ORACLES = {
     "q_embedding_ann_lsh": Q_EMB_ANN_LSH_SQL,
     "q_embedding_near_dup_keys_lsh": Q_EMB_NEAR_DUP_LSH_SQL,
     "q_embedding_ivf_knn": Q_EMB_IVF_SQL,  # full-probe config => exact
+    "q_embedding_ivf_ann": Q_EMB_IVF_ANN_SQL,  # sampled-centroid replica
     "q_embedding_near_dup_keys": Q_EMB_NEAR_DUP_SQL,
     "q_embedding_label_centroids": Q_EMB_CENTROIDS_SQL,
 }

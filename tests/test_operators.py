@@ -155,6 +155,49 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_ann_registered_entry_recall_floor(spark):
+    """The driver-registered approximate entry (sampled centroids, 4/16
+    probe) must keep a useful recall@10 vs brute force — the trade it
+    demonstrates is 1/4 of the corpus scored per query for ~half the exact
+    neighbors on these worst-case (near-isotropic) embeddings."""
+    from fsql_spark.operators.similarity import brute_force_topk, q_embedding_ivf_ann
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qs, "vec_id", "embedding", k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_embedding_ivf_ann(spark, SF).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.35, f"registered IVF-ANN entry recall too low: {recall}"
+
+
+def test_ivf_centroid_partial_sums_match_explode_formulation(spark):
+    """The map-only partial-sum centroid update must compute the same Lloyd
+    means as the shuffle-heavy posexplode/regroup formulation it replaced
+    (allclose: float summation order differs by construction)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from fsql_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned, centroids = ivf_assign(emb, "vec_id", "embedding", n_centroids=8, iterations=1)
+    # recompute iteration-1 means the old way, from the SAME assignment the
+    # new path would have produced after init (iterations=0 assignment)
+    assigned0, init = ivf_assign(emb, "vec_id", "embedding", n_centroids=8, iterations=0)
+    pos = assigned0.select("centroid_id", F.posexplode("v").alias("i", "x"))
+    means = pos.groupBy("centroid_id", "i").agg(F.avg("x").alias("cx")).collect()
+    expect = init.copy()
+    for r in means:
+        expect[r["centroid_id"], r["i"]] = r["cx"]
+    np.testing.assert_allclose(centroids, expect, rtol=1e-9, atol=1e-12)
+
+
 def test_jaccard_guard_fails_fast_on_candidate_explosion(spark):
     """A frequent-shingle corpus must raise the guard error instead of
     OOM-killing the JVM (PERF.md documents the unguarded ~500M-row join)."""
