@@ -201,7 +201,7 @@ def stream_to_partitioned_table(
     q.awaitTermination()
 
 
-def run_to_memory(stream_df: DataFrame, mode: str, state_partitions: int = 8) -> DataFrame:
+def run_to_memory(stream_df: DataFrame, mode: str, state_partitions: int = 4) -> DataFrame:
     """Execute a streaming query to completion (availableNow) into an
     in-memory sink; returns the result table.
 
@@ -209,7 +209,9 @@ def run_to_memory(stream_df: DataFrame, mode: str, state_partitions: int = 8) ->
     (set at stream start, immutable afterwards): each state partition costs a
     state-store instance + (for Python-stateful ops) a worker round trip per
     batch, so small demo streams want few; size it to key cardinality in
-    production."""
+    production. Default 4: the testdata streams key on user_id (~1.5k keys
+    at sf0.1) — profiled 8 -> 4 shaves ~0.4 s/query of pure state-store
+    lifecycle with no further gain below 4 (PERF.md, round-5 note)."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
