@@ -55,6 +55,14 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # the 64m broadcast threshold below assumes a production-sized
+        # driver; local-mode JVMs default to 1g heap, where broadcasting a
+        # ~50MB-on-disk table (several hundred MB deserialized) dies. Static
+        # conf: applies only when this call actually launches the JVM.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     for key, val in SPARK_DEFAULTS.items():
         builder = builder.config(key, val)
     if shuffle_partitions is None:
