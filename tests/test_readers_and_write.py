@@ -18,6 +18,7 @@ from fsql_spark import (
     InputFormat,
     ListingReader,
     PandasReader,
+    Q_EQ,
     Q_TRUE,
     SparkReader,
     read_partitioned_table,
@@ -159,6 +160,23 @@ def test_write_table_partitioned_roundtrip(spark, tmp_path, df1):
     write_table(sdf, str(tmp_path / "t"), partition_by=["part"])
     out = read_partitioned_table(str(tmp_path / "t"), Q_TRUE, spark=spark)
     assert_same(out, df1.assign(part=["x", "y"]))
+
+
+def test_orc_roundtrip_both_read_paths(spark, tmp_path, df1):
+    """ORC (format-registry extension): a partitioned ORC write reads back
+    through BOTH the Catalyst fast path (suffix autodetect on the .orc leaf)
+    and the driver-discovery PandasReader — the scan machinery is
+    format-agnostic, only the leaf source differs."""
+    from fsql_spark import write_table
+
+    sdf = spark.createDataFrame(df1.assign(part=["x", "y"]))
+    write_table(sdf, str(tmp_path / "t"), format="orc", partition_by=["part"])
+    out = read_partitioned_table(str(tmp_path / "t"), Q_TRUE, spark=spark)
+    assert_same(out, df1.assign(part=["x", "y"]))
+    pdf = read_partitioned_table(
+        str(tmp_path / "t"), Q_EQ("part", "x"), data_reader=PandasReader(), spark=spark
+    )
+    assert list(pdf["part"]) == ["x"] and isinstance(pdf["part"].iloc[0], str)
 
 
 def test_unknown_suffix_raises(spark, tmp_path, df1):
