@@ -232,6 +232,9 @@ def write_object(
         elif fmt == "json":
             with fs.open(path, "wb") as fd:
                 data.to_json(fd)
+        elif fmt == "orc":  # format-registry extension, pyarrow-backed
+            with fs.open(path, "wb") as fd:
+                data.to_orc(fd)
         else:
             raise ValueError(f"unsupported format for dataframe writing: {fmt}")
         return

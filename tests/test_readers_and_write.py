@@ -177,6 +177,11 @@ def test_orc_roundtrip_both_read_paths(spark, tmp_path, df1):
         str(tmp_path / "t"), Q_EQ("part", "x"), data_reader=PandasReader(), spark=spark
     )
     assert list(pdf["part"]) == ["x"] and isinstance(pdf["part"].iloc[0], str)
+    # single-object pandas ORC write (write_object format extension)
+    (tmp_path / "o").mkdir()
+    write_object(str(tmp_path / "o/f.orc"), df1, format="orc")
+    back = read_partitioned_table(str(tmp_path / "o"), Q_TRUE, spark=spark)
+    assert_same(back, df1)
 
 
 def test_unknown_suffix_raises(spark, tmp_path, df1):

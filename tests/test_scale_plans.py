@@ -76,6 +76,28 @@ def test_fsql_catalog_fast_paths_prune_natively(spark):
         spark.conf.set("spark.sql.maxMetadataStringLength", prev)
 
 
+def test_orc_fast_path_prunes_and_projects(spark):
+    """The ORC entry must get the same Catalyst treatment as parquet: an ORC
+    scan (not a fallback), partition pruning at listing time, and the
+    ``columns=`` projection reaching the scan's ReadSchema."""
+    import re
+
+    from fsql_spark.fsql_catalog import q_fsql_orc_scan
+
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "500")
+    try:
+        plan = plan_of(q_fsql_orc_scan(spark, SF))
+        assert "Scan orc" in plan or "OrcScan" in plan, plan[:400]
+        m = re.search(r"PartitionFilters: \[([^\]]+)", plan)
+        assert m and "year" in m.group(1), f"no ORC partition pruning\n{plan[:800]}"
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1) == "o_totalprice:double", f"projection not pruned: {m and m.group(1)}"
+        assert plan.count("Filter (") == 0, "post-scan Filter present"
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
 def test_partition_filters_reach_the_scan(spark, tmp_path):
     for v in ["a", "b"]:
         d = tmp_path / f"t/k={v}"
