@@ -405,6 +405,23 @@ def test_minhash_lsh_has_no_cartesian_and_narrow_bucket_join(spark):
     df.sparkSession.catalog.clearCache()
 
 
+def test_signature_cache_path_never_rehashes(spark):
+    """The compute-once signature lifecycle's core claim, plan-verified:
+    pairs built from a materialized signature table must contain NO Python
+    evaluation node (the minhash kernel ran once at write time) — the plan
+    is parquet scan of the cache + banded bucket join + verify joins."""
+    from fsql_spark.operators.dedup import corpus_signatures_cached, minhash_lsh_pairs
+
+    sigs = corpus_signatures_cached(spark, SF, num_hashes=64, ngram=3)
+    pairs = minhash_lsh_pairs(
+        None, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, ngram=3, sigs=sigs
+    )
+    plan = plan_of(pairs)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas", "MapInPandas"):
+        assert marker not in plan, f"signature-cache path re-runs Python: {marker}"
+    assert "sigs_documents" in plan, "pairs do not scan the materialized cache"
+
+
 def test_brute_force_similarity_corpus_never_shuffles(spark):
     """Embedding brute-force: corpus flows scan -> mapInPandas with NO
     Exchange before the kernel (queries broadcast in the closure)."""
