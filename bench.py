@@ -59,6 +59,12 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
     except Exception as exc:  # pragma: no cover - never block the bench
         print(f"bench: tree prematerialization failed: {exc!r}", file=sys.stderr)
     try:
+        from fsql_spark.streaming.windows import stream_sink_tree
+
+        stream_sink_tree(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - never block the bench
+        print(f"bench: stream-sink prematerialization failed: {exc!r}", file=sys.stderr)
+    try:
         from fsql_spark.operators.dedup import corpus_signatures_cached
 
         t0 = time.perf_counter()

@@ -349,6 +349,54 @@ GROUP BY event_type
 """
 
 
+def stream_sink_tree(spark: SparkSession, sf: str) -> str:
+    """Build-once: stream the events table into a Hive-partitioned
+    (event_type, date) parquet tree via the streaming sink — the one-time
+    ingest that q_stream_sink_roundtrip queries (bench prematerializes it,
+    like the other catalog trees)."""
+    from ..fsql_catalog import _build_once, _tree_dir
+
+    def build(staging: str) -> None:
+        ev = events_stream(spark, sf)
+        out = ev.withColumn("date", F.date_format("ts", "yyyy-MM-dd")).select(
+            "event_id", "user_id", "value", "event_type", "date"
+        )
+        stream_to_partitioned_table(out, staging, ["event_type", "date"])
+
+    return _build_once(_tree_dir(sf, "stream_sink_events", "events"), build)
+
+
+def q_stream_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming half FEEDING the batch half, end-to-end and
+    driver-checked: a real file-source stream sinks into a Hive-partitioned
+    parquet tree (``stream_to_partitioned_table``, availableNow), and the
+    result is answered THROUGH ``read_partitioned_table`` with Q_EQ
+    partition pruning over the engine-written layout — the lake-ingest
+    pattern (stream lands partitioned; every later batch query prunes).
+    Raw-row append (no windowed agg), so watermark finalization cannot
+    withhold tail rows and the batch oracle is exact. The tree is
+    build-once per events fingerprint, like the fsql catalog trees."""
+    from ..api import read_partitioned_table
+    from ..queries import Q_EQ
+
+    url = stream_sink_tree(spark, sf)
+    df = read_partitioned_table(url, Q_EQ("event_type", "purchase"), spark=spark)
+    return df.groupBy("date").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+Q_STREAM_SINK_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS date,
+       COUNT(*)                 AS n_events,
+       ROUND(SUM(value), 2)     AS sum_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 def q_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """REAL stream-stream interval join: purchases joined to the same user's
     clicks within the preceding 30 minutes — two independent file-stream
@@ -393,6 +441,7 @@ STREAMING_QUERIES = {
     "q_stream_sessions": q_stream_sessions,
     "q_stream_user_totals": q_stream_user_totals,
     "q_stream_join": q_stream_join,
+    "q_stream_sink_roundtrip": q_stream_sink_roundtrip,
 }
 
 STREAMING_ORACLES = {
@@ -402,4 +451,5 @@ STREAMING_ORACLES = {
     "q_stream_sliding": Q_STREAM_SLIDING_SQL,
     "q_stream_sessions": Q_STREAM_SESSIONS_SQL,
     "q_stream_user_totals": Q_STREAM_USER_TOTALS_SQL,
+    "q_stream_sink_roundtrip": Q_STREAM_SINK_SQL,
 }
