@@ -443,6 +443,28 @@ def test_minhash_emitted_jaccard_values_are_exact(spark, docs_with_dups):
         assert j == exact[pair], f"{pair}: emitted {j} != exact {exact[pair]}"
 
 
+def test_corpus_properties_backing_sql_oracles(spark):
+    """The FNV-replica SQL oracles (text-embed-knn, simhash) fold over CODE
+    POINTS, which equals the kernel's UTF-8-byte fold only for ASCII; and
+    empty/null texts are excluded on the SQL side while the kernel emits
+    zero vectors. Pin both as DATA properties so a testdata regeneration
+    that breaks either assumption fails loudly here — a data issue — not as
+    an inexplicable driver oracle mismatch."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("text").isNull() | (F.col("text") == ""), 1)).alias("empties"),
+        F.count(F.when(F.col("text").rlike(r"^[\x20-\x7e]*$"), 1)).alias("ascii"),
+    ).first()
+    assert stats["empties"] == 0, "empty/null texts break the FNV oracle's exclusion symmetry"
+    assert stats["ascii"] == stats["n"], (
+        "non-ASCII text: the SQL twins' unicode() fold no longer equals the "
+        "kernel's UTF-8-byte fold — regenerate data or extend the oracle"
+    )
+
+
 def test_minhash_banding_margin_holds(spark):
     """The minhash entries' exact-Jaccard oracles assert recall 1, which the
     16x4 banding makes near-certain only WITH MARGIN: a qualifying pair
