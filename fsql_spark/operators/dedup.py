@@ -189,6 +189,20 @@ def minhash_signatures(
     )
 
 
+def _check_sig_width(sigs: DataFrame, num_hashes: int) -> None:
+    """A caller-supplied signature table MUST be k-wide for the caller's
+    ``num_hashes``: banding indexes sig[b*r+r'], and an out-of-range index
+    resolves to NULL, which xxhash64 then IGNORES — short signatures make
+    the tail bands hash a constant, i.e. one bucket containing EVERY doc
+    (an accidental cross product), with no error raised. One-row probe."""
+    row = sigs.select(F.size("sig").alias("w")).limit(1).collect()
+    if row and row[0]["w"] != num_hashes:
+        raise ValueError(
+            f"signature table is {row[0]['w']}-wide but caller expects "
+            f"num_hashes={num_hashes} — was it built with a different config?"
+        )
+
+
 def _banded_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(k, band, bucket) from a signature table — ONLY the narrow key triple
     rides the bucket-join shuffle, never signatures or shingle arrays."""
@@ -236,6 +250,8 @@ def minhash_lsh_pairs(
     if sigs is None and df is None:
         raise ValueError("pass either df or sigs")
     rows_per_band = num_hashes // bands
+    if sigs is not None:
+        _check_sig_width(sigs, num_hashes)
     if sigs is None:
         # persist signatures: both sides of the self-join (and the verify
         # step) reuse them instead of recomputing k*|shingles| hashes per
@@ -366,6 +382,20 @@ def corpus_signatures_cached(
     100 TB signature lifecycle, exercised by the catalog itself."""
     from ..fsql_catalog import _build_once, _tree_dir
 
+    # unlike the partition trees (pure relayouts of source data), cached
+    # SIGNATURE VALUES depend on the hash kernels: fingerprint the kernel
+    # code into the cache key so a kernel change invalidates the cache
+    # instead of silently joining old-kernel corpus signatures against
+    # new-kernel batch signatures (recall collapse with no error)
+    import hashlib
+    import inspect
+
+    from . import _hashing
+
+    kern = hashlib.md5(
+        inspect.getsource(_hashing).encode() + inspect.getsource(_word_shingles).encode()
+    ).hexdigest()[:8]
+
     def build(staging: str) -> None:
         docs = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         # single-file testdata arrives as ONE split: spread the hash kernel
@@ -378,7 +408,7 @@ def corpus_signatures_cached(
         write_corpus_signatures(docs, key_col, text_col, staging, num_hashes, ngram)
 
     dest = _build_once(
-        _tree_dir(sf_dir, f"sigs_{table}_nh{num_hashes}_ng{ngram}", table), build
+        _tree_dir(sf_dir, f"sigs_{table}_nh{num_hashes}_ng{ngram}_k{kern}", table), build
     )
     return read_corpus_signatures(spark, dest, num_hashes, ngram)
 
@@ -414,6 +444,8 @@ def minhash_lsh_pairs_against(
         if corpus is None:
             raise ValueError("pass either corpus or corpus_sigs")
         corpus_sigs = minhash_signatures(corpus, key_col, text_col, num_hashes, ngram).persist()
+    else:
+        _check_sig_width(corpus_sigs, num_hashes)
     new_banded = _banded_buckets(new_sigs, bands, rows_per_band)
     corpus_banded = _banded_buckets(corpus_sigs, bands, rows_per_band).select(
         F.col("k").alias("k2"), F.col("band").alias("band2"), F.col("bucket").alias("bucket2")

@@ -143,8 +143,18 @@ def brute_force_topk(
                     continue
                 if rounded:
                     # same total order as the final window: lexsort is
-                    # last-key-primary, so (-rounded cos, id)
-                    order = np.lexsort((n_ids[cand], -np.round(col[cand], 4)))[:k]
+                    # last-key-primary, so (-rounded cos, id). np.round is
+                    # half-to-even on the binary double while Spark's
+                    # F.round is HALF_UP on its shortest-decimal repr, so a
+                    # value sitting exactly on a 4dp half boundary can land
+                    # one 1e-4 step apart between the two rules — keep a
+                    # one-step GUARD BAND below the local k-th rounded value
+                    # (capped) so no candidate the JVM-side window could
+                    # promote into the global top-k is cut here.
+                    r = np.round(col[cand], 4)
+                    order = np.lexsort((n_ids[cand], -r))
+                    kth = r[order[min(k, len(order)) - 1]]
+                    order = order[r[order] >= kth - 1.0001e-4][: k + 64]
                 else:
                     order = np.argsort(-col[cand], kind="stable")[:k]
                 top = cand[order]

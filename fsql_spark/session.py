@@ -55,7 +55,8 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
-    if master and master.startswith("local"):
+    effective_master = master or os.environ.get("SPARK_MASTER", "")
+    if effective_master.startswith("local"):
         # the 64m broadcast threshold below assumes a production-sized
         # driver; local-mode JVMs default to 1g heap, where broadcasting a
         # ~50MB-on-disk table (several hundred MB deserialized) dies. Static

@@ -357,13 +357,25 @@ def stream_sink_tree(spark: SparkSession, sf: str) -> str:
     from ..fsql_catalog import _build_once, _tree_dir
 
     def build(staging: str) -> None:
+        import shutil
+
         ev = events_stream(spark, sf)
         out = ev.withColumn("date", F.date_format("ts", "yyyy-MM-dd")).select(
             "event_id", "user_id", "value", "event_type", "date"
         )
         stream_to_partitioned_table(out, staging, ["event_type", "date"])
+        # the sink's _spark_metadata log records ABSOLUTE file paths under
+        # the staging dir; after _build_once renames staging -> dest those
+        # paths are dangling, and Spark prefers the metadata log over
+        # listing (MetadataLogFileIndex) — a batch read of the renamed tree
+        # would throw (or silently fall back off the fast path). The log
+        # exists for exactly-once handoff to DOWNSTREAM STREAMS; this tree
+        # is a finished batch artifact, so drop it and let reads list.
+        shutil.rmtree(f"{staging}/_spark_metadata", ignore_errors=True)
 
-    return _build_once(_tree_dir(sf, "stream_sink_events", "events"), build)
+    # v2: layout tag bumped when the _spark_metadata cleanup landed, so
+    # pre-fix cached trees (dangling metadata log) are never reused
+    return _build_once(_tree_dir(sf, "stream_sink_events_v2", "events"), build)
 
 
 def q_stream_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:

@@ -443,6 +443,22 @@ def test_minhash_emitted_jaccard_values_are_exact(spark, docs_with_dups):
         assert j == exact[pair], f"{pair}: emitted {j} != exact {exact[pair]}"
 
 
+def test_precomputed_sigs_width_mismatch_fails_loudly(spark, docs_with_dups):
+    """A signature table built with a different num_hashes must raise, not
+    degenerate: banding past the array end yields NULL buckets -> one
+    bucket holding every doc (an accidental cross product)."""
+    import pytest as _pytest
+
+    from fsql_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    sigs32 = minhash_signatures(docs_with_dups, "doc_id", "text", 32, 3)
+    with _pytest.raises(ValueError, match="32-wide"):
+        minhash_lsh_pairs(
+            None, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, ngram=3,
+            sigs=sigs32,
+        )
+
+
 def test_corpus_properties_backing_sql_oracles(spark):
     """The FNV-replica SQL oracles (text-embed-knn, simhash) fold over CODE
     POINTS, which equals the kernel's UTF-8-byte fold only for ASCII; and
@@ -541,6 +557,13 @@ def test_text_embed_knn_matches_numpy(spark):
         # — so compare at the entry's own 4dp resolution
         qcos = {i: c for i, c in zip(ids, cos)}
         assert [round(qcos[i], 4) for i in mine] == [round(qcos[i], 4) for i in expect]
+        # pin the oracle's sparsity assumption: the SQL twin's bucket join
+        # drops zero-shared-bucket pairs (cos exactly 0), which is sound
+        # only while every query's top-3 is STRICTLY positive
+        assert min(qcos[i] for i in expect) > 0, (
+            f"query {qid}: top-3 contains a non-positive cosine — the "
+            "sparse-join SQL oracle no longer covers this data"
+        )
 
 
 def test_score_with_model_matches_direct_predict(spark):

@@ -405,6 +405,30 @@ def test_minhash_lsh_has_no_cartesian_and_narrow_bucket_join(spark):
     df.sparkSession.catalog.clearCache()
 
 
+def test_stream_sink_tree_is_fast_path_readable(spark):
+    """The streaming sink's _spark_metadata log must NOT survive into the
+    finished tree: Spark prefers the metadata log over listing, and after
+    the staging rename its absolute paths dangle — a batch read would throw
+    or silently fall off the Catalyst fast path. Guard: plain spark.read
+    works AND the catalog entry's plan prunes partitions natively."""
+    import os
+    import re
+
+    from fsql_spark.streaming.windows import q_stream_sink_roundtrip, stream_sink_tree
+
+    url = stream_sink_tree(spark, SF)
+    assert not os.path.exists(f"{url}/_spark_metadata")
+    assert spark.read.parquet(url).count() > 0  # plain batch read succeeds
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "500")
+    try:
+        plan = plan_of(q_stream_sink_roundtrip(spark, SF))
+        m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+        assert m and "event_type" in m.group(1), f"not pruning natively\n{plan[:800]}"
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
 def test_signature_cache_path_never_rehashes(spark):
     """The compute-once signature lifecycle's core claim, plan-verified:
     pairs built from a materialized signature table must contain NO Python
@@ -417,7 +441,10 @@ def test_signature_cache_path_never_rehashes(spark):
         None, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, ngram=3, sigs=sigs
     )
     plan = plan_of(pairs)
-    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas", "MapInPandas"):
+    # substrings cover every Python-eval physical node family:
+    # ArrowEvalPython / BatchEvalPython ("EvalPython"), MapInPandas /
+    # FlatMapGroupsInPandas / FlatMapCoGroupsInPandas ("InPandas")
+    for marker in ("EvalPython", "InPandas"):
         assert marker not in plan, f"signature-cache path re-runs Python: {marker}"
     assert "sigs_documents" in plan, "pairs do not scan the materialized cache"
 
