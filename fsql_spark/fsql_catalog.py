@@ -47,6 +47,7 @@ from .queries import (
     Q_AND,
     Q_EQ,
     Q_IN,
+    Q_TRUE,
 )
 from .readers import SparkReader
 
@@ -154,6 +155,32 @@ def _orders_ym_orc_tree(spark: SparkSession, sf_dir: str) -> str:
         )
 
     return _build_once(_tree_dir(sf_dir, "orders_ym_orc", "orders"), build)
+
+
+def _orders_compacted_tree(spark: SparkSession, sf_dir: str) -> str:
+    """A deliberately-fragmented orders-by-year tree (8 shards per
+    partition) run through ``maintenance.compact`` — the small-file
+    operational cycle every streaming-fed 100 TB table lives through. The
+    build FAILS unless compaction actually reduced the file count, so the
+    cached tree always represents a real compaction, and the catalog entry
+    then proves the rewrite was data-invariant under the oracle."""
+
+    def build(staging: str) -> None:
+        from .maintenance import compact, file_stats
+
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = df.withColumn("year", F.year("o_orderdate").cast("string"))
+        write_table(out.repartition(8), staging, partition_by=["year"])
+        before = file_stats(spark, staging).agg(F.sum("n_files")).collect()[0][0]
+        compact(spark, staging, partition_by=["year"])
+        after = file_stats(spark, staging).agg(F.sum("n_files")).collect()[0][0]
+        if not after < before:
+            raise RuntimeError(
+                f"compaction did not reduce files ({before} -> {after}); "
+                "the entry would not be exercising maintenance.compact"
+            )
+
+    return _build_once(_tree_dir(sf_dir, "orders_year_compacted", "orders"), build)
 
 
 def _nation_by_region_tree(spark: SparkSession, sf_dir: str) -> str:
@@ -344,6 +371,29 @@ GROUP BY 1
 """
 
 
+def q_fsql_compacted_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """MAINTENANCE cycle under the oracle: a fragmented tree compacted by
+    ``maintenance.compact`` (file-count reduction asserted at build) must
+    answer identically to the flat source — the rewrite is purely physical.
+    Scan goes through the engine's own read path over the compacted
+    layout."""
+    url = _orders_compacted_tree(spark, sf)
+    df = read_partitioned_table(url, Q_TRUE, spark=spark)
+    return df.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_COMPACTED_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS year,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY 1
+"""
+
+
 def q_fsql_fixed_columns(spark: SparkSession, sf: str) -> DataFrame:
     """DRIVER DISCOVERY: value-only dirs + filename column
     (FixedColumnsParser, reference `column_parser.py:123-147`): the path
@@ -380,6 +430,7 @@ FSQL_QUERIES = {
     "q_fsql_generated_scan": q_fsql_generated_scan,
     "q_fsql_fixed_columns": q_fsql_fixed_columns,
     "q_fsql_orc_scan": q_fsql_orc_scan,
+    "q_fsql_compacted_scan": q_fsql_compacted_scan,
 }
 
 FSQL_ORACLES = {
@@ -390,4 +441,5 @@ FSQL_ORACLES = {
     "q_fsql_generated_scan": Q_FSQL_GENERATED_SQL,
     "q_fsql_fixed_columns": Q_FSQL_FIXED_SQL,
     "q_fsql_orc_scan": Q_FSQL_ORC_SQL,
+    "q_fsql_compacted_scan": Q_FSQL_COMPACTED_SQL,
 }
