@@ -48,6 +48,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
         from fsql_spark.fsql_catalog import (
             _nation_by_region_tree,
             _orders_compacted_tree,
+            _orders_restated_tree,
             _orders_ym_orc_tree,
             _orders_ym_tree,
             _orders_ymd_tree,
@@ -58,6 +59,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
         _nation_by_region_tree(spark, sf_dir)
         _orders_ym_orc_tree(spark, sf_dir)
         _orders_compacted_tree(spark, sf_dir)
+        _orders_restated_tree(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - never block the bench
         print(f"bench: tree prematerialization failed: {exc!r}", file=sys.stderr)
     try:

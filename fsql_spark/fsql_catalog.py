@@ -183,6 +183,27 @@ def _orders_compacted_tree(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(_tree_dir(sf_dir, "orders_year_compacted", "orders"), build)
 
 
+def _orders_restated_tree(spark: SparkSession, sf_dir: str) -> str:
+    """An orders-by-year tree where the 1995 partition was RESTATED (prices
+    doubled) via ``maintenance.overwrite_partitions`` — dynamic partition
+    overwrite, the idempotent backfill primitive. Every other partition
+    keeps its original files; the catalog entry's hash proves both halves:
+    1995 carries the restatement, everything else is untouched."""
+
+    def build(staging: str) -> None:
+        from .maintenance import overwrite_partitions
+
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = df.withColumn("year", F.year("o_orderdate").cast("string"))
+        write_table(out.repartition("year"), staging, partition_by=["year"])
+        restated = out.where(F.col("year") == "1995").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        overwrite_partitions(restated.repartition("year"), staging, ["year"])
+
+    return _build_once(_tree_dir(sf_dir, "orders_year_restated", "orders"), build)
+
+
 def _nation_by_region_tree(spark: SparkSession, sf_dir: str) -> str:
     """Value-only layout ``{r_name}/{n_name}.parquet`` — non-Hive dirs plus the
     filename-bears-information convention (reference README.md:22), written
@@ -394,6 +415,30 @@ GROUP BY 1
 """
 
 
+def q_fsql_restated_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL INGEST under the oracle: dynamic partition overwrite
+    restated exactly one year (1995 prices doubled); the aggregate over the
+    whole tree must show the restatement in 1995 AND byte-identical values
+    everywhere else — re-running yesterday's pipeline touches only
+    yesterday's partitions."""
+    url = _orders_restated_tree(spark, sf)
+    df = read_partitioned_table(url, Q_TRUE, spark=spark)
+    return df.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_RESTATED_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS year,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                      THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS sum_price
+FROM orders
+GROUP BY 1
+"""
+
+
 def q_fsql_fixed_columns(spark: SparkSession, sf: str) -> DataFrame:
     """DRIVER DISCOVERY: value-only dirs + filename column
     (FixedColumnsParser, reference `column_parser.py:123-147`): the path
@@ -431,6 +476,7 @@ FSQL_QUERIES = {
     "q_fsql_fixed_columns": q_fsql_fixed_columns,
     "q_fsql_orc_scan": q_fsql_orc_scan,
     "q_fsql_compacted_scan": q_fsql_compacted_scan,
+    "q_fsql_restated_scan": q_fsql_restated_scan,
 }
 
 FSQL_ORACLES = {
@@ -442,4 +488,5 @@ FSQL_ORACLES = {
     "q_fsql_fixed_columns": Q_FSQL_FIXED_SQL,
     "q_fsql_orc_scan": Q_FSQL_ORC_SQL,
     "q_fsql_compacted_scan": Q_FSQL_COMPACTED_SQL,
+    "q_fsql_restated_scan": Q_FSQL_RESTATED_SQL,
 }
