@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .api import read_partitioned_table, write_object, write_table
+from .api import read_partitioned_table, write_object, write_sorted_table, write_table
 from .column_parser import DateRangeGenerator, FixedColumnsParser
 from .queries import (
     ColumnComparator,
@@ -202,6 +202,38 @@ def _orders_restated_tree(spark: SparkSession, sf_dir: str) -> str:
         overwrite_partitions(restated.repartition("year"), staging, ["year"])
 
     return _build_once(_tree_dir(sf_dir, "orders_year_restated", "orders"), build)
+
+
+def _orders_sorted_tree(spark: SparkSession, sf_dir: str) -> str:
+    """orders range-clustered on o_custkey via ``write_sorted_table`` — the
+    data-skipping layout (each file covers a disjoint key range, so a
+    selective scan reads ~1/n_files of the table via footer min/max). The
+    build FAILS unless the per-file ranges are actually disjoint, so the
+    cached tree always represents a working clustering."""
+
+    def build(staging: str) -> None:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_sorted_table(df, staging, sort_cols=["o_custkey"], n_files=8)
+        ranges = []
+        for f in glob.glob(f"{staging}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("o_custkey")
+            los = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            his = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            ranges.append((min(los), max(his)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            if lo2 < hi1:
+                raise RuntimeError(
+                    f"sorted-table files overlap on o_custkey ({hi1} > {lo2}) — "
+                    "range clustering is not providing data skipping"
+                )
+
+    return _build_once(_tree_dir(sf_dir, "orders_custkey_sorted", "orders"), build)
 
 
 def _nation_by_region_tree(spark: SparkSession, sf_dir: str) -> str:
@@ -439,6 +471,33 @@ GROUP BY 1
 """
 
 
+def q_fsql_sorted_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """DATA-SKIPPING layout under the oracle: a selective key-range filter
+    over the range-clustered tree (disjoint per-file o_custkey ranges,
+    asserted at build) — Catalyst pushes the predicate to the scan where
+    footer min/max statistics skip all but ~1 of the 8 files."""
+    url = _orders_sorted_tree(spark, sf)
+    df = read_partitioned_table(url, Q_TRUE, spark=spark)
+    return (
+        df.where(F.col("o_custkey") < 100)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+Q_FSQL_SORTED_SQL = """
+SELECT o_orderpriority,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_custkey < 100
+GROUP BY 1
+"""
+
+
 def q_fsql_fixed_columns(spark: SparkSession, sf: str) -> DataFrame:
     """DRIVER DISCOVERY: value-only dirs + filename column
     (FixedColumnsParser, reference `column_parser.py:123-147`): the path
@@ -477,6 +536,7 @@ FSQL_QUERIES = {
     "q_fsql_orc_scan": q_fsql_orc_scan,
     "q_fsql_compacted_scan": q_fsql_compacted_scan,
     "q_fsql_restated_scan": q_fsql_restated_scan,
+    "q_fsql_sorted_scan": q_fsql_sorted_scan,
 }
 
 FSQL_ORACLES = {
@@ -489,4 +549,5 @@ FSQL_ORACLES = {
     "q_fsql_orc_scan": Q_FSQL_ORC_SQL,
     "q_fsql_compacted_scan": Q_FSQL_COMPACTED_SQL,
     "q_fsql_restated_scan": Q_FSQL_RESTATED_SQL,
+    "q_fsql_sorted_scan": Q_FSQL_SORTED_SQL,
 }
