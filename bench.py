@@ -46,6 +46,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
     reported separately on stderr."""
     try:
         from fsql_spark.fsql_catalog import (
+            _bucketed_pair,
             _nation_by_region_tree,
             _orders_compacted_tree,
             _orders_restated_tree,
@@ -62,6 +63,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
         _orders_compacted_tree(spark, sf_dir)
         _orders_restated_tree(spark, sf_dir)
         _orders_sorted_tree(spark, sf_dir)
+        _bucketed_pair(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - never block the bench
         print(f"bench: tree prematerialization failed: {exc!r}", file=sys.stderr)
     try:

@@ -36,7 +36,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .api import read_partitioned_table, write_object, write_sorted_table, write_table
+from .api import (
+    read_partitioned_table,
+    write_bucketed_table,
+    write_object,
+    write_sorted_table,
+    write_table,
+)
 from .column_parser import DateRangeGenerator, FixedColumnsParser
 from .queries import (
     ColumnComparator,
@@ -234,6 +240,38 @@ def _orders_sorted_tree(spark: SparkSession, sf_dir: str) -> str:
                 )
 
     return _build_once(_tree_dir(sf_dir, "orders_custkey_sorted", "orders"), build)
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """orders + customer as managed tables bucketed 8-ways on the join key
+    (``write_bucketed_table``): both sides pre-shuffled at write time, so
+    their join runs WITHOUT any Exchange (plan-guarded in
+    tests/test_scale_plans.py) — the co-located-join strategy for
+    repeatedly-joined 100 TB facts. Table names carry the source
+    fingerprint, so regenerated testdata rebuilds instead of reusing stale
+    tables; the session's in-memory catalog rebuilds once per process."""
+    import shutil
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    fp = os.path.basename(_tree_dir(sf_dir, "bkt", "orders")).rsplit("_", 1)[-1]
+    t_orders = f"fsql_bkt_orders_{sf_tag}_{fp}"
+    t_cust = f"fsql_bkt_customer_{sf_tag}_{fp}"
+    if not (spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(t_cust)):
+        # bucketing metadata lives in the SESSION catalog (in-memory here),
+        # but table files persist in the warehouse dir: a fresh process that
+        # doesn't know the table would hit LOCATION_ALREADY_EXISTS — clear
+        # any orphaned location and rebuild (cheap; the bucket shuffle is
+        # the thing being demonstrated, the rewrite is seconds at test SF)
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file:")
+        for t in (t_orders, t_cust):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        write_bucketed_table(orders, t_orders, ["o_custkey"], 8, sort_cols=["o_custkey"])
+        write_bucketed_table(cust, t_cust, ["c_custkey"], 8, sort_cols=["c_custkey"])
+    return t_orders, t_cust
 
 
 def _nation_by_region_tree(spark: SparkSession, sf_dir: str) -> str:
@@ -498,6 +536,30 @@ GROUP BY 1
 """
 
 
+def q_fsql_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """CO-LOCATED JOIN under the oracle: both sides bucketed 8-ways on the
+    join key at write time, so the join plan has no Exchange (the shuffle
+    was paid once, at ingest — tests/test_scale_plans.py asserts the plan);
+    the hash match proves bucketing changed nothing logically."""
+    t_orders, t_cust = _bucketed_pair(spark, sf)
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_BUCKETED_SQL = """
+SELECT c_mktsegment,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 def q_fsql_fixed_columns(spark: SparkSession, sf: str) -> DataFrame:
     """DRIVER DISCOVERY: value-only dirs + filename column
     (FixedColumnsParser, reference `column_parser.py:123-147`): the path
@@ -537,6 +599,7 @@ FSQL_QUERIES = {
     "q_fsql_compacted_scan": q_fsql_compacted_scan,
     "q_fsql_restated_scan": q_fsql_restated_scan,
     "q_fsql_sorted_scan": q_fsql_sorted_scan,
+    "q_fsql_bucketed_join": q_fsql_bucketed_join,
 }
 
 FSQL_ORACLES = {
@@ -550,4 +613,5 @@ FSQL_ORACLES = {
     "q_fsql_compacted_scan": Q_FSQL_COMPACTED_SQL,
     "q_fsql_restated_scan": Q_FSQL_RESTATED_SQL,
     "q_fsql_sorted_scan": Q_FSQL_SORTED_SQL,
+    "q_fsql_bucketed_join": Q_FSQL_BUCKETED_SQL,
 }
