@@ -32,6 +32,7 @@ Paths exercised per entry:
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -242,31 +243,58 @@ def _orders_sorted_tree(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(_tree_dir(sf_dir, "orders_custkey_sorted", "orders"), build)
 
 
+#: per-process suffix for bucketed demo tables: bucketing METADATA lives in
+#: the session's in-memory catalog while table FILES persist in the shared
+#: warehouse dir, so cross-process name reuse would race (one process
+#: dropping/rewriting a location another is mid-write or mid-query on).
+#: Unique names give each process a private build (seconds at test SF,
+#: prematerialized untimed by bench); stale processes' leftovers are
+#: age-swept below.
+_BKT_PROC_TAG = uuid.uuid4().hex[:8]
+
+
 def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """orders + customer as managed tables bucketed 8-ways on the join key
     (``write_bucketed_table``): both sides pre-shuffled at write time, so
-    their join runs WITHOUT any Exchange (plan-guarded in
+    their join runs WITHOUT any Exchange once sizes rule out broadcast
+    (plan-guarded on THIS pair, broadcast disabled, in
     tests/test_scale_plans.py) — the co-located-join strategy for
-    repeatedly-joined 100 TB facts. Table names carry the source
-    fingerprint, so regenerated testdata rebuilds instead of reusing stale
-    tables; the session's in-memory catalog rebuilds once per process."""
+    repeatedly-joined 100 TB facts. Table names carry a fingerprint of BOTH
+    source files (regenerating either side rebuilds) plus a per-process tag
+    (no cross-process warehouse races)."""
+    import hashlib
     import shutil
+    import time
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    fp = os.path.basename(_tree_dir(sf_dir, "bkt", "orders")).rsplit("_", 1)[-1]
-    t_orders = f"fsql_bkt_orders_{sf_tag}_{fp}"
-    t_cust = f"fsql_bkt_customer_{sf_tag}_{fp}"
+    stats = []
+    for t in ("orders", "customer"):
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+            stats.append(f"{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            stats.append("nosrc")
+    fp = hashlib.md5(";".join(stats).encode()).hexdigest()[:8]
+    t_orders = f"fsql_bkt_orders_{sf_tag}_{fp}_{_BKT_PROC_TAG}"
+    t_cust = f"fsql_bkt_customer_{sf_tag}_{fp}_{_BKT_PROC_TAG}"
     if not (spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(t_cust)):
-        # bucketing metadata lives in the SESSION catalog (in-memory here),
-        # but table files persist in the warehouse dir: a fresh process that
-        # doesn't know the table would hit LOCATION_ALREADY_EXISTS — clear
-        # any orphaned location and rebuild (cheap; the bucket shuffle is
-        # the thing being demonstrated, the rewrite is seconds at test SF)
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         wh = wh.removeprefix("file:")
-        for t in (t_orders, t_cust):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        # sweep leftovers from DEAD processes (other proc tags, untouched
+        # for hours — a live concurrent builder's dirs are minutes old);
+        # this process's own names are fresh/unique, so no self-conflict
+        cutoff = time.time() - 6 * 3600
+        try:
+            for d in os.listdir(wh):
+                full = os.path.join(wh, d)
+                if (
+                    d.startswith("fsql_bkt_")
+                    and not d.endswith(_BKT_PROC_TAG)
+                    and os.path.getmtime(full) < cutoff
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
         write_bucketed_table(orders, t_orders, ["o_custkey"], 8, sort_cols=["o_custkey"])
@@ -538,9 +566,11 @@ GROUP BY 1
 
 def q_fsql_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     """CO-LOCATED JOIN under the oracle: both sides bucketed 8-ways on the
-    join key at write time, so the join plan has no Exchange (the shuffle
-    was paid once, at ingest — tests/test_scale_plans.py asserts the plan);
-    the hash match proves bucketing changed nothing logically."""
+    join key at write time, so the join plan has no Exchange once sizes
+    rule out broadcast (at tiny test SF, AQE rightly broadcasts the dim —
+    the Exchange-free SMJ is asserted on THIS pair with broadcast disabled
+    in tests/test_scale_plans.py); the hash match proves bucketing changed
+    nothing logically."""
     t_orders, t_cust = _bucketed_pair(spark, sf)
     o = spark.table(t_orders)
     c = spark.table(t_cust)

@@ -405,6 +405,27 @@ def test_minhash_lsh_has_no_cartesian_and_narrow_bucket_join(spark):
     df.sparkSession.catalog.clearCache()
 
 
+def test_catalog_bucketed_pair_joins_without_exchange(spark):
+    """The CATALOG's bucketed tables (not just the synthetic pytest pair)
+    must deliver the co-located join: with broadcast ruled out, the join is
+    a SortMergeJoin with NO Exchange feeding either side — the write-time
+    bucket shuffle is the only shuffle that ever happens."""
+    from fsql_spark.fsql_catalog import _bucketed_pair
+
+    t_orders, t_cust = _bucketed_pair(spark, SF)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table(t_orders)
+        c = spark.table(t_cust)
+        joined = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_mktsegment")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan[:400]
+        assert "Exchange" not in plan, f"bucketed catalog join still shuffles\n{plan[:800]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_stream_sink_tree_is_fast_path_readable(spark):
     """The streaming sink's _spark_metadata log must NOT survive into the
     finished tree: Spark prefers the metadata log over listing, and after
