@@ -51,6 +51,14 @@ from .multimodal import (  # noqa: F401
     extract_features,
     fake_decode_image,
 )
+from .passages import (  # noqa: F401
+    PASSAGE_ORACLES,
+    PASSAGE_QUERIES,
+    containment_pairs_against,
+    duplicated_passages,
+    passage_dup_fraction,
+    passage_windows,
+)
 from .profile import (  # noqa: F401
     PROFILE_ORACLES,
     PROFILE_QUERIES,
@@ -112,6 +120,7 @@ EXTENSION_QUERIES = {
     **INFERENCE_QUERIES,
     **VOCAB_QUERIES,
     **SKEW_QUERIES,
+    **PASSAGE_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -127,4 +136,5 @@ EXTENSION_ORACLES = {
     **INFERENCE_ORACLES,
     **VOCAB_ORACLES,
     **SKEW_ORACLES,
+    **PASSAGE_ORACLES,
 }

@@ -1,0 +1,296 @@
+"""Passage-level (k-token window) duplication analysis — the exact-substring
+dedup signal of Lee et al., *Deduplicating Training Data Makes Language
+Models Better* (2021), re-expressed relationally: instead of a suffix array,
+every k-token sliding window becomes one row, and corpus-wide duplication is
+one hash aggregate over those rows.
+
+Reference parity: the reference engine (/root/reference) has no text
+operators at all (SURVEY.md §2.5) — this module is part of the
+driver-mandated LLM-pipeline extension surface (SURVEY.md §2.6).
+
+Scale shape (100 TB): window generation is a JVM-only flatMap (split +
+sequence + transform — no Python, no shuffle); the duplication count is ONE
+map-side-combinable aggregate keyed on the passage text (at petabyte scale
+key on ``xxhash64(passage)`` instead and let the 64-bit key ride the
+shuffle; semantics identical modulo a ~2^-64 collision). The per-document
+dup fraction is one hash join from windows to the (much smaller) duplicated
+set plus a per-doc aggregate. Nothing is quadratic: every stage is linear in
+total token count, and the only shuffles carry (passage, count) pairs or
+per-doc partial aggregates.
+
+Containment (doc-inside-doc detection, RefinedWeb-style) lives here too:
+Jaccard misses a small document embedded in a big one (the union term
+dominates), so near-dup pipelines pair a containment pass with the
+MinHash/Jaccard pass. The exact formulation is the same inverted-index join
+as ``jaccard_pairs`` with ``|A∩B| / min(|A|,|B|)`` as the score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _word_shingles
+
+
+def _passage_array(text: Column, k: int) -> Column:
+    """All k-token sliding windows of ``text`` as an array<string>, tokens
+    joined by a single space (positional, NOT distinct — occurrences count).
+    Documents shorter than k tokens yield an empty array."""
+    words = F.split(text, " ")
+    n = F.size(words) - (k - 1)
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+
+
+def passage_windows(df: DataFrame, key_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """One row per k-token window: (key, pos, passage). ``pos`` is the
+    0-based token offset of the window start. Pure JVM flatMap — zero
+    shuffle, linear in token count."""
+    return df.select(
+        F.col(key_col).alias("k"),
+        F.posexplode(_passage_array(F.col(text_col), k)).alias("pos", "passage"),
+    )
+
+
+def duplicated_passages(
+    df: DataFrame, key_col: str, text_col: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Passages (k-token windows) that appear in >= ``min_docs`` DISTINCT
+    documents: (passage, n_docs, n_occurrences).
+
+    One aggregate: window rows -> groupBy(passage) with a distinct-doc count
+    and an occurrence count. Map-side combine collapses within-partition
+    repeats before the shuffle; the exchange carries (passage, partial
+    counts) only."""
+    w = passage_windows(df, key_col, text_col, k)
+    return (
+        w.groupBy("passage")
+        .agg(
+            F.countDistinct("k").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def passage_dup_fraction(
+    df: DataFrame, key_col: str, text_col: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-passage fraction: of a doc's k-token windows,
+    the share that also appears in >= ``min_docs`` distinct documents
+    (including this one) — the per-doc removal signal of exact-substring
+    dedup. Output: (key, n_windows, n_dup_windows, dup_fraction 4dp);
+    documents with fewer than k tokens report 0 windows and fraction 0.0.
+
+    Two linear stages: the duplicated-passage set from
+    :func:`duplicated_passages`, then one join from windows to that set and
+    a per-doc aggregate. The join keys are passage strings (hash-join; the
+    duplicated set is typically orders of magnitude smaller than the window
+    relation — AQE broadcasts it when it fits)."""
+    w = passage_windows(df, key_col, text_col, k)
+    dups = duplicated_passages(df, key_col, text_col, k, min_docs).select(
+        "passage", F.lit(1).alias("__dup")
+    )
+    per_doc = (
+        w.join(dups, "passage", "left")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup_windows"),
+        )
+    )
+    # docs shorter than k tokens emit no window rows — restore them with 0s
+    # so the output is total over the input keys
+    all_keys = df.select(F.col(key_col).alias("k")).distinct()
+    nw = F.coalesce("n_windows", F.lit(0))
+    nd = F.coalesce("n_dup_windows", F.lit(0))
+    # explicit zero-window guard: x / 0 THROWS under Spark 4's default ANSI
+    frac = F.when(nw == 0, F.lit(0.0)).otherwise(F.round(nd / nw, 4))
+    return all_keys.join(per_doc, "k", "left").select(
+        F.col("k").alias(key_col),
+        nw.alias("n_windows"),
+        nd.alias("n_dup_windows"),
+        frac.alias("dup_fraction"),
+    )
+
+
+def containment_pairs_against(
+    df_new: DataFrame,
+    corpus: DataFrame,
+    key_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    ngram: int = 3,
+) -> DataFrame:
+    """Cross-corpus containment: (new_key, corpus_key, containment) for
+    pairs whose n-gram shingle-set containment ``|A∩B| / min(|A|,|B|)``
+    meets ``threshold`` — catches a truncation/excerpt of a corpus document
+    that Jaccard misses (a half-doc vs its source has J ~ 0.5 but
+    containment 1.0).
+
+    Exact inverted-index formulation: shingles of the (small) new batch join
+    shingles of the corpus on the shingle value; intersection sizes fall out
+    of one count aggregate; set sizes re-attach by key. The batch side of an
+    incremental pipeline is bounded (a crawl increment), so the index join
+    is candidates ~ shared-shingle pairs, not |batch| x |corpus|; for
+    batch-free full-corpus containment at scale, band the MINIMUM-side
+    shingle sample as in minhash_lsh_pairs (containment-LSH) — not needed
+    for the incremental shape this operator serves."""
+    btok = (
+        df_new.select(
+            F.col(key_col).alias("bk"),
+            _word_shingles(F.col(text_col), ngram).alias("sh"),
+        )
+        .select("bk", F.size("sh").alias("bn"), F.explode("sh").alias("w"))
+    )
+    ctok = (
+        corpus.select(
+            F.col(key_col).alias("ck"),
+            _word_shingles(F.col(text_col), ngram).alias("sh"),
+        )
+        .select("ck", F.size("sh").alias("cn"), F.explode("sh").alias("w"))
+    )
+    common = btok.join(ctok, "w").groupBy("bk", "ck", "bn", "cn").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cont = F.col("c") / F.least("bn", "cn")
+    return common.where(cont >= threshold).select(
+        F.col("bk").alias("new_key"),
+        F.col("ck").alias("corpus_key"),
+        F.round(cont, 4).alias("containment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entries + oracles
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def q_duplicated_passages(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide duplicated 8-token passages with doc/occurrence counts —
+    the exact-substring dedup signal. 8 tokens over this corpus' ~31-word
+    vocabulary gives ~31^8 distinct possible windows, so chance collisions
+    are nil and every hit is a genuinely copied passage."""
+    return duplicated_passages(_docs(spark, sf), "doc_id", "text", k=8, min_docs=2)
+
+
+Q_DUP_PASSAGES_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id, unnest([array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]) AS passage
+  FROM w WHERE len(ws) >= 8
+)
+SELECT passage,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*)               AS n_occurrences
+FROM p
+GROUP BY passage
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def q_passage_dup_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-passage fraction (the doc-level removal
+    signal): docs that are copies score near 1.0, unique docs 0.0."""
+    return passage_dup_fraction(_docs(spark, sf), "doc_id", "text", k=8, min_docs=2)
+
+
+Q_PASSAGE_FRACTION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id, unnest([array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]) AS passage
+  FROM w WHERE len(ws) >= 8
+),
+dup AS (
+  SELECT passage FROM p GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_windows,
+         CAST(SUM(CASE WHEN d.passage IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM p LEFT JOIN dup d ON p.passage = d.passage
+  GROUP BY p.doc_id
+)
+SELECT docs.doc_id,
+       COALESCE(n_windows, 0)                                   AS n_windows,
+       COALESCE(n_dup_windows, 0)                               AS n_dup_windows,
+       ROUND(COALESCE(n_dup_windows * 1.0 / n_windows, 0.0), 4) AS dup_fraction
+FROM (SELECT DISTINCT doc_id FROM documents) docs
+LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment detection on the synthetic ingest batch: half-truncations
+    of corpus docs 50-79 (J ~ 0.5 vs source — invisible to the minhash
+    entries at threshold 0.8) score containment ~1.0 against their source.
+    Same batch construction as q_dedup_incremental's novel half."""
+    corpus = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    half = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(F.floor(F.size(words) / 2).cast("int"), F.lit(1)))
+    )
+    truncs = corpus.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), half.alias("text")
+    )
+    return containment_pairs_against(
+        truncs, corpus, "doc_id", "text", threshold=0.9, ngram=3
+    )
+
+
+Q_CONTAINMENT_SQL = """
+WITH batch AS (
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      greatest(len(string_split(text, ' ')) // 2, 1)),
+           ' ') AS text
+  FROM documents WHERE doc_id >= 50 AND doc_id < 80
+),
+btok AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM batch)
+  WHERE len(ws) >= 3
+),
+ctok AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 3
+),
+bsz AS (SELECT doc_id, COUNT(*) AS n FROM btok GROUP BY doc_id),
+csz AS (SELECT doc_id, COUNT(*) AS n FROM ctok GROUP BY doc_id),
+common AS (
+  SELECT b.doc_id AS new_key, c.doc_id AS corpus_key, COUNT(*) AS c
+  FROM btok b JOIN ctok c ON b.w = c.w
+  GROUP BY 1, 2
+)
+SELECT new_key, corpus_key,
+       ROUND(c * 1.0 / LEAST(b.n, cs.n), 4) AS containment
+FROM common
+JOIN bsz b  ON new_key = b.doc_id
+JOIN csz cs ON corpus_key = cs.doc_id
+WHERE c * 1.0 / LEAST(b.n, cs.n) >= 0.9
+"""
+
+
+PASSAGE_QUERIES = {
+    "q_duplicated_passages": q_duplicated_passages,
+    "q_passage_dup_fraction": q_passage_dup_fraction,
+    "q_containment_pairs": q_containment_pairs,
+}
+
+PASSAGE_ORACLES = {
+    "q_duplicated_passages": Q_DUP_PASSAGES_SQL,
+    "q_passage_dup_fraction": Q_PASSAGE_FRACTION_SQL,
+    "q_containment_pairs": Q_CONTAINMENT_SQL,
+}

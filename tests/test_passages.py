@@ -1,0 +1,87 @@
+"""Passage-level (k-token window) duplication + containment operators:
+known-answer tests on constructed corpora (properties the SQL-oracle
+harness can't isolate, e.g. exact window boundaries and fraction math)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsql_spark.operators import (
+    containment_pairs_against,
+    duplicated_passages,
+    passage_dup_fraction,
+    passage_windows,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # doc 1/2: identical 10-token docs (all windows duplicated)
+    # doc 3: unique 10-token doc
+    # doc 4: doc 3's first 5 tokens (contained, Jaccard-low)
+    # doc 5: shorter than the window (no windows at all)
+    ten = " ".join(f"w{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    rows = [
+        (1, ten),
+        (2, ten),
+        (3, uniq),
+        (4, " ".join(f"u{i}" for i in range(5))),
+        (5, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_passage_windows_positions_and_short_docs(corpus):
+    w = passage_windows(corpus.where("doc_id = 3"), "doc_id", "text", k=8)
+    rows = {r["pos"]: r["passage"] for r in w.collect()}
+    # 10 tokens, k=8 -> 3 windows at offsets 0,1,2
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[0] == " ".join(f"u{i}" for i in range(8))
+    assert rows[2] == " ".join(f"u{i}" for i in range(2, 10))
+    # doc 5 has 2 tokens < k -> zero windows
+    assert passage_windows(corpus.where("doc_id = 5"), "doc_id", "text", k=8).count() == 0
+
+
+def test_duplicated_passages_finds_only_cross_doc_copies(corpus):
+    dups = duplicated_passages(corpus, "doc_id", "text", k=8, min_docs=2).collect()
+    # docs 1+2 share all 3 windows; nothing else repeats across docs
+    assert len(dups) == 3
+    assert all(r["n_docs"] == 2 and r["n_occurrences"] == 2 for r in dups)
+
+
+def test_passage_dup_fraction_known_answers(corpus):
+    out = {
+        r["doc_id"]: r
+        for r in passage_dup_fraction(corpus, "doc_id", "text", k=8, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}  # every input key present
+    assert out[1]["dup_fraction"] == 1.0 and out[1]["n_windows"] == 3
+    assert out[2]["dup_fraction"] == 1.0
+    assert out[3]["dup_fraction"] == 0.0 and out[3]["n_windows"] == 3
+    assert out[5]["n_windows"] == 0 and out[5]["dup_fraction"] == 0.0
+
+
+def test_containment_catches_what_jaccard_misses(spark, corpus):
+    batch = corpus.where("doc_id = 4")  # first half of doc 3
+    full = corpus.where("doc_id in (1, 2, 3)")
+    pairs = containment_pairs_against(batch, full, "doc_id", "text", threshold=0.9, ngram=3)
+    rows = pairs.collect()
+    assert [(r["new_key"], r["corpus_key"], r["containment"]) for r in rows] == [(4, 3, 1.0)]
+    # the same pair's Jaccard is ~3/8 (3 shared trigrams of doc 3's 8): far
+    # below any near-dup threshold — the reason containment is a separate op
+    from fsql_spark.operators.dedup import _word_shingles
+
+    j = (
+        batch.select(_word_shingles(F.col("text"), 3).alias("a"))
+        .crossJoin(full.where("doc_id = 3").select(_word_shingles(F.col("text"), 3).alias("b")))
+        .select(
+            (
+                F.size(F.array_intersect("a", "b"))
+                / (F.size("a") + F.size("b") - F.size(F.array_intersect("a", "b")))
+            ).alias("j")
+        )
+        .collect()[0]["j"]
+    )
+    assert j < 0.5
