@@ -22,8 +22,10 @@ from .decontam import (  # noqa: F401
 from .dedup import (  # noqa: F401
     DEDUP_ORACLES,
     DEDUP_QUERIES,
+    bloom_build,
     corpus_signatures_cached,
     dedup_against,
+    dedup_against_bloom,
     dedup_exact,
     dedup_exact_keys,
     jaccard_pairs,

@@ -286,6 +286,15 @@ def minhash_lsh_pairs(
 # incremental (cross-corpus) dedup: new batch vs existing corpus
 # --------------------------------------------------------------------------
 
+def _content_hash(content_cols: list[str], normalize: bool) -> Column:
+    """Canonical 256-bit content hash shared by every incremental-dedup
+    path (exact anti-join and bloom prefilter must agree bit-for-bit)."""
+    from .text import normalize_text
+
+    cols = [normalize_text(c) if normalize else F.col(c) for c in content_cols]
+    return F.sha2(F.concat_ws("\x01", *cols), 256)
+
+
 def dedup_against(
     df_new: DataFrame,
     corpus: DataFrame,
@@ -302,14 +311,122 @@ def dedup_against(
     pre-dedup canonicalization (case/whitespace variants count as dups).
     Within-batch duplicates are NOT removed — compose with
     :func:`dedup_exact` for that."""
-    from .text import normalize_text
+    h = _content_hash(content_cols, normalize)
+    seen = corpus.select(h.alias("__h")).distinct()
+    return df_new.withColumn("__h", h).join(seen, "__h", "left_anti").drop("__h")
 
-    def _h(df: DataFrame) -> Column:
-        cols = [normalize_text(c) if normalize else F.col(c) for c in content_cols]
-        return F.sha2(F.concat_ws("\x01", *cols), 256)
 
-    seen = corpus.select(_h(corpus).alias("__h")).distinct()
-    return df_new.withColumn("__h", _h(df_new)).join(seen, "__h", "left_anti").drop("__h")
+def bloom_build(
+    corpus: DataFrame,
+    content_cols: list[str],
+    normalize: bool = False,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    max_bits: int = 1 << 30,
+) -> tuple[bytes, int, int]:
+    """Build a Bloom filter bitmap over the corpus' content hashes:
+    ``(bitmap_bytes, n_bits, n_hash_functions)``.
+
+    Mergeable-sketch shape: each task folds its Arrow batches into ONE local
+    bitmap and emits a single (n_bits/8)-byte row; the driver ORs the
+    per-task partials (partitions x bitmap-size bytes — e.g. 200 tasks x
+    2 MiB, not corpus-sized). Bit positions come from the sha2 content hash
+    itself (j-th 32-bit big-endian word mod n_bits), so the filter is fully
+    deterministic and engine-independent — no RNG, no partitioning
+    sensitivity.
+
+    Sizing: standard ``m = -n ln(p) / ln(2)^2``, ``j = (m/n) ln 2``, rounded
+    to a byte multiple and capped at ``max_bits`` (the bitmap must fit the
+    driver and the task closure; 2^30 bits = 128 MiB handles ~10^8 items at
+    1% — shard by content-hash prefix above that)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    if expected_items is None:
+        expected_items = corpus.count()
+    n = max(int(expected_items), 1)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    n_bits = min(max(((m + 7) // 8) * 8, 64), max_bits)
+    n_hashes = max(int(round(n_bits / n * math.log(2))), 1)
+    n_hashes = min(n_hashes, 8)  # sha2-256 yields 8 independent 32-bit words
+
+    h = _content_hash(content_cols, normalize)
+    hashed = corpus.select(F.unhex(h).alias("hb"))  # 32 raw bytes per row
+    schema = StructType([StructField("bm", BinaryType())])
+    nb = n_bits  # close over plain ints, not the outer frame
+
+    def _partials(batches):
+        bm = np.zeros(nb // 8, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.frombuffer(b"".join(pdf["hb"]), dtype=">u4").reshape(-1, 8)
+            for j in range(n_hashes):
+                idx = raw[:, j] % nb
+                np.bitwise_or.at(bm, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = hashed.mapInPandas(_partials, schema).collect()
+    merged = np.zeros(n_bits // 8, dtype=np.uint8)
+    for r in parts:
+        merged |= np.frombuffer(r["bm"], dtype=np.uint8)
+    return merged.tobytes(), n_bits, n_hashes
+
+
+def dedup_against_bloom(
+    df_new: DataFrame,
+    corpus: DataFrame,
+    content_cols: list[str],
+    normalize: bool = False,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Exact incremental dedup with a broadcast Bloom prefilter — the
+    100 TB shape of :func:`dedup_against`: the corpus compresses to a
+    megabytes-sized bitmap once (mergeable map-side partials, see
+    :func:`bloom_build`), each ingest batch tests against the BROADCAST
+    bitmap map-side, and only might-contain rows (true dups + ~fpp false
+    positives) reach the exact anti-join. Rows the filter rejects are
+    DEFINITELY novel (no false negatives), so the result is bit-identical
+    to :func:`dedup_against` — approximation shrinks the join, never the
+    answer."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    bm_bytes, n_bits, n_hashes = bloom_build(
+        corpus, content_cols, normalize, expected_items, fpp
+    )
+    spark = df_new.sparkSession
+    bc = spark.sparkContext.broadcast(bm_bytes)
+    nb = n_bits
+
+    def _might(hb):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        if not len(hb):
+            return pd.Series([], dtype=bool)
+        raw = np.frombuffer(b"".join(hb), dtype=">u4").reshape(-1, 8)
+        ok = np.ones(len(hb), dtype=bool)
+        for j in range(n_hashes):
+            idx = raw[:, j] % nb
+            ok &= (bm[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        return pd.Series(ok)
+
+    _might.__annotations__ = {"hb": pd.Series, "return": pd.Series}
+    might_udf = pandas_udf(_might, BooleanType())
+
+    h = _content_hash(content_cols, normalize)
+    flagged = df_new.withColumn("__h", h).withColumn("__might", might_udf(F.unhex(F.col("__h"))))
+    definitely_novel = flagged.where(~F.col("__might"))
+    seen = corpus.select(h.alias("__h")).distinct()
+    survivors = flagged.where(F.col("__might")).join(seen, "__h", "left_anti")
+    return definitely_novel.unionByName(survivors).drop("__h", "__might")
 
 
 #: constant metadata columns stored with persisted signature tables so a
@@ -645,6 +762,16 @@ WHERE LOWER(TRIM(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) NOT IN
 """
 
 
+def q_dedup_incremental_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """The bloom-prefiltered twin of q_dedup_incremental: identical batch,
+    identical (exact) answer, but only might-contain rows reach the
+    anti-join. Sharing q_dedup_incremental's oracle IS the point — the
+    bloom stage must be invisible in the result."""
+    corpus = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = _incremental_batch(spark, sf)
+    return dedup_against_bloom(batch, corpus, ["text"], normalize=True).select("doc_id")
+
+
 def q_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus near-dup on a batch of appended-token variants (docs
     0-24, J ~ 0.97 vs source) + half-truncations (docs 50-79, J ~ 0.5):
@@ -813,6 +940,7 @@ DEDUP_QUERIES = {
     "q_minhash_near_dups": q_minhash_near_dups,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_dedup_incremental_bloom": q_dedup_incremental_bloom,
     "q_minhash_incremental": q_minhash_incremental,
 }
 
@@ -821,6 +949,9 @@ DEDUP_ORACLES = {
     "q_dedup_stats": Q_DEDUP_STATS_SQL,
     "q_jaccard_near_dups": Q_JACCARD_SQL,
     "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
+    # exact-by-construction: the bloom stage only prunes the anti-join's
+    # left side (no false negatives), so the exact path's oracle applies
+    "q_dedup_incremental_bloom": Q_DEDUP_INCREMENTAL_SQL,
     # exact-Jaccard twins: valid oracles because the LSH entries are
     # exact-verified (no false positives) and banded for ~recall-1 (see
     # the entries' docstrings). The simhash twin goes further: it replicates

@@ -686,6 +686,49 @@ def test_dedup_against_incremental(spark):
     assert raw_kept == batch.count()
 
 
+def test_dedup_against_bloom_matches_exact_and_prefilters(spark):
+    """The bloom path returns the BIT-IDENTICAL kept set (no false
+    negatives by construction) while the prefilter routes definitely-novel
+    rows around the anti-join: only might-contain rows (true dups + ~fpp
+    false positives) carry the join cost."""
+    import numpy as np
+
+    from fsql_spark.operators import bloom_build, dedup_against, dedup_against_bloom
+    from fsql_spark.operators.dedup import _content_hash, _incremental_batch
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = _incremental_batch(spark, SF)
+    exact = sorted(
+        r["doc_id"]
+        for r in dedup_against(batch, corpus, ["text"], normalize=True).select("doc_id").collect()
+    )
+    bloomed = sorted(
+        r["doc_id"]
+        for r in dedup_against_bloom(batch, corpus, ["text"], normalize=True)
+        .select("doc_id")
+        .collect()
+    )
+    assert bloomed == exact and exact  # identical, non-vacuous
+
+    # prefilter effectiveness: every true dup tests positive, and novel rows
+    # pass the filter at ~fpp — measure against the built bitmap directly
+    bm_bytes, n_bits, n_hashes = bloom_build(corpus, ["text"], normalize=True, fpp=0.01)
+    bm = np.frombuffer(bm_bytes, dtype=np.uint8)
+    rows = batch.select(
+        "doc_id", F.unhex(_content_hash(["text"], True)).alias("hb")
+    ).collect()
+    dup_ids = {r["doc_id"] for r in batch.select("doc_id").collect()} - set(exact)
+
+    def might(hb):
+        raw = np.frombuffer(hb, dtype=">u4")
+        return all(bm[(raw[j] % n_bits) >> 3] & (1 << ((raw[j] % n_bits) & 7)) for j in range(n_hashes))
+
+    positives = {r["doc_id"] for r in rows if might(r["hb"])}
+    assert dup_ids <= positives  # no false negatives
+    false_pos = positives - dup_ids
+    assert len(false_pos) <= max(2, 0.1 * len(exact))  # ~fpp, generous slack
+
+
 def test_minhash_against_cross_corpus(spark):
     """Appended-token variants match their source doc; half-truncations and
     within-side pairs never appear; jaccard values are exact."""
