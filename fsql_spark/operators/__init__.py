@@ -75,6 +75,12 @@ from .sampling import (  # noqa: F401
     sample_per_group,
     split_by_hash,
 )
+from .sketches import (  # noqa: F401
+    SKETCH_ORACLES,
+    SKETCH_QUERIES,
+    kmv_distinct,
+    sampled_quantiles,
+)
 from .skew import (  # noqa: F401
     SKEW_ORACLES,
     SKEW_QUERIES,
@@ -123,6 +129,7 @@ EXTENSION_QUERIES = {
     **VOCAB_QUERIES,
     **SKEW_QUERIES,
     **PASSAGE_QUERIES,
+    **SKETCH_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -139,4 +146,5 @@ EXTENSION_ORACLES = {
     **VOCAB_ORACLES,
     **SKEW_ORACLES,
     **PASSAGE_ORACLES,
+    **SKETCH_ORACLES,
 }

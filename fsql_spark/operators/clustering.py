@@ -228,7 +228,7 @@ WITH RECURSIVE words AS (
 ),
 tok AS (
   SELECT doc_id, unnest(list_distinct(
-    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+    [array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws) - 1)])) AS w
   FROM words WHERE len(ws) >= 3
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),

@@ -41,7 +41,7 @@ def dedup_exact(df: DataFrame, content_cols: list[str], key_col: str) -> DataFra
     Implementation: ranking window over the content hash. At scale prefer
     ``dedup_exact_keys`` (groupBy, map-side combinable) when only keys are
     needed."""
-    h = F.sha2(F.concat_ws("", *content_cols), 256)
+    h = F.sha2(F.concat_ws("\x01", *content_cols), 256)
     w = Window.partitionBy(h).orderBy(F.col(key_col).asc())
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
@@ -49,7 +49,7 @@ def dedup_exact(df: DataFrame, content_cols: list[str], key_col: str) -> DataFra
 def dedup_exact_keys(df: DataFrame, content_cols: list[str], key_col: str) -> DataFrame:
     """Keys of the canonical (min-key) row per distinct content; single
     hash-aggregate shuffle."""
-    h = F.sha2(F.concat_ws("", *content_cols), 256)
+    h = F.sha2(F.concat_ws("\x01", *content_cols), 256)
     return df.groupBy(h.alias("__h")).agg(F.min(key_col).alias(key_col)).select(key_col)
 
 
@@ -71,7 +71,7 @@ def _word_shingles(text: Column, n: int, distinct: bool = True) -> Column:
     grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws("", F.slice(words, i + 1, n)),
+            lambda i: F.concat_ws("\x01", F.slice(words, i + 1, n)),
         )
     )
     return F.array_distinct(grams) if distinct else grams
@@ -806,7 +806,10 @@ def q_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # exact cross-corpus twin of q_minhash_incremental: 3-gram shingles joined
-# WITHOUT separator, mirroring _word_shingles(concat_ws("", slice(...)))
+# on chr(1), mirroring _word_shingles' concat_ws("\x01", slice(...)) exactly
+# (an empty separator would only match by the no-cross-boundary-collision
+# accident of this vocabulary; hash-bearing consumers like the KMV sketch
+# need the strings themselves to agree)
 Q_MINHASH_INCREMENTAL_SQL = """
 WITH batch AS (
   SELECT doc_id + 100000 AS doc_id, text || ' zzqx' AS text
@@ -821,13 +824,13 @@ WITH batch AS (
 ),
 btok AS (
   SELECT doc_id, unnest(list_distinct(
-    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+    [array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws) - 1)])) AS w
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM batch)
   WHERE len(ws) >= 3
 ),
 ctok AS (
   SELECT doc_id, unnest(list_distinct(
-    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+    [array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws) - 1)])) AS w
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
   WHERE len(ws) >= 3
 ),
@@ -870,7 +873,7 @@ Q_MINHASH_SQL = """
 WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 tok AS (
   SELECT doc_id, unnest(list_distinct(
-    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+    [array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws) - 1)])) AS w
   FROM words WHERE len(ws) >= 3
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),

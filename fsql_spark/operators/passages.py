@@ -257,13 +257,13 @@ WITH batch AS (
 ),
 btok AS (
   SELECT doc_id, unnest(list_distinct(
-    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+    [array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws) - 1)])) AS w
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM batch)
   WHERE len(ws) >= 3
 ),
 ctok AS (
   SELECT doc_id, unnest(list_distinct(
-    [array_to_string(ws[i:i+2], '') for i in range(1, len(ws) - 1)])) AS w
+    [array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws) - 1)])) AS w
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
   WHERE len(ws) >= 3
 ),

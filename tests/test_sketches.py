@@ -1,0 +1,57 @@
+"""Deterministic sketch operators: estimator accuracy, small-set exact
+mode, and layout-invariance (the properties that make a hash-derived sketch
+preferable to a seeded-RNG one)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fsql_spark.operators import kmv_distinct, sampled_quantiles
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(i % 40,) for i in range(500)], "v long")
+    row = kmv_distinct(df, "v", k=128).collect()[0]
+    assert row["n_distinct_exact"] == 40
+    assert row["kmv_estimate"] == 40.0  # sketch holds every value: exact mode
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    # 5,000 distinct values, k=256: KMV relative error ~ 1/sqrt(k-1) ~ 6.3%;
+    # assert a generous 4-sigma band so the test pins accuracy, not luck
+    df = spark.range(5000).select(F.concat(F.lit("val-"), F.col("id")).alias("v"))
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["n_distinct_exact"] == 5000
+    assert abs(row["kmv_estimate"] - 5000) / 5000 < 0.25
+
+
+def test_kmv_layout_invariant(spark):
+    df = spark.range(2000).select((F.col("id") % 700).alias("v"))
+    a = kmv_distinct(df, "v", k=64).collect()[0]["kmv_estimate"]
+    b = kmv_distinct(df.repartition(13), "v", k=64).collect()[0]["kmv_estimate"]
+    assert a == b  # hash-derived: partitioning cannot change the answer
+
+
+def test_kmv_grouped(spark):
+    rows = [("a", i) for i in range(300)] + [("b", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in kmv_distinct(df, "v", k=128, group_cols=["g"]).collect()}
+    assert out["b"]["n_distinct_exact"] == 10 and out["b"]["kmv_estimate"] == 10.0
+    assert out["a"]["n_distinct_exact"] == 300
+    assert abs(out["a"]["kmv_estimate"] - 300) / 300 < 0.5
+
+
+def test_sampled_quantiles_deterministic_and_ordered(spark):
+    df = spark.range(10_000).select(
+        F.col("id").alias("key"), (F.col("id") * 7 % 10_000).cast("double").alias("x")
+    )
+    a = sampled_quantiles(df, "x", "key", fraction=0.2, quantiles=(0.5, 0.9)).collect()[0]
+    b = sampled_quantiles(
+        df.repartition(11), "x", "key", fraction=0.2, quantiles=(0.5, 0.9)
+    ).collect()[0]
+    assert (a["q50_x"], a["q90_x"], a["n_sampled"]) == (b["q50_x"], b["q90_x"], b["n_sampled"])
+    # a 20% uniform sample of 10k values: quantile estimates land near truth
+    assert abs(a["q50_x"] - 5000) < 500
+    assert abs(a["q90_x"] - 9000) < 500
+    assert a["q50_x"] < a["q90_x"]
+    assert 1600 < a["n_sampled"] < 2400
