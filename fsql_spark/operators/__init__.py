@@ -73,6 +73,7 @@ from .sampling import (  # noqa: F401
     hash_fraction_sample,
     pack_shards,
     sample_per_group,
+    shuffle_deterministic,
     split_by_hash,
 )
 from .sketches import (  # noqa: F401

@@ -158,6 +158,50 @@ def pack_shards(
     return df.withColumn(shard_col, F.floor(cum_before / F.lit(float(budget))))
 
 
+def shuffle_deterministic(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 42,
+    position_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Assign every row a seeded global shuffle position (1-based) — the
+    training-order shuffle: same corpus + same seed => the same permutation
+    on any cluster layout, any engine, any restart; a new seed is a fresh
+    epoch order.
+
+    The order is ``md5(key || '-' || seed)`` (ties by key). A naive global
+    ``row_number`` would funnel everything through ONE sort partition, so
+    the rank decomposes by hash-prefix band: the first two hex chars split
+    the space into 256 lexicographic bands; one tiny aggregate (256 rows)
+    yields each band's global offset, and positions are
+    ``offset[band] + rank within band`` — 256-way-parallel windows, no
+    global sort. Identical to ``ROW_NUMBER() OVER (ORDER BY hash, key)``
+    because the band is a PREFIX of the hash it ranks by. The count pass is
+    one map-side-combinable scan; at 100 TB widen to 3-4 hex chars
+    (4k-64k bands) to keep bands executor-sized."""
+    h = F.md5(F.concat_ws("-", F.col(key_col).cast("string"), F.lit(str(seed))))
+    band = F.substring(h, 1, 2)
+    counts = {
+        r["b"]: r["n"]
+        for r in df.select(band.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[str, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if offsets:
+        off = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[band]
+    else:  # empty frame: no bands to offset
+        off = F.lit(0)
+    w = Window.partitionBy(band).orderBy(h.asc(), F.col(key_col).asc())
+    return df.withColumn(
+        position_col, (off + F.row_number().over(w)).cast("long")
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog entries + oracles
 # --------------------------------------------------------------------------
@@ -265,9 +309,29 @@ GROUP BY 1, 2
 """
 
 
+def q_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    """First 100 positions of the seed-42 training-order shuffle of the
+    documents table — the reproducible epoch permutation."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = shuffle_deterministic(docs, "doc_id", seed=42)
+    return out.where(F.col("shuffle_pos") <= 100).select("doc_id", "shuffle_pos")
+
+
+Q_SHUFFLE_SQL = """
+SELECT doc_id, shuffle_pos
+FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '-42'), doc_id) AS shuffle_pos
+  FROM documents
+)
+WHERE shuffle_pos <= 100
+"""
+
+
 SAMPLING_QUERIES = {
     "q_sample_per_lang": q_sample_per_lang,
     "q_sample_mix_weighted": q_sample_mix_weighted,
+    "q_shuffle_order": q_shuffle_order,
     "q_split_train_val_test": q_split_train_val_test,
     "q_pack_shards": q_pack_shards,
 }
@@ -277,4 +341,7 @@ SAMPLING_ORACLES = {
     "q_sample_mix_weighted": Q_SAMPLE_MIX_SQL,
     "q_split_train_val_test": Q_SPLIT_SQL,
     "q_pack_shards": Q_PACK_SQL,
+    # the banded rank == the global ROW_NUMBER because the band is a prefix
+    # of the ranked hash — the oracle states the semantic contract directly
+    "q_shuffle_order": Q_SHUFFLE_SQL,
 }

@@ -41,6 +41,39 @@ def test_kmv_grouped(spark):
     assert abs(out["a"]["kmv_estimate"] - 300) / 300 < 0.5
 
 
+def test_shuffle_deterministic_is_a_permutation(spark):
+    from pyspark.sql.window import Window
+
+    from fsql_spark.operators import shuffle_deterministic
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = shuffle_deterministic(df, "doc_id", seed=7)
+    positions = sorted(r["shuffle_pos"] for r in out.collect())
+    assert positions == list(range(1, 1001))  # exact permutation, 1-based
+    # layout-invariant: a different partitioning yields the identical order
+    again = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in shuffle_deterministic(df.repartition(17), "doc_id", seed=7).collect()
+    }
+    first = {r["doc_id"]: r["shuffle_pos"] for r in out.collect()}
+    assert first == again
+    # banded rank == the naive single-partition ROW_NUMBER it decomposes
+    h = F.md5(F.concat_ws("-", F.col("doc_id").cast("string"), F.lit("7")))
+    naive = {
+        r["doc_id"]: r["pos"]
+        for r in df.withColumn(
+            "pos", F.row_number().over(Window.orderBy(h.asc(), F.col("doc_id").asc()))
+        ).collect()
+    }
+    assert first == naive
+    # a different seed is a genuinely different epoch order
+    other = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in shuffle_deterministic(df, "doc_id", seed=8).collect()
+    }
+    assert other != first
+
+
 def test_sampled_quantiles_deterministic_and_ordered(spark):
     df = spark.range(10_000).select(
         F.col("id").alias("key"), (F.col("id") * 7 % 10_000).cast("double").alias("x")
