@@ -480,3 +480,45 @@ def test_brute_force_similarity_corpus_never_shuffles(spark):
     plan = plan_of(brute_force_pairs(emb, qs, "vec_id", "embedding", threshold=0.3))
     before_kernel = plan.split("MapInPandas")[-1]  # executed plan prints top-down
     assert "Exchange" not in before_kernel
+
+
+def test_duplicated_passages_partial_aggregates_before_shuffle(spark):
+    """Window generation is a JVM Generate (no Python eval); the duplication
+    count partial-aggregates map-side so the exchange carries (passage,
+    partial counts), and there is exactly one aggregation shuffle."""
+    from fsql_spark.operators import duplicated_passages
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(duplicated_passages(docs, "doc_id", "text", k=8))
+    assert "Generate" in plan
+    assert "EvalPython" not in plan  # no Python in the hot path
+    # partial_count before the exchange (HashAggregate appears above AND
+    # below the exchange: final + partial)
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_shuffle_deterministic_never_single_partition(spark):
+    """The epoch-shuffle rank must decompose over hash-prefix bands — a
+    SinglePartition window here is the 100 TB regression this test exists
+    to catch."""
+    from fsql_spark.operators import shuffle_deterministic
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(shuffle_deterministic(docs, "doc_id", seed=42))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bloom_prefilter_feeds_the_anti_join(spark):
+    """dedup_against_bloom: the anti-join's left leg is the might-contain
+    slice (bloom-positive rows), and the definitely-novel branch bypasses
+    the join entirely."""
+    from fsql_spark.operators import dedup_against_bloom
+    from fsql_spark.operators.dedup import _incremental_batch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = _incremental_batch(spark, "/root/testdata/sf0.001")
+    plan = plan_of(dedup_against_bloom(batch, docs, ["text"], normalize=True))
+    assert "LeftAnti" in plan
+    # the _might UDF appears in BOTH branches of the union (kept + filtered)
+    assert plan.count("_might") >= 2
