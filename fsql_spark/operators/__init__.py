@@ -61,6 +61,11 @@ from .passages import (  # noqa: F401
     passage_dup_fraction,
     passage_windows,
 )
+from .pipeline import (  # noqa: F401
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+    build_corpus,
+)
 from .profile import (  # noqa: F401
     PROFILE_ORACLES,
     PROFILE_QUERIES,
@@ -131,6 +136,7 @@ EXTENSION_QUERIES = {
     **SKEW_QUERIES,
     **PASSAGE_QUERIES,
     **SKETCH_QUERIES,
+    **PIPELINE_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -148,4 +154,5 @@ EXTENSION_ORACLES = {
     **SKEW_ORACLES,
     **PASSAGE_ORACLES,
     **SKETCH_ORACLES,
+    **PIPELINE_ORACLES,
 }

@@ -63,6 +63,28 @@ def test_passage_dup_fraction_known_answers(corpus):
     assert out[5]["n_windows"] == 0 and out[5]["dup_fraction"] == 0.0
 
 
+def test_build_corpus_composes_filter_dedup_split(spark):
+    """The composed pipeline: output keys are a subset of input, exact dups
+    collapse to the min key, every row carries a valid split label, and the
+    whole chain stays lazy (one job at collect)."""
+    from fsql_spark.operators import build_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dup = docs.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    inp = docs.unionByName(dup)
+    out = build_corpus(inp).collect()
+    in_ids = {r["doc_id"] for r in inp.select("doc_id").collect()}
+    out_ids = {r["doc_id"] for r in out}
+    assert out_ids <= in_ids
+    # the synthesized +100000 copies lose to their lower-keyed originals
+    assert not (out_ids & {i + 100000 for i in range(5)})
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    # the quality gate genuinely drops rows (short docs score < 0.5)
+    assert len(out_ids) < len(in_ids) - 5
+
+
 def test_containment_catches_what_jaccard_misses(spark, corpus):
     batch = corpus.where("doc_id = 4")  # first half of doc 3
     full = corpus.where("doc_id in (1, 2, 3)")
