@@ -46,6 +46,16 @@ HEAVIEST = [
     "q_minhash_incremental",
     "q_simhash_near_dups",
     "q_stream_join",
+    # round-5 additions: window-explosion, inverted-index join, bloom
+    # build+filter, composed pipeline — the new ops with data-volume risk.
+    # Passage-dup OUTPUT scales like the dup graph (10 copies share their
+    # original's windows: the filler shifts only boundary windows), so read
+    # those ratios per output row like simhash.
+    "q_duplicated_passages",
+    "q_passage_dup_fraction",
+    "q_containment_pairs",
+    "q_dedup_incremental_bloom",
+    "q_corpus_pipeline",
 ]
 
 # entries touch these tables; everything else symlinks to sf0.1 so the same
