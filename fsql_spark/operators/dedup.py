@@ -57,9 +57,13 @@ def dedup_exact_keys(df: DataFrame, content_cols: list[str], key_col: str) -> Da
 # token-set / n-gram Jaccard (exact all-pairs; oracle-able)
 # --------------------------------------------------------------------------
 
-def _word_shingles(text: Column, n: int, distinct: bool = True) -> Column:
+def _word_shingles(text: Column, n: int, distinct: bool = True, sep: str = "\x01") -> Column:
     """Word n-grams (n=1 => tokens); distinct=True for set semantics
-    (Jaccard/MinHash), False for frequency-weighted consumers (SimHash)."""
+    (Jaccard/MinHash), False for frequency-weighted/positional consumers
+    (SimHash, passage windows). ``sep`` joins the window's tokens — the
+    default control byte prevents cross-boundary collisions ('ab'+'c' vs
+    'a'+'bc'); passage operators pass ' ' for human-readable output. Any
+    SQL twin must join with the SAME separator (chr(1) for the default)."""
     words = F.split(text, " ")
     if n == 1:
         return F.array_distinct(words) if distinct else words
@@ -71,7 +75,7 @@ def _word_shingles(text: Column, n: int, distinct: bool = True) -> Column:
     grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws("\x01", F.slice(words, i + 1, n)),
+            lambda i: F.concat_ws(sep, F.slice(words, i + 1, n)),
         )
     )
     return F.array_distinct(grams) if distinct else grams
@@ -316,6 +320,59 @@ def dedup_against(
     return df_new.withColumn("__h", h).join(seen, "__h", "left_anti").drop("__h")
 
 
+def _bloom_params(n: int, fpp: float, max_bits: int) -> tuple[int, int]:
+    """Standard sizing ``m = -n ln(p) / ln(2)^2``, ``j = (m/n) ln 2``,
+    rounded to a byte multiple and capped at ``max_bits``."""
+    import math
+
+    n = max(int(n), 1)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    n_bits = min(max(((m + 7) // 8) * 8, 64), max_bits)
+    n_hashes = max(int(round(n_bits / n * math.log(2))), 1)
+    return n_bits, min(n_hashes, 8)  # sha2-256 yields 8 independent 32-bit words
+
+
+def _bloom_from_hashes(hashed: DataFrame, n_bits: int, n_hashes: int) -> bytes:
+    """Fold a DataFrame of 32-byte sha2 values (column ``hb``, binary) into
+    one Bloom bitmap. Each task builds ONE local bitmap per Arrow stream;
+    partials merge pairwise ON EXECUTORS via treeReduce (the one place an
+    RDD op is the right tool: OR-merging opaque byte buffers is exactly the
+    mergeable-sketch reduction), so the driver receives a single bitmap —
+    not partitions x bitmap-size bytes. Bit positions come from the hash
+    itself (j-th 32-bit big-endian word mod n_bits): deterministic, no RNG,
+    no partitioning sensitivity."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType([StructField("bm", BinaryType())])
+
+    def _partials(batches):
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.frombuffer(b"".join(pdf["hb"]), dtype=">u4").reshape(-1, 8)
+            for j in range(n_hashes):
+                idx = raw[:, j] % n_bits
+                np.bitwise_or.at(bm, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    def _or(a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    parts = hashed.mapInPandas(_partials, schema).rdd.map(lambda r: r["bm"])
+    # _partials yields one bitmap per partition unconditionally, so the RDD
+    # is empty only for a zero-partition input (guarded WITHOUT a job —
+    # isEmpty() would execute the whole fold a second time)
+    if parts.getNumPartitions() == 0:
+        return bytes(n_bits // 8)
+    return parts.treeReduce(_or, depth=2)
+
+
 def bloom_build(
     corpus: DataFrame,
     content_cols: list[str],
@@ -325,56 +382,19 @@ def bloom_build(
     max_bits: int = 1 << 30,
 ) -> tuple[bytes, int, int]:
     """Build a Bloom filter bitmap over the corpus' content hashes:
-    ``(bitmap_bytes, n_bits, n_hash_functions)``.
+    ``(bitmap_bytes, n_bits, n_hash_functions)``. See
+    :func:`_bloom_from_hashes` for the merge shape (executor-side
+    treeReduce; the driver gets ONE bitmap). 2^30 bits = 128 MiB handles
+    ~10^8 items at 1% — shard by content-hash prefix above that.
 
-    Mergeable-sketch shape: each task folds its Arrow batches into ONE local
-    bitmap and emits a single (n_bits/8)-byte row; the driver ORs the
-    per-task partials (partitions x bitmap-size bytes — e.g. 200 tasks x
-    2 MiB, not corpus-sized). Bit positions come from the sha2 content hash
-    itself (j-th 32-bit big-endian word mod n_bits), so the filter is fully
-    deterministic and engine-independent — no RNG, no partitioning
-    sensitivity.
-
-    Sizing: standard ``m = -n ln(p) / ln(2)^2``, ``j = (m/n) ln 2``, rounded
-    to a byte multiple and capped at ``max_bits`` (the bitmap must fit the
-    driver and the task closure; 2^30 bits = 128 MiB handles ~10^8 items at
-    1% — shard by content-hash prefix above that)."""
-    import math
-
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.types import BinaryType, StructField, StructType
-
+    Standalone convenience; :func:`dedup_against_bloom` builds from its
+    cached distinct-hash relation instead so the corpus is scanned once."""
     if expected_items is None:
         expected_items = corpus.count()
-    n = max(int(expected_items), 1)
-    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
-    n_bits = min(max(((m + 7) // 8) * 8, 64), max_bits)
-    n_hashes = max(int(round(n_bits / n * math.log(2))), 1)
-    n_hashes = min(n_hashes, 8)  # sha2-256 yields 8 independent 32-bit words
-
+    n_bits, n_hashes = _bloom_params(expected_items, fpp, max_bits)
     h = _content_hash(content_cols, normalize)
     hashed = corpus.select(F.unhex(h).alias("hb"))  # 32 raw bytes per row
-    schema = StructType([StructField("bm", BinaryType())])
-    nb = n_bits  # close over plain ints, not the outer frame
-
-    def _partials(batches):
-        bm = np.zeros(nb // 8, dtype=np.uint8)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            raw = np.frombuffer(b"".join(pdf["hb"]), dtype=">u4").reshape(-1, 8)
-            for j in range(n_hashes):
-                idx = raw[:, j] % nb
-                np.bitwise_or.at(bm, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
-        yield pd.DataFrame({"bm": [bm.tobytes()]})
-
-    parts = hashed.mapInPandas(_partials, schema).collect()
-    merged = np.zeros(n_bits // 8, dtype=np.uint8)
-    for r in parts:
-        merged |= np.frombuffer(r["bm"], dtype=np.uint8)
-    return merged.tobytes(), n_bits, n_hashes
+    return _bloom_from_hashes(hashed, n_bits, n_hashes), n_bits, n_hashes
 
 
 def dedup_against_bloom(
@@ -384,28 +404,36 @@ def dedup_against_bloom(
     normalize: bool = False,
     expected_items: int | None = None,
     fpp: float = 0.01,
+    max_bits: int = 1 << 30,
 ) -> DataFrame:
     """Exact incremental dedup with a broadcast Bloom prefilter — the
     100 TB shape of :func:`dedup_against`: the corpus compresses to a
-    megabytes-sized bitmap once (mergeable map-side partials, see
-    :func:`bloom_build`), each ingest batch tests against the BROADCAST
-    bitmap map-side, and only might-contain rows (true dups + ~fpp false
-    positives) reach the exact anti-join. Rows the filter rejects are
-    DEFINITELY novel (no false negatives), so the result is bit-identical
-    to :func:`dedup_against` — approximation shrinks the join, never the
-    answer."""
+    megabytes-sized bitmap once, each ingest batch tests against the
+    BROADCAST bitmap map-side, and only might-contain rows (true dups +
+    ~fpp false positives) reach the exact anti-join. Rows the filter
+    rejects are DEFINITELY novel (no false negatives), so the result is
+    bit-identical to :func:`dedup_against` — approximation shrinks the
+    join, never the answer.
+
+    The corpus text is scanned/hashed ONCE: the distinct-hash relation is
+    persisted, sized (its count is also a tighter bloom ``n`` than raw row
+    count), folded into the bitmap, and reused as the anti-join's build
+    side."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
 
-    bm_bytes, n_bits, n_hashes = bloom_build(
-        corpus, content_cols, normalize, expected_items, fpp
-    )
+    h = _content_hash(content_cols, normalize)
+    # one corpus pass: distinct hashes persist, then feed (a) the sizing
+    # count, (b) the bitmap fold, (c) the exact anti-join build side
+    seen = corpus.select(h.alias("__h")).distinct().persist()
+    n = seen.count() if expected_items is None else expected_items
+    n_bits, n_hashes = _bloom_params(n, fpp, max_bits)
+    bm_bytes = _bloom_from_hashes(seen.select(F.unhex("__h").alias("hb")), n_bits, n_hashes)
     spark = df_new.sparkSession
     bc = spark.sparkContext.broadcast(bm_bytes)
-    nb = n_bits
 
     def _might(hb):
         bm = np.frombuffer(bc.value, dtype=np.uint8)
@@ -414,17 +442,15 @@ def dedup_against_bloom(
         raw = np.frombuffer(b"".join(hb), dtype=">u4").reshape(-1, 8)
         ok = np.ones(len(hb), dtype=bool)
         for j in range(n_hashes):
-            idx = raw[:, j] % nb
+            idx = raw[:, j] % n_bits
             ok &= (bm[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
         return pd.Series(ok)
 
     _might.__annotations__ = {"hb": pd.Series, "return": pd.Series}
     might_udf = pandas_udf(_might, BooleanType())
 
-    h = _content_hash(content_cols, normalize)
     flagged = df_new.withColumn("__h", h).withColumn("__might", might_udf(F.unhex(F.col("__h"))))
     definitely_novel = flagged.where(~F.col("__might"))
-    seen = corpus.select(h.alias("__h")).distinct()
     survivors = flagged.where(F.col("__might")).join(seen, "__h", "left_anti")
     return definitely_novel.unionByName(survivors).drop("__h", "__might")
 
@@ -432,7 +458,14 @@ def dedup_against_bloom(
 #: constant metadata columns stored with persisted signature tables so a
 #: batch computed under a different (num_hashes, ngram) config fails loudly
 #: instead of silently bucketing garbage
-_SIG_META_COLS = ("__num_hashes", "__ngram")
+_SIG_META_COLS = ("__num_hashes", "__ngram", "__sig_fmt")
+
+#: signature FORMAT version, bumped whenever the shingle/kernel definition
+#: changes in a value-affecting way (the in-repo /tmp cache fingerprints the
+#: kernel source, but a persisted table outlives the code that wrote it: a
+#: format mismatch there would silently produce zero-recall bucket joins).
+#: v2 = "\x01"-separated word shingles + per-seed xxhash minhash kernel.
+_SIG_FORMAT = 2
 
 
 def write_corpus_signatures(
@@ -447,12 +480,16 @@ def write_corpus_signatures(
     to storage — the 100 TB incremental-dedup shape: the corpus text is
     hashed exactly ONCE, and every future ingest batch joins against this
     slim table (key + k longs + shingle set) instead of re-reading and
-    re-hashing the corpus. The (num_hashes, ngram) config is stored as
-    constant columns and validated on read."""
+    re-hashing the corpus. The (num_hashes, ngram) config AND the signature
+    format version are stored as constant columns and validated on read."""
     from ..api import write_table
 
     sigs = minhash_signatures(corpus, key_col, text_col, num_hashes, ngram)
-    sigs = sigs.withColumn("__num_hashes", F.lit(num_hashes)).withColumn("__ngram", F.lit(ngram))
+    sigs = (
+        sigs.withColumn("__num_hashes", F.lit(num_hashes))
+        .withColumn("__ngram", F.lit(ngram))
+        .withColumn("__sig_fmt", F.lit(_SIG_FORMAT))
+    )
     write_table(sigs, url)
 
 
@@ -470,11 +507,22 @@ def read_corpus_signatures(
 
     path, fs = get_url_and_fs(url)
     df = spark.read.parquet(fs.spark_url(path))
-    configs = [tuple(r) for r in df.select(*_SIG_META_COLS).distinct().limit(3).collect()]
-    if len(configs) != 1 or configs[0] != (num_hashes, ngram):
+    missing = [c for c in _SIG_META_COLS if c not in df.columns]
+    if missing:
+        # a table from before the format column existed predates the current
+        # shingle/kernel definition: joining it against freshly-hashed batch
+        # signatures would return ZERO matches with no error — refuse loudly
         raise ValueError(
-            f"signature table at {url} was built with (num_hashes, ngram)="
-            f"{configs if configs else None}, caller expects ({num_hashes}, {ngram})"
+            f"signature table at {url} lacks metadata column(s) {missing} — "
+            f"it was written by an older signature format (current: "
+            f"v{_SIG_FORMAT}); rebuild it with write_corpus_signatures"
+        )
+    configs = [tuple(r) for r in df.select(*_SIG_META_COLS).distinct().limit(3).collect()]
+    if len(configs) != 1 or configs[0] != (num_hashes, ngram, _SIG_FORMAT):
+        raise ValueError(
+            f"signature table at {url} was built with (num_hashes, ngram, sig_fmt)="
+            f"{configs if configs else None}, caller expects "
+            f"({num_hashes}, {ngram}, {_SIG_FORMAT})"
             + (" — table contains MIXED configs" if len(configs) > 1 else "")
         )
     return df.drop(*_SIG_META_COLS)

@@ -36,15 +36,10 @@ from .dedup import _word_shingles
 def _passage_array(text: Column, k: int) -> Column:
     """All k-token sliding windows of ``text`` as an array<string>, tokens
     joined by a single space (positional, NOT distinct — occurrences count).
-    Documents shorter than k tokens yield an empty array."""
-    words = F.split(text, " ")
-    n = F.size(words) - (k - 1)
-    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-        )
-    )
+    Documents shorter than k tokens yield an empty array. One window
+    generator serves both families: this is ``_word_shingles`` with
+    positional semantics and a human-readable separator."""
+    return _word_shingles(text, k, distinct=False, sep=" ")
 
 
 def passage_windows(df: DataFrame, key_col: str, text_col: str, k: int = 8) -> DataFrame:

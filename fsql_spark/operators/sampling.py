@@ -178,7 +178,14 @@ def shuffle_deterministic(
     global sort. Identical to ``ROW_NUMBER() OVER (ORDER BY hash, key)``
     because the band is a PREFIX of the hash it ranks by. The count pass is
     one map-side-combinable scan; at 100 TB widen to 3-4 hex chars
-    (4k-64k bands) to keep bands executor-sized."""
+    (4k-64k bands) to keep bands executor-sized.
+
+    The input plan is evaluated TWICE (band counts, then the window pass) —
+    ``df``'s lineage must therefore be deterministic, the same property
+    Spark itself requires to recompute any lost partition. A plan with
+    ``rand()``/seedless ``sample`` or a source mutating between the two
+    jobs would yield offsets that no longer match band populations (a
+    non-permutation with no error); persist such inputs first."""
     h = F.md5(F.concat_ws("-", F.col(key_col).cast("string"), F.lit(str(seed))))
     band = F.substring(h, 1, 2)
     counts = {

@@ -65,31 +65,40 @@ def kmv_distinct(
 
     The exact count rides along because this formulation computes it for
     free; a production profiler would keep only the k hashes. Scale shape:
-    the distinct collapse is a map-side-combinable aggregate; the per-group
-    rank touches only DISTINCT values (vocabulary-sized, not corpus-sized).
-    For groups whose distinct count itself is huge, the mergeable form —
-    per-partition top-k min-hashes, then re-top-k — drops the sort to
-    k x partitions rows; declaratively Catalyst already partial-aggregates
-    the distinct, which is the same first step."""
+    the distinct collapse is a map-side-combinable aggregate; the GROUPED
+    per-group rank is a window parallel across groups, touching only
+    DISTINCT values (vocabulary-sized, not corpus-sized). The UNGROUPED
+    form avoids a single-partition window entirely: the k-th hash comes
+    from ``orderBy(hash).limit(k)`` — Spark's TakeOrdered, a per-partition
+    partial top-k merged on the driver (k rows, not the corpus)."""
     gcols = list(group_cols)
     vals = df.select(*gcols, value_col).distinct()
     h = F.md5(F.col(value_col).cast("string"))
+    u = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    est_of = lambda cnt, uk: F.when(  # noqa: E731
+        uk.isNull(), cnt.cast("double")
+    ).otherwise((k - 1) * _HASH_SPACE / uk)
+    if not gcols:
+        cnt = vals.agg(F.count(F.lit(1)).alias("n_distinct_exact"))
+        topk = vals.orderBy(h.asc(), F.col(value_col).asc()).limit(k).select(u.alias("__u"))
+        kth = topk.agg(
+            F.when(F.count(F.lit(1)) == k, F.max("__u")).alias("__uk")
+        )
+        agg = cnt.crossJoin(kth)  # two 1-row frames
+        return agg.select(
+            "n_distinct_exact",
+            F.round(est_of(F.col("n_distinct_exact"), F.col("__uk")), 4).alias("kmv_estimate"),
+        )
     w = Window.partitionBy(*gcols).orderBy(h.asc(), F.col(value_col).asc())
-    ranked = vals.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__u", F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    ranked = vals.withColumn("__rn", F.row_number().over(w)).withColumn("__u", u)
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_distinct_exact"),
+        F.max(F.when(F.col("__rn") == k, F.col("__u"))).alias("__uk"),
     )
-    kth = F.max(F.when(F.col("__rn") == k, F.col("__u")))
-    cnt = F.count(F.lit(1))
-    agg = (ranked.groupBy(*gcols) if gcols else ranked.groupBy()).agg(
-        cnt.alias("n_distinct_exact"), kth.alias("__uk")
-    )
-    est = F.when(
-        F.col("__uk").isNull(), F.col("n_distinct_exact").cast("double")
-    ).otherwise((k - 1) * _HASH_SPACE / F.col("__uk"))
     return agg.select(
         *gcols,
         "n_distinct_exact",
-        F.round(est, 4).alias("kmv_estimate"),
+        F.round(est_of(F.col("n_distinct_exact"), F.col("__uk")), 4).alias("kmv_estimate"),
     )
 
 
@@ -108,7 +117,13 @@ def sampled_quantiles(
     data value, no interpolation. The sample is the map-only
     hash-threshold predicate, so at 100 TB the sort ranks ~fraction of the
     data and the whole estimate is reproducible run-over-run (and in the
-    SQL oracle) — the property df.sample + approx_percentile can't give."""
+    SQL oracle) — the property df.sample + approx_percentile can't give.
+
+    With ``group_cols`` the rank windows run parallel across groups — the
+    scale form. An EMPTY ``group_cols`` is one global ordered window
+    (single-task sort over the sample): acceptable only while
+    fraction x |df| stays executor-sized — same documented caveat as
+    ``pack_shards``; pass a stratum column at scale."""
     gcols = list(group_cols)
     sampled = hash_fraction_sample(df, key_col, fraction=fraction)
     w = Window.partitionBy(*gcols).orderBy(F.col(value_col).asc(), F.col(key_col).asc())
@@ -123,7 +138,9 @@ def sampled_quantiles(
                 F.col(value_col),
             )
         )
-        aggs.append(F.round(at, 4).alias(f"q{int(q * 100)}_{value_col}"))
+        # round() the LABEL percent: int() truncates under binary float
+        # (int(0.29 * 100) == 28)
+        aggs.append(F.round(at, 4).alias(f"q{round(q * 100)}_{value_col}"))
     return (ranked.groupBy(*gcols) if gcols else ranked.groupBy()).agg(*aggs)
 
 

@@ -797,3 +797,11 @@ def test_persisted_corpus_signatures_reused_by_batch(spark, tmp_path):
     # and the no-source, no-signatures call is rejected
     with _pytest.raises(ValueError, match="corpus_sigs"):
         minhash_lsh_pairs_against(batch, None, "doc_id", "text")
+
+    # a table from an OLDER signature format (no __sig_fmt column) must be
+    # refused: its shingles/kernels may not match the current definition,
+    # and the failure mode of joining it anyway is silent zero recall
+    legacy_url = str(tmp_path / "legacy_sigs")
+    spark.read.parquet(url).drop("__sig_fmt").write.parquet(legacy_url)
+    with _pytest.raises(ValueError, match="older signature format"):
+        read_corpus_signatures(spark, legacy_url, num_hashes=64, ngram=3)
