@@ -42,11 +42,25 @@ def _passage_array(text: Column, k: int) -> Column:
     return _word_shingles(text, k, distinct=False, sep=" ")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when it arrives in fewer
+    partitions than cores — a single-file local table otherwise evaluates
+    the whole window/shingle explosion in ONE task (measured 5.5 s -> sub-s
+    at sf0.1). The shuffle moves compact text rows BEFORE the explosion;
+    results are row-local, so placement can't change them. On a real
+    many-file corpus input parallelism already exists and this is a
+    no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def passage_windows(df: DataFrame, key_col: str, text_col: str, k: int = 8) -> DataFrame:
     """One row per k-token window: (key, pos, passage). ``pos`` is the
     0-based token offset of the window start. Pure JVM flatMap — zero
     shuffle, linear in token count."""
-    return df.select(
+    return _spread(df).select(
         F.col(key_col).alias("k"),
         F.posexplode(_passage_array(F.col(text_col), k)).alias("pos", "passage"),
     )
@@ -137,14 +151,16 @@ def containment_pairs_against(
     shingle sample as in minhash_lsh_pairs (containment-LSH) — not needed
     for the incremental shape this operator serves."""
     btok = (
-        df_new.select(
+        _spread(df_new)
+        .select(
             F.col(key_col).alias("bk"),
             _word_shingles(F.col(text_col), ngram).alias("sh"),
         )
         .select("bk", F.size("sh").alias("bn"), F.explode("sh").alias("w"))
     )
     ctok = (
-        corpus.select(
+        _spread(corpus)
+        .select(
             F.col(key_col).alias("ck"),
             _word_shingles(F.col(text_col), ngram).alias("sh"),
         )
@@ -227,7 +243,17 @@ def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Containment detection on the synthetic ingest batch: half-truncations
     of corpus docs 50-79 (J ~ 0.5 vs source — invisible to the minhash
     entries at threshold 0.8) score containment ~1.0 against their source.
-    Same batch construction as q_dedup_incremental's novel half."""
+    Same batch construction as q_dedup_incremental's novel half.
+
+    ngram=5 (vs the dedup family's 3): the inverted-index join's cost is
+    sum over batch shingles of their corpus document frequency, and this
+    corpus' ~31-word vocabulary makes 3-grams frequent (every batch shingle
+    matches thousands of docs => tens of millions of joined rows at sf0.1
+    for 30 output pairs). 5-grams are ~1000x rarer, cutting the join to
+    ~true-match multiplicity while the containment signal is unchanged (a
+    truncation's 5-grams are still all in its source). The general scale
+    lesson: pick the shingle width so document frequency, not corpus size,
+    bounds the index join."""
     corpus = _docs(spark, sf)
     words = F.split(F.col("text"), " ")
     half = F.concat_ws(
@@ -237,7 +263,7 @@ def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"), half.alias("text")
     )
     return containment_pairs_against(
-        truncs, corpus, "doc_id", "text", threshold=0.9, ngram=3
+        truncs, corpus, "doc_id", "text", threshold=0.9, ngram=5
     )
 
 
@@ -252,15 +278,15 @@ WITH batch AS (
 ),
 btok AS (
   SELECT doc_id, unnest(list_distinct(
-    [array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws) - 1)])) AS w
+    [array_to_string(ws[i:i+4], chr(1)) for i in range(1, len(ws) - 3)])) AS w
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM batch)
-  WHERE len(ws) >= 3
+  WHERE len(ws) >= 5
 ),
 ctok AS (
   SELECT doc_id, unnest(list_distinct(
-    [array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws) - 1)])) AS w
+    [array_to_string(ws[i:i+4], chr(1)) for i in range(1, len(ws) - 3)])) AS w
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-  WHERE len(ws) >= 3
+  WHERE len(ws) >= 5
 ),
 bsz AS (SELECT doc_id, COUNT(*) AS n FROM btok GROUP BY doc_id),
 csz AS (SELECT doc_id, COUNT(*) AS n FROM ctok GROUP BY doc_id),
