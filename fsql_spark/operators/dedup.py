@@ -90,6 +90,20 @@ def _word_shingles(text: Column, n: int, distinct: bool = True, sep: str = "\x01
     return F.transform(F.array(F.split(text, " ")), _of)[0]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when it arrives in fewer
+    partitions than cores — a single-file local table otherwise evaluates
+    the whole shingle/window explosion (or a heavy signature expression) in
+    ONE task. The shuffle moves compact text rows BEFORE the explosion;
+    results are row-local, so placement can't change them. On a real
+    many-file corpus input parallelism already exists and this is a
+    no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 class CandidateExplosionError(ValueError):
     """The inverted-index self-join would materialize too many pairs."""
 
@@ -126,7 +140,9 @@ def jaccard_pairs(
       barely exist (frequent shingles are shared with everyone, so they can't
       dominate a high-Jaccard pair's intersection alone).
     """
-    base = df.select(F.col(key_col).alias("k"), _word_shingles(F.col(text_col), ngram).alias("sh"))
+    base = _spread(df).select(
+        F.col(key_col).alias("k"), _word_shingles(F.col(text_col), ngram).alias("sh")
+    )
     tok = base.select("k", F.explode("sh").alias("w"))
     cand_tok = tok
     if max_shingle_df is not None:
@@ -684,7 +700,9 @@ def simhash_pairs(
     block_bits = bits // blocks
     # persist: the signature expression is heavy (64 bit-majority passes) and
     # would otherwise be recomputed on both sides of the self-join
-    sigs = df.select(F.col(key_col).alias("k"), simhash(F.col(text_col)).alias("sig")).persist()
+    sigs = _spread(df).select(
+        F.col(key_col).alias("k"), simhash(F.col(text_col)).alias("sig")
+    ).persist()
 
     def block(col: Column, i: int) -> Column:
         return F.shiftrightunsigned(col, i * block_bits).bitwiseAND(F.lit((1 << block_bits) - 1))

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _word_shingles
+from .dedup import _spread, _word_shingles
 
 
 def _passage_array(text: Column, k: int) -> Column:
@@ -40,20 +40,6 @@ def _passage_array(text: Column, k: int) -> Column:
     generator serves both families: this is ``_word_shingles`` with
     positional semantics and a human-readable separator."""
     return _word_shingles(text, k, distinct=False, sep=" ")
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin the input across the cluster when it arrives in fewer
-    partitions than cores — a single-file local table otherwise evaluates
-    the whole window/shingle explosion in ONE task (measured 5.5 s -> sub-s
-    at sf0.1). The shuffle moves compact text rows BEFORE the explosion;
-    results are row-local, so placement can't change them. On a real
-    many-file corpus input parallelism already exists and this is a
-    no-op."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
 
 
 def passage_windows(df: DataFrame, key_col: str, text_col: str, k: int = 8) -> DataFrame:
