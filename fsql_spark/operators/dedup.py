@@ -90,14 +90,32 @@ def _word_shingles(text: Column, n: int, distinct: bool = True, sep: str = "\x01
     return F.transform(F.array(F.split(text, " ")), _of)[0]
 
 
+#: logical-plan node names that imply an upstream exchange: such plans
+#: already run at spark.sql.shuffle.partitions parallelism, and probing
+#: them with .rdd would force AQE to finalize (and EXECUTE) their shuffle
+#: stages eagerly — so _spread must not touch them
+_SHUFFLED_PLAN_NODES = (
+    "Join", "Aggregate", "Window", "Repartition", "Sort", "Deduplicate"
+)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin the input across the cluster when it arrives in fewer
     partitions than cores — a single-file local table otherwise evaluates
     the whole shingle/window explosion (or a heavy signature expression) in
-    ONE task. The shuffle moves compact text rows BEFORE the explosion;
-    results are row-local, so placement can't change them. On a real
-    many-file corpus input parallelism already exists and this is a
-    no-op."""
+    ONE task. The (small) shuffle moves compact text rows BEFORE the
+    explosion; results are row-local, so placement can't change them. On a
+    real many-file corpus input parallelism already exists and this is a
+    no-op.
+
+    Applies only to narrow scan-shaped plans: if the logical plan already
+    contains a shuffling operator, parallelism is already set by it AND the
+    ``.rdd`` partition probe would make AQE finalize the plan eagerly —
+    submitting its shuffle stages as immediate jobs that the caller's real
+    action then recomputes. The logical-plan string check costs nothing."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(node in plan for node in _SHUFFLED_PLAN_NODES):
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
@@ -213,7 +231,10 @@ def minhash_signatures(
     _sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     sig_udf = pandas_udf(_sig, ArrayType(LongType()))
     sh = _word_shingles(F.col(text_col), ngram)
-    return df.select(
+    # spread here, the shared entry point: every consumer (within-corpus
+    # pairs, cross-corpus batches, the persisted-table build) gets a
+    # parallel kernel on single-file inputs
+    return _spread(df).select(
         F.col(key_col).alias("k"), sig_udf(F.col(text_col)).alias("sig"), sh.alias("sh")
     )
 
@@ -395,7 +416,9 @@ def _bloom_from_hashes(hashed: DataFrame, n_bits: int, n_hashes: int) -> bytes:
     # isEmpty() would execute the whole fold a second time)
     if parts.getNumPartitions() == 0:
         return bytes(n_bits // 8)
-    return parts.treeReduce(_or, depth=2)
+    # bytes(): a single-partition RDD skips _or entirely and treeReduce
+    # hands back the raw Row value (a bytearray) — honor the declared type
+    return bytes(parts.treeReduce(_or, depth=2))
 
 
 def bloom_build(
@@ -430,6 +453,7 @@ def dedup_against_bloom(
     expected_items: int | None = None,
     fpp: float = 0.01,
     max_bits: int = 1 << 30,
+    cache_corpus_hashes: bool = True,
 ) -> DataFrame:
     """Exact incremental dedup with a broadcast Bloom prefilter — the
     100 TB shape of :func:`dedup_against`: the corpus compresses to a
@@ -443,7 +467,12 @@ def dedup_against_bloom(
     The corpus text is scanned/hashed ONCE: the distinct-hash relation is
     persisted, sized (its count is also a tighter bloom ``n`` than raw row
     count), folded into the bitmap, and reused as the anti-join's build
-    side."""
+    side. That cache lives as long as the RETURNED DataFrame does (the
+    result depends on it, so it cannot be unpersisted here) — a session
+    looping over many corpora should ``spark.catalog.clearCache()``
+    between them or pass ``cache_corpus_hashes=False`` (the hash relation
+    is then recomputed by the anti-join: two corpus passes, zero pinned
+    storage)."""
     import numpy as np
     import pandas as pd
 
@@ -453,7 +482,9 @@ def dedup_against_bloom(
     h = _content_hash(content_cols, normalize)
     # one corpus pass: distinct hashes persist, then feed (a) the sizing
     # count, (b) the bitmap fold, (c) the exact anti-join build side
-    seen = corpus.select(h.alias("__h")).distinct().persist()
+    seen = corpus.select(h.alias("__h")).distinct()
+    if cache_corpus_hashes:
+        seen = seen.persist()
     n = seen.count() if expected_items is None else expected_items
     n_bits, n_hashes = _bloom_params(n, fpp, max_bits)
     bm_bytes = _bloom_from_hashes(seen.select(F.unhex("__h").alias("hb")), n_bits, n_hashes)
@@ -587,14 +618,9 @@ def corpus_signatures_cached(
     ).hexdigest()[:8]
 
     def build(staging: str) -> None:
+        # minhash_signatures spreads single-split inputs itself, so the
+        # kernel and the parquet encode run across cores here too
         docs = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        # single-file testdata arrives as ONE split: spread the hash kernel
-        # and the parquet encode across cores (signatures are per-row, so
-        # repartitioning can't change values). On a real many-file corpus the
-        # input parallelism already exists and this is a no-op cost-wise.
-        par = spark.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < par:
-            docs = docs.repartition(par)
         write_corpus_signatures(docs, key_col, text_col, staging, num_hashes, ngram)
 
     dest = _build_once(

@@ -44,8 +44,10 @@ def _passage_array(text: Column, k: int) -> Column:
 
 def passage_windows(df: DataFrame, key_col: str, text_col: str, k: int = 8) -> DataFrame:
     """One row per k-token window: (key, pos, passage). ``pos`` is the
-    0-based token offset of the window start. Pure JVM flatMap — zero
-    shuffle, linear in token count."""
+    0-based token offset of the window start. The window generation itself
+    is a pure JVM flatMap, linear in token count; single-file inputs first
+    get one small round-robin exchange of the compact text rows (see
+    ``_spread``) so the explosion parallelizes."""
     return _spread(df).select(
         F.col(key_col).alias("k"),
         F.posexplode(_passage_array(F.col(text_col), k)).alias("pos", "passage"),
