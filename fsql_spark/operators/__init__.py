@@ -60,6 +60,7 @@ from .passages import (  # noqa: F401
     duplicated_passages,
     passage_dup_fraction,
     passage_windows,
+    strip_duplicated_passages,
 )
 from .pipeline import (  # noqa: F401
     PIPELINE_ORACLES,

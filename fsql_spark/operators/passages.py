@@ -116,6 +116,56 @@ def passage_dup_fraction(
     )
 
 
+def strip_duplicated_passages(
+    df: DataFrame, key_col: str, text_col: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """The exact-substring dedup TRANSFORMATION (Lee et al. 2021): rewrite
+    every document with its duplicated spans removed, keeping one canonical
+    occurrence corpus-wide. Returns (key, text) with ``text`` rebuilt from
+    the surviving tokens.
+
+    Semantics, fully deterministic: a k-token window is *removed* when its
+    passage occurs in >= ``min_docs`` distinct documents AND this document
+    is not the passage's canonical holder (the minimum key containing it).
+    A token survives unless some removed window covers it. The canonical
+    document keeps its text; every other holder loses exactly the
+    duplicated spans (not the whole document — the difference between span
+    dedup and doc dedup).
+
+    Scale shape: windows and tokens are linear explosions (JVM-only); the
+    canonical assignment is one passage-keyed aggregate; coverage is a
+    (key, idx)-keyed anti-join; the rebuild is one per-doc aggregate of
+    (idx, token) pairs — every shuffle is keyed on doc ids or 64-bit-ish
+    keys, nothing quadratic."""
+    w = passage_windows(df, key_col, text_col, k)
+    stats = w.groupBy("passage").agg(
+        F.countDistinct("k").alias("n_docs"), F.min("k").alias("canon")
+    )
+    dup = stats.where(F.col("n_docs") >= min_docs).select("passage", "canon")
+    rem = w.join(dup, "passage").where(F.col("k") != F.col("canon")).select("k", "pos")
+    covered = rem.select(
+        "k", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx")
+    ).distinct()
+    toks = _spread(df).select(
+        F.col(key_col).alias("k"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("idx", "tok"),
+    )
+    kept = toks.join(covered, ["k", "idx"], "left_anti")
+    rebuilt = kept.groupBy("k").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("__text")
+    )
+    # docs whose every token was covered vanish from `kept` — restore as ''
+    all_keys = df.select(F.col(key_col).alias("k")).distinct()
+    return all_keys.join(rebuilt, "k", "left").select(
+        F.col("k").alias(key_col), F.coalesce("__text", F.lit("")).alias(text_col)
+    )
+
+
 def containment_pairs_against(
     df_new: DataFrame,
     corpus: DataFrame,
@@ -292,14 +342,80 @@ WHERE c * 1.0 / LEAST(b.n, cs.n) >= 0.9
 """
 
 
+def q_strip_passages(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level dedup applied to the corpus: per doc, token counts before
+    and after stripping non-canonical duplicated 8-token spans, plus the
+    md5 of the rewritten text (the value-level proof the rebuild agrees
+    byte-for-byte across engines)."""
+    docs = _docs(spark, sf)
+    cleaned = strip_duplicated_passages(docs, "doc_id", "text", k=8, min_docs=2)
+    before = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens_before")
+    )
+    return before.join(cleaned, "doc_id").select(
+        "doc_id",
+        "n_tokens_before",
+        F.when(F.col("text") == "", 0)
+        .otherwise(F.size(F.split("text", " ")))
+        .cast("int")
+        .alias("n_tokens_after"),
+        F.md5("text").alias("cleaned_fp"),
+    )
+
+
+Q_STRIP_PASSAGES_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id, u['pos'] AS pos, u['pas'] AS passage
+  FROM (
+    SELECT doc_id,
+           unnest([{'pos': i - 1, 'pas': array_to_string(ws[i:i+7], ' ')}
+                   for i in range(1, len(ws) - 6)]) AS u
+    FROM w WHERE len(ws) >= 8
+  )
+),
+stats AS (
+  SELECT passage, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS canon
+  FROM p GROUP BY passage
+),
+rem AS (
+  SELECT p.doc_id, p.pos
+  FROM p JOIN stats s ON p.passage = s.passage
+  WHERE s.n_docs >= 2 AND p.doc_id != s.canon
+),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx FROM rem
+),
+toks AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS idx, unnest(ws) AS tok FROM w
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS INTEGER) AS n_tokens_before,
+       CAST(CASE WHEN COALESCE(r.text, '') = '' THEN 0
+                 ELSE len(string_split(r.text, ' ')) END AS INTEGER) AS n_tokens_after,
+       md5(COALESCE(r.text, '')) AS cleaned_fp
+FROM w LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 PASSAGE_QUERIES = {
     "q_duplicated_passages": q_duplicated_passages,
     "q_passage_dup_fraction": q_passage_dup_fraction,
+    "q_strip_passages": q_strip_passages,
     "q_containment_pairs": q_containment_pairs,
 }
 
 PASSAGE_ORACLES = {
     "q_duplicated_passages": Q_DUP_PASSAGES_SQL,
     "q_passage_dup_fraction": Q_PASSAGE_FRACTION_SQL,
+    "q_strip_passages": Q_STRIP_PASSAGES_SQL,
     "q_containment_pairs": Q_CONTAINMENT_SQL,
 }

@@ -63,6 +63,33 @@ def test_passage_dup_fraction_known_answers(corpus):
     assert out[5]["n_windows"] == 0 and out[5]["dup_fraction"] == 0.0
 
 
+def test_strip_duplicated_passages_semantics(spark):
+    """Span dedup, not doc dedup: the canonical (min-key) holder keeps its
+    text; other holders lose exactly the duplicated spans; a doc that IS a
+    duplicated span vanishes to ''; unique text survives untouched."""
+    from fsql_spark.operators import strip_duplicated_passages
+
+    shared = " ".join(f"s{i}" for i in range(8))  # one exact 8-token window
+    uniq_a = " ".join(f"a{i}" for i in range(6))
+    uniq_b = " ".join(f"b{i}" for i in range(6))
+    rows = [
+        (1, f"{uniq_a} {shared}"),   # canonical holder of `shared`
+        (2, f"{uniq_b} {shared}"),   # loses the span, keeps uniq_b
+        (3, shared),                 # nothing but the span -> ''
+        (4, "totally unique words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in strip_duplicated_passages(df, "doc_id", "text", k=8).collect()}
+    assert out[1] == f"{uniq_a} {shared}"  # canonical: untouched
+    assert out[3] == ""                    # fully duplicated: emptied
+    assert out[4] == "totally unique words here"
+    # doc 2: every window containing shared tokens is duplicated? No — its
+    # windows MIX uniq_b and shared tokens except the pure-shared one, so
+    # only the pure-shared window matches doc 1/3's windows. Removed span =
+    # that window's 8 tokens; uniq_b survives.
+    assert out[2] == uniq_b
+
+
 def test_build_corpus_composes_filter_dedup_split(spark):
     """The composed pipeline: output keys are a subset of input, exact dups
     collapse to the min key, every row carries a valid split label, and the
