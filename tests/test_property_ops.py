@@ -81,6 +81,38 @@ def test_shuffle_matches_python_md5_rank(spark, corpus, seed):
 
 @PROP
 @given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200, unique=True),
+    fraction=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+def test_hash_fraction_sample_matches_python_model(spark, keys, fraction):
+    from fsql_spark.operators import hash_fraction_sample
+
+    df = spark.createDataFrame([(v,) for v in keys], "key long")
+    got = sorted(r["key"] for r in hash_fraction_sample(df, "key", fraction=fraction).collect())
+    thresh = "g" if fraction >= 1.0 else format(int(fraction * 2**32), "08x")
+    want = sorted(v for v in keys if hashlib.md5(str(v).encode()).hexdigest()[:8] < thresh)
+    assert got == want
+
+
+@PROP
+@given(keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200, unique=True))
+def test_split_by_hash_matches_python_model(spark, keys):
+    from fsql_spark.operators import split_by_hash
+
+    df = spark.createDataFrame([(v,) for v in keys], "key long")
+    got = {r["key"]: r["split"] for r in split_by_hash(df, "key", {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    t90 = format(int(0.9 * 2**32), "08x")
+    t95 = format(int(0.95 * 2**32), "08x")
+
+    def model(v):
+        h = hashlib.md5(str(v).encode()).hexdigest()[:8]
+        return "train" if h < t90 else ("val" if h < t95 else "test")
+
+    assert got == {v: model(v) for v in keys}
+
+
+@PROP
+@given(
     values=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=300),
     k=st.sampled_from([4, 16]),
 )
