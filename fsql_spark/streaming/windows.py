@@ -349,6 +349,67 @@ GROUP BY event_type
 """
 
 
+def ingest_batch_tree(spark: SparkSession, sf: str) -> str:
+    """Build-once: the synthetic ingest batch (case-variant dups + novel
+    truncations, same construction as q_dedup_incremental) staged as a
+    3-file parquet dir so a file-source stream delivers it in 3
+    micro-batches."""
+    from ..fsql_catalog import _build_once, _tree_dir
+    from ..operators.dedup import _incremental_batch
+
+    def build(staging: str) -> None:
+        _incremental_batch(spark, sf).repartition(3).write.mode("overwrite").parquet(staging)
+
+    return _build_once(_tree_dir(sf, "ingest_batch3", "documents"), build)
+
+
+def q_stream_ingest_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming crawl-ingest dedup against a STATIC training corpus: the
+    batch operator ``dedup_against_bloom`` runs UNMODIFIED on a document
+    stream — the broadcast Bloom prefilter is a map-side stateless filter,
+    and the exact check is a stream-static left-anti join (both
+    streaming-supported), so definitely-novel docs flow through without
+    touching the join and state stays zero (no watermark needed: the
+    corpus side is static). The batch entry q_dedup_incremental_bloom and
+    this stream produce the identical answer — one more streaming/batch
+    unification proof."""
+    from ..operators.dedup import dedup_against_bloom
+
+    src = ingest_batch_tree(spark, sf)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    corpus = spark.read.parquet(f"{sf}/documents.parquet")
+    novel = dedup_against_bloom(stream, corpus, ["text"], normalize=True)
+    out = run_to_memory(novel.select("doc_id"), mode="append")
+    return out.select("doc_id")
+
+
+# same answer as the batch incremental-dedup entries: case variants of
+# corpus docs vanish, truncations survive
+Q_STREAM_INGEST_DEDUP_SQL = r"""
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id, UPPER(text) AS text
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      greatest(len(string_split(text, ' ')) // 2, 1)),
+           ' ')
+  FROM documents WHERE doc_id >= 50 AND doc_id < 80
+),
+corpus_keys AS (
+  SELECT DISTINCT LOWER(TRIM(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS norm
+  FROM documents
+)
+SELECT doc_id FROM batch
+WHERE LOWER(TRIM(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) NOT IN
+      (SELECT norm FROM corpus_keys)
+"""
+
+
 def stream_sink_tree(spark: SparkSession, sf: str) -> str:
     """Build-once: stream the events table into a Hive-partitioned
     (event_type, date) parquet tree via the streaming sink — the one-time
@@ -454,6 +515,7 @@ STREAMING_QUERIES = {
     "q_stream_user_totals": q_stream_user_totals,
     "q_stream_join": q_stream_join,
     "q_stream_sink_roundtrip": q_stream_sink_roundtrip,
+    "q_stream_ingest_dedup": q_stream_ingest_dedup,
 }
 
 STREAMING_ORACLES = {
@@ -464,4 +526,5 @@ STREAMING_ORACLES = {
     "q_stream_sessions": Q_STREAM_SESSIONS_SQL,
     "q_stream_user_totals": Q_STREAM_USER_TOTALS_SQL,
     "q_stream_sink_roundtrip": Q_STREAM_SINK_SQL,
+    "q_stream_ingest_dedup": Q_STREAM_INGEST_DEDUP_SQL,
 }

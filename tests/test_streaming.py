@@ -221,3 +221,31 @@ def test_stream_sink_feeds_read_partitioned_table(spark, tmp_path):
     # partition cols surface as strings, per the engine contract
     assert dict(clicks.dtypes)["event_type"] == "string"
     assert dict(clicks.dtypes)["event_date"] == "string"
+
+
+def test_stream_ingest_dedup_matches_batch_operator(spark, tmp_path):
+    """The batch bloom-dedup operator runs UNMODIFIED on a document stream
+    (stateless prefilter + stream-static anti-join) and yields the batch
+    answer regardless of how the files split into micro-batches."""
+    from fsql_spark.operators import dedup_against, dedup_against_bloom
+    from fsql_spark.operators.dedup import _incremental_batch
+    from fsql_spark.streaming.windows import run_to_memory
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = _incremental_batch(spark, SF)
+    src = str(tmp_path / "ingest")
+    batch.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streamed = run_to_memory(
+        dedup_against_bloom(stream, corpus, ["text"], normalize=True).select("doc_id"),
+        mode="append",
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_against(batch, corpus, ["text"], normalize=True).select("doc_id").collect()
+    )
+    assert sorted(r["doc_id"] for r in streamed.collect()) == want and want
