@@ -67,12 +67,17 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
     except Exception as exc:  # pragma: no cover - never block the bench
         print(f"bench: tree prematerialization failed: {exc!r}", file=sys.stderr)
     try:
-        from fsql_spark.streaming.windows import ingest_batch_tree, stream_sink_tree
+        from fsql_spark.streaming.windows import stream_sink_tree
 
         stream_sink_tree(spark, sf_dir)
-        ingest_batch_tree(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - never block the bench
         print(f"bench: stream-sink prematerialization failed: {exc!r}", file=sys.stderr)
+    try:
+        from fsql_spark.streaming.windows import ingest_batch_tree
+
+        ingest_batch_tree(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - never block the bench
+        print(f"bench: ingest-batch prematerialization failed: {exc!r}", file=sys.stderr)
     try:
         from fsql_spark.operators.dedup import corpus_signatures_cached
 

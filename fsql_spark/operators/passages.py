@@ -120,17 +120,19 @@ def strip_duplicated_passages(
     df: DataFrame, key_col: str, text_col: str, k: int = 8, min_docs: int = 2
 ) -> DataFrame:
     """The exact-substring dedup TRANSFORMATION (Lee et al. 2021): rewrite
-    every document with its duplicated spans removed, keeping one canonical
-    occurrence corpus-wide. Returns (key, text) with ``text`` rebuilt from
-    the surviving tokens.
+    every document with its duplicated spans removed. Returns (key, text)
+    with ``text`` rebuilt from the surviving tokens.
 
     Semantics, fully deterministic: a k-token window is *removed* when its
     passage occurs in >= ``min_docs`` distinct documents AND this document
     is not the passage's canonical holder (the minimum key containing it).
-    A token survives unless some removed window covers it. The canonical
-    document keeps its text; every other holder loses exactly the
-    duplicated spans (not the whole document — the difference between span
-    dedup and doc dedup).
+    A token survives unless some removed window covers it — span dedup,
+    not doc dedup. Canonical-per-window, not a per-passage survival
+    guarantee: when duplicated passages OVERLAP with different canonical
+    docs, a canonical copy can lose tokens to a neighboring span's
+    removal, so a passage may survive nowhere (the same coverage-based
+    behavior as suffix-array span dedup, which also removes overlapping
+    duplicate ranges wholesale).
 
     Scale shape: windows and tokens are linear explosions (JVM-only); the
     canonical assignment is one passage-keyed aggregate; coverage is a

@@ -386,28 +386,10 @@ def q_stream_ingest_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id")
 
 
-# same answer as the batch incremental-dedup entries: case variants of
-# corpus docs vanish, truncations survive
-Q_STREAM_INGEST_DEDUP_SQL = r"""
-WITH batch AS (
-  SELECT doc_id + 100000 AS doc_id, UPPER(text) AS text
-  FROM documents WHERE doc_id < 50
-  UNION ALL
-  SELECT doc_id + 200000,
-         array_to_string(
-           list_slice(string_split(text, ' '), 1,
-                      greatest(len(string_split(text, ' ')) // 2, 1)),
-           ' ')
-  FROM documents WHERE doc_id >= 50 AND doc_id < 80
-),
-corpus_keys AS (
-  SELECT DISTINCT LOWER(TRIM(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS norm
-  FROM documents
-)
-SELECT doc_id FROM batch
-WHERE LOWER(TRIM(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) NOT IN
-      (SELECT norm FROM corpus_keys)
-"""
+# identical answer to the batch incremental-dedup entries by construction
+# (same _incremental_batch, same normalized anti-join): alias the batch
+# oracle so the two entries cannot drift apart
+from ..operators.dedup import Q_DEDUP_INCREMENTAL_SQL as Q_STREAM_INGEST_DEDUP_SQL  # noqa: E402
 
 
 def stream_sink_tree(spark: SparkSession, sf: str) -> str:
