@@ -79,6 +79,12 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
     except Exception as exc:  # pragma: no cover - never block the bench
         print(f"bench: ingest-batch prematerialization failed: {exc!r}", file=sys.stderr)
     try:
+        from fsql_spark.operators.dedup import corpus_bloom_cached
+
+        corpus_bloom_cached(spark, sf_dir, ("text",), normalize=True)
+    except Exception as exc:  # pragma: no cover - never block the bench
+        print(f"bench: bloom prematerialization failed: {exc!r}", file=sys.stderr)
+    try:
         from fsql_spark.operators.dedup import corpus_signatures_cached
 
         t0 = time.perf_counter()

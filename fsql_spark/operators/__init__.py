@@ -23,6 +23,7 @@ from .dedup import (  # noqa: F401
     DEDUP_ORACLES,
     DEDUP_QUERIES,
     bloom_build,
+    corpus_bloom_cached,
     corpus_signatures_cached,
     dedup_against,
     dedup_against_bloom,
@@ -32,9 +33,11 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     minhash_lsh_pairs_against,
     minhash_signatures,
+    read_bloom,
     read_corpus_signatures,
     simhash,
     simhash_pairs,
+    write_bloom,
     write_corpus_signatures,
 )
 from .inference import (  # noqa: F401

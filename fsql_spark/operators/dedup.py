@@ -445,6 +445,66 @@ def bloom_build(
     return _bloom_from_hashes(hashed, n_bits, n_hashes), n_bits, n_hashes
 
 
+def write_bloom(path: str, bm_bytes: bytes, n_bits: int, n_hashes: int) -> None:
+    """Persist a Bloom bitmap + its parameters — the sketch-as-ingest-
+    artifact lifecycle (same idea as :func:`write_corpus_signatures`): at
+    100 TB the corpus bitmap is built once at ingest time and every future
+    batch/stream loads the megabytes-sized artifact instead of re-scanning
+    the corpus."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "bloom.bin"), "wb") as fd:
+        fd.write(bm_bytes)
+    with open(os.path.join(path, "meta.json"), "w") as fd:
+        json.dump({"n_bits": n_bits, "n_hashes": n_hashes, "fmt": 1}, fd)
+
+
+def read_bloom(path: str) -> tuple[bytes, int, int]:
+    """Load a persisted Bloom bitmap written by :func:`write_bloom`."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fd:
+        meta = json.load(fd)
+    if meta.get("fmt") != 1:
+        raise ValueError(f"unknown bloom artifact format at {path}: {meta}")
+    with open(os.path.join(path, "bloom.bin"), "rb") as fd:
+        bm = fd.read()
+    if len(bm) * 8 != meta["n_bits"]:
+        raise ValueError(
+            f"bloom artifact at {path} is {len(bm) * 8} bits but meta says {meta['n_bits']}"
+        )
+    return bm, meta["n_bits"], meta["n_hashes"]
+
+
+def corpus_bloom_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    content_cols: tuple[str, ...] = ("text",),
+    normalize: bool = True,
+    fpp: float = 0.01,
+    table: str = "documents",
+) -> tuple[bytes, int, int]:
+    """Compute-once corpus Bloom bitmap for a testdata sf dir (build-once
+    /tmp cache keyed by source mtime + config, like the signature cache):
+    the first caller folds the corpus; later callers load the bitmap file.
+    This is the production lifecycle q_stream_ingest_dedup models — the
+    stream never pays the corpus scan."""
+    from ..fsql_catalog import _build_once, _tree_dir
+
+    cfg = f"{'_'.join(content_cols)}_n{int(normalize)}_p{fpp}"
+
+    def build(staging: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        bm, n_bits, n_hashes = bloom_build(docs, list(content_cols), normalize, fpp=fpp)
+        write_bloom(staging, bm, n_bits, n_hashes)
+
+    dest = _build_once(_tree_dir(sf_dir, f"bloom_{table}_{cfg}", table), build)
+    return read_bloom(dest)
+
+
 def dedup_against_bloom(
     df_new: DataFrame,
     corpus: DataFrame,
@@ -454,6 +514,7 @@ def dedup_against_bloom(
     fpp: float = 0.01,
     max_bits: int = 1 << 30,
     cache_corpus_hashes: bool = True,
+    bloom: tuple[bytes, int, int] | None = None,
 ) -> DataFrame:
     """Exact incremental dedup with a broadcast Bloom prefilter — the
     100 TB shape of :func:`dedup_against`: the corpus compresses to a
@@ -472,7 +533,13 @@ def dedup_against_bloom(
     looping over many corpora should ``spark.catalog.clearCache()``
     between them or pass ``cache_corpus_hashes=False`` (the hash relation
     is then recomputed by the anti-join: two corpus passes, zero pinned
-    storage)."""
+    storage).
+
+    Pass ``bloom`` (a :func:`read_bloom`/:func:`bloom_build` triple) to
+    skip the build entirely — the persisted-artifact lifecycle: the bitmap
+    was folded at corpus-ingest time and each batch/stream just loads it.
+    The exact anti-join still consults the corpus, but only might-contain
+    rows reach it."""
     import numpy as np
     import pandas as pd
 
@@ -485,9 +552,14 @@ def dedup_against_bloom(
     seen = corpus.select(h.alias("__h")).distinct()
     if cache_corpus_hashes:
         seen = seen.persist()
-    n = seen.count() if expected_items is None else expected_items
-    n_bits, n_hashes = _bloom_params(n, fpp, max_bits)
-    bm_bytes = _bloom_from_hashes(seen.select(F.unhex("__h").alias("hb")), n_bits, n_hashes)
+    if bloom is not None:
+        bm_bytes, n_bits, n_hashes = bloom
+    else:
+        n = seen.count() if expected_items is None else expected_items
+        n_bits, n_hashes = _bloom_params(n, fpp, max_bits)
+        bm_bytes = _bloom_from_hashes(
+            seen.select(F.unhex("__h").alias("hb")), n_bits, n_hashes
+        )
     spark = df_new.sparkSession
     bc = spark.sparkContext.broadcast(bm_bytes)
 

@@ -372,8 +372,12 @@ def q_stream_ingest_dedup(spark: SparkSession, sf: str) -> DataFrame:
     touching the join and state stays zero (no watermark needed: the
     corpus side is static). The batch entry q_dedup_incremental_bloom and
     this stream produce the identical answer — one more streaming/batch
-    unification proof."""
-    from ..operators.dedup import dedup_against_bloom
+    unification proof.
+
+    The bitmap comes from the build-once artifact cache
+    (``corpus_bloom_cached``) — the production lifecycle: the corpus was
+    folded at ingest time; the stream just loads megabytes and filters."""
+    from ..operators.dedup import corpus_bloom_cached, dedup_against_bloom
 
     src = ingest_batch_tree(spark, sf)
     schema = spark.read.parquet(src).schema
@@ -381,7 +385,8 @@ def q_stream_ingest_dedup(spark: SparkSession, sf: str) -> DataFrame:
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
     corpus = spark.read.parquet(f"{sf}/documents.parquet")
-    novel = dedup_against_bloom(stream, corpus, ["text"], normalize=True)
+    bloom = corpus_bloom_cached(spark, sf, ("text",), normalize=True)
+    novel = dedup_against_bloom(stream, corpus, ["text"], normalize=True, bloom=bloom)
     out = run_to_memory(novel.select("doc_id"), mode="append")
     return out.select("doc_id")
 

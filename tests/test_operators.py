@@ -729,6 +729,46 @@ def test_dedup_against_bloom_matches_exact_and_prefilters(spark):
     assert len(false_pos) <= max(2, 0.1 * len(exact))  # ~fpp, generous slack
 
 
+def test_bloom_artifact_roundtrip_and_prebuilt_path(spark, tmp_path):
+    """The bloom bitmap persists as an ingest artifact (write/read
+    roundtrip, format-checked) and a prebuilt bitmap yields the identical
+    dedup answer without the build jobs."""
+    import pytest as _pytest
+
+    from fsql_spark.operators import (
+        bloom_build,
+        dedup_against,
+        dedup_against_bloom,
+        read_bloom,
+        write_bloom,
+    )
+    from fsql_spark.operators.dedup import _incremental_batch
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = _incremental_batch(spark, SF)
+    bm, n_bits, n_hashes = bloom_build(corpus, ["text"], normalize=True)
+    path = str(tmp_path / "bloom_artifact")
+    write_bloom(path, bm, n_bits, n_hashes)
+    loaded = read_bloom(path)
+    assert loaded == (bm, n_bits, n_hashes)
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_against_bloom(
+            batch, corpus, ["text"], normalize=True, bloom=loaded
+        ).select("doc_id").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_against(batch, corpus, ["text"], normalize=True).select("doc_id").collect()
+    )
+    assert got == want and want
+    # a truncated artifact fails loudly, not with silent wrong membership
+    with open(f"{path}/bloom.bin", "wb") as fd:
+        fd.write(bm[: len(bm) // 2])
+    with _pytest.raises(ValueError, match="bits"):
+        read_bloom(path)
+
+
 def test_minhash_against_cross_corpus(spark):
     """Appended-token variants match their source doc; half-truncations and
     within-side pairs never appear; jaccard values are exact."""
