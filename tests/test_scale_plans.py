@@ -522,3 +522,23 @@ def test_bloom_prefilter_feeds_the_anti_join(spark):
     assert "LeftAnti" in plan
     # the _might UDF appears in BOTH branches of the union (kept + filtered)
     assert plan.count("_might") >= 2
+
+
+def test_strip_passages_no_cartesian_bounded_exchanges(spark):
+    """The span-stripping rewrite: window/token explosions are Generates,
+    joins are keyed (no cartesian), and the whole pipeline stays within a
+    bounded exchange budget (passage agg + join + coverage distinct +
+    anti-join + per-doc rebuild)."""
+    from fsql_spark.operators import strip_duplicated_passages
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(strip_duplicated_passages(docs, "doc_id", "text", k=8))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan  # JVM-only hot path
+    assert plan.count("Generate") >= 2  # windows + tokens are flatMaps
+    # 11 today: the window subtree instantiates twice (stats + removal
+    # branches, each with its single-file spread) plus the keyed agg/join
+    # exchanges — all keyed and data-proportional; the guard is the CLASS
+    # of operator (no cartesian, no Python), plus a ceiling against
+    # accidental plan explosion
+    assert plan.count("Exchange") <= 12
