@@ -49,6 +49,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
             _bucketed_pair,
             _nation_by_region_tree,
             _orders_compacted_tree,
+            _orders_drift_tree,
             _orders_restated_tree,
             _orders_sorted_tree,
             _orders_ym_orc_tree,
@@ -62,6 +63,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
         _orders_ym_orc_tree(spark, sf_dir)
         _orders_compacted_tree(spark, sf_dir)
         _orders_restated_tree(spark, sf_dir)
+        _orders_drift_tree(spark, sf_dir)
         _orders_sorted_tree(spark, sf_dir)
         _bucketed_pair(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - never block the bench

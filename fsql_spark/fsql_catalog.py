@@ -537,6 +537,61 @@ GROUP BY 1
 """
 
 
+def _orders_drift_tree(spark: SparkSession, sf_dir: str) -> str:
+    """A tree whose DATA schema drifts across partitions: years before 1996
+    carry the original orders columns; 1996+ add ``o_channel`` (a
+    deterministic label) — the standard production evolution where new
+    ingest code adds a field and history is never rewritten."""
+
+    def build(staging: str) -> None:
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+            "year", F.year("o_orderdate").cast("string")
+        )
+        old = df.where(F.col("year") < "1996")
+        new = df.where(F.col("year") >= "1996").withColumn(
+            "o_channel",
+            F.element_at(
+                F.array(F.lit("web"), F.lit("store"), F.lit("app")),
+                (F.col("o_orderkey") % 3 + 1).cast("int"),
+            ),
+        )
+        old.repartition("year").write.partitionBy("year").parquet(staging)
+        new.repartition("year").write.mode("append").partitionBy("year").parquet(staging)
+
+    return _build_once(_tree_dir(sf_dir, "orders_drift", "orders"), build)
+
+
+def q_fsql_drift_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """SCHEMA DRIFT under the oracle: one engine scan over a tree whose
+    later partitions add a data column. ``mergeSchema`` (one reader option)
+    surfaces the union schema; pre-drift rows read NULL for the new column
+    — the NaN-pad union semantics of the reference's per-file pandas concat
+    (`/root/reference/src/fsql/deser.py:233-234`), delivered by ONE
+    Catalyst scan instead of per-file frames."""
+    url = _orders_drift_tree(spark, sf)
+    df = read_partitioned_table(
+        url, Q_TRUE, data_reader=SparkReader(options={"mergeSchema": "true"}), spark=spark
+    )
+    return df.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_channel").alias("n_with_channel"),
+        F.countDistinct("o_channel").alias("n_channels"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_DRIFT_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS year,
+       COUNT(*) AS n_orders,
+       COUNT(CASE WHEN EXTRACT(year FROM o_orderdate) >= 1996 THEN 1 END) AS n_with_channel,
+       COUNT(DISTINCT CASE WHEN EXTRACT(year FROM o_orderdate) >= 1996
+                           THEN ['web','store','app'][(o_orderkey % 3) + 1] END) AS n_channels,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY 1
+"""
+
+
 def q_fsql_sorted_scan(spark: SparkSession, sf: str) -> DataFrame:
     """DATA-SKIPPING layout under the oracle: a selective key-range filter
     over the range-clustered tree (disjoint per-file o_custkey ranges,
@@ -628,6 +683,7 @@ FSQL_QUERIES = {
     "q_fsql_orc_scan": q_fsql_orc_scan,
     "q_fsql_compacted_scan": q_fsql_compacted_scan,
     "q_fsql_restated_scan": q_fsql_restated_scan,
+    "q_fsql_drift_scan": q_fsql_drift_scan,
     "q_fsql_sorted_scan": q_fsql_sorted_scan,
     "q_fsql_bucketed_join": q_fsql_bucketed_join,
 }
@@ -642,6 +698,7 @@ FSQL_ORACLES = {
     "q_fsql_orc_scan": Q_FSQL_ORC_SQL,
     "q_fsql_compacted_scan": Q_FSQL_COMPACTED_SQL,
     "q_fsql_restated_scan": Q_FSQL_RESTATED_SQL,
+    "q_fsql_drift_scan": Q_FSQL_DRIFT_SQL,
     "q_fsql_sorted_scan": Q_FSQL_SORTED_SQL,
     "q_fsql_bucketed_join": Q_FSQL_BUCKETED_SQL,
 }

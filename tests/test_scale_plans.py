@@ -542,3 +542,27 @@ def test_strip_passages_no_cartesian_bounded_exchanges(spark):
     # of operator (no cartesian, no Python), plus a ceiling against
     # accidental plan explosion
     assert plan.count("Exchange") <= 12
+
+
+def test_schema_drift_tree_union_semantics(spark):
+    """Partitions written after a schema evolution carry o_channel; the
+    merged scan surfaces the union schema with NULLs for history — per-file
+    pandas-concat semantics from ONE Catalyst scan."""
+    from fsql_spark import Q_TRUE, read_partitioned_table
+    from fsql_spark.fsql_catalog import _orders_drift_tree
+    from fsql_spark.readers import SparkReader
+
+    url = _orders_drift_tree(spark, "/root/testdata/sf0.001")
+    df = read_partitioned_table(
+        url, Q_TRUE, data_reader=SparkReader(options={"mergeSchema": "true"}), spark=spark
+    )
+    assert "o_channel" in df.columns
+    per_year = {
+        r["year"]: r["n"]
+        for r in df.where(F.col("o_channel").isNull())
+        .groupBy("year")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_year and all(y < "1996" for y in per_year)  # NULLs only pre-drift
+    assert df.where((F.col("year") >= "1996") & F.col("o_channel").isNull()).count() == 0
