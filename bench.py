@@ -51,6 +51,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
             _orders_compacted_tree,
             _orders_drift_tree,
             _orders_restated_tree,
+            _orders_retention_tree,
             _orders_sorted_tree,
             _orders_ym_orc_tree,
             _orders_ym_tree,
@@ -64,6 +65,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
         _orders_compacted_tree(spark, sf_dir)
         _orders_restated_tree(spark, sf_dir)
         _orders_drift_tree(spark, sf_dir)
+        _orders_retention_tree(spark, sf_dir)
         _orders_sorted_tree(spark, sf_dir)
         _bucketed_pair(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - never block the bench

@@ -592,6 +592,64 @@ GROUP BY 1
 """
 
 
+def _orders_retention_tree(spark: SparkSession, sf_dir: str) -> str:
+    """An orders (year, month) tree with its pre-1997 partitions DELETED by
+    ``maintenance.drop_partitions`` driven by a LexRangeQuery — retention
+    expressed in the engine's own predicate language. The build fails
+    unless the drop removed the expected directories and a dry-run listed
+    the same set first."""
+
+    def build(staging: str) -> None:
+        from .maintenance import drop_partitions
+        from .queries import ColumnComparator, ColumnRange, LexRangeQuery
+
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = df.withColumn("year", F.year("o_orderdate").cast("string")).withColumn(
+            "month", F.month("o_orderdate").cast("string")
+        )
+        write_table(out.repartition("year", "month"), staging, partition_by=["year", "month"])
+        expired = LexRangeQuery(
+            [ColumnRange("year", "0", "1997", ColumnComparator.num)]
+        )
+        planned = drop_partitions(staging, expired, dry_run=True)
+        deleted = drop_partitions(staging, expired)
+        if not deleted or deleted != planned:
+            raise RuntimeError(
+                f"retention drop inconsistent: dry_run={len(planned)} vs "
+                f"deleted={len(deleted)} directories"
+            )
+        import re as _re
+
+        if any(not _re.search(r"year=199[0-6]/", d + "/") for d in deleted):
+            raise RuntimeError(f"unexpected directory deleted: {deleted}")
+
+    return _build_once(_tree_dir(sf_dir, "orders_ym_retained", "orders"), build)
+
+
+def q_fsql_retention_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """RETENTION under the oracle: the predicate language that scans also
+    deletes — pre-1997 partitions were dropped by LexRangeQuery-driven
+    ``drop_partitions`` (prune-as-you-descend: only the expiring branch is
+    ever listed), and the surviving tree's aggregate must equal the flat
+    table WHERE year >= 1997."""
+    url = _orders_retention_tree(spark, sf)
+    df = read_partitioned_table(url, Q_TRUE, spark=spark)
+    return df.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_RETENTION_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS year,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) >= 1997
+GROUP BY 1
+"""
+
+
 def q_fsql_sorted_scan(spark: SparkSession, sf: str) -> DataFrame:
     """DATA-SKIPPING layout under the oracle: a selective key-range filter
     over the range-clustered tree (disjoint per-file o_custkey ranges,
@@ -684,6 +742,7 @@ FSQL_QUERIES = {
     "q_fsql_compacted_scan": q_fsql_compacted_scan,
     "q_fsql_restated_scan": q_fsql_restated_scan,
     "q_fsql_drift_scan": q_fsql_drift_scan,
+    "q_fsql_retention_scan": q_fsql_retention_scan,
     "q_fsql_sorted_scan": q_fsql_sorted_scan,
     "q_fsql_bucketed_join": q_fsql_bucketed_join,
 }
@@ -699,6 +758,7 @@ FSQL_ORACLES = {
     "q_fsql_compacted_scan": Q_FSQL_COMPACTED_SQL,
     "q_fsql_restated_scan": Q_FSQL_RESTATED_SQL,
     "q_fsql_drift_scan": Q_FSQL_DRIFT_SQL,
+    "q_fsql_retention_scan": Q_FSQL_RETENTION_SQL,
     "q_fsql_sorted_scan": Q_FSQL_SORTED_SQL,
     "q_fsql_bucketed_join": Q_FSQL_BUCKETED_SQL,
 }

@@ -132,3 +132,40 @@ def overwrite_partitions(
             .partitionBy(*partition_by)
             .parquet(fs.spark_url(path))
         )
+
+
+def drop_partitions(
+    url: str,
+    query,
+    column_parser=None,
+    fs: Optional[FileSystem] = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete every partition the ``query`` MATCHES — retention/GDPR erasure
+    driven by the same predicate language that scans: the query that selects
+    last quarter's partitions for reading also deletes them, with the same
+    prune-as-you-descend discovery (unmatched subtrees are never even
+    listed, so dropping a month from a decade-deep tree stats only that
+    month's branch).
+
+    A terminal partition's files share one fully-bound directory, so
+    deletion is per leaf DIRECTORY (never a partial partition). Returns the
+    deleted directory URLs, sorted; ``dry_run=True`` lists without deleting
+    — run it first, like any deletion tool. Emptied ancestor directories are
+    left in place (harmless to discovery: no files, no bindings).
+
+    This intentionally has no Spark job: deletion is driver-side metadata
+    work, O(matched files) like discovery itself."""
+    from .column_parser import AUTO_PARSER
+    from .discovery import Partition, discover_partitions
+
+    parser = column_parser if column_parser is not None else AUTO_PARSER
+    path, fs = get_url_and_fs(url, fs)
+    if not path.endswith("/") and fs.isdir(path):
+        path += "/"
+    matched = discover_partitions(query, parser, Partition(path, {}), fs)
+    leaf_dirs = sorted({p.url.rsplit("/", 1)[0] for p in matched})
+    if not dry_run:
+        for d in leaf_dirs:
+            fs.rmtree(d)
+    return leaf_dirs

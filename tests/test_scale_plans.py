@@ -566,3 +566,37 @@ def test_schema_drift_tree_union_semantics(spark):
     }
     assert per_year and all(y < "1996" for y in per_year)  # NULLs only pre-drift
     assert df.where((F.col("year") >= "1996") & F.col("o_channel").isNull()).count() == 0
+
+
+def test_drop_partitions_dry_run_granularity_and_pruning(spark, tmp_path):
+    """Retention semantics: dry_run lists without deleting; deletion is per
+    leaf directory; discovery prunes unmatched branches before listing them
+    (retention on a huge tree stats only the expiring subtree)."""
+    from fsql_spark import LocalFileSystem, Q_EQ
+    from fsql_spark.maintenance import drop_partitions
+
+    for y in ["2020", "2021"]:
+        for m in ["1", "2"]:
+            d = tmp_path / f"t/year={y}/month={m}"
+            d.mkdir(parents=True)
+            pd.DataFrame({"v": [1]}).to_parquet(d / "f.parquet")
+
+    listed: list[str] = []
+
+    class CountingFS(LocalFileSystem):
+        def ls(self, url):
+            listed.append(url)
+            return super().ls(url)
+
+    planned = drop_partitions(str(tmp_path / "t"), Q_EQ("year", "2020"), dry_run=True)
+    assert len(planned) == 2 and all("year=2020" in d for d in planned)
+    assert (tmp_path / "t/year=2020/month=1/f.parquet").exists()  # nothing deleted
+
+    deleted = drop_partitions(str(tmp_path / "t"), Q_EQ("year", "2020"), fs=CountingFS())
+    assert deleted == planned
+    assert not (tmp_path / "t/year=2020/month=1").exists()
+    assert (tmp_path / "t/year=2021/month=2/f.parquet").exists()  # survivors intact
+    assert not any("year=2021" in u for u in listed)  # kept branch never listed
+
+    df = read_partitioned_table(str(tmp_path / "t"), Q_TRUE, spark=spark)
+    assert df.count() == 2 and {r["year"] for r in df.collect()} == {"2021"}
