@@ -108,6 +108,10 @@ class FileSystem(ABC):
         """Recursively delete a directory tree (no error if absent)."""
         raise NotImplementedError
 
+    def rm(self, url: str) -> None:
+        """Delete a single file (no error if absent)."""
+        raise NotImplementedError
+
     def spark_url(self, url: str) -> str:
         """URL form Spark's Hadoop connectors understand."""
         return url
@@ -144,6 +148,12 @@ class LocalFileSystem(FileSystem):
         import shutil
 
         shutil.rmtree(url, ignore_errors=True)
+
+    def rm(self, url: str) -> None:
+        import contextlib
+
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(url)
 
     def spark_url(self, url: str) -> str:
         return "file://" + os.path.abspath(url)
@@ -184,6 +194,10 @@ class FsspecFileSystem(FileSystem):  # pragma: no cover - exercised only with fs
     def rmtree(self, url: str) -> None:
         if self._fs.exists(url):
             self._fs.rm(url, recursive=True)
+
+    def rm(self, url: str) -> None:
+        if self._fs.exists(url):
+            self._fs.rm(url)
 
     def spark_url(self, url: str) -> str:
         scheme = "s3a" if self._protocol == "s3" else self._protocol

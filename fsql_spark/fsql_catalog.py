@@ -555,8 +555,9 @@ def _orders_drift_tree(spark: SparkSession, sf_dir: str) -> str:
                 (F.col("o_orderkey") % 3 + 1).cast("int"),
             ),
         )
-        old.repartition("year").write.partitionBy("year").parquet(staging)
-        new.repartition("year").write.mode("append").partitionBy("year").parquet(staging)
+        # through the engine's own writer, like every other catalog tree
+        write_table(old.repartition("year"), staging, partition_by=["year"])
+        write_table(new.repartition("year"), staging, mode="append", partition_by=["year"])
 
     return _build_once(_tree_dir(sf_dir, "orders_drift", "orders"), build)
 
@@ -623,7 +624,9 @@ def _orders_retention_tree(spark: SparkSession, sf_dir: str) -> str:
         if any(not _re.search(r"year=199[0-6]/", d + "/") for d in deleted):
             raise RuntimeError(f"unexpected directory deleted: {deleted}")
 
-    return _build_once(_tree_dir(sf_dir, "orders_ym_retained", "orders"), build)
+    # v2: drop_partitions now prunes emptied ancestor dirs (fast-path
+    # probe); the key bump discards cached trees built before that
+    return _build_once(_tree_dir(sf_dir, "orders_ym_retained_v2", "orders"), build)
 
 
 def q_fsql_retention_scan(spark: SparkSession, sf: str) -> DataFrame:

@@ -148,11 +148,22 @@ def drop_partitions(
     listed, so dropping a month from a decade-deep tree stats only that
     month's branch).
 
-    A terminal partition's files share one fully-bound directory, so
-    deletion is per leaf DIRECTORY (never a partial partition). Returns the
-    deleted directory URLs, sorted; ``dry_run=True`` lists without deleting
-    — run it first, like any deletion tool. Emptied ancestor directories are
-    left in place (harmless to discovery: no files, no bindings).
+    Deletion granularity follows the parser's binding granularity: under a
+    directory-binding parser every file in a leaf directory shares one
+    fully-bound tuple, so whole leaf DIRECTORIES are removed; under a
+    filename-binding parser (``parses_filenames()`` — the last column IS
+    the file name, so a query can match a strict subset of a directory)
+    deletion is per matched FILE. Returns the deleted target URLs, sorted;
+    ``dry_run=True`` lists without deleting — run it first, like any
+    deletion tool.
+
+    Erasure is VERIFIED: a target that still exists after deletion raises
+    (``LocalFileSystem.rmtree`` deliberately ignores errors for staging
+    cleanup — an erasure API must not). Emptied ancestor directories are
+    then pruned up to (never including) the table root: a leftover empty
+    leading directory would otherwise dead-end the Catalyst fast path's
+    first-leaf probe and silently demote every future read of the table to
+    driver-side discovery.
 
     This intentionally has no Spark job: deletion is driver-side metadata
     work, O(matched files) like discovery itself."""
@@ -164,8 +175,31 @@ def drop_partitions(
     if not path.endswith("/") and fs.isdir(path):
         path += "/"
     matched = discover_partitions(query, parser, Partition(path, {}), fs)
-    leaf_dirs = sorted({p.url.rsplit("/", 1)[0] for p in matched})
-    if not dry_run:
-        for d in leaf_dirs:
-            fs.rmtree(d)
-    return leaf_dirs
+    if parser.parses_filenames():
+        targets = sorted({p.url for p in matched})
+    else:
+        targets = sorted({p.url.rsplit("/", 1)[0] for p in matched})
+    if dry_run:
+        return targets
+    for t in targets:
+        if fs.isdir(t):
+            fs.rmtree(t)
+        else:
+            fs.rm(t)
+        if fs.exists(t):
+            raise RuntimeError(f"drop_partitions: failed to delete {t}")
+    root = path.rstrip("/")
+    for t in targets:
+        parent = t.rsplit("/", 1)[0]
+        while len(parent) > len(root) and parent.startswith(root):
+            try:
+                files, dirs = fs.ls(parent)
+            except (OSError, FileNotFoundError):
+                break
+            if files or dirs:
+                break
+            fs.rmtree(parent)
+            if fs.exists(parent):
+                break  # not removable; stop ascending rather than raise
+            parent = parent.rsplit("/", 1)[0]
+    return targets

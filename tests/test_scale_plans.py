@@ -600,3 +600,42 @@ def test_drop_partitions_dry_run_granularity_and_pruning(spark, tmp_path):
 
     df = read_partitioned_table(str(tmp_path / "t"), Q_TRUE, spark=spark)
     assert df.count() == 2 and {r["year"] for r in df.collect()} == {"2021"}
+
+
+def test_drop_partitions_prunes_empty_ancestors_keeps_fast_path(spark, tmp_path):
+    """After retention the lexicographically-first branch must not dead-end
+    in an emptied directory: the Catalyst fast path's first-leaf probe
+    would fall back to driver discovery for every future read."""
+    from fsql_spark.maintenance import drop_partitions
+
+    for y in ["2019", "2024"]:
+        d = tmp_path / f"t/year={y}/month=1"
+        d.mkdir(parents=True)
+        pd.DataFrame({"v": [1]}).to_parquet(d / "f.parquet")
+    drop_partitions(str(tmp_path / "t"), Q_EQ("year", "2019"))
+    assert not (tmp_path / "t/year=2019").exists()  # ancestor pruned, not just the leaf
+    df = read_partitioned_table(str(tmp_path / "t"), Q_TRUE, spark=spark)
+    plan = plan_of(df)
+    # ONE native scan = the fast path; driver fallback unions literal frames
+    assert plan.count("FileScan parquet") == 1 and "Union" not in plan
+    assert df.count() == 1
+
+
+def test_drop_partitions_filename_binding_deletes_files_not_dirs(spark, tmp_path):
+    """Under a filename-binding parser a query can match a subset of one
+    directory's files; erasure must be per matched FILE — deleting the
+    directory would destroy unmatched data."""
+    from fsql_spark import FixedColumnsParser, Q_EQ
+    from fsql_spark.maintenance import drop_partitions
+
+    d = tmp_path / "t/2020"
+    d.mkdir(parents=True)
+    pd.DataFrame({"v": [1]}).to_parquet(d / "clicks.parquet")
+    pd.DataFrame({"v": [2]}).to_parquet(d / "purchases.parquet")
+    parser = FixedColumnsParser.from_str("dt/event")
+    deleted = drop_partitions(
+        str(tmp_path / "t"), Q_EQ("event", "clicks.parquet"), column_parser=parser
+    )
+    assert len(deleted) == 1 and deleted[0].endswith("clicks.parquet")
+    assert not (d / "clicks.parquet").exists()
+    assert (d / "purchases.parquet").exists()  # unmatched neighbor survives
