@@ -280,3 +280,26 @@ def test_s3_without_fsspec_raises(monkeypatch):
     monkeypatch.setattr(fsmod, "_HAS_FSSPEC", False)
     with pytest.raises(ValueError, match="needs fsspec"):
         get_url_and_fs("s3://bucket/table")
+
+
+def test_drop_partitions_over_s3(s3_tree):
+    """Query-driven retention over the object store: the matched year's
+    leaf directories are erased (verified — FsspecFileSystem raises on
+    failed deletion rather than reporting success), survivors untouched."""
+    from fsql_spark import Q_EQ
+    from fsql_spark.maintenance import drop_partitions
+
+    fake_fs, _ = s3_tree
+    planned = drop_partitions(f"s3://{BUCKET}/table", Q_EQ("year", "2024"), dry_run=True)
+    assert len(planned) == 2 and all("year=2024" in d for d in planned)
+    fs = FsspecFileSystem(fake_fs, "s3")
+    assert fs.exists(f"{BUCKET}/table/year=2024/month=01/part-0.parquet")
+
+    deleted = drop_partitions(f"s3://{BUCKET}/table", Q_EQ("year", "2024"))
+    assert deleted == planned
+    assert not fs.exists(f"{BUCKET}/table/year=2024/month=01/part-0.parquet")
+    assert fs.exists(f"{BUCKET}/table/year=2025/month=01/part-0.parquet")
+    # object stores have no real directories: the emptied prefix just
+    # disappears; discovery over the survivor still works
+    files, dirs = fs.ls(f"{BUCKET}/table")
+    assert dirs == ["year=2025"]
