@@ -56,6 +56,12 @@ from .readers import (  # noqa: F401
     SPARK_READER,
     SparkReader,
 )
+from .maintenance import (  # noqa: F401
+    compact,
+    drop_partitions,
+    file_stats,
+    overwrite_partitions,
+)
 from .session import get_spark, temp_conf  # noqa: F401
 from .sql import register_path_tables, sql  # noqa: F401
 
