@@ -93,6 +93,59 @@ def range_join(
     )
 
 
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_cols: list[str],
+    every_seconds: int,
+) -> DataFrame:
+    """Per-key fixed-interval resampling with forward fill — the time-series
+    regularization every monitoring/feature pipeline needs: one row per
+    ``every_seconds`` bin from each key's first to last event, carrying the
+    key's LAST observed values across gaps.
+
+    All arithmetic is integer (``us - us % every``) and per-bin values are
+    SELECTED (latest row by (ts, order_col)), never averaged — no float
+    summation, so the result is bit-identical across engines and layouts.
+
+    Scale shape: the per-bin latest-row pick and the gap-filling window both
+    shuffle once on the key; the dense grid is generated per key from a
+    2-column span aggregate (``sequence`` explode — rows ~ keys x bins, the
+    OUTPUT size, never a cross join). Output: (key, bin_start_us, values...)
+    with ``bin_start_us`` the bin's epoch-microseconds start."""
+    every_us = int(every_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    bs = (us - F.pmod(us, F.lit(every_us))).alias("__bs")
+    binned = df.withColumn("__bs", bs)
+    w_pick = Window.partitionBy(key_col, "__bs").orderBy(
+        F.col(ts_col).desc(), F.col(order_col).desc()
+    )
+    per_bin = (
+        binned.withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") == 1)
+        .select(key_col, "__bs", *value_cols)
+    )
+    spans = binned.groupBy(key_col).agg(
+        F.min("__bs").alias("__lo"), F.max("__bs").alias("__hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(F.sequence("__lo", "__hi", F.lit(every_us))).alias("__bs"),
+    )
+    joined = grid.join(per_bin, [key_col, "__bs"], "left")
+    w_fill = Window.partitionBy(key_col).orderBy("__bs")
+    return joined.select(
+        key_col,
+        F.col("__bs").alias("bin_start_us"),
+        *[
+            F.last(v, ignorenulls=True).over(w_fill).alias(v)
+            for v in value_cols
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog entries + oracles (events table: clicks vs purchases)
 # --------------------------------------------------------------------------
@@ -161,12 +214,52 @@ JOIN events b
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
 """
 
+def q_events_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly resampled per-user value series with forward fill (users < 20
+    bound the grid): the regularized time series a feature store derives
+    from raw events."""
+    from ..relational import _t
+
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 20)
+    out = resample_ffill(
+        ev, "user_id", "ts", "event_id", ["value"], every_seconds=3600
+    )
+    return out.select("user_id", "bin_start_us", F.round("value", 2).alias("value"))
+
+
+Q_EVENTS_RESAMPLE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, value
+  FROM events WHERE user_id < 20
+),
+b AS (SELECT *, us - (us % 3600000000) AS bs FROM e),
+picked AS (
+  SELECT user_id, bs, value FROM (
+    SELECT user_id, bs, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, bs ORDER BY us DESC, event_id DESC) AS rn
+    FROM b) WHERE rn = 1
+),
+spans AS (SELECT user_id, MIN(bs) AS lo, MAX(bs) AS hi FROM b GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS bs FROM spans
+)
+SELECT g.user_id,
+       g.bs AS bin_start_us,
+       ROUND(LAST_VALUE(p.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bs
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value
+FROM grid g LEFT JOIN picked p ON g.user_id = p.user_id AND g.bs = p.bs
+"""
+
+
 ASOF_QUERIES = {
     "q_asof_click_purchase": q_asof_click_purchase,
     "q_range_join_bursts": q_range_join_bursts,
+    "q_events_resample": q_events_resample,
 }
 
 ASOF_ORACLES = {
     "q_asof_click_purchase": Q_ASOF_SQL,
     "q_range_join_bursts": Q_RANGE_JOIN_SQL,
+    "q_events_resample": Q_EVENTS_RESAMPLE_SQL,
 }
