@@ -112,6 +112,12 @@ class FileSystem(ABC):
         """Delete a single file (no error if absent)."""
         raise NotImplementedError
 
+    def rmdir(self, url: str) -> None:
+        """Delete an EMPTY directory; raise OSError if entries exist — the
+        fail-safe primitive retention pruning needs (a recursive delete
+        would race concurrent writers)."""
+        raise NotImplementedError
+
     def spark_url(self, url: str) -> str:
         """URL form Spark's Hadoop connectors understand."""
         return url
@@ -154,6 +160,12 @@ class LocalFileSystem(FileSystem):
 
         with contextlib.suppress(FileNotFoundError):
             os.remove(url)
+
+    def rmdir(self, url: str) -> None:
+        import contextlib
+
+        with contextlib.suppress(FileNotFoundError):
+            os.rmdir(url)  # raises OSError when non-empty: fail safe
 
     def spark_url(self, url: str) -> str:
         return "file://" + os.path.abspath(url)
@@ -198,6 +210,16 @@ class FsspecFileSystem(FileSystem):  # pragma: no cover - exercised only with fs
     def rm(self, url: str) -> None:
         if self._fs.exists(url):
             self._fs.rm(url)
+
+    def rmdir(self, url: str) -> None:
+        # object stores have no real directories: once a prefix has no
+        # entries it simply does not exist; raise like os.rmdir if not empty
+        try:
+            entries = self._fs.ls(url, detail=False)
+        except FileNotFoundError:
+            return
+        if entries:
+            raise OSError(f"directory not empty: {url}")
 
     def spark_url(self, url: str) -> str:
         scheme = "s3a" if self._protocol == "s3" else self._protocol

@@ -196,10 +196,21 @@ def drop_partitions(
                 files, dirs = fs.ls(parent)
             except (OSError, FileNotFoundError):
                 break
-            if files or dirs:
+            # markers (_SUCCESS, .crc) are invisible to discovery AND to the
+            # fast-path probe — a dir holding only markers is still a probe
+            # dead-end, so they don't block pruning; anything visible does
+            if dirs or any(not f.startswith(("_", ".")) for f in files):
                 break
-            fs.rmtree(parent)
+            for f in files:
+                fs.rm(parent.rstrip("/") + "/" + f)
+            try:
+                # NON-recursive remove: a concurrent writer landing data
+                # between the ls and here makes this raise instead of
+                # silently destroying the new files
+                fs.rmdir(parent)
+            except OSError:
+                break  # no longer empty or not removable: fail safe
             if fs.exists(parent):
-                break  # not removable; stop ascending rather than raise
+                break
             parent = parent.rsplit("/", 1)[0]
     return targets

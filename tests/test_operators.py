@@ -850,22 +850,28 @@ def test_persisted_corpus_signatures_reused_by_batch(spark, tmp_path):
 def test_resample_ffill_semantics(spark):
     """Dense contiguous grid per key; gaps carry the last observation; the
     per-bin value is the LATEST row's (selection, not aggregation)."""
-    from datetime import datetime
+    from datetime import datetime, timezone
 
     from fsql_spark.operators.asof import resample_ffill
 
+    # timezone-AWARE instants: naive datetimes resolve in the host's local
+    # zone, which under fractional-offset zones puts "midnight" off the
+    # UTC hour grid and breaks the expected bin keys
+    def utc(h, m):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+
     rows = [
         # key 1: two events in hour 0 (the later wins), a gap, one in hour 3
-        (1, datetime(2024, 1, 1, 0, 10), 100, 1.0),
-        (1, datetime(2024, 1, 1, 0, 50), 101, 2.0),
-        (1, datetime(2024, 1, 1, 3, 5), 102, 9.0),
+        (1, utc(0, 10), 100, 1.0),
+        (1, utc(0, 50), 101, 2.0),
+        (1, utc(3, 5), 102, 9.0),
         # key 2: single event
-        (2, datetime(2024, 1, 1, 5, 0), 200, 7.0),
+        (2, utc(5, 0), 200, 7.0),
     ]
     df = spark.createDataFrame(rows, "k long, ts timestamp, event_id long, value double")
     out = resample_ffill(df, "k", "ts", "event_id", ["value"], every_seconds=3600)
     got = {(r["k"], r["bin_start_us"]): r["value"] for r in out.collect()}
-    h0 = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+    h0 = int(utc(0, 0).timestamp()) * 1_000_000
     hour = 3600 * 1_000_000
     assert got[(1, h0)] == 2.0          # later event in the bin wins
     assert got[(1, h0 + hour)] == 2.0   # gap: forward-filled

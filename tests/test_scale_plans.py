@@ -639,3 +639,35 @@ def test_drop_partitions_filename_binding_deletes_files_not_dirs(spark, tmp_path
     assert len(deleted) == 1 and deleted[0].endswith("clicks.parquet")
     assert not (d / "clicks.parquet").exists()
     assert (d / "purchases.parquet").exists()  # unmatched neighbor survives
+
+
+def test_drop_partitions_prunes_marker_only_dirs_fail_safe(spark, tmp_path):
+    """A branch emptied down to _SUCCESS/.crc markers is still a fast-path
+    dead-end, so pruning removes marker-only dirs; removal uses the
+    non-recursive rmdir so a concurrent write makes it fail safe instead of
+    destroying new data."""
+    from fsql_spark.maintenance import drop_partitions
+
+    for y in ["2019", "2024"]:
+        d = tmp_path / f"t/year={y}/month=1"
+        d.mkdir(parents=True)
+        pd.DataFrame({"v": [1]}).to_parquet(d / "f.parquet")
+    (tmp_path / "t/year=2019/_SUCCESS").write_text("")  # writer marker
+    drop_partitions(str(tmp_path / "t"), Q_EQ("year", "2019"))
+    assert not (tmp_path / "t/year=2019").exists()  # marker didn't block pruning
+    df = read_partitioned_table(str(tmp_path / "t"), Q_TRUE, spark=spark)
+    assert plan_of(df).count("FileScan parquet") == 1  # fast path intact
+
+    # filename-binding: the .crc sibling of a deleted file doesn't pin the dir
+    from fsql_spark import FixedColumnsParser
+
+    d2 = tmp_path / "u/2020"
+    d2.mkdir(parents=True)
+    pd.DataFrame({"v": [1]}).to_parquet(d2 / "clicks.parquet")
+    (d2 / ".clicks.parquet.crc").write_text("")
+    drop_partitions(
+        str(tmp_path / "u"),
+        Q_EQ("event", "clicks.parquet"),
+        column_parser=FixedColumnsParser.from_str("dt/event"),
+    )
+    assert not d2.exists()  # crc cleaned, dir pruned
