@@ -212,14 +212,20 @@ class FsspecFileSystem(FileSystem):  # pragma: no cover - exercised only with fs
             self._fs.rm(url)
 
     def rmdir(self, url: str) -> None:
-        # object stores have no real directories: once a prefix has no
-        # entries it simply does not exist; raise like os.rmdir if not empty
+        # raise like os.rmdir when entries exist; otherwise remove the real
+        # directory if the backend has them (hdfs/sftp) — on prefix-only
+        # object stores an empty "directory" simply does not exist and
+        # there is nothing to remove
         try:
             entries = self._fs.ls(url, detail=False)
         except FileNotFoundError:
             return
         if entries:
             raise OSError(f"directory not empty: {url}")
+        try:
+            self._fs.rmdir(url)
+        except (FileNotFoundError, AttributeError, NotImplementedError):
+            pass
 
     def spark_url(self, url: str) -> str:
         scheme = "s3a" if self._protocol == "s3" else self._protocol

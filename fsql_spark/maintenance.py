@@ -192,25 +192,57 @@ def drop_partitions(
     for t in targets:
         parent = t.rsplit("/", 1)[0]
         while len(parent) > len(root) and parent.startswith(root):
-            try:
-                files, dirs = fs.ls(parent)
-            except (OSError, FileNotFoundError):
-                break
-            # markers (_SUCCESS, .crc) are invisible to discovery AND to the
-            # fast-path probe — a dir holding only markers is still a probe
-            # dead-end, so they don't block pruning; anything visible does
-            if dirs or any(not f.startswith(("_", ".")) for f in files):
-                break
-            for f in files:
-                fs.rm(parent.rstrip("/") + "/" + f)
-            try:
-                # NON-recursive remove: a concurrent writer landing data
-                # between the ls and here makes this raise instead of
-                # silently destroying the new files
-                fs.rmdir(parent)
-            except OSError:
-                break  # no longer empty or not removable: fail safe
-            if fs.exists(parent):
+            if not _prune_if_effectively_empty(fs, parent):
                 break
             parent = parent.rsplit("/", 1)[0]
     return targets
+
+
+def _prune_if_effectively_empty(fs: FileSystem, url: str) -> bool:
+    """Remove ``url`` iff it is empty or holds only marker files
+    (``_SUCCESS``/``.crc`` — invisible to discovery AND to the fast-path
+    first-leaf probe, so such a dir is still a probe dead-end). Returns
+    True when removed; EVERY failure path returns False without side
+    effects — pruning is best-effort cleanup and must never raise after
+    the requested erasure already succeeded.
+
+    Race safety: a truly-empty dir goes through the NON-recursive
+    ``rmdir`` (fails on concurrent content instead of destroying it). A
+    marker-only dir is first MOVED ASIDE (atomic rename on real-directory
+    filesystems), re-inspected, and only then recursively deleted — if a
+    concurrent writer's data landed before the rename, the dir is moved
+    back intact, markers included."""
+    import uuid
+
+    try:
+        files, dirs = fs.ls(url)
+    except (OSError, FileNotFoundError):
+        return False
+    if dirs or any(not f.startswith(("_", ".")) for f in files):
+        return False  # visible content: not prunable
+    if not files:
+        try:
+            fs.rmdir(url)
+        except (OSError, NotImplementedError):
+            return False
+        return not fs.exists(url)
+    tomb = f"{url.rstrip('/')}.__fsql_prune_{uuid.uuid4().hex[:8]}"
+    try:
+        fs.move(url, tomb)
+    except (OSError, NotImplementedError):
+        return False
+    try:
+        files2, dirs2 = fs.ls(tomb)
+    except (OSError, FileNotFoundError):
+        files2, dirs2 = [], []
+    if dirs2 or any(not f.startswith(("_", ".")) for f in files2):
+        try:  # data landed before the rename: put everything back
+            fs.move(tomb, url)
+        except (OSError, NotImplementedError):
+            pass
+        return False
+    try:
+        fs.rmtree(tomb)
+    except (OSError, NotImplementedError):
+        pass  # tombstone is outside the partition namespace; harmless
+    return not fs.exists(url)
