@@ -54,6 +54,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
             _orders_retention_tree,
             _orders_sorted_tree,
             _orders_ym_orc_tree,
+            _orders_zorder_tree,
             _orders_ym_tree,
             _orders_ymd_tree,
         )
@@ -67,6 +68,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
         _orders_drift_tree(spark, sf_dir)
         _orders_retention_tree(spark, sf_dir)
         _orders_sorted_tree(spark, sf_dir)
+        _orders_zorder_tree(spark, sf_dir)
         _bucketed_pair(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - never block the bench
         print(f"bench: tree prematerialization failed: {exc!r}", file=sys.stderr)

@@ -653,6 +653,76 @@ GROUP BY 1
 """
 
 
+def _orders_zorder_tree(spark: SparkSession, sf_dir: str) -> str:
+    """orders Z-order-clustered on (o_custkey, o_orderkey) via
+    ``write_zorder_table`` — 2-D data skipping: every file covers a small
+    range of BOTH keys, so selective scans on EITHER column skip files via
+    footer min/max (a linear sort gives one dimension only). The build
+    FAILS unless per-file spans on BOTH dimensions average well below the
+    global span, so the cached tree always represents a working
+    interleave."""
+
+    def build(staging: str) -> None:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from .api import write_zorder_table
+
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_zorder_table(df, staging, ["o_custkey", "o_orderkey"], n_files=16)
+        spans: dict[str, list[float]] = {"o_custkey": [], "o_orderkey": []}
+        glo: dict[str, list[int]] = {"o_custkey": [], "o_orderkey": []}
+        for f in glob.glob(f"{staging}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for col in spans:
+                idx = md.schema.names.index(col)
+                los = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+                his = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+                spans[col].append(max(his) - min(los))
+                glo[col] += [min(los), max(his)]
+        for col in spans:
+            width = max(glo[col]) - min(glo[col])
+            avg = sum(spans[col]) / len(spans[col])
+            # 16 files: ideal Morton span ~ width/4 per dim; assert < 0.55
+            if not avg < 0.55 * width:
+                raise RuntimeError(
+                    f"z-order failed to localize {col}: avg file span {avg:.0f} "
+                    f"vs global {width} — clustering is not two-dimensional"
+                )
+
+    return _build_once(_tree_dir(sf_dir, "orders_zorder", "orders"), build)
+
+
+def q_fsql_zorder_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D DATA SKIPPING under the oracle: a selective range filter on
+    o_orderkey — the dimension a o_custkey-sorted layout cannot skip on —
+    over the Z-ordered tree (both-dimension per-file locality asserted at
+    build). Catalyst pushes the predicate; footer min/max stats skip most
+    files on either dimension."""
+    url = _orders_zorder_tree(spark, sf)
+    df = read_partitioned_table(url, Q_TRUE, spark=spark)
+    lo, hi = 100, 2000
+    return (
+        df.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+Q_FSQL_ZORDER_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderkey >= 100 AND o_orderkey < 2000
+GROUP BY o_orderpriority
+"""
+
+
 def q_fsql_sorted_scan(spark: SparkSession, sf: str) -> DataFrame:
     """DATA-SKIPPING layout under the oracle: a selective key-range filter
     over the range-clustered tree (disjoint per-file o_custkey ranges,
@@ -747,6 +817,7 @@ FSQL_QUERIES = {
     "q_fsql_drift_scan": q_fsql_drift_scan,
     "q_fsql_retention_scan": q_fsql_retention_scan,
     "q_fsql_sorted_scan": q_fsql_sorted_scan,
+    "q_fsql_zorder_scan": q_fsql_zorder_scan,
     "q_fsql_bucketed_join": q_fsql_bucketed_join,
 }
 
@@ -763,5 +834,6 @@ FSQL_ORACLES = {
     "q_fsql_drift_scan": Q_FSQL_DRIFT_SQL,
     "q_fsql_retention_scan": Q_FSQL_RETENTION_SQL,
     "q_fsql_sorted_scan": Q_FSQL_SORTED_SQL,
+    "q_fsql_zorder_scan": Q_FSQL_ZORDER_SQL,
     "q_fsql_bucketed_join": Q_FSQL_BUCKETED_SQL,
 }

@@ -671,3 +671,39 @@ def test_drop_partitions_prunes_marker_only_dirs_fail_safe(spark, tmp_path):
         column_parser=FixedColumnsParser.from_str("dt/event"),
     )
     assert not d2.exists()  # crc cleaned, dir pruned
+
+
+def test_zorder_key_interleaves_and_localizes(spark, tmp_path):
+    """Morton-key bit math is exact, and the written layout localizes BOTH
+    dimensions (per-file span well under global span) where a linear sort
+    localizes only its leading column."""
+    from fsql_spark.api import write_zorder_table, zorder_key
+
+    # bit-exactness: interleave(0b11, 0b01) = a bits at even, b at odd
+    row = spark.range(1).select(
+        zorder_key(F.lit(3), F.lit(1), bits=4).alias("z")
+    ).collect()[0]
+    # a=0b0011 -> positions 0,2 ; b=0b0001 -> position 1 => 0b000111 = 7
+    assert row["z"] == 7
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    dest = str(tmp_path / "zt")
+    write_zorder_table(df, dest, ["x", "y"], n_files=16)
+    spans = {"x": [], "y": []}
+    for f in glob.glob(f"{dest}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for col in spans:
+            i = md.schema.names.index(col)
+            st = [md.row_group(g).column(i).statistics for g in range(md.num_row_groups)]
+            spans[col].append(max(s.max for s in st) - min(s.min for s in st))
+    for col, width in (("x", 63), ("y", 63)):
+        avg = sum(spans[col]) / len(spans[col])
+        assert avg < 0.55 * width, f"{col}: avg span {avg} vs width {width}"
