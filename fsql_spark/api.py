@@ -343,17 +343,30 @@ def write_zorder_table(
     results never depend on it."""
     if len(zorder_cols) != 2:
         raise ValueError("write_zorder_table interleaves exactly 2 columns")
+    if not 1 <= bits <= 31:
+        # bit i of the second column lands at 2i+1: bits=32 would place its
+        # top bit in the long SIGN bit, making large keys sort FIRST and
+        # silently destroying the locality the layout exists for
+        raise ValueError(f"bits must be in [1, 31]: {bits}")
     path, fs = get_url_and_fs(url, fs)
     ca, cb = zorder_cols
     stats = df.agg(
         F.min(ca).alias("la"), F.max(ca).alias("ha"),
         F.min(cb).alias("lb"), F.max(cb).alias("hb"),
     ).collect()[0]
+    if stats["la"] is None or stats["lb"] is None:
+        # empty input (or all-NULL key): nothing to cluster — plain write,
+        # like write_sorted_table on the same input
+        df.write.mode(mode).format(format).save(fs.spark_url(path))
+        return
     grid = (1 << bits) - 1
 
     def norm(c, lo, hi):
         span = max(float(hi - lo), 1.0)
-        return ((F.col(c) - F.lit(lo)) * grid / F.lit(span)).cast("long")
+        # through double BEFORE the multiply: (col - lo) * grid as long
+        # arithmetic overflows for spans above ~2^48 (epoch-micros columns);
+        # double precision is ample for a layout-only grid coordinate
+        return ((F.col(c) - F.lit(lo)).cast("double") * grid / F.lit(span)).cast("long")
 
     z = zorder_key(norm(ca, stats["la"], stats["ha"]), norm(cb, stats["lb"], stats["hb"]), bits)
     ranged = (

@@ -686,9 +686,7 @@ def test_zorder_key_interleaves_and_localizes(spark, tmp_path):
     # a=0b0011 -> positions 0,2 ; b=0b0001 -> position 1 => 0b000111 = 7
     assert row["z"] == 7
 
-    import glob
-
-    import pyarrow.parquet as pq
+    from fsql_spark.fsql_catalog import per_file_col_ranges
 
     n = 4096
     df = spark.range(n).select(
@@ -697,13 +695,15 @@ def test_zorder_key_interleaves_and_localizes(spark, tmp_path):
     )
     dest = str(tmp_path / "zt")
     write_zorder_table(df, dest, ["x", "y"], n_files=16)
-    spans = {"x": [], "y": []}
-    for f in glob.glob(f"{dest}/part-*.parquet"):
-        md = pq.ParquetFile(f).metadata
-        for col in spans:
-            i = md.schema.names.index(col)
-            st = [md.row_group(g).column(i).statistics for g in range(md.num_row_groups)]
-            spans[col].append(max(s.max for s in st) - min(s.min for s in st))
+    ranges = per_file_col_ranges(dest, ["x", "y"])
     for col, width in (("x", 63), ("y", 63)):
-        avg = sum(spans[col]) / len(spans[col])
+        avg = sum(hi - lo for lo, hi in ranges[col]) / len(ranges[col])
         assert avg < 0.55 * width, f"{col}: avg span {avg} vs width {width}"
+
+    # guard rails: empty input writes plainly; bits past the sign boundary refuse
+    import pytest as _pytest
+
+    write_zorder_table(df.where("x < 0"), str(tmp_path / "ze"), ["x", "y"], n_files=4)
+    assert spark.read.parquet(str(tmp_path / "ze")).count() == 0
+    with _pytest.raises(ValueError, match="bits"):
+        write_zorder_table(df, str(tmp_path / "zb"), ["x", "y"], bits=32)
