@@ -47,6 +47,12 @@ from .inference import (  # noqa: F401
     hashed_embedding,
     score_with_model,
 )
+from .lm import (  # noqa: F401
+    LM_ORACLES,
+    LM_QUERIES,
+    doc_cross_entropy,
+    unigram_model,
+)
 from .multimodal import (  # noqa: F401
     MEDIA_SCHEMA,
     MULTIMODAL_ORACLES,
@@ -110,8 +116,10 @@ from .text import (  # noqa: F401
     TEXT_ORACLES,
     TEXT_QUERIES,
     fingerprint,
+    gopher_rules,
     lang_id,
     normalize_text,
+    quality_filter,
     quality_score,
     redact,
     token_count,
@@ -141,6 +149,7 @@ EXTENSION_QUERIES = {
     **PASSAGE_QUERIES,
     **SKETCH_QUERIES,
     **PIPELINE_QUERIES,
+    **LM_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -159,4 +168,5 @@ EXTENSION_ORACLES = {
     **PASSAGE_ORACLES,
     **SKETCH_ORACLES,
     **PIPELINE_ORACLES,
+    **LM_ORACLES,
 }

@@ -1,0 +1,232 @@
+"""Unigram language-model scoring: corpus-trained token model + per-document
+cross-entropy / perplexity — the CCNet-style "how surprising is this document
+under the corpus distribution" quality signal an LLM-data pipeline uses to
+rank and filter crawl text (Wenzek et al. 2019 use a KenLM 5-gram; the
+unigram variant keeps the same two-pass shape while staying exactly
+SQL-replicable for the oracle gate).
+
+Scale shape (the 100 TB story):
+
+- :func:`unigram_model` is ONE token-keyed aggregate over the corpus
+  (map-side combinable: the map side already emits one (doc, token, tf) row
+  per distinct pair via the zero-shuffle :func:`~fsql_spark.operators.vocab.
+  term_frequencies` kernel, so only collapsed counts ride the exchange),
+  followed by a top-K cut. The model is tokenizer-vocabulary-sized metadata
+  (K rows), NOT corpus-sized — exactly the artifact a real pipeline ships.
+- The two model scalars (total token mass T, kept-vocab size V) come from
+  one aggregate over the token-keyed counts — driver-side scalars, not data.
+- :func:`doc_cross_entropy` never shuffles the corpus: the map-only tf
+  stream joins the BROADCAST model, and the per-document aggregate's map
+  side collapses each document's rows locally (a document's tf rows are
+  co-located by construction), so the exchange carries one narrow partial
+  row per document.
+
+No reference counterpart (the reference delegates row-level compute,
+`/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension
+surface (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .vocab import term_frequencies, vocabulary
+
+
+def unigram_model(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 30_000,
+    tf: DataFrame | None = None,
+) -> tuple[DataFrame, float, int, int]:
+    """Laplace-smoothed unigram model over the corpus: the ``top_k`` tokens
+    by total term frequency (ties broken lexically — deterministic cut).
+
+    Returns ``(model, oov_logprob, total_tf, vocab_size)`` where ``model``
+    has columns ``(token, tf, logprob)`` with
+    ``logprob = ln((tf + 1) / (T + V + 1))`` for total corpus token mass
+    ``T`` (ALL occurrences, in- and out-of-vocabulary) and kept-vocab size
+    ``V = min(top_k, distinct tokens)``; every out-of-vocabulary token
+    scores the shared unknown mass ``oov_logprob = ln(1 / (T + V + 1))``.
+    Exact integer counts feed one ``ln`` per token, so a SQL engine replays
+    the model bit-for-bit.
+
+    Pass a (persisted) ``tf`` stream from :func:`~fsql_spark.operators.
+    vocab.term_frequencies` to share one tokenization pass between model
+    training and document scoring — at corpus scale the text is tokenized
+    ONCE, never per consumer.
+    """
+    if tf is not None:
+        counts = tf.groupBy("token").agg(
+            F.count(F.lit(1)).alias("doc_freq"), F.sum("tf").alias("total_tf")
+        )
+    else:
+        counts = vocabulary(corpus, id_col, text_col)
+    counts = counts.persist()
+    # T and V are model metadata: one aggregate over the token-keyed counts
+    # (vocabulary-sized, NOT corpus-sized), two driver scalars.
+    tot = counts.agg(
+        F.sum("total_tf").alias("t"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    total_tf = int(tot["t"] or 0)
+    vocab_size = min(top_k, int(tot["n"]))
+    denom = float(total_tf + vocab_size + 1)
+    model = (
+        counts.orderBy(F.desc("total_tf"), "token")
+        .limit(top_k)
+        .select(
+            "token",
+            F.col("total_tf").alias("tf"),
+            F.log((F.col("total_tf") + F.lit(1.0)) / F.lit(denom)).alias("logprob"),
+        )
+    )
+    return model, math.log(1.0 / denom), total_tf, vocab_size
+
+
+def doc_cross_entropy(
+    df: DataFrame,
+    model: DataFrame,
+    oov_logprob: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document cross-entropy under a unigram model:
+    ``(id, n_tokens, n_oov, cross_entropy, perplexity)`` with
+    ``cross_entropy = -avg(logprob per token occurrence)`` and
+    ``perplexity = exp(cross_entropy)``.
+
+    The corpus never shuffles: tf pairs are map-only, the model join is a
+    broadcast, and the document aggregate's partial (map-side) step collapses
+    each document's co-located rows before the exchange — one narrow partial
+    row per document crosses the wire. Pass ``tf`` to reuse an existing
+    term-frequency stream (one tokenization pass for train + score)."""
+    if tf is None:
+        tf = term_frequencies(df, id_col, text_col)
+    scored = tf.join(F.broadcast(model.select("token", "logprob")), "token", "left")
+    lp = F.coalesce(F.col("logprob"), F.lit(oov_logprob))
+    n_tokens = F.sum("tf")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            n_tokens.alias("n_tokens"),
+            F.sum(F.when(F.col("logprob").isNull(), F.col("tf")).otherwise(F.lit(0))).alias(
+                "n_oov"
+            ),
+            (-F.sum(F.col("tf") * lp) / n_tokens).alias("cross_entropy"),
+        )
+        .withColumn("perplexity", F.exp("cross_entropy"))
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entries + oracles
+# --------------------------------------------------------------------------
+
+_TOP_K = 30  # small enough to exercise the OOV path on the testdata corpus
+
+
+def q_lm_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """The trained unigram model itself (top-30 tokens by corpus frequency,
+    Laplace logprobs) — the model-building aggregate under the oracle."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    model, _, _, _ = unigram_model(docs, top_k=_TOP_K)
+    return model.select("token", "tf", F.round("logprob", 4).alias("logprob")).orderBy(
+        F.desc("tf"), "token"
+    )
+
+
+Q_LM_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY token
+),
+scalars AS (
+  SELECT SUM(tf) AS t, LEAST(COUNT(*), {_TOP_K}) AS v FROM counts
+)
+SELECT token, tf,
+       ROUND(LN((tf + 1.0) / (scalars.t + scalars.v + 1.0)), 4) AS logprob
+FROM counts CROSS JOIN scalars
+ORDER BY tf DESC, token
+LIMIT {_TOP_K}
+"""
+
+
+def q_doc_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document cross-entropy/perplexity under the corpus-trained top-30
+    unigram model for the 300 lowest doc_ids (model trained on the FULL
+    corpus; the cut exercises real OOV scoring)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # ONE tokenization pass: the persisted tf stream feeds both the model
+    # aggregate and the scoring join (the 100 TB shape — never re-tokenize).
+    tf = term_frequencies(docs).persist()
+    model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K, tf=tf)
+    scored = doc_cross_entropy(docs, model, oov_lp, tf=tf)
+    return (
+        scored.where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round("cross_entropy", 4).alias("cross_entropy"),
+            F.round("perplexity", 2).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_DOC_PERPLEXITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+filtered AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM filtered GROUP BY token
+),
+scalars AS (
+  SELECT SUM(tf) AS t, LEAST(COUNT(*), {_TOP_K}) AS v FROM counts
+),
+model AS (
+  SELECT token, LN((tf + 1.0) / (scalars.t + scalars.v + 1.0)) AS logprob
+  FROM counts CROSS JOIN scalars
+  ORDER BY tf DESC, token
+  LIMIT {_TOP_K}
+),
+scored AS (
+  SELECT f.doc_id,
+         COALESCE(m.logprob, (SELECT LN(1.0 / (t + v + 1.0)) FROM scalars)) AS lp,
+         CASE WHEN m.logprob IS NULL THEN 1 ELSE 0 END AS is_oov
+  FROM filtered f LEFT JOIN model m USING (token)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT)      AS n_tokens,
+         CAST(SUM(is_oov) AS BIGINT)   AS n_oov,
+         -SUM(lp) / COUNT(*)           AS ce
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       ROUND(ce, 4)      AS cross_entropy,
+       ROUND(EXP(ce), 2) AS perplexity
+FROM agg
+WHERE doc_id < 300
+ORDER BY doc_id
+"""
+
+
+LM_QUERIES = {
+    "q_lm_vocab": q_lm_vocab,
+    "q_doc_perplexity": q_doc_perplexity,
+}
+
+LM_ORACLES = {
+    "q_lm_vocab": Q_LM_VOCAB_SQL,
+    "q_doc_perplexity": Q_DOC_PERPLEXITY_SQL,
+}

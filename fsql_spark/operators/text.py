@@ -347,12 +347,106 @@ FROM starts
 """
 
 
+def gopher_rules(col: Column | str) -> dict[str, Column]:
+    """Gopher-style per-document quality rules (Rae et al. 2021 §A1.1
+    adapted to the corpus): word-count band, mean-word-length band, stopword
+    presence, distinct-token (repetition) ratio. Every rule is exact integer
+    arithmetic or a ratio of exact integers over JVM expressions — map-only,
+    no Python, bit-identical in a SQL engine."""
+    toks = F.split(F.col(col) if isinstance(col, str) else col, " ")
+    toks = F.filter(toks, lambda t: t != "")
+    n = F.size(toks)
+    # total chars of the tokens / token count (exact ints -> one double div)
+    awl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n
+    n_distinct = F.size(F.array_distinct(toks))
+    return {
+        "r_word_count": (n >= 20) & (n <= 90),
+        "r_word_len": (awl >= 2.5) & (awl <= 7.0),
+        "r_stopword": F.array_contains(toks, "a") | F.array_contains(toks, "the"),
+        "r_repetition": (n_distinct / n) >= 0.3,
+    }
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the per-rule booleans plus the conjunctive ``passes`` flag —
+    the row-level form a filtering pipeline composes with ``where()``."""
+    rules = gopher_rules(text_col)
+    out = df
+    passed = F.lit(True)
+    for name, rule in rules.items():
+        out = out.withColumn(name, rule)
+        passed = passed & rule
+    return out.withColumn("passes", passed)
+
+
+def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language Gopher-rule pass counts + overall pass rate — the
+    filter-audit summary a curation pipeline reports. Map-only rule eval,
+    one tiny groupBy(lang) exchange."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    flagged = quality_filter(docs)
+
+    def hits(rule: str) -> Column:
+        return F.sum(F.col(rule).cast("long")).alias("n_" + rule[2:])
+
+    n_pass = F.sum(F.col("passes").cast("long"))
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            hits("r_word_count"),
+            hits("r_word_len"),
+            hits("r_stopword"),
+            hits("r_repetition"),
+            n_pass.alias("n_pass"),
+            F.round(n_pass / F.count(F.lit(1)), 4).alias("pass_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_QUALITY_FILTER_SQL = """
+WITH toks AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+t AS (
+  SELECT lang,
+         len(l)                                              AS n,
+         list_sum(list_transform(l, x -> LENGTH(x))) * 1.0 / len(l) AS awl,
+         len(list_distinct(l))                               AS n_distinct,
+         list_contains(l, 'a') OR list_contains(l, 'the')    AS has_stop
+  FROM toks
+),
+rules AS (
+  SELECT lang,
+         CAST(n BETWEEN 20 AND 90 AS INTEGER)              AS r_wc,
+         CAST(awl BETWEEN 2.5 AND 7.0 AS INTEGER)          AS r_awl,
+         CAST(has_stop AS INTEGER)                         AS r_stop,
+         CAST(n_distinct * 1.0 / n >= 0.3 AS INTEGER)      AS r_rep
+  FROM t
+)
+SELECT lang,
+       COUNT(*)                                   AS n_docs,
+       CAST(SUM(r_wc) AS BIGINT)                  AS n_word_count,
+       CAST(SUM(r_awl) AS BIGINT)                 AS n_word_len,
+       CAST(SUM(r_stop) AS BIGINT)                AS n_stopword,
+       CAST(SUM(r_rep) AS BIGINT)                 AS n_repetition,
+       CAST(SUM(r_wc * r_awl * r_stop * r_rep) AS BIGINT) AS n_pass,
+       ROUND(SUM(r_wc * r_awl * r_stop * r_rep) * 1.0 / COUNT(*), 4) AS pass_rate
+FROM rules
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 TEXT_QUERIES = {
     "q_doc_text_stats": q_doc_text_stats,
     "q_doc_lang_id": q_doc_lang_id,
     "q_docs_by_lang_source": q_docs_by_lang_source,
     "q_doc_redact_normalize": q_doc_redact_normalize,
     "q_chunk_documents": q_chunk_documents,
+    "q_quality_filter": q_quality_filter,
 }
 
 TEXT_ORACLES = {
@@ -361,4 +455,5 @@ TEXT_ORACLES = {
     "q_docs_by_lang_source": Q_DOCS_BY_LANG_SQL,
     "q_doc_redact_normalize": Q_REDACT_SQL,
     "q_chunk_documents": Q_CHUNK_DOCUMENTS_SQL,
+    "q_quality_filter": Q_QUALITY_FILTER_SQL,
 }

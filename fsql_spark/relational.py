@@ -1198,6 +1198,47 @@ GROUP BY event_type
 """
 
 
+def q_events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-score outlier detection per event type: one tiny global aggregate
+    (5 rows) broadcast back over the stream, map-only flagging — the shape a
+    100 TB metric-anomaly scan needs (the stats relation is metadata; the
+    event stream itself never shuffles). Threshold z >= 3; the testdata
+    margin (no event within 1e-6 of the boundary) is pinned as a data
+    property in tests/test_operators.py so cross-engine float-moment noise
+    (~1e-12) cannot flip membership."""
+    ev = _t(spark, sf, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .where(F.col("z") >= 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("z", 3).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q_EVENTS_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       ROUND(value, 2)               AS value,
+       ROUND((value - mu) / sigma, 3) AS z
+FROM events e JOIN stats USING (event_type)
+WHERE (value - mu) / sigma >= 3.0
+ORDER BY event_id
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1232,6 +1273,7 @@ RELATIONAL_QUERIES = {
     "q_events_hourly": q_events_hourly,
     "q_events_sessionize": q_events_sessionize,
     "q_events_json": q_events_json,
+    "q_events_anomaly": q_events_anomaly,
 }
 
 RELATIONAL_ORACLES = {
@@ -1268,4 +1310,5 @@ RELATIONAL_ORACLES = {
     "q_events_hourly": Q_EVENTS_HOURLY_SQL,
     "q_events_sessionize": Q_EVENTS_SESSIONS_SQL,
     "q_events_json": Q_EVENTS_JSON_SQL,
+    "q_events_anomaly": Q_EVENTS_ANOMALY_SQL,
 }

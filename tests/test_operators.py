@@ -879,3 +879,92 @@ def test_resample_ffill_semantics(spark):
     assert got[(1, h0 + 3 * hour)] == 9.0
     assert got[(2, h0 + 5 * hour)] == 7.0
     assert len([k for k in got if k[0] == 1]) == 4  # contiguous, no extras
+
+
+# --------------------------------------------------------------------------
+# unigram LM perplexity, quality filter, anomaly detection (round 5)
+# --------------------------------------------------------------------------
+
+def test_unigram_model_matches_python(spark):
+    """Model + per-doc cross-entropy vs a pure-Python reference on a
+    handcrafted corpus: Laplace smoothing, top-K cut determinism, OOV path."""
+    import math
+    from collections import Counter
+
+    from fsql_spark.operators.lm import doc_cross_entropy, unigram_model
+
+    rows = [
+        (0, "a a b c"),
+        (1, "a b b d d"),
+        (2, "e e e a"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    top_k = 3
+    model, oov_lp, total_tf, vocab_size = unigram_model(df, top_k=top_k)
+
+    # python reference
+    toks = {i: t.split(" ") for i, t in rows}
+    counts = Counter(w for ws in toks.values() for w in ws)
+    assert total_tf == sum(counts.values())
+    assert vocab_size == top_k
+    denom = total_tf + top_k + 1
+    kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    exp_model = {w: math.log((c + 1) / denom) for w, c in kept}
+    got_model = {r["token"]: r["logprob"] for r in model.collect()}
+    assert got_model.keys() == exp_model.keys()
+    for w, lp in exp_model.items():
+        assert abs(got_model[w] - lp) < 1e-12
+    assert abs(oov_lp - math.log(1 / denom)) < 1e-12
+
+    scored = {r["doc_id"]: r for r in doc_cross_entropy(df, model, oov_lp).collect()}
+    for i, ws in toks.items():
+        lps = [exp_model.get(w, oov_lp) for w in ws]
+        ce = -sum(lps) / len(lps)
+        assert scored[i]["n_tokens"] == len(ws)
+        assert scored[i]["n_oov"] == sum(1 for w in ws if w not in exp_model)
+        assert abs(scored[i]["cross_entropy"] - ce) < 1e-9
+        assert abs(scored[i]["perplexity"] - math.exp(ce)) < 1e-6
+
+
+def test_quality_filter_rule_boundaries(spark):
+    """Each Gopher rule flips exactly at its documented boundary."""
+    from fsql_spark.operators import quality_filter
+
+    rows = [
+        (0, " ".join(["the"] + ["tok%d" % i for i in range(19)])),   # n=20 ok, distinct, stopword
+        (1, " ".join(["the"] + ["tok%d" % i for i in range(18)])),   # n=19 -> r_word_count False
+        (2, " ".join(["a"] * 30)),                                    # repetition: 1/30 < 0.3
+        (3, " ".join(["supercalifragilistic"] * 10 + ["the"] * 15)),  # awl > 7 -> r_word_len False
+        (4, " ".join(["tok%d" % i for i in range(25)])),              # no stopword
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert got[0]["r_word_count"] and got[0]["r_word_len"] and got[0]["r_stopword"] and got[0]["r_repetition"]
+    assert got[0]["passes"]
+    assert not got[1]["r_word_count"] and not got[1]["passes"]
+    assert not got[2]["r_repetition"] and got[2]["r_stopword"]
+    assert not got[3]["r_word_len"]
+    assert not got[4]["r_stopword"] and got[4]["r_repetition"]
+
+
+def test_events_anomaly_threshold_margin(spark):
+    """The z >= 3 membership and the 3dp rounding of the anomaly entry must
+    be robust to cross-engine floating-moment noise (~1e-12): pin BOTH
+    margins as data properties so a testdata regeneration that lands an
+    event near a boundary fails here (a data issue), not as an inexplicable
+    driver oracle mismatch."""
+    from fsql_spark.relational import _t
+
+    ev = _t(spark, "/root/testdata/sf0.01", "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z")
+    zs = [r["z"] for r in ev.join(stats, "event_type").select(z).collect()]
+    min_thresh_dist = min(abs(v - 3.0) for v in zs)
+    assert min_thresh_dist > 1e-6, f"an event sits {min_thresh_dist} from the z=3 threshold"
+    # rounding boundary: retained z values must not sit on a .0005 edge
+    retained = [v for v in zs if v >= 3.0]
+    assert retained, "margin check is vacuous: no anomalies in testdata"
+    min_round_dist = min(abs((v * 1000) % 1.0 - 0.5) for v in retained)
+    assert min_round_dist > 1e-6, "a retained z sits on a 3dp rounding boundary"

@@ -707,3 +707,42 @@ def test_zorder_key_interleaves_and_localizes(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "ze")).count() == 0
     with _pytest.raises(ValueError, match="bits"):
         write_zorder_table(df, str(tmp_path / "zb"), ["x", "y"], bits=32)
+
+
+def test_doc_perplexity_broadcast_model_single_doc_exchange(spark):
+    """LM scoring: the model joins as a BROADCAST (vocabulary is metadata,
+    not data), the tf stream stays map-only (no exchange between the Python
+    kernel and the join), and the per-document aggregate partial-aggregates
+    before its single exchange."""
+    from fsql_spark.operators.lm import doc_cross_entropy, unigram_model
+    from fsql_spark.operators.vocab import term_frequencies
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tf = term_frequencies(docs).persist()
+    model, oov_lp, _, _ = unigram_model(docs, top_k=30, tf=tf)
+    plan = plan_of(doc_cross_entropy(docs, model, oov_lp, tf=tf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # partial + final HashAggregate around exactly one data exchange
+    assert plan.count("HashAggregate") >= 2
+    tf.unpersist()
+
+
+def test_events_anomaly_stats_broadcast_back(spark):
+    """Anomaly scan: the 5-row stats relation broadcasts back over the event
+    stream — the stream itself is never exchanged for the join."""
+    from fsql_spark.relational import q_events_anomaly
+
+    plan = plan_of(q_events_anomaly(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_filter_is_map_only_expressions(spark):
+    """Gopher rules are pure JVM expressions: no Python eval, and the only
+    exchange is the per-language aggregate's."""
+    from fsql_spark.operators.text import q_quality_filter
+
+    plan = plan_of(q_quality_filter(spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
