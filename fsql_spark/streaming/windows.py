@@ -397,6 +397,76 @@ def q_stream_ingest_dedup(spark: SparkSession, sf: str) -> DataFrame:
 from ..operators.dedup import Q_DEDUP_INCREMENTAL_SQL as Q_STREAM_INGEST_DEDUP_SQL  # noqa: E402
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (symlink-staged like
+    ``events_stream``; in production the stream points at the crawl landing
+    directory)."""
+    import os
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stage = tempfile.mkdtemp(prefix="fsql_stream_docs_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"), f"{stage}/documents.parquet"
+    )
+    return spark.readStream.schema(schema).format("parquet").load(stage)
+
+
+def q_stream_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher-rule quality filter running UNMODIFIED on a document
+    stream: the rules are pure map expressions (stateless — no watermark, no
+    state store), so the crawl-time filtering a 100 TB ingest does per
+    arriving file is literally the batch operator applied to a readStream.
+    Per-row flags stream into the sink; the per-language audit aggregates
+    batch-side over the appended output. The oracle recomputes the same
+    rules in SQL (the batch entry q_quality_filter carries the per-rule
+    breakdown; this one audits the composed ``passes`` flag end-to-end)."""
+    from ..operators.text import quality_filter
+
+    flagged = quality_filter(documents_stream(spark, sf))
+    out = run_to_memory(flagged.select("lang", "passes"), mode="append")
+    n_pass = F.sum(F.col("passes").cast("long"))
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_pass.alias("n_pass"),
+            F.round(n_pass / F.count(F.lit(1)), 4).alias("pass_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_STREAM_QUALITY_SQL = """
+WITH toks AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+t AS (
+  SELECT lang,
+         len(l)                                                      AS n,
+         list_sum(list_transform(l, x -> LENGTH(x))) * 1.0 / len(l)  AS awl,
+         len(list_distinct(l))                                       AS n_distinct,
+         list_contains(l, 'a') OR list_contains(l, 'the')            AS has_stop
+  FROM toks
+),
+rules AS (
+  SELECT lang,
+         CAST(n BETWEEN 20 AND 90 AS INTEGER)
+           * CAST(awl BETWEEN 2.5 AND 7.0 AS INTEGER)
+           * CAST(has_stop AS INTEGER)
+           * CAST(n_distinct * 1.0 / n >= 0.3 AS INTEGER) AS p
+  FROM t
+)
+SELECT lang,
+       COUNT(*)                                  AS n_docs,
+       CAST(SUM(p) AS BIGINT)                    AS n_pass,
+       ROUND(SUM(p) * 1.0 / COUNT(*), 4)         AS pass_rate
+FROM rules
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def stream_sink_tree(spark: SparkSession, sf: str) -> str:
     """Build-once: stream the events table into a Hive-partitioned
     (event_type, date) parquet tree via the streaming sink — the one-time
@@ -503,6 +573,7 @@ STREAMING_QUERIES = {
     "q_stream_join": q_stream_join,
     "q_stream_sink_roundtrip": q_stream_sink_roundtrip,
     "q_stream_ingest_dedup": q_stream_ingest_dedup,
+    "q_stream_quality_filter": q_stream_quality_filter,
 }
 
 STREAMING_ORACLES = {
@@ -514,4 +585,5 @@ STREAMING_ORACLES = {
     "q_stream_user_totals": Q_STREAM_USER_TOTALS_SQL,
     "q_stream_sink_roundtrip": Q_STREAM_SINK_SQL,
     "q_stream_ingest_dedup": Q_STREAM_INGEST_DEDUP_SQL,
+    "q_stream_quality_filter": Q_STREAM_QUALITY_SQL,
 }
