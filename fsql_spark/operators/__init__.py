@@ -51,7 +51,9 @@ from .lm import (  # noqa: F401
     LM_ORACLES,
     LM_QUERIES,
     doc_cross_entropy,
+    read_unigram_model,
     unigram_model,
+    write_unigram_model,
 )
 from .multimodal import (  # noqa: F401
     MEDIA_SCHEMA,

@@ -123,6 +123,64 @@ def doc_cross_entropy(
     )
 
 
+#: bump when the tokenization/smoothing definition changes: an old persisted
+#: model scored against newly-tokenized batches would be silently wrong
+_LM_FORMAT = 1
+_LM_META_COLS = ["__oov_logprob", "__total_tf", "__vocab_size", "__lm_fmt"]
+
+
+def write_unigram_model(
+    model: DataFrame, oov_logprob: float, total_tf: int, vocab_size: int, url: str
+) -> None:
+    """Materialize a trained unigram model to storage — the train-once /
+    score-every-batch lifecycle: the 100 TB corpus is tokenized and counted
+    ONCE, and each future ingest batch scores against this vocabulary-sized
+    table. The model scalars and the format version ride as constant
+    columns, validated on read (aggregate over the whole table, so a table
+    appended to under a different config or format refuses loudly)."""
+    from ..api import write_table
+
+    out = (
+        model.withColumn("__oov_logprob", F.lit(float(oov_logprob)))
+        .withColumn("__total_tf", F.lit(int(total_tf)))
+        .withColumn("__vocab_size", F.lit(int(vocab_size)))
+        .withColumn("__lm_fmt", F.lit(_LM_FORMAT))
+    )
+    write_table(out, url)
+
+
+def read_unigram_model(
+    spark: SparkSession, url: str
+) -> tuple[DataFrame, float, int, int]:
+    """Load a persisted unigram model; returns the same tuple as
+    :func:`unigram_model`. Refuses models written by a different format
+    version or containing mixed configs (the distinct scan reads only the
+    dictionary-encoded constant columns — metadata-cheap)."""
+    from ..fs import get_url_and_fs
+
+    path, fs = get_url_and_fs(url)
+    df = spark.read.parquet(fs.spark_url(path))
+    missing = [c for c in _LM_META_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"unigram model at {url} lacks metadata column(s) {missing} — "
+            f"rebuild with write_unigram_model (current format v{_LM_FORMAT})"
+        )
+    configs = [tuple(r) for r in df.select(*_LM_META_COLS).distinct().limit(3).collect()]
+    if len(configs) != 1:
+        raise ValueError(
+            f"unigram model at {url} contains MIXED configs {configs} — "
+            "it was appended to under different settings; rebuild it"
+        )
+    oov_logprob, total_tf, vocab_size, fmt = configs[0]
+    if fmt != _LM_FORMAT:
+        raise ValueError(
+            f"unigram model at {url} is format v{fmt}, this engine expects "
+            f"v{_LM_FORMAT} (tokenization/smoothing changed) — rebuild it"
+        )
+    return df.drop(*_LM_META_COLS), float(oov_logprob), int(total_tf), int(vocab_size)
+
+
 # --------------------------------------------------------------------------
 # catalog entries + oracles
 # --------------------------------------------------------------------------

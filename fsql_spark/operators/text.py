@@ -356,14 +356,19 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
     toks = F.split(F.col(col) if isinstance(col, str) else col, " ")
     toks = F.filter(toks, lambda t: t != "")
     n = F.size(toks)
+    # greatest(n, 1): an EMPTY doc must score False on the band rules, not
+    # raise DIVIDE_BY_ZERO under ANSI mode (found by the hypothesis model
+    # test; 0/1 = 0 falls outside every band, so semantics for n>0 are
+    # untouched). Mirrored in the SQL oracles.
+    safe_n = F.greatest(n, F.lit(1))
     # total chars of the tokens / token count (exact ints -> one double div)
-    awl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n
+    awl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / safe_n
     n_distinct = F.size(F.array_distinct(toks))
     return {
         "r_word_count": (n >= 20) & (n <= 90),
         "r_word_len": (awl >= 2.5) & (awl <= 7.0),
         "r_stopword": F.array_contains(toks, "a") | F.array_contains(toks, "the"),
-        "r_repetition": (n_distinct / n) >= 0.3,
+        "r_repetition": (n_distinct / safe_n) >= 0.3,
     }
 
 
@@ -413,8 +418,9 @@ WITH toks AS (
 t AS (
   SELECT lang,
          len(l)                                              AS n,
-         list_sum(list_transform(l, x -> LENGTH(x))) * 1.0 / len(l) AS awl,
-         len(list_distinct(l))                               AS n_distinct,
+         COALESCE(list_sum(list_transform(l, x -> LENGTH(x))), 0) * 1.0
+           / GREATEST(len(l), 1)                             AS awl,
+         len(list_distinct(l)) * 1.0 / GREATEST(len(l), 1)   AS dratio,
          list_contains(l, 'a') OR list_contains(l, 'the')    AS has_stop
   FROM toks
 ),
@@ -423,7 +429,7 @@ rules AS (
          CAST(n BETWEEN 20 AND 90 AS INTEGER)              AS r_wc,
          CAST(awl BETWEEN 2.5 AND 7.0 AS INTEGER)          AS r_awl,
          CAST(has_stop AS INTEGER)                         AS r_stop,
-         CAST(n_distinct * 1.0 / n >= 0.3 AS INTEGER)      AS r_rep
+         CAST(dratio >= 0.3 AS INTEGER)                    AS r_rep
   FROM t
 )
 SELECT lang,

@@ -444,8 +444,9 @@ WITH toks AS (
 t AS (
   SELECT lang,
          len(l)                                                      AS n,
-         list_sum(list_transform(l, x -> LENGTH(x))) * 1.0 / len(l)  AS awl,
-         len(list_distinct(l))                                       AS n_distinct,
+         COALESCE(list_sum(list_transform(l, x -> LENGTH(x))), 0) * 1.0
+           / GREATEST(len(l), 1)                                     AS awl,
+         len(list_distinct(l)) * 1.0 / GREATEST(len(l), 1)           AS dratio,
          list_contains(l, 'a') OR list_contains(l, 'the')            AS has_stop
   FROM toks
 ),
@@ -454,7 +455,7 @@ rules AS (
          CAST(n BETWEEN 20 AND 90 AS INTEGER)
            * CAST(awl BETWEEN 2.5 AND 7.0 AS INTEGER)
            * CAST(has_stop AS INTEGER)
-           * CAST(n_distinct * 1.0 / n >= 0.3 AS INTEGER) AS p
+           * CAST(dratio >= 0.3 AS INTEGER) AS p
   FROM t
 )
 SELECT lang,

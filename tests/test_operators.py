@@ -968,3 +968,45 @@ def test_events_anomaly_threshold_margin(spark):
     assert retained, "margin check is vacuous: no anomalies in testdata"
     min_round_dist = min(abs((v * 1000) % 1.0 - 0.5) for v in retained)
     assert min_round_dist > 1e-6, "a retained z sits on a 3dp rounding boundary"
+
+
+def test_unigram_model_persistence_roundtrip(spark, tmp_path):
+    """Train-once lifecycle: persisted model reloads bit-identically and
+    scores a new batch exactly like the in-memory model; format/config
+    tampering refuses loudly."""
+    import pytest as _pytest
+
+    from fsql_spark.operators.lm import (
+        doc_cross_entropy,
+        read_unigram_model,
+        unigram_model,
+        write_unigram_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model, oov_lp, total_tf, vocab_size = unigram_model(docs, top_k=20)
+    url = str(tmp_path / "lm_model")
+    write_unigram_model(model, oov_lp, total_tf, vocab_size, url)
+
+    model2, oov2, tf2, vs2 = read_unigram_model(spark, url)
+    assert (oov2, tf2, vs2) == (oov_lp, total_tf, vocab_size)
+    assert {tuple(r) for r in model2.collect()} == {tuple(r) for r in model.collect()}
+
+    batch = docs.where(F.col("doc_id") < 50)
+    fresh = {r["doc_id"]: r["cross_entropy"] for r in doc_cross_entropy(batch, model, oov_lp).collect()}
+    loaded = {r["doc_id"]: r["cross_entropy"] for r in doc_cross_entropy(batch, model2, oov2).collect()}
+    assert fresh == loaded  # exact float equality: same model, same kernel
+
+    # mixed-config append must refuse (aggregate check, not first-row)
+    model_b, oov_b, tf_b, vs_b = unigram_model(docs, top_k=10)
+    from fsql_spark.api import write_table
+    from pyspark.sql import functions as SF_
+    mixed = (
+        model_b.withColumn("__oov_logprob", SF_.lit(float(oov_b)))
+        .withColumn("__total_tf", SF_.lit(int(tf_b)))
+        .withColumn("__vocab_size", SF_.lit(int(vs_b)))
+        .withColumn("__lm_fmt", SF_.lit(1))
+    )
+    write_table(mixed, url, mode="append")
+    with _pytest.raises(ValueError, match="MIXED"):
+        read_unigram_model(spark, url)

@@ -129,3 +129,65 @@ def test_kmv_matches_python_model(spark, values, k):
         uk = int(hashlib.md5(distinct[k - 1].encode()).hexdigest()[:15], 16)
         want = round((k - 1) * float(1 << 60) / uk, 4)
     assert row["kmv_estimate"] == want
+
+
+@PROP
+@given(corpus=corpus_strategy, top_k=st.integers(min_value=1, max_value=4))
+def test_unigram_lm_matches_python_model(spark, corpus, top_k):
+    """Model + scoring vs pure Python on arbitrary corpora: top-K cut ties,
+    all-OOV docs, empty docs (no tf rows — absent from the output, like the
+    SQL oracle), single-token vocabularies."""
+    import math
+
+    from fsql_spark.operators.lm import doc_cross_entropy, unigram_model
+
+    counts = Counter(t for toks in corpus for t in toks)
+    df = _mk_docs(spark, corpus)
+    model, oov_lp, total_tf, vocab_size = unigram_model(df, top_k=top_k)
+
+    assert total_tf == sum(counts.values())
+    assert vocab_size == min(top_k, len(counts))
+    denom = total_tf + vocab_size + 1
+    kept = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k])
+    exp_model = {w: math.log((c + 1) / denom) for w, c in kept.items()}
+    got_model = {r["token"]: r["logprob"] for r in model.collect()}
+    assert got_model.keys() == exp_model.keys()
+    for w in exp_model:
+        assert abs(got_model[w] - exp_model[w]) < 1e-12
+    assert abs(oov_lp - math.log(1 / denom)) < 1e-12
+
+    got = {r["doc_id"]: r for r in doc_cross_entropy(df, model, oov_lp).collect()}
+    for i, toks in enumerate(corpus):
+        if not toks:
+            assert i not in got  # no tokens -> no tf rows -> no score row
+            continue
+        lps = [exp_model.get(t, oov_lp) for t in toks]
+        ce = -sum(lps) / len(lps)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["n_oov"] == sum(1 for t in toks if t not in exp_model)
+        assert abs(got[i]["cross_entropy"] - ce) < 1e-9
+
+
+@PROP
+@given(corpus=corpus_strategy)
+def test_gopher_rules_match_python_model(spark, corpus):
+    """Rule booleans vs pure Python on arbitrary corpora (incl. empty docs:
+    every band rule is False on zero tokens, passes False)."""
+    from fsql_spark.operators import quality_filter
+
+    got = {r["doc_id"]: r for r in quality_filter(_mk_docs(spark, corpus)).collect()}
+    for i, toks in enumerate(corpus):
+        n = len(toks)
+        if n == 0:
+            assert not got[i]["r_word_count"] and not got[i]["passes"]
+            continue
+        awl = sum(len(t) for t in toks) / n
+        want = {
+            "r_word_count": 20 <= n <= 90,
+            "r_word_len": 2.5 <= awl <= 7.0,
+            "r_stopword": "a" in toks or "the" in toks,
+            "r_repetition": len(set(toks)) / n >= 0.3,
+        }
+        for k, v in want.items():
+            assert bool(got[i][k]) == v, (i, k, toks)
+        assert bool(got[i]["passes"]) == all(want.values())

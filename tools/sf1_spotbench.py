@@ -56,6 +56,12 @@ HEAVIEST = [
     "q_containment_pairs",
     "q_dedup_incremental_bloom",
     "q_corpus_pipeline",
+    # round-5 continuation: the corpus-scale two-pass LM (tokenize -> model
+    # -> broadcast rescore), the map-only quality filter, and the anomaly
+    # scan (stats broadcast back over 10x events).
+    "q_doc_perplexity",
+    "q_quality_filter",
+    "q_events_anomaly",
 ]
 
 # entries touch these tables; everything else symlinks to sf0.1 so the same
