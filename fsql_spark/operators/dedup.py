@@ -233,9 +233,20 @@ def minhash_signatures(
     sh = _word_shingles(F.col(text_col), ngram)
     # spread here, the shared entry point: every consumer (within-corpus
     # pairs, cross-corpus batches, the persisted-table build) gets a
-    # parallel kernel on single-file inputs
-    return _spread(df).select(
-        F.col(key_col).alias("k"), sig_udf(F.col(text_col)).alias("sig"), sh.alias("sh")
+    # parallel kernel on single-file inputs.
+    # Empty shingle sets (empty/whitespace-only docs, docs shorter than the
+    # n-gram) are EXCLUDED: Jaccard is undefined on empty sets, their
+    # constant signatures collide in every band (an all-empty-docs bucket is
+    # a quadratic blowup AND a 0/0 in the verify join under ANSI mode —
+    # found by the degenerate-corpus regression test), and the exact
+    # inverted-index path drops them identically (no shingles -> no index
+    # rows -> no pairs). Empty docs are exact-dedup's job, not near-dup's.
+    return (
+        _spread(df)
+        .select(
+            F.col(key_col).alias("k"), sig_udf(F.col(text_col)).alias("sig"), sh.alias("sh")
+        )
+        .where(F.size("sh") > 0)
     )
 
 

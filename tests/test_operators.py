@@ -1010,3 +1010,49 @@ def test_unigram_model_persistence_roundtrip(spark, tmp_path):
     write_table(mixed, url, mode="append")
     with _pytest.raises(ValueError, match="MIXED"):
         read_unigram_model(spark, url)
+
+
+def test_document_operators_survive_degenerate_corpus(spark):
+    """Empty / whitespace-only / shorter-than-ngram documents are certain at
+    crawl scale; every document operator must process them without error
+    (ANSI mode turns a sloppy ratio into a job-killing DIVIDE_BY_ZERO —
+    this caught minhash's all-empty-docs band collision). Near-dup
+    operators exclude empty-shingle docs (Jaccard undefined on empty sets;
+    the exact inverted-index path drops them identically); empty docs are
+    exact-dedup's concern."""
+    from fsql_spark.operators import (
+        dedup_exact,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        quality_filter,
+        simhash_pairs,
+        with_text_stats,
+    )
+    from fsql_spark.operators.lm import doc_cross_entropy, unigram_model
+    from fsql_spark.operators.passages import (
+        duplicated_passages,
+        passage_dup_fraction,
+        strip_duplicated_passages,
+    )
+
+    long = "x y z w v u t s r q p o n m l k"
+    rows = [(0, ""), (1, " "), (2, "tok"), (3, "a b"), (4, ""), (5, long), (6, long)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # near-dup: no pairs among empty docs, identical long docs still found
+    mh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(df, "doc_id", "text", 0.8, ngram=3).collect()}
+    jc = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(df, "doc_id", "text", 0.8, ngram=3).collect()}
+    assert mh == jc == {(5, 6)}
+    # exact dedup DOES collapse the empty dups (that's its job)
+    kept = {r["doc_id"] for r in dedup_exact(df, ["text"], "doc_id").collect()}
+    assert 0 in kept and 4 not in kept and 5 in kept and 6 not in kept
+    # everything else just runs
+    assert len(simhash_pairs(df, "doc_id", "text", 3).collect()) >= 1
+    assert len(with_text_stats(df).collect()) == 7
+    assert len(quality_filter(df).collect()) == 7
+    assert len(duplicated_passages(df, "doc_id", "text", k=4).collect()) >= 1
+    assert len(passage_dup_fraction(df, "doc_id", "text", k=4).collect()) == 7
+    assert len(strip_duplicated_passages(df, "doc_id", "text", k=4).collect()) == 7
+    model, oov, _, _ = unigram_model(df, top_k=5)
+    # docs 0, 1, 4 have zero tokens (empty / whitespace-only): no score row
+    assert len(doc_cross_entropy(df, model, oov).collect()) == 4
