@@ -35,7 +35,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL when either vector has zero norm (cosine is undefined there;
+    try_divide keeps a stray all-zeros embedding from killing the job under
+    ANSI mode — threshold filters then drop the NULL rows)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _query_matrix(queries: DataFrame, key_col: str, vec_col: str):
@@ -184,21 +187,29 @@ def lsh_ann_pairs(
     threshold: float,
     n_planes: int = 12,
     n_tables: int = 6,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine-similar pairs: random-hyperplane signatures bucket
     the vectors (n_tables independent tables of n_planes bits); same-bucket
-    pairs are refined with exact cosine. Deterministic (seeded planes)."""
+    pairs are refined with exact cosine. Deterministic (seeded planes).
+
+    ``dim`` defaults to the observed vector width: the plane matrix is a
+    pure function of (seed, n_tables, n_planes, dim), so each kernel task
+    regenerates it identically from the batch it sees (no driver probe job,
+    no broadcast). Pass ``dim`` explicitly only to pin an expectation — a
+    mismatched width then raises instead of bucketing garbage."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
-
     def _bucket(vecs, table):
         mat = np.stack(vecs.to_numpy())  # (batch, dim) Arrow-batched
+        if dim is not None and mat.shape[1] != dim:
+            raise ValueError(f"expected {dim}-dim vectors, got {mat.shape[1]}")
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_tables, n_planes, mat.shape[1])
+        )
         out = np.zeros(len(vecs), dtype=np.int64)
         for t in table.unique():
             mask = table.to_numpy() == t

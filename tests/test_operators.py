@@ -1056,3 +1056,38 @@ def test_document_operators_survive_degenerate_corpus(spark):
     model, oov, _, _ = unigram_model(df, top_k=5)
     # docs 0, 1, 4 have zero tokens (empty / whitespace-only): no score row
     assert len(doc_cross_entropy(df, model, oov).collect()) == 4
+
+
+def test_similarity_operators_survive_zero_norm_and_any_dim(spark):
+    """Zero-norm embeddings (dead rows from a failed encoder) must not kill
+    the job: cosine is NULL under try_divide and threshold filters drop it;
+    the brute-force kernels clamp norms. The LSH plane matrix is regenerated
+    per kernel from the OBSERVED width (pure function of seed+shape), so the
+    operator works at any dimension; pinning dim= raises on mismatch."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from fsql_spark.operators.similarity import (
+        brute_force_pairs,
+        brute_force_topk,
+        lsh_ann_pairs,
+    )
+
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7), (2, [0.5] * 8), (3, [0.6] * 8)], schema
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_ann_pairs(emb, "vec_id", "embedding", 0.3, n_planes=4, n_tables=4).collect()
+    }
+    assert (2, 3) in pairs and all(0 not in p for p in pairs)  # zero vector never matches
+    with pytest.raises(Exception, match="expected 64-dim"):
+        lsh_ann_pairs(emb, "vec_id", "embedding", 0.3, n_planes=4, n_tables=4, dim=64).collect()
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_pairs(emb, emb, "vec_id", "embedding", 0.3).collect()
+    }
+    assert all(0 not in p for p in bf)  # clamped norm -> cosine 0 -> below threshold
+    assert len(brute_force_topk(emb, emb.where(F.col("vec_id") < 2), "vec_id", "embedding", k=2).collect()) == 4
