@@ -77,6 +77,7 @@ from .pipeline import (  # noqa: F401
     PIPELINE_ORACLES,
     PIPELINE_QUERIES,
     build_corpus,
+    build_corpus_quality_gated,
 )
 from .profile import (  # noqa: F401
     PROFILE_ORACLES,

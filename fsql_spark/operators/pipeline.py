@@ -94,5 +94,132 @@ GROUP BY 1, 2
 """
 
 
-PIPELINE_QUERIES = {"q_corpus_pipeline": q_corpus_pipeline}
-PIPELINE_ORACLES = {"q_corpus_pipeline": Q_CORPUS_PIPELINE_SQL}
+def build_corpus_quality_gated(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ce_cutoff: float = 3.6,
+    top_k: int = 30,
+    splits: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """The 2024-era curation recipe composed end-to-end: Gopher rule gate
+    AND corpus-trained unigram-LM cross-entropy gate -> exact dedup ->
+    deterministic split. Two passes over the corpus by necessity (the LM is
+    trained on the full corpus before it can score), but ONE tokenization:
+    the persisted tf stream feeds the model aggregate and the scoring join.
+
+    Exchange audit: (1) the token-keyed model aggregate, (2) the doc-keyed
+    score aggregate — whose hash partitioning Spark REUSES for the
+    corpus⋈score join, so the join adds only the corpus-side exchange —
+    (3) the dedup content-hash shuffle. Rules and split assignment are
+    map-only. The cross-entropy gate compares ROUND(ce, 4) on both engines,
+    so the float boundary is a rounding-grid event (~1e-11/doc), not an
+    epsilon race."""
+    from .lm import doc_cross_entropy, unigram_model
+    from .text import quality_filter
+    from .vocab import term_frequencies
+
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    tf = term_frequencies(docs, key_col, text_col).persist()
+    model, oov_lp, _, _ = unigram_model(docs, key_col, text_col, top_k=top_k, tf=tf)
+    scored = doc_cross_entropy(docs, model, oov_lp, key_col, text_col, tf=tf).select(
+        key_col, F.round("cross_entropy", 4).alias("__ce")
+    )
+    gated = (
+        quality_filter(docs, text_col)
+        .where(F.col("passes"))
+        .drop("r_word_count", "r_word_len", "r_stopword", "r_repetition", "passes")
+        .join(scored, key_col)
+        .where(F.col("__ce") <= ce_cutoff)
+        .drop("__ce")
+    )
+    d = dedup_exact(gated, [text_col], key_col)
+    return split_by_hash(d, key_col, splits)
+
+
+def q_corpus_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-gated corpus build audited per (split, lang): Gopher rules +
+    LM cross-entropy <= 3.6 (top-30 model trained on the full corpus),
+    exact-deduped, 90/5/5 split. One oracle retrains the model and replays
+    the whole chain."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = build_corpus_quality_gated(docs)
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+Q_CORPUS_PIPELINE_V2_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+filtered AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM filtered GROUP BY token
+),
+scalars AS (
+  SELECT SUM(tf) AS t, LEAST(COUNT(*), 30) AS v FROM counts
+),
+model AS (
+  SELECT token, LN((tf + 1.0) / (scalars.t + scalars.v + 1.0)) AS logprob
+  FROM counts CROSS JOIN scalars
+  ORDER BY tf DESC, token
+  LIMIT 30
+),
+scored AS (
+  SELECT f.doc_id,
+         ROUND(-SUM(COALESCE(m.logprob,
+                             (SELECT LN(1.0 / (t + v + 1.0)) FROM scalars)))
+               / COUNT(*), 4) AS ce
+  FROM filtered f LEFT JOIN model m USING (token)
+  GROUP BY f.doc_id
+),
+rl AS (
+  SELECT *, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+rules AS (
+  SELECT doc_id, text, lang, n_chars,
+         len(l) BETWEEN 20 AND 90
+           AND COALESCE(list_sum(list_transform(l, x -> LENGTH(x))), 0) * 1.0
+                 / GREATEST(len(l), 1) BETWEEN 2.5 AND 7.0
+           AND (list_contains(l, 'a') OR list_contains(l, 'the'))
+           AND len(list_distinct(l)) * 1.0 / GREATEST(len(l), 1) >= 0.3 AS passes
+  FROM rl
+),
+gated AS (
+  SELECT r.doc_id, r.text, r.lang, r.n_chars
+  FROM rules r JOIN scored s USING (doc_id)
+  WHERE r.passes AND s.ce <= 3.6
+),
+d AS (
+  SELECT * FROM gated
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+s AS (
+  SELECT CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{fraction_to_hex_threshold(0.9)}'  THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{fraction_to_hex_threshold(0.95)}' THEN 'val'
+           ELSE 'test'
+         END AS split,
+         lang, n_chars
+  FROM d
+)
+SELECT split, lang,
+       COUNT(*)                     AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s
+GROUP BY 1, 2
+"""
+
+
+PIPELINE_QUERIES = {
+    "q_corpus_pipeline": q_corpus_pipeline,
+    "q_corpus_pipeline_v2": q_corpus_pipeline_v2,
+}
+PIPELINE_ORACLES = {
+    "q_corpus_pipeline": Q_CORPUS_PIPELINE_SQL,
+    "q_corpus_pipeline_v2": Q_CORPUS_PIPELINE_V2_SQL,
+}

@@ -47,6 +47,12 @@ def histogram(
 ) -> DataFrame:
     """Equi-width histogram over [lo, hi): (bucket, bucket_lo, n). Values
     outside the range are clamped into the edge buckets (no silent drops)."""
+    # fail at plan-build time, not as a DIVIDE_BY_ZERO on an executor
+    # mid-job (ANSI mode) after the scan already ran
+    if not hi > lo:
+        raise ValueError(f"histogram range is empty: lo={lo}, hi={hi}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     width = (hi - lo) / n_buckets
     raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
     bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))

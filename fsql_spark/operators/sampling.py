@@ -146,6 +146,10 @@ def pack_shards(
     streams its own running sum in parallel. An empty ``partition_cols``
     means one global ordered window (single-task sort at 100 TB) — only for
     small frames; pass a bucket/group column at scale."""
+    # fail at plan-build time, not as a DIVIDE_BY_ZERO on an executor
+    # mid-job (ANSI mode) after the sort already ran
+    if not budget > 0:
+        raise ValueError(f"shard budget must be > 0, got {budget}")
     order = [_hash_hex(F.col(key_col)).asc(), F.col(key_col).asc()]
     w = (
         Window.partitionBy(*partition_cols).orderBy(*order)

@@ -1091,3 +1091,47 @@ def test_similarity_operators_survive_zero_norm_and_any_dim(spark):
     }
     assert all(0 not in p for p in bf)  # clamped norm -> cosine 0 -> below threshold
     assert len(brute_force_topk(emb, emb.where(F.col("vec_id") < 2), "vec_id", "embedding", k=2).collect()) == 4
+
+
+def test_argument_validation_fails_fast_not_mid_job(spark):
+    """Degenerate parameters (empty histogram range, non-positive shard
+    budget) must raise at plan-build time, not surface as an ANSI
+    DIVIDE_BY_ZERO from an executor after the scan/sort already ran."""
+    from fsql_spark.operators.profile import histogram
+    from fsql_spark.operators.sampling import pack_shards
+
+    df = spark.createDataFrame([(0, 5.0)], "id long, v double")
+    with pytest.raises(ValueError, match="range is empty"):
+        histogram(df, "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError, match="n_buckets"):
+        histogram(df, "v", 0.0, 1.0, 0)
+    with pytest.raises(ValueError, match="budget"):
+        pack_shards(df, "id", "v", 0.0)
+    # empty input stays a well-formed empty result, not an error
+    empty = spark.createDataFrame([], "id long, v double")
+    assert histogram(empty, "v", 0.0, 1.0, 10).count() == 0
+    assert pack_shards(empty, "id", "v", 100.0).count() == 0
+
+
+def test_corpus_pipeline_v2_gates_compose(spark):
+    """The quality-gated build is a strict composition: result keys are a
+    subset of the Gopher-pass set, both gates and the dedup have visible
+    effect on testdata, split labels are complete — and the ce-cutoff
+    margin is pinned as a data property (nearest doc >= 1e-3 from 3.6, so
+    cross-engine float noise cannot flip membership; the gate itself
+    compares ROUND(ce,4) on both engines)."""
+    from fsql_spark.operators import build_corpus_quality_gated, quality_filter
+    from fsql_spark.operators.lm import doc_cross_entropy, unigram_model
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = build_corpus_quality_gated(docs).collect()
+    kept = {r["doc_id"] for r in out}
+    gopher = {r["doc_id"] for r in quality_filter(docs).where("passes").collect()}
+    assert kept <= gopher
+    assert 0 < len(kept) < docs.count()  # gates are not vacuous
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+    m, oov, _, _ = unigram_model(docs, top_k=30)
+    ces = [r["cross_entropy"] for r in doc_cross_entropy(docs, m, oov).collect()]
+    margin = min(abs(c - 3.6) for c in ces)
+    assert margin >= 1e-3, f"a doc sits {margin} from the ce cutoff; pick a new cutoff"
