@@ -74,23 +74,39 @@ def range_join(
     left_ts: str,
     right_ts: str,
     tolerance_us: int,
+    suffix: str = "_right",
 ) -> DataFrame:
     """All (left, right) pairs with |left_ts - right_ts| <= tolerance per key.
 
     Banded: join on (key, time_bucket) for the three adjacent
-    tolerance-width buckets, then exact filter."""
+    tolerance-width buckets, then exact filter.
+
+    EVERY right column is prefixed internally (and restored afterwards, with
+    ``suffix`` appended on a name collision with the left side), so passing
+    the same DataFrame — or two frames sharing column names, including
+    ``left_ts == right_ts`` — resolves unambiguously instead of failing with
+    AMBIGUOUS_REFERENCE (found by the degenerate-input audit: burst
+    detection over ONE stream is the self-join case)."""
+    if not tolerance_us > 0:
+        raise ValueError(f"tolerance_us must be > 0, got {tolerance_us}")
+    rb = right.select([F.col(c).alias(f"__r_{c}") for c in right.columns])
     lb = left.withColumn("__lb", (F.unix_micros(F.col(left_ts)) / tolerance_us).cast("long"))
-    rb = right
-    for k in on:  # disambiguate self-join key columns
-        rb = rb.withColumnRenamed(k, f"__r_{k}")
-    rb = rb.withColumn("__rb", (F.unix_micros(F.col(right_ts)) / tolerance_us).cast("long"))
+    rb = rb.withColumn(
+        "__rb", (F.unix_micros(F.col(f"__r_{right_ts}")) / tolerance_us).cast("long")
+    )
     rb = rb.withColumn("__rb_adj", F.explode(F.array(F.col("__rb") - 1, F.col("__rb"), F.col("__rb") + 1)))
     cond = [lb[k] == rb[f"__r_{k}"] for k in on] + [lb["__lb"] == rb["__rb_adj"]]
-    joined = lb.join(rb, cond if cond else None)
-    gap = F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts)))
-    return joined.where(gap <= tolerance_us).drop(
+    joined = lb.join(rb, cond)
+    gap = F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(f"__r_{right_ts}")))
+    out = joined.where(gap <= tolerance_us).drop(
         "__lb", "__rb", "__rb_adj", *[f"__r_{k}" for k in on]
     )
+    left_cols = set(left.columns)
+    for c in right.columns:
+        if c in on:
+            continue
+        out = out.withColumnRenamed(f"__r_{c}", c if c not in left_cols else c + suffix)
+    return out
 
 
 def resample_ffill(
@@ -115,6 +131,9 @@ def resample_ffill(
     2-column span aggregate (``sequence`` explode — rows ~ keys x bins, the
     OUTPUT size, never a cross join). Output: (key, bin_start_us, values...)
     with ``bin_start_us`` the bin's epoch-microseconds start."""
+    # fail at plan-build time, not as a REMAINDER_BY_ZERO on an executor
+    if not every_seconds > 0:
+        raise ValueError(f"every_seconds must be > 0, got {every_seconds}")
     every_us = int(every_seconds) * 1_000_000
     us = F.unix_micros(F.col(ts_col))
     bs = (us - F.pmod(us, F.lit(every_us))).alias("__bs")

@@ -1135,3 +1135,27 @@ def test_corpus_pipeline_v2_gates_compose(spark):
     ces = [r["cross_entropy"] for r in doc_cross_entropy(docs, m, oov).collect()]
     margin = min(abs(c - 3.6) for c in ces)
     assert margin >= 1e-3, f"a doc sits {margin} from the ce cutoff; pick a new cutoff"
+
+
+def test_range_join_supports_self_join_and_validates(spark):
+    """Burst detection over ONE stream is a self-join: shared column names
+    (incl. left_ts == right_ts) must resolve, with collisions suffixed.
+    Zero tolerance fails fast instead of dividing by zero mid-band."""
+    import datetime as dt
+
+    from fsql_spark.operators.asof import range_join, resample_ffill
+
+    T = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 7, T, 1.0), (2, 7, T + dt.timedelta(seconds=30), 2.0),
+         (3, 7, T + dt.timedelta(seconds=300), 3.0)],
+        "id long, user long, ts timestamp, v double",
+    )
+    out = range_join(ev, ev, ["user"], "ts", "ts", 60_000_000)
+    assert {"id", "ts", "v", "id_right", "ts_right", "v_right"} <= set(out.columns)
+    pairs = {(r["id"], r["id_right"]) for r in out.where(F.col("id") < F.col("id_right")).collect()}
+    assert pairs == {(1, 2)}  # 30 s apart; event 3 is 270 s from its nearest
+    with pytest.raises(ValueError, match="tolerance_us"):
+        range_join(ev, ev, ["user"], "ts", "ts", 0)
+    with pytest.raises(ValueError, match="every_seconds"):
+        resample_ffill(ev, "user", "ts", "id", ["v"], 0)
