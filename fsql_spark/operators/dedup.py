@@ -294,6 +294,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     ngram: int = 3,
     sigs: DataFrame | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH with exact-Jaccard verification.
 
@@ -307,9 +308,21 @@ def minhash_lsh_pairs(
     :func:`read_corpus_signatures` / :func:`corpus_signatures_cached`) —
     the corpus text is then never touched; ``df`` may be None. At 100 TB the
     corpus is hashed exactly once and every consumer (near-dup pairs at any
-    threshold, clustering, incremental batches) joins the slim table."""
+    threshold, clustering, incremental batches) joins the slim table.
+
+    ``collapse_exact``: collapse exact-duplicate texts to their canonical
+    (min-key) representative BEFORE signing. A crawl's dup classes make
+    near-dup output quadratic *by definition* (an m-copy class alone is
+    m·(m-1)/2 pairs — at web scale a single boilerplate page is millions of
+    copies, i.e. 10^12 pairs from ONE class); collapsing first makes the
+    banding candidate count track DISTINCT contents. Returned pairs then
+    relate representatives only — recover full classes with
+    :func:`dedup_exact_keys` (one cheap hash-aggregate), which is how a real
+    pipeline separates the exact-dup layer from the near-dup layer anyway."""
     if sigs is None and df is None:
         raise ValueError("pass either df or sigs")
+    if collapse_exact and df is not None and sigs is None:
+        df = dedup_exact(df, [text_col], key_col)
     rows_per_band = num_hashes // bands
     if sigs is not None:
         _check_sig_width(sigs, num_hashes)

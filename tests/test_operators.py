@@ -1159,3 +1159,32 @@ def test_range_join_supports_self_join_and_validates(spark):
         range_join(ev, ev, ["user"], "ts", "ts", 0)
     with pytest.raises(ValueError, match="every_seconds"):
         resample_ffill(ev, "user", "ts", "id", ["v"], 0)
+
+
+def test_minhash_collapse_exact_kills_dup_class_quadratics(spark, docs_with_dups):
+    """collapse_exact pre-collapses exact-dup classes to their min-key
+    representative: the result equals running LSH on the exact-deduped
+    corpus, within-class pairs vanish (that layer belongs to
+    dedup_exact_keys), and cross-content near-dup pairs survive with the
+    canonical keys."""
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs_with_dups, "doc_id", "text", 0.9, ngram=3).collect()
+    }
+    collapsed = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs_with_dups, "doc_id", "text", 0.9, ngram=3, collapse_exact=True
+        ).collect()
+    }
+    pre = dedup_exact(docs_with_dups, ["text"], "doc_id")
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(pre, "doc_id", "text", 0.9, ngram=3).collect()
+    }
+    assert collapsed == expected
+    # the exact-dup layer (pairs with the +100000 copies) is gone...
+    assert all(b != a + 100000 for a, b in collapsed)
+    assert any(b == a + 100000 for a, b in plain)
+    # ...but the near-dup layer (the +200000 perturbed copies) survives
+    assert any(b == a + 200000 for a, b in collapsed)
