@@ -29,7 +29,16 @@ class InputFormat(Enum):
 
     @classmethod
     def from_url(cls, url: str) -> "InputFormat":
-        suffix = url.rsplit(".", 1)[-1].lower()
+        # EXTENSION beyond the reference (`deser.py:78-95`): compression
+        # suffixes are transparent — `events.json.gz` / `docs.csv.zst` etc.
+        # detect as their inner format (Spark's text sources decompress by
+        # file extension natively; crawl dumps arrive compressed). Unknown
+        # suffixes keep the reference's KeyError semantics.
+        name = url.rsplit("/", 1)[-1].lower()
+        parts = name.split(".")
+        while len(parts) > 1 and parts[-1] in _COMPRESSION_SUFFIXES:
+            parts.pop()
+        suffix = parts[-1]
         try:
             return _SUFFIXES[suffix]
         except KeyError:
@@ -55,6 +64,11 @@ _SUFFIXES = {
     "pq": InputFormat.PARQUET,
     "csv": InputFormat.CSV,
     "json": InputFormat.JSON,
+    "jsonl": InputFormat.JSON,  # JSON-lines IS the tabular json semantics
     "xlsx": InputFormat.XLSX,
     "orc": InputFormat.ORC,
 }
+
+#: codecs Spark's text sources (csv/json) decompress transparently by
+#: extension; stripped before format detection
+_COMPRESSION_SUFFIXES = {"gz", "gzip", "bz2", "zst", "zstd", "deflate", "lz4"}

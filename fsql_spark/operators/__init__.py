@@ -108,12 +108,15 @@ from .skew import (  # noqa: F401
 from .similarity import (  # noqa: F401
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
+    assign_with_centroids,
     brute_force_pairs,
     brute_force_topk,
     cosine,
     dot,
     l2_norm,
     lsh_ann_pairs,
+    read_ivf_centroids,
+    write_ivf_centroids,
 )
 from .text import (  # noqa: F401
     TEXT_ORACLES,

@@ -250,6 +250,91 @@ def _centroid_seed_hash(key: Column, seed: int) -> Column:
     return F.md5(F.concat_ws("-", key.cast("string"), F.lit(str(seed))))
 
 
+def _make_assigner(cents):
+    """Arrow-batched argmax-cosine assigner over a driver-side centroid
+    matrix (KBs, closure-broadcast). Map-only — the big table never
+    shuffles to be assigned."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    norm = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def _assign(vecs):
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ norm.T).argmax(axis=1).astype(np.int32))
+
+    _assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(_assign, IntegerType())
+
+
+def assign_with_centroids(
+    vectors: DataFrame, key_col: str, vec_col: str, centroids
+) -> DataFrame:
+    """Assignment-only IVF path for a PRE-TRAINED quantizer (see
+    :func:`read_ivf_centroids`): vectors + ``centroid_id``, one map-only
+    pass — the train-once / assign-every-batch lifecycle."""
+    base = vectors.select(F.col(key_col).alias("k"), _as_double(vec_col).alias("v"))
+    return base.withColumn("centroid_id", _make_assigner(centroids)(F.col("v")))
+
+
+#: bump when quantizer semantics (normalization, argmax tie-break) change —
+#: assigning new batches with an old persisted quantizer must refuse loudly
+_IVF_FORMAT = 1
+
+
+def write_ivf_centroids(spark: SparkSession, centroids, url: str, seed: int, iterations: int) -> None:
+    """Persist a trained coarse quantizer: (centroid_id, vector) rows plus
+    constant metadata columns (config + format version, validated on read).
+    The artifact is KBs — the corpus was scanned at training time; every
+    future batch loads this table and assigns map-only."""
+    import pandas as pd
+
+    from ..api import write_table
+
+    pdf = pd.DataFrame(
+        {
+            "centroid_id": range(len(centroids)),
+            "vector": [list(map(float, c)) for c in centroids],
+        }
+    )
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("__seed", F.lit(int(seed)))
+        .withColumn("__iterations", F.lit(int(iterations)))
+        .withColumn("__ivf_fmt", F.lit(_IVF_FORMAT))
+    )
+    write_table(df, url)
+
+
+def read_ivf_centroids(spark: SparkSession, url: str):
+    """Load a persisted quantizer -> (centroids ndarray, seed, iterations).
+    Refuses missing/mismatched format or mixed configs (aggregate check)."""
+    import numpy as np
+
+    from ..fs import get_url_and_fs
+
+    path, fs = get_url_and_fs(url)
+    df = spark.read.parquet(fs.spark_url(path))
+    meta_cols = ["__seed", "__iterations", "__ivf_fmt"]
+    missing = [c for c in meta_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"IVF centroid table at {url} lacks metadata column(s) {missing} — "
+            f"rebuild with write_ivf_centroids (current format v{_IVF_FORMAT})"
+        )
+    configs = [tuple(r) for r in df.select(*meta_cols).distinct().limit(3).collect()]
+    if len(configs) != 1 or configs[0][2] != _IVF_FORMAT:
+        raise ValueError(
+            f"IVF centroid table at {url} has config(s) {configs}, expected one "
+            f"config at format v{_IVF_FORMAT} — rebuild it"
+        )
+    rows = df.select("centroid_id", "vector").orderBy("centroid_id").collect()
+    cents = np.array([r["vector"] for r in rows], dtype=np.float64)
+    return cents, int(configs[0][0]), int(configs[0][1])
+
+
 def ivf_assign(
     vectors: DataFrame,
     key_col: str,
@@ -299,17 +384,7 @@ def ivf_assign(
         .collect()
     )
     centroids = np.array([r["v"] for r in init], dtype=np.float64)
-
-    def make_assigner(cents: "np.ndarray"):
-        norm = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-
-        def _assign(vecs):
-            mat = np.stack(vecs.to_numpy()).astype(np.float64)
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            return pd.Series((mat @ norm.T).argmax(axis=1).astype(np.int32))
-
-        _assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-        return pandas_udf(_assign, IntegerType())
+    make_assigner = _make_assigner
 
     partial_schema = StructType(
         [

@@ -1188,3 +1188,41 @@ def test_minhash_collapse_exact_kills_dup_class_quadratics(spark, docs_with_dups
     assert any(b == a + 100000 for a, b in plain)
     # ...but the near-dup layer (the +200000 perturbed copies) survives
     assert any(b == a + 200000 for a, b in collapsed)
+
+
+def test_ivf_centroid_persistence_roundtrip(spark, tmp_path):
+    """Train-once quantizer lifecycle: persisted centroids reload
+    bit-identically, batch assignment with the loaded quantizer equals
+    assignment with the in-memory one, and format/config tampering
+    refuses loudly."""
+    import numpy as np
+
+    from fsql_spark.operators.similarity import (
+        assign_with_centroids,
+        ivf_assign,
+        read_ivf_centroids,
+        write_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned, cents = ivf_assign(emb, "vec_id", "embedding", n_centroids=8, iterations=1)
+    url = str(tmp_path / "ivf_centroids")
+    write_ivf_centroids(spark, cents, url, seed=42, iterations=1)
+
+    cents2, seed2, it2 = read_ivf_centroids(spark, url)
+    assert (seed2, it2) == (42, 1)
+    assert np.array_equal(cents, cents2)
+
+    fresh = {r["k"]: r["centroid_id"] for r in assigned.collect()}
+    loaded = {
+        r["k"]: r["centroid_id"]
+        for r in assign_with_centroids(emb, "vec_id", "embedding", cents2).collect()
+    }
+    assert fresh == loaded
+
+    # a table missing the metadata refuses
+    import pandas as pd
+    bare = spark.createDataFrame(pd.DataFrame({"centroid_id": [0], "vector": [[0.0]]}))
+    bare.write.mode("overwrite").parquet(str(tmp_path / "bare"))
+    with pytest.raises(ValueError, match="lacks metadata"):
+        read_ivf_centroids(spark, str(tmp_path / "bare"))

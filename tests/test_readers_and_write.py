@@ -251,3 +251,34 @@ def test_fast_path_merge_schema_option_passthrough(spark, tmp_path):
     assert set(out.columns) == {"a", "b", "v"}
     assert sorted(out["a"]) == [1, 2]
     assert out.loc[out["v"] == "2", "b"].iloc[0] == "new"
+
+
+def test_format_autodetect_compressed_and_jsonl(spark, tmp_path):
+    """Compression suffixes are transparent to format detection (crawl
+    dumps arrive as .json.gz / .csv.zst), jsonl detects as JSON-lines, and
+    unknown suffixes keep the reference's KeyError semantics
+    (/root/reference/src/fsql/deser.py:78-95). End-to-end: a gzipped
+    jsonl partition reads through read_partitioned_table."""
+    import gzip
+    import os
+
+    from fsql_spark.formats import InputFormat
+
+    assert InputFormat.from_url("s3://b/t/f.csv.gz") is InputFormat.CSV
+    assert InputFormat.from_url("f.JSON.GZ") is InputFormat.JSON
+    assert InputFormat.from_url("f.jsonl") is InputFormat.JSON
+    assert InputFormat.from_url("f.jsonl.zst") is InputFormat.JSON
+    assert InputFormat.from_url("dir/f.parquet") is InputFormat.PARQUET
+    with pytest.raises(KeyError):
+        InputFormat.from_url("f.gz")  # no inner format
+    with pytest.raises(KeyError):
+        InputFormat.from_url("f.weird")
+
+    root = tmp_path / "gz_tree"
+    d = root / "part=a"
+    os.makedirs(d)
+    with gzip.open(d / "rows.json.gz", "wt") as fd:
+        fd.write('{"c1": 1, "c2": "x"}\n{"c1": 2, "c2": "y"}\n')
+    out = read_partitioned_table(str(root), Q_TRUE, spark=spark).toPandas()
+    assert sorted(out["c1"]) == [1, 2]
+    assert set(out["part"]) == {"a"}
