@@ -260,12 +260,17 @@ def write_table(
     mode: str = "overwrite",
     partition_by: Optional[list[str]] = None,
     fs: Optional[FileSystem] = None,
+    options: Optional[dict] = None,
 ) -> None:
     """Partitioned table write — the superset the reference explicitly lacks
     (`api.py:121`): Hive-style ``key=value`` layout readable back by
-    :func:`read_partitioned_table`."""
+    :func:`read_partitioned_table`. ``options`` passes writer options
+    through (e.g. ``{"compression": "gzip"}`` for compressed json/csv
+    leaves — the crawl-dump layout)."""
     path, fs = get_url_and_fs(url, fs)
     writer = df.write.mode(mode).format(format)
+    if options:
+        writer = writer.options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(fs.spark_url(path))

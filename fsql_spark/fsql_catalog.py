@@ -164,6 +164,25 @@ def _orders_ym_orc_tree(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(_tree_dir(sf_dir, "orders_ym_orc", "orders"), build)
 
 
+def _docs_lang_jsongz_tree(spark: SparkSession, sf_dir: str) -> str:
+    """documents partitioned Hive-style by lang with GZIPPED JSON-LINES
+    leaves — the crawl-dump layout (compressed text files landing in a
+    partitioned tree). Exercises the compressed-suffix autodetect
+    (``.json.gz`` -> JSON) through the full engine scan path."""
+
+    def build(staging: str) -> None:
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        write_table(
+            df.repartition("lang"),
+            staging,
+            format="json",
+            partition_by=["lang"],
+            options={"compression": "gzip"},
+        )
+
+    return _build_once(_tree_dir(sf_dir, "docs_lang_jsongz", "documents"), build)
+
+
 def _orders_compacted_tree(spark: SparkSession, sf_dir: str) -> str:
     """A deliberately-fragmented orders-by-year tree (8 shards per
     partition) run through ``maintenance.compact`` — the small-file
@@ -504,6 +523,29 @@ GROUP BY 1
 """
 
 
+def q_fsql_jsongz_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """FAST PATH over gzipped JSON-lines leaves: format autodetected
+    through the compression suffix (``.json.gz`` -> JSON), Q_IN partition
+    pruning — the compressed crawl-dump landing layout read by the same
+    scan machinery as parquet/ORC."""
+    url = _docs_lang_jsongz_tree(spark, sf)
+    df = read_partitioned_table(url, Q_IN("lang", ["en", "fr", "zh"]), spark=spark)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+Q_FSQL_JSONGZ_SQL = """
+SELECT lang,
+       COUNT(*)                     AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE lang IN ('en', 'fr', 'zh')
+GROUP BY lang
+"""
+
+
 def q_fsql_compacted_scan(spark: SparkSession, sf: str) -> DataFrame:
     """MAINTENANCE cycle under the oracle: a fragmented tree compacted by
     ``maintenance.compact`` (file-count reduction asserted at build) must
@@ -817,6 +859,7 @@ FSQL_QUERIES = {
     "q_fsql_generated_scan": q_fsql_generated_scan,
     "q_fsql_fixed_columns": q_fsql_fixed_columns,
     "q_fsql_orc_scan": q_fsql_orc_scan,
+    "q_fsql_jsongz_scan": q_fsql_jsongz_scan,
     "q_fsql_compacted_scan": q_fsql_compacted_scan,
     "q_fsql_restated_scan": q_fsql_restated_scan,
     "q_fsql_drift_scan": q_fsql_drift_scan,
@@ -834,6 +877,7 @@ FSQL_ORACLES = {
     "q_fsql_generated_scan": Q_FSQL_GENERATED_SQL,
     "q_fsql_fixed_columns": Q_FSQL_FIXED_SQL,
     "q_fsql_orc_scan": Q_FSQL_ORC_SQL,
+    "q_fsql_jsongz_scan": Q_FSQL_JSONGZ_SQL,
     "q_fsql_compacted_scan": Q_FSQL_COMPACTED_SQL,
     "q_fsql_restated_scan": Q_FSQL_RESTATED_SQL,
     "q_fsql_drift_scan": Q_FSQL_DRIFT_SQL,
