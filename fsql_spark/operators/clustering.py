@@ -258,10 +258,79 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def q_dedup_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """The END USE of the cluster flow: drop every non-representative
+    near-dup cluster member, keep min-key representatives + singletons,
+    audited per language. Same cached signature table and pair graph as
+    q_dedup_clusters (computed once, two questions asked of it); the member
+    drop is one broadcastable anti-join against the slim losers set."""
+    from .dedup import corpus_signatures_cached, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sigs = corpus_signatures_cached(spark, sf, num_hashes=64, ngram=3)
+    pairs = minhash_lsh_pairs(
+        None, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16, ngram=3, sigs=sigs
+    )
+    comps = connected_components(pairs, loop_partitions=8)
+    reps = cluster_representatives(docs, "doc_id", comps)
+    return (
+        reps.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
+Q_DEDUP_REPRESENTATIVES_SQL = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws) - 1)])) AS w
+  FROM words WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pair AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes s1 ON doc_a = s1.doc_id
+  JOIN sizes s2 ON doc_b = s2.doc_id
+  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.95
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pair
+  UNION
+  SELECT doc_b, doc_a FROM pair
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+),
+losers AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> MIN(lbl)
+)
+SELECT lang,
+       COUNT(*)                     AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.node = d.doc_id)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 CLUSTERING_QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_representatives": q_dedup_representatives,
 }
 
 CLUSTERING_ORACLES = {
     "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
+    "q_dedup_representatives": Q_DEDUP_REPRESENTATIVES_SQL,
 }
