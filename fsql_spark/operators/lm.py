@@ -279,12 +279,109 @@ ORDER BY doc_id
 """
 
 
+def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2019 §4.3):
+    tercile thresholds of the cross-entropy distribution from a
+    deterministic 50% hash-sample (discrete rank selection — actual data
+    values, engine-replayable), then MAP-ONLY bucket assignment over the
+    full scored corpus. At 100 TB only the sample is sorted (per-stratum at
+    real scale); the corpus itself never shuffles to be bucketed. The
+    audit: per-bucket doc counts + ce range."""
+    from .sketches import sampled_quantiles
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tf = term_frequencies(docs).persist()
+    model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K, tf=tf)
+    scored = doc_cross_entropy(docs, model, oov_lp, tf=tf).select(
+        "doc_id", F.round("cross_entropy", 4).alias("ce")
+    )
+    th = sampled_quantiles(
+        scored, "ce", "doc_id", fraction=0.5, quantiles=(1 / 3, 2 / 3)
+    ).collect()[0]
+    t1, t2 = th["q33_ce"], th["q67_ce"]
+    bucket = (
+        F.when(F.col("ce") <= t1, F.lit("head"))
+        .when(F.col("ce") <= t2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("ce"), 4).alias("min_ce"),
+            F.round(F.max("ce"), 4).alias("max_ce"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _q_perplexity_buckets_sql() -> str:
+    from .sampling import fraction_to_hex_threshold
+
+    third, two_thirds = repr(1 / 3), repr(2 / 3)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+filtered AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM filtered GROUP BY token
+),
+scalars AS (
+  SELECT SUM(tf) AS t, LEAST(COUNT(*), {_TOP_K}) AS v FROM counts
+),
+model AS (
+  SELECT token, LN((tf + 1.0) / (scalars.t + scalars.v + 1.0)) AS logprob
+  FROM counts CROSS JOIN scalars
+  ORDER BY tf DESC, token
+  LIMIT {_TOP_K}
+),
+scored AS (
+  SELECT f.doc_id,
+         ROUND(-SUM(COALESCE(m.logprob,
+                             (SELECT LN(1.0 / (t + v + 1.0)) FROM scalars)))
+               / COUNT(*), 4) AS ce
+  FROM filtered f LEFT JOIN model m USING (token)
+  GROUP BY f.doc_id
+),
+ranked AS (
+  SELECT ce,
+         ROW_NUMBER() OVER (ORDER BY ce, doc_id) AS rn,
+         COUNT(*) OVER ()                        AS n
+  FROM scored
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{fraction_to_hex_threshold(0.5)}'
+),
+th AS (
+  SELECT ROUND(MAX(CASE WHEN rn = CAST(CEIL({third} * n) AS INTEGER) THEN ce END), 4) AS t1,
+         ROUND(MAX(CASE WHEN rn = CAST(CEIL({two_thirds} * n) AS INTEGER) THEN ce END), 4) AS t2
+  FROM ranked
+),
+bucketed AS (
+  SELECT CASE WHEN s.ce <= th.t1 THEN 'head'
+              WHEN s.ce <= th.t2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         s.ce
+  FROM scored s CROSS JOIN th
+)
+SELECT bucket,
+       COUNT(*)          AS n_docs,
+       ROUND(MIN(ce), 4) AS min_ce,
+       ROUND(MAX(ce), 4) AS max_ce
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 LM_QUERIES = {
     "q_lm_vocab": q_lm_vocab,
     "q_doc_perplexity": q_doc_perplexity,
+    "q_perplexity_buckets": q_perplexity_buckets,
 }
 
 LM_ORACLES = {
     "q_lm_vocab": Q_LM_VOCAB_SQL,
     "q_doc_perplexity": Q_DOC_PERPLEXITY_SQL,
+    "q_perplexity_buckets": _q_perplexity_buckets_sql(),
 }

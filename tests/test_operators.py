@@ -1226,3 +1226,19 @@ def test_ivf_centroid_persistence_roundtrip(spark, tmp_path):
     bare.write.mode("overwrite").parquet(str(tmp_path / "bare"))
     with pytest.raises(ValueError, match="lacks metadata"):
         read_ivf_centroids(spark, str(tmp_path / "bare"))
+
+
+def test_perplexity_buckets_partition_the_corpus(spark):
+    """head/middle/tail cover every scored doc exactly once, ordered by ce
+    (max_ce(head) <= min_ce(middle) <= ... by construction), with roughly
+    balanced terciles."""
+    from fsql_spark.operators.lm import q_perplexity_buckets
+
+    rows = {r["bucket"]: r for r in q_perplexity_buckets(spark, SF).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_scored = sum(r["n_docs"] for r in rows.values())
+    assert n_scored == docs.count()  # testdata has no token-less docs
+    assert rows["head"]["max_ce"] <= rows["middle"]["min_ce"]
+    assert rows["middle"]["max_ce"] <= rows["tail"]["min_ce"]
+    assert min(r["n_docs"] for r in rows.values()) >= n_scored * 0.15  # sampled terciles, rough balance
