@@ -62,6 +62,13 @@ HEAVIEST = [
     "q_doc_perplexity",
     "q_quality_filter",
     "q_events_anomaly",
+    # third-session additions: composed quality-gated build (two corpus
+    # passes, one tokenization), sampled-tercile bucketing, representative
+    # selection over the cached pair graph, compressed-json scan.
+    "q_corpus_pipeline_v2",
+    "q_perplexity_buckets",
+    "q_dedup_representatives",
+    "q_fsql_jsongz_scan",
 ]
 
 # entries touch these tables; everything else symlinks to sf0.1 so the same
