@@ -468,6 +468,60 @@ ORDER BY lang
 """
 
 
+def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Metric anomaly detection ON THE STREAM against batch-trained stats:
+    the per-type mean/stddev relation is the (5-row) artifact a monitoring
+    pipeline trains offline; the stream joins it as a broadcast and flags
+    z >= 3 map-only — stateless, no watermark, no state store (the third
+    batch/stream unification proof after ingest-dedup and quality-filter).
+    Audit: per-type anomaly counts over the appended output. The z=3
+    threshold margin is pinned as a data property in
+    tests/test_operators.py (batch twin), so float-moment noise cannot
+    flip membership between the engines."""
+    from ..relational import _t
+
+    stats = (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma"))
+    )
+    stream = events_stream(spark, sf)
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    flagged = (
+        stream.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .where(F.col("z") >= 3.0)
+    )
+    out = run_to_memory(flagged.select("event_type", "value"), mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_anomalies"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_STREAM_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
+  FROM events GROUP BY event_type
+),
+a AS (
+  SELECT e.event_type, value
+  FROM events e JOIN stats USING (event_type)
+  WHERE (value - mu) / sigma >= 3.0
+)
+SELECT event_type,
+       COUNT(*)             AS n_anomalies,
+       ROUND(SUM(value), 2) AS sum_value
+FROM a
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def stream_sink_tree(spark: SparkSession, sf: str) -> str:
     """Build-once: stream the events table into a Hive-partitioned
     (event_type, date) parquet tree via the streaming sink — the one-time
@@ -575,6 +629,7 @@ STREAMING_QUERIES = {
     "q_stream_sink_roundtrip": q_stream_sink_roundtrip,
     "q_stream_ingest_dedup": q_stream_ingest_dedup,
     "q_stream_quality_filter": q_stream_quality_filter,
+    "q_stream_anomaly": q_stream_anomaly,
 }
 
 STREAMING_ORACLES = {
@@ -587,4 +642,5 @@ STREAMING_ORACLES = {
     "q_stream_sink_roundtrip": Q_STREAM_SINK_SQL,
     "q_stream_ingest_dedup": Q_STREAM_INGEST_DEDUP_SQL,
     "q_stream_quality_filter": Q_STREAM_QUALITY_SQL,
+    "q_stream_anomaly": Q_STREAM_ANOMALY_SQL,
 }
