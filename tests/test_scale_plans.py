@@ -746,3 +746,18 @@ def test_quality_filter_is_map_only_expressions(spark):
     plan = plan_of(q_quality_filter(spark, SF))
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_jsongz_scan_prunes_partitions(spark):
+    """The gz-json tree reads through the same pruning machinery as
+    parquet/ORC: the Q_IN partition predicate must reach the file index as
+    a PartitionFilter, not survive as a post-scan Filter."""
+    from fsql_spark.fsql_catalog import _docs_lang_jsongz_tree
+    from fsql_spark import Q_IN, read_partitioned_table
+
+    url = _docs_lang_jsongz_tree(spark, SF)
+    df = read_partitioned_table(url, Q_IN("lang", ["en", "fr"]), spark=spark)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "lang" in seg
