@@ -85,6 +85,13 @@ from .profile import (  # noqa: F401
     histogram,
     profile,
 )
+from .rollup import (  # noqa: F401
+    ROLLUP_ORACLES,
+    ROLLUP_QUERIES,
+    hourly_rollup,
+    read_rollup,
+    update_rollup,
+)
 from .sampling import (  # noqa: F401
     SAMPLING_ORACLES,
     SAMPLING_QUERIES,
@@ -156,6 +163,7 @@ EXTENSION_QUERIES = {
     **SKETCH_QUERIES,
     **PIPELINE_QUERIES,
     **LM_QUERIES,
+    **ROLLUP_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -175,4 +183,5 @@ EXTENSION_ORACLES = {
     **SKETCH_ORACLES,
     **PIPELINE_ORACLES,
     **LM_ORACLES,
+    **ROLLUP_ORACLES,
 }

@@ -1,0 +1,139 @@
+"""Incremental hourly rollup — the continuous-aggregate / hypertable
+pattern: a stored (hour, keys) aggregate table that ingest batches MERGE
+into, so the rollup is maintained by scanning each batch once instead of
+re-aggregating the event history per refresh.
+
+Scale shape (100 TB/day event volume):
+
+- The stored rollup is (hours x key-cardinality)-sized — METADATA next to
+  the event stream. Each update aggregates only the incoming batch (one
+  map-side-combinable shuffle over the batch) and merges with the stored
+  partials by key.
+- The stored rows are MERGEABLE partials (count, sum): any DISJOINT batch
+  split — by arrival time, by event time, out of order — produces the same
+  final table as one full recompute (float sums agree to merge-order ulps;
+  exact for the integer counts). That invariant IS the catalog entry's
+  oracle: three arbitrary (mod-3) batches vs DuckDB's single-pass
+  aggregate. The contract is exactly-once batches: a REPLAYED batch
+  double-counts (additive partials are not idempotent) — a pipeline that
+  may retry should restate whole hours via
+  ``maintenance.overwrite_partitions`` semantics instead of re-merging.
+- The rewrite commits via the staging + backup + swap discipline of
+  ``maintenance.compact`` (atomic where FileSystem.move is; the rollup is
+  small enough that the rewrite is trivially cheap — at extreme key
+  cardinality partition the rollup by month and swap per partition).
+
+No reference counterpart (the reference has no aggregation at all,
+SURVEY §2.5); named as a driver-suggested custom operator ("hypertable
+rollup").
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fs import FileSystem, get_url_and_fs
+
+
+def hourly_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """One aggregate row per (hour, keys): mergeable (n_events, sum_value)
+    partials."""
+    return events.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour_start"), *key_cols
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("sum_value"))
+
+
+def update_rollup(
+    spark: SparkSession,
+    batch: DataFrame,
+    url: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    fs: Optional[FileSystem] = None,
+) -> None:
+    """Merge ``batch``'s hourly partials into the rollup stored at ``url``
+    (created on first call). The batch is scanned once; the stored table is
+    rollup-sized. Mergeability of (count, sum) makes the result independent
+    of how events were split into batches."""
+    path, fs = get_url_and_fs(url, fs)
+    part = hourly_rollup(batch, ts_col, key_cols, value_col)
+    keys = ["hour_start", *key_cols]
+    if fs.exists(path.rstrip("/")):
+        old = spark.read.parquet(fs.spark_url(path))
+        merged = (
+            old.unionByName(part)
+            .groupBy(*keys)
+            .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+        )
+    else:
+        merged = part
+    tag = uuid.uuid4().hex[:8]
+    staging = path.rstrip("/") + f".rollup_staging_{tag}"
+    try:
+        # staging write happens BEFORE the swap, so the merge plan can still
+        # read the old files it references lazily
+        merged.write.mode("overwrite").parquet(fs.spark_url(staging))
+        if fs.exists(path.rstrip("/")):
+            backup = path.rstrip("/") + f".rollup_backup_{tag}"
+            fs.move(path.rstrip("/"), backup)
+            fs.move(staging, path.rstrip("/"))
+            fs.rmtree(backup)
+        else:
+            fs.move(staging, path.rstrip("/"))
+    finally:
+        fs.rmtree(staging)
+
+
+def read_rollup(spark: SparkSession, url: str, fs: Optional[FileSystem] = None) -> DataFrame:
+    path, fs = get_url_and_fs(url, fs)
+    return spark.read.parquet(fs.spark_url(path))
+
+
+# --------------------------------------------------------------------------
+# catalog entry + oracle
+# --------------------------------------------------------------------------
+
+def q_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """The maintained rollup after THREE arbitrary (event_id mod 3) ingest
+    batches must equal one full recompute — the mergeable-partials
+    invariant, checked against DuckDB's single-pass hourly aggregate."""
+    from ..fsql_catalog import _build_once, _tree_dir
+    from ..relational import _t
+
+    def build(staging: str) -> None:
+        ev = _t(spark, sf, "events")
+        for i in range(3):
+            update_rollup(spark, ev.where(F.col("event_id") % 3 == i), staging)
+
+    url = _build_once(_tree_dir(sf, "rollup_hourly_v1", "events"), build)
+    out = read_rollup(spark, url)
+    return out.select(
+        "hour_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+Q_ROLLUP_INCREMENTAL_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*)               AS n_events,
+       ROUND(SUM(value), 2)   AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+ROLLUP_QUERIES = {"q_rollup_incremental": q_rollup_incremental}
+ROLLUP_ORACLES = {"q_rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL}

@@ -1242,3 +1242,28 @@ def test_perplexity_buckets_partition_the_corpus(spark):
     assert rows["head"]["max_ce"] <= rows["middle"]["min_ce"]
     assert rows["middle"]["max_ce"] <= rows["tail"]["min_ce"]
     assert min(r["n_docs"] for r in rows.values()) >= n_scored * 0.15  # sampled terciles, rough balance
+
+
+def test_rollup_merge_invariant_and_swap(spark, tmp_path):
+    """Incremental rollup: (a) arbitrary disjoint batch splits converge to
+    the full recompute (counts exact, sums to float ulps); (b) the stored
+    table survives each swap and keeps merging."""
+    from fsql_spark.operators.rollup import hourly_rollup, read_rollup, update_rollup
+    from fsql_spark.relational import _t
+
+    ev = _t(spark, SF, "events")
+    url = str(tmp_path / "rollup")
+    for i in range(4):
+        update_rollup(spark, ev.where(F.col("event_id") % 4 == i), url)
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in read_rollup(spark, url).collect()
+    }
+    want = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in hourly_rollup(ev).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]  # counts exact
+        assert abs(got[k][1] - want[k][1]) < 1e-6  # sums to merge-order noise
