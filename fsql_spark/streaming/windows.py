@@ -522,6 +522,61 @@ ORDER BY event_type
 """
 
 
+def events_batch_tree(spark: SparkSession, sf: str) -> str:
+    """Build-once: the events table staged as a 3-file parquet dir (ts
+    already normalized to TIMESTAMP) so a file-source stream delivers it in
+    3 micro-batches."""
+    from ..fsql_catalog import _build_once, _tree_dir
+    from ..relational import _t
+
+    def build(staging: str) -> None:
+        _t(spark, sf, "events").repartition(3).write.mode("overwrite").parquet(staging)
+
+    return _build_once(_tree_dir(sf, "events_batch3", "events"), build)
+
+
+def q_stream_rollup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The stream -> incremental-materialized-view pattern: each micro-batch
+    of the event stream is MERGED into the stored hourly rollup via
+    ``foreachBatch`` + ``update_rollup`` — the canonical production wiring
+    for a continuous aggregate (the sink is the batch operator; micro-batch
+    boundaries are exactly the disjoint-split case the rollup's
+    mergeability invariant covers). The final table must equal one
+    full-history recompute: oracle aliased from q_rollup_incremental so
+    the streaming and batch maintenance paths cannot drift."""
+    from ..fsql_catalog import _build_once, _tree_dir
+    from ..operators.rollup import read_rollup, update_rollup
+
+    src = events_batch_tree(spark, sf)
+    schema = spark.read.parquet(src).schema
+
+    def build(staging: str) -> None:
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, _bid: update_rollup(spark, bdf, staging)
+            )
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="fsql_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    url = _build_once(_tree_dir(sf, "rollup_stream_v1", "events"), build)
+    out = read_rollup(spark, url)
+    return out.select(
+        "hour_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+from ..operators.rollup import Q_ROLLUP_INCREMENTAL_SQL as Q_STREAM_ROLLUP_SQL  # noqa: E402
+
+
 def stream_sink_tree(spark: SparkSession, sf: str) -> str:
     """Build-once: stream the events table into a Hive-partitioned
     (event_type, date) parquet tree via the streaming sink — the one-time
@@ -630,6 +685,7 @@ STREAMING_QUERIES = {
     "q_stream_ingest_dedup": q_stream_ingest_dedup,
     "q_stream_quality_filter": q_stream_quality_filter,
     "q_stream_anomaly": q_stream_anomaly,
+    "q_stream_rollup_ingest": q_stream_rollup_ingest,
 }
 
 STREAMING_ORACLES = {
@@ -643,4 +699,5 @@ STREAMING_ORACLES = {
     "q_stream_ingest_dedup": Q_STREAM_INGEST_DEDUP_SQL,
     "q_stream_quality_filter": Q_STREAM_QUALITY_SQL,
     "q_stream_anomaly": Q_STREAM_ANOMALY_SQL,
+    "q_stream_rollup_ingest": Q_STREAM_ROLLUP_SQL,
 }
