@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .column_parser import AUTO_PARSER, AutoParser, ColumnParser
 from .discovery import Partition, discover_partitions
-from .formats import InputFormat, _SUFFIXES
+from .formats import InputFormat
 from .fs import FileSystem, get_url_and_fs
 from .queries import Query
 from .readers import DataReader, SparkReader, SPARK_READER
@@ -165,10 +165,20 @@ def _read_fast_path(
         # (csv+json, which the driver-discovery path reads per-file like the
         # reference) would be silently parsed entirely as the probe's format.
         # inputFiles() is metadata-only (the file index is needed by the scan
-        # anyway); any suffix mapping to a different — or no — format falls
-        # back to per-file driver discovery.
-        suffixes = {f.rsplit(".", 1)[-1].lower() for f in df.inputFiles()}
-        if any(_SUFFIXES.get(s) is not fmt for s in suffixes):
+        # anyway); any file whose detected format differs — or is unknown —
+        # falls back to per-file driver discovery. Detection goes through
+        # InputFormat.from_url so compression suffixes (.json.gz) resolve to
+        # their inner format exactly like the probe did (a bare
+        # last-suffix check here silently sent every compressed tree down
+        # the slow path — caught by review; regression-tested in
+        # test_jsongz_scan_prunes_partitions).
+        def _fmt_of(f: str):
+            try:
+                return InputFormat.from_url(f)
+            except KeyError:
+                return None
+
+        if any(_fmt_of(f) is not fmt for f in df.inputFiles()):
             return None
 
     available = frozenset(part_keys)

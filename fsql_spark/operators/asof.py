@@ -101,11 +101,21 @@ def range_join(
     out = joined.where(gap <= tolerance_us).drop(
         "__lb", "__rb", "__rb_adj", *[f"__r_{k}" for k in on]
     )
-    left_cols = set(left.columns)
+    taken = set(left.columns)
     for c in right.columns:
         if c in on:
             continue
-        out = out.withColumnRenamed(f"__r_{c}", c if c not in left_cols else c + suffix)
+        target = c if c not in set(left.columns) else c + suffix
+        if target in taken:
+            # e.g. left already has 'v_right', or right carries both 'v' and
+            # 'v_right' — a silent duplicate column would reintroduce the
+            # AMBIGUOUS_REFERENCE downstream (review find): refuse loudly
+            raise ValueError(
+                f"range_join output name collision on {target!r}; rename the "
+                f"conflicting column or pass a different suffix"
+            )
+        taken.add(target)
+        out = out.withColumnRenamed(f"__r_{c}", target)
     return out
 
 
@@ -131,9 +141,11 @@ def resample_ffill(
     2-column span aggregate (``sequence`` explode — rows ~ keys x bins, the
     OUTPUT size, never a cross join). Output: (key, bin_start_us, values...)
     with ``bin_start_us`` the bin's epoch-microseconds start."""
-    # fail at plan-build time, not as a REMAINDER_BY_ZERO on an executor
-    if not every_seconds > 0:
-        raise ValueError(f"every_seconds must be > 0, got {every_seconds}")
+    # fail at plan-build time, not as a REMAINDER_BY_ZERO on an executor;
+    # validate the INT value (0 < every_seconds < 1 would pass a raw >0
+    # check and then truncate to a zero modulus — review find)
+    if int(every_seconds) != every_seconds or int(every_seconds) <= 0:
+        raise ValueError(f"every_seconds must be a positive integer, got {every_seconds}")
     every_us = int(every_seconds) * 1_000_000
     us = F.unix_micros(F.col(ts_col))
     bs = (us - F.pmod(us, F.lit(every_us))).alias("__bs")

@@ -326,6 +326,11 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     if sigs is not None:
         _check_sig_width(sigs, num_hashes)
+        # defensive twin of the v3 build-time exclusion: a caller-supplied
+        # signature frame (bypassing read_corpus_signatures' format gate)
+        # may still carry empty-shingle rows — constant signatures that
+        # collide in every band and 0/0 in the verify join
+        sigs = sigs.where(F.size("sh") > 0)
     if sigs is None:
         # persist signatures: both sides of the self-join (and the verify
         # step) reuse them instead of recomputing k*|shingles| hashes per
@@ -617,7 +622,11 @@ _SIG_META_COLS = ("__num_hashes", "__ngram", "__sig_fmt")
 #: kernel source, but a persisted table outlives the code that wrote it: a
 #: format mismatch there would silently produce zero-recall bucket joins).
 #: v2 = "\x01"-separated word shingles + per-seed xxhash minhash kernel.
-_SIG_FORMAT = 2
+#: v3 = v2 minus empty-shingle rows (empty/sub-ngram docs are excluded at
+#: the signature entry point; a v2 table may contain constant-signature
+#: empty rows that collide in every band — quadratic candidates + 0/0 in
+#: the verify join — so v2 tables must be rebuilt, not silently accepted).
+_SIG_FORMAT = 3
 
 
 def write_corpus_signatures(
@@ -709,8 +718,13 @@ def corpus_signatures_cached(
 
     from . import _hashing
 
+    # minhash_signatures itself is fingerprinted too: it owns row-set
+    # semantics (e.g. the v3 empty-shingle exclusion), not just the hash
+    # values (review find: a semantics change there must invalidate caches)
     kern = hashlib.md5(
-        inspect.getsource(_hashing).encode() + inspect.getsource(_word_shingles).encode()
+        inspect.getsource(_hashing).encode()
+        + inspect.getsource(_word_shingles).encode()
+        + inspect.getsource(minhash_signatures).encode()
     ).hexdigest()[:8]
 
     def build(staging: str) -> None:
@@ -758,6 +772,7 @@ def minhash_lsh_pairs_against(
         corpus_sigs = minhash_signatures(corpus, key_col, text_col, num_hashes, ngram).persist()
     else:
         _check_sig_width(corpus_sigs, num_hashes)
+        corpus_sigs = corpus_sigs.where(F.size("sh") > 0)  # see minhash_lsh_pairs
     new_banded = _banded_buckets(new_sigs, bands, rows_per_band)
     corpus_banded = _banded_buckets(corpus_sigs, bands, rows_per_band).select(
         F.col("k").alias("k2"), F.col("band").alias("band2"), F.col("bucket").alias("bucket2")

@@ -59,7 +59,16 @@ def unigram_model(
     vocab.term_frequencies` to share one tokenization pass between model
     training and document scoring — at corpus scale the text is tokenized
     ONCE, never per consumer.
-    """
+
+    The returned model is MATERIALIZED (driver-held, rebuilt as a local
+    DataFrame): it is vocabulary-sized metadata by definition — the
+    artifact a real pipeline ships — and materializing it here lets the
+    training-side cache be released immediately instead of leaking a
+    corpus-scale persist per training call (review find); downstream plans
+    then broadcast a self-contained relation with no lineage back into the
+    corpus."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
     if tf is not None:
         counts = tf.groupBy("token").agg(
             F.count(F.lit(1)).alias("doc_freq"), F.sum("tf").alias("total_tf")
@@ -67,23 +76,35 @@ def unigram_model(
     else:
         counts = vocabulary(corpus, id_col, text_col)
     counts = counts.persist()
-    # T and V are model metadata: one aggregate over the token-keyed counts
-    # (vocabulary-sized, NOT corpus-sized), two driver scalars.
-    tot = counts.agg(
-        F.sum("total_tf").alias("t"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-    total_tf = int(tot["t"] or 0)
-    vocab_size = min(top_k, int(tot["n"]))
-    denom = float(total_tf + vocab_size + 1)
-    model = (
-        counts.orderBy(F.desc("total_tf"), "token")
-        .limit(top_k)
-        .select(
-            "token",
-            F.col("total_tf").alias("tf"),
-            F.log((F.col("total_tf") + F.lit(1.0)) / F.lit(denom)).alias("logprob"),
+    try:
+        # T and V are model metadata: one aggregate over the token-keyed
+        # counts (vocabulary-sized, NOT corpus-sized), two driver scalars.
+        tot = counts.agg(
+            F.sum("total_tf").alias("t"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        total_tf = int(tot["t"] or 0)
+        vocab_size = min(top_k, int(tot["n"]))
+        denom = float(total_tf + vocab_size + 1)
+        rows = (
+            counts.orderBy(F.desc("total_tf"), "token")
+            .limit(top_k)
+            .select(
+                "token",
+                F.col("total_tf").alias("tf"),
+                F.log((F.col("total_tf") + F.lit(1.0)) / F.lit(denom)).alias("logprob"),
+            )
+            .collect()
         )
+    finally:
+        counts.unpersist()
+    schema = StructType(
+        [
+            StructField("token", StringType()),
+            StructField("tf", LongType()),
+            StructField("logprob", DoubleType()),
+        ]
     )
+    model = corpus.sparkSession.createDataFrame(rows, schema)
     return model, math.log(1.0 / denom), total_tf, vocab_size
 
 
@@ -222,8 +243,10 @@ def q_doc_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     unigram model for the 300 lowest doc_ids (model trained on the FULL
     corpus; the cut exercises real OOV scoring)."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    # ONE tokenization pass: the persisted tf stream feeds both the model
-    # aggregate and the scoring join (the 100 TB shape — never re-tokenize).
+    # ONE tokenization pass: the persisted tf stream feeds both the (eager)
+    # model training and the lazy scoring plan. Caller-owned cache:
+    # MEMORY_AND_DISK default, evictable under pressure; it cannot be
+    # unpersisted here because the returned plan still reads it.
     tf = term_frequencies(docs).persist()
     model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K, tf=tf)
     scored = doc_cross_entropy(docs, model, oov_lp, tf=tf)

@@ -66,6 +66,8 @@ def update_rollup(
     rollup-sized. Mergeability of (count, sum) makes the result independent
     of how events were split into batches."""
     path, fs = get_url_and_fs(url, fs)
+    base = path.rstrip("/")
+    _recover_interrupted_swap(fs, base)
     part = hourly_rollup(batch, ts_col, key_cols, value_col)
     keys = ["hour_start", *key_cols]
     if fs.exists(path.rstrip("/")):
@@ -92,6 +94,34 @@ def update_rollup(
             fs.move(staging, path.rstrip("/"))
     finally:
         fs.rmtree(staging)
+
+
+def _recover_interrupted_swap(fs: FileSystem, base: str) -> None:
+    """A crash in the swap window (after ``path -> backup``, before
+    ``staging -> path``) leaves the only surviving copy of the rollup in a
+    ``.rollup_backup_*`` sibling; without recovery the next update would
+    quietly re-initialize from ONE batch and every later merge would
+    compound the undercount (review find — unlike compact's backups, the
+    partials are not re-derivable from the path). Restore the backup when
+    the table is missing; drop stale backups when the table exists (the
+    swap completed, the merged data is live). Single-writer contract, like
+    every mutating maintenance op here."""
+    parent = base.rsplit("/", 1)[0]
+    marker = base.rsplit("/", 1)[-1] + ".rollup_backup_"
+    try:
+        _files, dir_names = fs.ls(parent)  # ls returns (files, dirs), bare names
+    except Exception:
+        return
+    backups = sorted(f"{parent}/{d}" for d in dir_names if d.startswith(marker))
+    if not backups:
+        return
+    if fs.exists(base):
+        for b in backups:  # completed swaps: merged data is live
+            fs.rmtree(b)
+    else:
+        fs.move(backups[-1], base)  # interrupted swap: restore the rollup
+        for b in backups[:-1]:
+            fs.rmtree(b)
 
 
 def read_rollup(spark: SparkSession, url: str, fs: Optional[FileSystem] = None) -> DataFrame:

@@ -198,7 +198,14 @@ def lsh_ann_pairs(
     pure function of (seed, n_tables, n_planes, dim), so each kernel task
     regenerates it identically from the batch it sees (no driver probe job,
     no broadcast). Pass ``dim`` explicitly only to pin an expectation — a
-    mismatched width then raises instead of bucketing garbage."""
+    mismatched width then raises instead of bucketing garbage.
+
+    Caveat: width consistency is validated per Arrow batch (`np.stack`
+    raises on ragged batches), not across the whole table — a corpus whose
+    widths differ BETWEEN files (partial re-embedding migration) can
+    silently bucket with per-width plane families, making cross-width pairs
+    unfindable. If mixed widths are possible in your data, pin ``dim=`` so
+    every stray width raises."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

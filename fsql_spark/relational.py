@@ -1210,9 +1210,14 @@ def q_events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
     )
+    # sigma > 0 guard: a zero-variance type (single event, or all-equal
+    # values) has no defined z-score and must not ANSI-kill the job — the
+    # same degenerate-denominator class as cosine/gopher (review find);
+    # mirrored in the SQL oracle so membership semantics stay identical
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
         ev.join(F.broadcast(stats), "event_type")
+        .where(F.col("sigma") > 0)
         .withColumn("z", z)
         .where(F.col("z") >= 3.0)
         .select(
@@ -1234,7 +1239,7 @@ SELECT event_id, e.event_type,
        ROUND(value, 2)               AS value,
        ROUND((value - mu) / sigma, 3) AS z
 FROM events e JOIN stats USING (event_type)
-WHERE (value - mu) / sigma >= 3.0
+WHERE sigma > 0 AND (value - mu) / sigma >= 3.0
 ORDER BY event_id
 """
 

@@ -489,6 +489,7 @@ def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     flagged = (
         stream.join(F.broadcast(stats), "event_type")
+        .where(F.col("sigma") > 0)  # zero-variance types: z undefined, skip
         .withColumn("z", z)
         .where(F.col("z") >= 3.0)
     )
@@ -511,7 +512,7 @@ WITH stats AS (
 a AS (
   SELECT e.event_type, value
   FROM events e JOIN stats USING (event_type)
-  WHERE (value - mu) / sigma >= 3.0
+  WHERE sigma > 0 AND (value - mu) / sigma >= 3.0
 )
 SELECT event_type,
        COUNT(*)             AS n_anomalies,

@@ -1267,3 +1267,59 @@ def test_rollup_merge_invariant_and_swap(spark, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0]  # counts exact
         assert abs(got[k][1] - want[k][1]) < 1e-6  # sums to merge-order noise
+
+
+def test_review_fix_regressions(spark, tmp_path):
+    """Pins the round-5 review findings: fractional resample seconds,
+    range_join output-name collisions, zero-variance anomaly types, and
+    rollup recovery from an interrupted swap."""
+    import datetime as dt
+
+    from fsql_spark.operators.asof import range_join, resample_ffill
+    from fsql_spark.operators.rollup import read_rollup, update_rollup
+    from fsql_spark.fs import get_url_and_fs
+
+    T = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 7, T, 1.0), (2, 7, T + dt.timedelta(seconds=30), 2.0)],
+        "id long, user long, ts timestamp, v double",
+    )
+    # fractional every_seconds would truncate to a zero modulus
+    with pytest.raises(ValueError, match="positive integer"):
+        resample_ffill(ev, "user", "ts", "id", ["v"], 0.5)
+    # suffixed restore colliding with an existing column refuses loudly
+    left = ev.withColumn("v_right", F.lit(0.0))
+    with pytest.raises(ValueError, match="collision"):
+        range_join(left, ev, ["user"], "ts", "ts", 60_000_000)
+
+    # zero-variance event type: excluded, not a DIVIDE_BY_ZERO job kill
+    from pyspark.sql import functions as SF_
+    ev2 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 100.0), (3, "a", 1.0), (4, "solo", 5.0)] +
+        [(10 + i, "a", 1.0) for i in range(20)],
+        "event_id long, event_type string, value double",
+    )
+    stats = ev2.groupBy("event_type").agg(
+        SF_.avg("value").alias("mu"), SF_.stddev_pop("value").alias("sigma")
+    )
+    z = (SF_.col("value") - SF_.col("mu")) / SF_.col("sigma")
+    out = (
+        ev2.join(SF_.broadcast(stats), "event_type")
+        .where(SF_.col("sigma") > 0)
+        .withColumn("z", z)
+        .where(SF_.col("z") >= 3.0)
+        .collect()
+    )
+    assert all(r["event_type"] != "solo" for r in out) and len(out) == 1
+
+    # interrupted rollup swap: table vanished mid-swap, backup survives ->
+    # next update restores and keeps the history
+    url = str(tmp_path / "r")
+    update_rollup(spark, ev.select("ts", SF_.lit("t").alias("event_type"), "v"),
+                  url, value_col="v")
+    path, fs = get_url_and_fs(url)
+    fs.move(path, path + ".rollup_backup_deadbeef")  # simulate the crash window
+    update_rollup(spark, ev.select("ts", SF_.lit("t").alias("event_type"), "v"),
+                  url, value_col="v")
+    got = read_rollup(spark, url).collect()
+    assert sum(r["n_events"] for r in got) == 4  # 2 restored + 2 merged, not 2

@@ -755,9 +755,15 @@ def test_jsongz_scan_prunes_partitions(spark):
     from fsql_spark.fsql_catalog import _docs_lang_jsongz_tree
     from fsql_spark import Q_IN, read_partitioned_table
 
+    import re
+
     url = _docs_lang_jsongz_tree(spark, SF)
     df = read_partitioned_table(url, Q_IN("lang", ["en", "fr"]), spark=spark)
     plan = plan_of(df)
-    assert "PartitionFilters" in plan
-    seg = plan.split("PartitionFilters")[1][:300]
-    assert "lang" in seg
+    # a NON-EMPTY PartitionFilters naming the partition column — an empty
+    # list prints too, and the slow-path union also mentions 'lang', so the
+    # weaker membership assertions are vacuous (caught by review: the
+    # original form passed while the tree was demonstrably on the slow path)
+    assert re.search(r"PartitionFilters: \[[^\]]*lang", plan), plan[:1500]
+    # and the single-scan fast path, not the per-partition slow-path union
+    assert plan.count("FileScan json") == 1
