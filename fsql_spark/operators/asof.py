@@ -101,11 +101,12 @@ def range_join(
     out = joined.where(gap <= tolerance_us).drop(
         "__lb", "__rb", "__rb_adj", *[f"__r_{k}" for k in on]
     )
+    left_cols = set(left.columns)
     taken = set(left.columns)
     for c in right.columns:
         if c in on:
             continue
-        target = c if c not in set(left.columns) else c + suffix
+        target = c if c not in left_cols else c + suffix
         if target in taken:
             # e.g. left already has 'v_right', or right carries both 'v' and
             # 'v_right' — a silent duplicate column would reintroduce the

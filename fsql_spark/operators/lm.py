@@ -315,8 +315,14 @@ def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     tf = term_frequencies(docs).persist()
     model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K, tf=tf)
-    scored = doc_cross_entropy(docs, model, oov_lp, tf=tf).select(
-        "doc_id", F.round("cross_entropy", 4).alias("ce")
+    # persist the NARROW (doc_id, ce) relation: the threshold sample and the
+    # final bucketing both consume it — without this the corpus-scale
+    # scoring join would run twice (review find). Two columns per doc, not
+    # corpus text; the threshold collect below materializes it.
+    scored = (
+        doc_cross_entropy(docs, model, oov_lp, tf=tf)
+        .select("doc_id", F.round("cross_entropy", 4).alias("ce"))
+        .persist()
     )
     th = sampled_quantiles(
         scored, "ce", "doc_id", fraction=0.5, quantiles=(1 / 3, 2 / 3)

@@ -70,8 +70,8 @@ def update_rollup(
     _recover_interrupted_swap(fs, base)
     part = hourly_rollup(batch, ts_col, key_cols, value_col)
     keys = ["hour_start", *key_cols]
-    if fs.exists(path.rstrip("/")):
-        old = spark.read.parquet(fs.spark_url(path))
+    if fs.exists(base):
+        old = spark.read.parquet(fs.spark_url(base))
         merged = (
             old.unionByName(part)
             .groupBy(*keys)
@@ -80,18 +80,18 @@ def update_rollup(
     else:
         merged = part
     tag = uuid.uuid4().hex[:8]
-    staging = path.rstrip("/") + f".rollup_staging_{tag}"
+    staging = base + f".rollup_staging_{tag}"
     try:
         # staging write happens BEFORE the swap, so the merge plan can still
         # read the old files it references lazily
         merged.write.mode("overwrite").parquet(fs.spark_url(staging))
-        if fs.exists(path.rstrip("/")):
-            backup = path.rstrip("/") + f".rollup_backup_{tag}"
-            fs.move(path.rstrip("/"), backup)
-            fs.move(staging, path.rstrip("/"))
+        if fs.exists(base):
+            backup = base + f".rollup_backup_{tag}"
+            fs.move(base, backup)
+            fs.move(staging, base)
             fs.rmtree(backup)
         else:
-            fs.move(staging, path.rstrip("/"))
+            fs.move(staging, base)
     finally:
         fs.rmtree(staging)
 
@@ -104,15 +104,25 @@ def _recover_interrupted_swap(fs: FileSystem, base: str) -> None:
     compound the undercount (review find — unlike compact's backups, the
     partials are not re-derivable from the path). Restore the backup when
     the table is missing; drop stale backups when the table exists (the
-    swap completed, the merged data is live). Single-writer contract, like
-    every mutating maintenance op here."""
-    parent = base.rsplit("/", 1)[0]
-    marker = base.rsplit("/", 1)[-1] + ".rollup_backup_"
+    swap completed, the merged data is live). Orphaned staging dirs (a
+    crash before the swap; their tag's ``finally`` never ran) are also
+    removed — under the single-writer contract any sibling staging dir at
+    entry time is dead weight. Only a MISSING parent skips recovery (then
+    no backups can exist); other listing failures propagate rather than
+    silently disabling the restore."""
+    if "/" in base:
+        parent, name = base.rsplit("/", 1)
+        parent = parent or "/"  # root-level table
+    else:
+        parent, name = ".", base  # cwd-relative single segment
     try:
         _files, dir_names = fs.ls(parent)  # ls returns (files, dirs), bare names
-    except Exception:
-        return
-    backups = sorted(f"{parent}/{d}" for d in dir_names if d.startswith(marker))
+    except FileNotFoundError:
+        return  # parent not created yet: first-ever call, nothing to recover
+    backups = sorted(f"{parent}/{d}" for d in dir_names if d.startswith(name + ".rollup_backup_"))
+    for d in dir_names:
+        if d.startswith(name + ".rollup_staging_"):
+            fs.rmtree(f"{parent}/{d}")
     if not backups:
         return
     if fs.exists(base):

@@ -1198,6 +1198,43 @@ GROUP BY event_type
 """
 
 
+def anomaly_flags(events: DataFrame, stats_source: DataFrame | None = None) -> DataFrame:
+    """Shared z-score anomaly flagging: per-type mean/stddev trained on
+    ``stats_source`` (default: ``events`` itself; the streaming twin passes
+    the BATCH relation), broadcast back, map-only z >= 3 filter. The one
+    definition both the batch entry and the streaming twin build on, so a
+    guard or threshold change cannot drift between them (review find).
+
+    sigma > 0 guard: a zero-variance type (single event, or all-equal
+    values) has no defined z-score and must not ANSI-kill the job — the
+    same degenerate-denominator class as cosine/gopher; mirrored in
+    ``_ANOMALY_FLAGGED_CTE`` so oracle membership semantics stay
+    identical."""
+    src = stats_source if stats_source is not None else events
+    stats = src.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .where(F.col("sigma") > 0)
+        .withColumn("z", z)
+        .where(F.col("z") >= 3.0)
+    )
+
+
+#: the SQL twin of anomaly_flags, shared by both anomaly oracles
+_ANOMALY_FLAGGED_CTE = """stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
+  FROM events GROUP BY event_type
+),
+flagged AS (
+  SELECT event_id, e.event_type, value, (value - mu) / sigma AS z
+  FROM events e JOIN stats USING (event_type)
+  WHERE sigma > 0 AND (value - mu) / sigma >= 3.0
+)"""
+
+
 def q_events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     """Z-score outlier detection per event type: one tiny global aggregate
     (5 rows) broadcast back over the stream, map-only flagging — the shape a
@@ -1207,19 +1244,8 @@ def q_events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     property in tests/test_operators.py so cross-engine float-moment noise
     (~1e-12) cannot flip membership."""
     ev = _t(spark, sf, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
-    )
-    # sigma > 0 guard: a zero-variance type (single event, or all-equal
-    # values) has no defined z-score and must not ANSI-kill the job — the
-    # same degenerate-denominator class as cosine/gopher (review find);
-    # mirrored in the SQL oracle so membership semantics stay identical
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
-        ev.join(F.broadcast(stats), "event_type")
-        .where(F.col("sigma") > 0)
-        .withColumn("z", z)
-        .where(F.col("z") >= 3.0)
+        anomaly_flags(ev)
         .select(
             "event_id",
             "event_type",
@@ -1230,16 +1256,12 @@ def q_events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q_EVENTS_ANOMALY_SQL = """
-WITH stats AS (
-  SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
-  FROM events GROUP BY event_type
-)
-SELECT event_id, e.event_type,
-       ROUND(value, 2)               AS value,
-       ROUND((value - mu) / sigma, 3) AS z
-FROM events e JOIN stats USING (event_type)
-WHERE sigma > 0 AND (value - mu) / sigma >= 3.0
+Q_EVENTS_ANOMALY_SQL = f"""
+WITH {_ANOMALY_FLAGGED_CTE}
+SELECT event_id, event_type,
+       ROUND(value, 2) AS value,
+       ROUND(z, 3)     AS z
+FROM flagged
 ORDER BY event_id
 """
 

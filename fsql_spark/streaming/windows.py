@@ -478,21 +478,11 @@ def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     threshold margin is pinned as a data property in
     tests/test_operators.py (batch twin), so float-moment noise cannot
     flip membership between the engines."""
-    from ..relational import _t
+    from ..relational import _t, anomaly_flags
 
-    stats = (
-        _t(spark, sf, "events")
-        .groupBy("event_type")
-        .agg(F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma"))
-    )
-    stream = events_stream(spark, sf)
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
-    flagged = (
-        stream.join(F.broadcast(stats), "event_type")
-        .where(F.col("sigma") > 0)  # zero-variance types: z undefined, skip
-        .withColumn("z", z)
-        .where(F.col("z") >= 3.0)
-    )
+    # the ONE flagging definition, stats trained on the batch relation —
+    # batch entry and streaming twin cannot drift (review find)
+    flagged = anomaly_flags(events_stream(spark, sf), stats_source=_t(spark, sf, "events"))
     out = run_to_memory(flagged.select("event_type", "value"), mode="append")
     return (
         out.groupBy("event_type")
@@ -504,20 +494,14 @@ def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q_STREAM_ANOMALY_SQL = """
-WITH stats AS (
-  SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
-  FROM events GROUP BY event_type
-),
-a AS (
-  SELECT e.event_type, value
-  FROM events e JOIN stats USING (event_type)
-  WHERE sigma > 0 AND (value - mu) / sigma >= 3.0
-)
+from ..relational import _ANOMALY_FLAGGED_CTE  # noqa: E402
+
+Q_STREAM_ANOMALY_SQL = f"""
+WITH {_ANOMALY_FLAGGED_CTE}
 SELECT event_type,
        COUNT(*)             AS n_anomalies,
        ROUND(SUM(value), 2) AS sum_value
-FROM a
+FROM flagged
 GROUP BY event_type
 ORDER BY event_type
 """
