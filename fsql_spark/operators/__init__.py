@@ -22,6 +22,7 @@ from .decontam import (  # noqa: F401
 from .dedup import (  # noqa: F401
     DEDUP_ORACLES,
     DEDUP_QUERIES,
+    banding_for_threshold,
     bloom_build,
     corpus_bloom_cached,
     corpus_signatures_cached,

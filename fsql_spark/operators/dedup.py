@@ -53,6 +53,30 @@ def dedup_exact_keys(df: DataFrame, content_cols: list[str], key_col: str) -> Da
     return df.groupBy(h.alias("__h")).agg(F.min(key_col).alias(key_col)).select(key_col)
 
 
+def banding_for_threshold(threshold: float, num_hashes: int) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for a target Jaccard threshold: among the
+    divisor splits of ``num_hashes``, the one whose S-curve inflection
+    ``(1/b)^(1/r)`` lands closest to ``threshold`` — the standard LSH
+    parameter rule (Leskovec/Rajaraman/Ullman, MMDS §3.4.3). More bands =
+    higher recall below the knee (more candidates); more rows = sharper
+    cutoff. Deterministic, so a pinned catalog config stays explainable."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    best: tuple[float, int, int] | None = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        knee = (1.0 / bands) ** (1.0 / rows)
+        cand = (abs(knee - threshold), bands, rows)
+        if best is None or cand < best:
+            best = cand
+    assert best is not None
+    return best[1], best[2]
+
+
 # --------------------------------------------------------------------------
 # token-set / n-gram Jaccard (exact all-pairs; oracle-able)
 # --------------------------------------------------------------------------

@@ -1323,3 +1323,25 @@ def test_review_fix_regressions(spark, tmp_path):
                   url, value_col="v")
     got = read_rollup(spark, url).collect()
     assert sum(r["n_events"] for r in got) == 4  # 2 restored + 2 merged, not 2
+
+
+def test_banding_for_threshold_properties():
+    """The advisor returns a valid factorization whose S-curve knee is the
+    closest achievable to the target, monotone in the expected direction."""
+    from fsql_spark.operators.dedup import banding_for_threshold
+
+    for nh in (16, 32, 64, 128):
+        for t in (0.1, 0.3, 0.5, 0.7, 0.8, 0.9, 0.95):
+            b, r = banding_for_threshold(t, nh)
+            assert b * r == nh
+            knee = (1 / b) ** (1 / r)
+            # no other divisor split lands closer
+            for b2 in range(1, nh + 1):
+                if nh % b2 == 0:
+                    assert abs(knee - t) <= abs((1 / b2) ** (1 / (nh // b2)) - t) + 1e-12
+    # the catalog's pinned 16x4 config is what the advisor picks for its regime
+    assert banding_for_threshold(0.5, 64)[0] >= banding_for_threshold(0.95, 64)[0]
+    with pytest.raises(ValueError):
+        banding_for_threshold(1.5, 64)
+    with pytest.raises(ValueError):
+        banding_for_threshold(0.5, 1)
