@@ -144,6 +144,56 @@ def doc_cross_entropy(
     )
 
 
+def doc_cross_entropy_stateless(
+    df: DataFrame,
+    logprobs: dict,
+    oov_logprob: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """STATELESS per-document cross-entropy: the model rides as a plain dict
+    in the kernel closure (vocabulary-sized — the shipped artifact), each
+    document scores row-locally inside one Arrow batch, and there is no
+    aggregation at all — so the same code runs unmodified on a readStream
+    (crawl-time scoring) where the groupBy formulation would need
+    unbounded state. Zero-token documents emit no row, matching
+    :func:`doc_cross_entropy`."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    src = df.select(id_col, text_col, *carry_cols)
+    schema = StructType(
+        [src.schema[id_col]]
+        + [src.schema[c] for c in carry_cols]
+        + [
+            StructField("n_tokens", LongType()),
+            StructField("n_oov", LongType()),
+            StructField("cross_entropy", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                toks = [t for t in (r[text_col] or "").split(" ") if t]
+                if not toks:
+                    continue
+                lps = [logprobs.get(t, oov_logprob) for t in toks]
+                n_oov = sum(1 for t in toks if t not in logprobs)
+                ce = -sum(lps) / len(lps)
+                rows.append(
+                    (r[id_col], *[r[c] for c in carry_cols], len(toks), n_oov, ce)
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, *carry_cols, "n_tokens", "n_oov", "cross_entropy"]
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
 #: bump when the tokenization/smoothing definition changes: an old persisted
 #: model scored against newly-tokenized batches would be silently wrong
 _LM_FORMAT = 1

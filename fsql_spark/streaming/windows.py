@@ -507,6 +507,65 @@ ORDER BY event_type
 """
 
 
+def q_stream_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """LM quality scoring AT CRAWL INGEST: the unigram model is trained
+    offline on the batch corpus (the shipped artifact), then every arriving
+    document scores row-locally on the stream via the STATELESS kernel
+    scorer — no aggregation state, no watermark; the dict-sized model rides
+    in the closure. Fourth batch/stream unification proof. Audit: per-lang
+    doc counts + mean cross-entropy over the appended output."""
+    from ..operators.lm import _TOP_K, doc_cross_entropy_stateless, unigram_model
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K)
+    logprobs = {r["token"]: r["logprob"] for r in model.collect()}
+    scored = doc_cross_entropy_stateless(
+        documents_stream(spark, sf), logprobs, oov_lp, carry_cols=("lang",)
+    )
+    out = run_to_memory(scored.select("lang", "cross_entropy"), mode="append")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("cross_entropy"), 4).alias("avg_ce"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_STREAM_PERPLEXITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+filtered AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM filtered GROUP BY token
+),
+scalars AS (
+  SELECT SUM(tf) AS t, LEAST(COUNT(*), 30) AS v FROM counts
+),
+model AS (
+  SELECT token, LN((tf + 1.0) / (scalars.t + scalars.v + 1.0)) AS logprob
+  FROM counts CROSS JOIN scalars
+  ORDER BY tf DESC, token
+  LIMIT 30
+),
+scored AS (
+  SELECT f.doc_id,
+         -SUM(COALESCE(m.logprob, (SELECT LN(1.0 / (t + v + 1.0)) FROM scalars)))
+           / COUNT(*) AS ce
+  FROM filtered f LEFT JOIN model m USING (token)
+  GROUP BY f.doc_id
+)
+SELECT d.lang,
+       COUNT(*)          AS n_docs,
+       ROUND(AVG(s.ce), 4) AS avg_ce
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 def events_batch_tree(spark: SparkSession, sf: str) -> str:
     """Build-once: the events table staged as a 3-file parquet dir (ts
     already normalized to TIMESTAMP) so a file-source stream delivers it in
@@ -671,6 +730,7 @@ STREAMING_QUERIES = {
     "q_stream_quality_filter": q_stream_quality_filter,
     "q_stream_anomaly": q_stream_anomaly,
     "q_stream_rollup_ingest": q_stream_rollup_ingest,
+    "q_stream_perplexity": q_stream_perplexity,
 }
 
 STREAMING_ORACLES = {
@@ -685,4 +745,5 @@ STREAMING_ORACLES = {
     "q_stream_quality_filter": Q_STREAM_QUALITY_SQL,
     "q_stream_anomaly": Q_STREAM_ANOMALY_SQL,
     "q_stream_rollup_ingest": Q_STREAM_ROLLUP_SQL,
+    "q_stream_perplexity": Q_STREAM_PERPLEXITY_SQL,
 }

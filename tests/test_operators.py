@@ -1345,3 +1345,26 @@ def test_banding_for_threshold_properties():
         banding_for_threshold(1.5, 64)
     with pytest.raises(ValueError):
         banding_for_threshold(0.5, 1)
+
+
+def test_stateless_lm_scorer_matches_distributed(spark):
+    """The streaming-safe kernel scorer and the distributed groupBy scorer
+    are two implementations of the same definition — exact agreement on
+    counts, float agreement on cross-entropy (token-order vs shuffle-order
+    summation)."""
+    from fsql_spark.operators.lm import (
+        doc_cross_entropy,
+        doc_cross_entropy_stateless,
+        unigram_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model, oov, _, _ = unigram_model(docs, top_k=30)
+    logprobs = {r["token"]: r["logprob"] for r in model.collect()}
+    a = {r["doc_id"]: r for r in doc_cross_entropy(docs, model, oov).collect()}
+    b = {r["doc_id"]: r for r in doc_cross_entropy_stateless(docs, logprobs, oov).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k]["n_tokens"] == b[k]["n_tokens"]
+        assert a[k]["n_oov"] == b[k]["n_oov"]
+        assert abs(a[k]["cross_entropy"] - b[k]["cross_entropy"]) < 1e-12
