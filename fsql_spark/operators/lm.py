@@ -146,7 +146,7 @@ def doc_cross_entropy(
 
 def doc_cross_entropy_stateless(
     df: DataFrame,
-    logprobs: dict,
+    logprobs: dict | DataFrame,
     oov_logprob: float,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -158,11 +158,15 @@ def doc_cross_entropy_stateless(
     aggregation at all — so the same code runs unmodified on a readStream
     (crawl-time scoring) where the groupBy formulation would need
     unbounded state. Zero-token documents emit no row, matching
-    :func:`doc_cross_entropy`."""
+    :func:`doc_cross_entropy`. ``logprobs`` may be the model DataFrame from
+    :func:`unigram_model` (token/logprob collected here) or a prebuilt
+    ``{token: logprob}`` dict."""
     import pandas as pd
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    if isinstance(logprobs, DataFrame):
+        logprobs = {r["token"]: r["logprob"] for r in logprobs.select("token", "logprob").collect()}
     src = df.select(id_col, text_col, *carry_cols)
     schema = StructType(
         [src.schema[id_col]]
@@ -177,16 +181,17 @@ def doc_cross_entropy_stateless(
     def run(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                toks = [t for t in (r[text_col] or "").split(" ") if t]
+            carries = [pdf[c] for c in carry_cols]
+            # zip over plain columns (no per-row Series construction) and
+            # ONE dict probe per token (None sentinel = OOV)
+            for key, text, *extra in zip(pdf[id_col], pdf[text_col], *carries):
+                toks = [t for t in (text or "").split(" ") if t]
                 if not toks:
                     continue
-                lps = [logprobs.get(t, oov_logprob) for t in toks]
-                n_oov = sum(1 for t in toks if t not in logprobs)
-                ce = -sum(lps) / len(lps)
-                rows.append(
-                    (r[id_col], *[r[c] for c in carry_cols], len(toks), n_oov, ce)
-                )
+                lps = [logprobs.get(t) for t in toks]
+                n_oov = sum(1 for v in lps if v is None)
+                total = sum(v if v is not None else oov_logprob for v in lps)
+                rows.append((key, *extra, len(toks), n_oov, -total / len(toks)))
             yield pd.DataFrame(
                 rows, columns=[id_col, *carry_cols, "n_tokens", "n_oov", "cross_entropy"]
             )
@@ -258,6 +263,40 @@ def read_unigram_model(
 
 _TOP_K = 30  # small enough to exercise the OOV path on the testdata corpus
 
+#: the ONE SQL definition of the catalog model (tokenize -> counts ->
+#: scalars -> top-K Laplace logprobs) — every LM oracle composes this CTE
+#: prefix, so a _TOP_K or smoothing change cannot drift between the
+#: batch/bucket/stream twins (review find; same pattern as the shared
+#: anomaly CTE).
+_LM_MODEL_CTE = f"""toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+filtered AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM filtered GROUP BY token
+),
+scalars AS (
+  SELECT SUM(tf) AS t, LEAST(COUNT(*), {_TOP_K}) AS v FROM counts
+),
+model AS (
+  SELECT token, tf, LN((tf + 1.0) / (scalars.t + scalars.v + 1.0)) AS logprob
+  FROM counts CROSS JOIN scalars
+  ORDER BY tf DESC, token
+  LIMIT {_TOP_K}
+)"""
+
+#: per-doc scoring CTE on top of the model (unrounded ce, one row per
+#: non-empty doc) — shared by the perplexity/bucket/stream oracles
+_LM_SCORED_CTE = """scored AS (
+  SELECT f.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN m.logprob IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         -SUM(COALESCE(m.logprob, (SELECT LN(1.0 / (t + v + 1.0)) FROM scalars)))
+           / COUNT(*) AS ce
+  FROM filtered f LEFT JOIN model m USING (token)
+  GROUP BY f.doc_id
+)"""
+
 
 def q_lm_vocab(spark: SparkSession, sf: str) -> DataFrame:
     """The trained unigram model itself (top-30 tokens by corpus frequency,
@@ -270,21 +309,10 @@ def q_lm_vocab(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q_LM_VOCAB_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-),
-counts AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM toks WHERE token <> '' GROUP BY token
-),
-scalars AS (
-  SELECT SUM(tf) AS t, LEAST(COUNT(*), {_TOP_K}) AS v FROM counts
-)
-SELECT token, tf,
-       ROUND(LN((tf + 1.0) / (scalars.t + scalars.v + 1.0)), 4) AS logprob
-FROM counts CROSS JOIN scalars
+WITH {_LM_MODEL_CTE}
+SELECT token, tf, ROUND(logprob, 4) AS logprob
+FROM model
 ORDER BY tf DESC, token
-LIMIT {_TOP_K}
 """
 
 
@@ -314,39 +342,12 @@ def q_doc_perplexity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q_DOC_PERPLEXITY_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-),
-filtered AS (SELECT doc_id, token FROM toks WHERE token <> ''),
-counts AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM filtered GROUP BY token
-),
-scalars AS (
-  SELECT SUM(tf) AS t, LEAST(COUNT(*), {_TOP_K}) AS v FROM counts
-),
-model AS (
-  SELECT token, LN((tf + 1.0) / (scalars.t + scalars.v + 1.0)) AS logprob
-  FROM counts CROSS JOIN scalars
-  ORDER BY tf DESC, token
-  LIMIT {_TOP_K}
-),
-scored AS (
-  SELECT f.doc_id,
-         COALESCE(m.logprob, (SELECT LN(1.0 / (t + v + 1.0)) FROM scalars)) AS lp,
-         CASE WHEN m.logprob IS NULL THEN 1 ELSE 0 END AS is_oov
-  FROM filtered f LEFT JOIN model m USING (token)
-),
-agg AS (
-  SELECT doc_id,
-         CAST(COUNT(*) AS BIGINT)      AS n_tokens,
-         CAST(SUM(is_oov) AS BIGINT)   AS n_oov,
-         -SUM(lp) / COUNT(*)           AS ce
-  FROM scored GROUP BY doc_id
-)
+WITH {_LM_MODEL_CTE},
+{_LM_SCORED_CTE}
 SELECT doc_id, n_tokens, n_oov,
        ROUND(ce, 4)      AS cross_entropy,
        ROUND(EXP(ce), 2) AS perplexity
-FROM agg
+FROM scored
 WHERE doc_id < 300
 ORDER BY doc_id
 """
@@ -377,6 +378,10 @@ def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     th = sampled_quantiles(
         scored, "ce", "doc_id", fraction=0.5, quantiles=(1 / 3, 2 / 3)
     ).collect()[0]
+    # the threshold collect above materialized the narrow scored cache;
+    # every later read goes through it, so the corpus-scale tf cache is now
+    # dead weight — release it (review find)
+    tf.unpersist()
     t1, t2 = th["q33_ce"], th["q67_ce"]
     bucket = (
         F.when(F.col("ce") <= t1, F.lit("head"))
@@ -400,35 +405,14 @@ def _q_perplexity_buckets_sql() -> str:
 
     third, two_thirds = repr(1 / 3), repr(2 / 3)
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-),
-filtered AS (SELECT doc_id, token FROM toks WHERE token <> ''),
-counts AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM filtered GROUP BY token
-),
-scalars AS (
-  SELECT SUM(tf) AS t, LEAST(COUNT(*), {_TOP_K}) AS v FROM counts
-),
-model AS (
-  SELECT token, LN((tf + 1.0) / (scalars.t + scalars.v + 1.0)) AS logprob
-  FROM counts CROSS JOIN scalars
-  ORDER BY tf DESC, token
-  LIMIT {_TOP_K}
-),
-scored AS (
-  SELECT f.doc_id,
-         ROUND(-SUM(COALESCE(m.logprob,
-                             (SELECT LN(1.0 / (t + v + 1.0)) FROM scalars)))
-               / COUNT(*), 4) AS ce
-  FROM filtered f LEFT JOIN model m USING (token)
-  GROUP BY f.doc_id
-),
+WITH {_LM_MODEL_CTE},
+{_LM_SCORED_CTE},
+rce AS (SELECT doc_id, ROUND(ce, 4) AS ce FROM scored),
 ranked AS (
   SELECT ce,
          ROW_NUMBER() OVER (ORDER BY ce, doc_id) AS rn,
          COUNT(*) OVER ()                        AS n
-  FROM scored
+  FROM rce
   WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{fraction_to_hex_threshold(0.5)}'
 ),
 th AS (
@@ -441,7 +425,7 @@ bucketed AS (
               WHEN s.ce <= th.t2 THEN 'middle'
               ELSE 'tail' END AS bucket,
          s.ce
-  FROM scored s CROSS JOIN th
+  FROM rce s CROSS JOIN th
 )
 SELECT bucket,
        COUNT(*)          AS n_docs,

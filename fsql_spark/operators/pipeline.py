@@ -151,31 +151,14 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# composes the SHARED LM model/scoring CTEs from operators.lm (one SQL
+# definition of the model — _TOP_K/smoothing changes cannot drift here)
+from .lm import _LM_MODEL_CTE, _LM_SCORED_CTE  # noqa: E402
+
 Q_CORPUS_PIPELINE_V2_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-),
-filtered AS (SELECT doc_id, token FROM toks WHERE token <> ''),
-counts AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM filtered GROUP BY token
-),
-scalars AS (
-  SELECT SUM(tf) AS t, LEAST(COUNT(*), 30) AS v FROM counts
-),
-model AS (
-  SELECT token, LN((tf + 1.0) / (scalars.t + scalars.v + 1.0)) AS logprob
-  FROM counts CROSS JOIN scalars
-  ORDER BY tf DESC, token
-  LIMIT 30
-),
-scored AS (
-  SELECT f.doc_id,
-         ROUND(-SUM(COALESCE(m.logprob,
-                             (SELECT LN(1.0 / (t + v + 1.0)) FROM scalars)))
-               / COUNT(*), 4) AS ce
-  FROM filtered f LEFT JOIN model m USING (token)
-  GROUP BY f.doc_id
-),
+WITH {_LM_MODEL_CTE},
+{_LM_SCORED_CTE},
+rce AS (SELECT doc_id, ROUND(ce, 4) AS ce FROM scored),
 rl AS (
   SELECT *, list_filter(string_split(text, ' '), x -> x <> '') AS l
   FROM documents
@@ -191,7 +174,7 @@ rules AS (
 ),
 gated AS (
   SELECT r.doc_id, r.text, r.lang, r.n_chars
-  FROM rules r JOIN scored s USING (doc_id)
+  FROM rules r JOIN rce s USING (doc_id)
   WHERE r.passes AND s.ce <= 3.6
 ),
 d AS (

@@ -518,9 +518,8 @@ def q_stream_perplexity(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K)
-    logprobs = {r["token"]: r["logprob"] for r in model.collect()}
     scored = doc_cross_entropy_stateless(
-        documents_stream(spark, sf), logprobs, oov_lp, carry_cols=("lang",)
+        documents_stream(spark, sf), model, oov_lp, carry_cols=("lang",)
     )
     out = run_to_memory(scored.select("lang", "cross_entropy"), mode="append")
     return (
@@ -533,32 +532,15 @@ def q_stream_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q_STREAM_PERPLEXITY_SQL = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-),
-filtered AS (SELECT doc_id, token FROM toks WHERE token <> ''),
-counts AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM filtered GROUP BY token
-),
-scalars AS (
-  SELECT SUM(tf) AS t, LEAST(COUNT(*), 30) AS v FROM counts
-),
-model AS (
-  SELECT token, LN((tf + 1.0) / (scalars.t + scalars.v + 1.0)) AS logprob
-  FROM counts CROSS JOIN scalars
-  ORDER BY tf DESC, token
-  LIMIT 30
-),
-scored AS (
-  SELECT f.doc_id,
-         -SUM(COALESCE(m.logprob, (SELECT LN(1.0 / (t + v + 1.0)) FROM scalars)))
-           / COUNT(*) AS ce
-  FROM filtered f LEFT JOIN model m USING (token)
-  GROUP BY f.doc_id
-)
+from ..operators.lm import _LM_MODEL_CTE, _LM_SCORED_CTE  # noqa: E402
+
+# composes the SHARED model/scoring CTEs (one SQL definition of the LM —
+# a _TOP_K or smoothing change cannot drift between the LM oracles)
+Q_STREAM_PERPLEXITY_SQL = f"""
+WITH {_LM_MODEL_CTE},
+{_LM_SCORED_CTE}
 SELECT d.lang,
-       COUNT(*)          AS n_docs,
+       COUNT(*)            AS n_docs,
        ROUND(AVG(s.ce), 4) AS avg_ce
 FROM scored s JOIN documents d USING (doc_id)
 GROUP BY d.lang

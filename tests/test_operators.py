@@ -1339,7 +1339,8 @@ def test_banding_for_threshold_properties():
             for b2 in range(1, nh + 1):
                 if nh % b2 == 0:
                     assert abs(knee - t) <= abs((1 / b2) ** (1 / (nh // b2)) - t) + 1e-12
-    # the catalog's pinned 16x4 config is what the advisor picks for its regime
+    # the advisor reproduces exact-knee configs: (1/16)^(1/4) == 0.5
+    assert banding_for_threshold(0.5, 64) == (16, 4)
     assert banding_for_threshold(0.5, 64)[0] >= banding_for_threshold(0.95, 64)[0]
     with pytest.raises(ValueError):
         banding_for_threshold(1.5, 64)
