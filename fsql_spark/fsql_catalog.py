@@ -183,6 +183,27 @@ def _docs_lang_jsongz_tree(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(_tree_dir(sf_dir, "docs_lang_jsongz", "documents"), build)
 
 
+def _part_brand_csv_tree(spark: SparkSession, sf_dir: str) -> str:
+    """part partitioned Hive-style by brand with CSV leaves (header +
+    inferSchema read options, the reference's pandas-csv defaults) — with
+    ORC, parquet and gz-json trees this makes every distributed-readable
+    reference format driver-visible through the same scan machinery."""
+
+    def build(staging: str) -> None:
+        df = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_brand", "p_size", "p_retailprice"
+        )
+        write_table(
+            df.repartition("p_brand"),
+            staging,
+            format="csv",
+            partition_by=["p_brand"],
+            options={"header": "true"},
+        )
+
+    return _build_once(_tree_dir(sf_dir, "part_brand_csv", "part"), build)
+
+
 def _orders_compacted_tree(spark: SparkSession, sf_dir: str) -> str:
     """A deliberately-fragmented orders-by-year tree (8 shards per
     partition) run through ``maintenance.compact`` — the small-file
@@ -546,6 +567,33 @@ GROUP BY lang
 """
 
 
+def q_fsql_csv_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """FAST PATH over CSV leaves: suffix autodetect -> header+inferSchema
+    options (the reference's pandas defaults, formats.spark_options), Q_IN
+    partition pruning — closes the format matrix (parquet/ORC/json.gz/csv
+    all through the same engine scan path)."""
+    url = _part_brand_csv_tree(spark, sf)
+    df = read_partitioned_table(
+        url, Q_IN("p_brand", ["Brand#11", "Brand#23", "Brand#45"]), spark=spark
+    )
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+Q_FSQL_CSV_SQL = """
+SELECT p_brand,
+       COUNT(*)                    AS n_parts,
+       ROUND(SUM(p_retailprice), 2) AS sum_price,
+       CAST(MAX(p_size) AS INTEGER) AS max_size
+FROM part
+WHERE p_brand IN ('Brand#11', 'Brand#23', 'Brand#45')
+GROUP BY p_brand
+"""
+
+
 def q_fsql_compacted_scan(spark: SparkSession, sf: str) -> DataFrame:
     """MAINTENANCE cycle under the oracle: a fragmented tree compacted by
     ``maintenance.compact`` (file-count reduction asserted at build) must
@@ -860,6 +908,7 @@ FSQL_QUERIES = {
     "q_fsql_fixed_columns": q_fsql_fixed_columns,
     "q_fsql_orc_scan": q_fsql_orc_scan,
     "q_fsql_jsongz_scan": q_fsql_jsongz_scan,
+    "q_fsql_csv_scan": q_fsql_csv_scan,
     "q_fsql_compacted_scan": q_fsql_compacted_scan,
     "q_fsql_restated_scan": q_fsql_restated_scan,
     "q_fsql_drift_scan": q_fsql_drift_scan,
@@ -878,6 +927,7 @@ FSQL_ORACLES = {
     "q_fsql_fixed_columns": Q_FSQL_FIXED_SQL,
     "q_fsql_orc_scan": Q_FSQL_ORC_SQL,
     "q_fsql_jsongz_scan": Q_FSQL_JSONGZ_SQL,
+    "q_fsql_csv_scan": Q_FSQL_CSV_SQL,
     "q_fsql_compacted_scan": Q_FSQL_COMPACTED_SQL,
     "q_fsql_restated_scan": Q_FSQL_RESTATED_SQL,
     "q_fsql_drift_scan": Q_FSQL_DRIFT_SQL,

@@ -767,3 +767,18 @@ def test_jsongz_scan_prunes_partitions(spark):
     assert re.search(r"PartitionFilters: \[[^\]]*lang", plan), plan[:1500]
     # and the single-scan fast path, not the per-partition slow-path union
     assert plan.count("FileScan json") == 1
+
+
+def test_csv_scan_prunes_partitions_fast_path(spark):
+    """CSV leaves ride the same fast path: non-empty PartitionFilters on
+    the brand predicate, single FileScan (no slow-path union)."""
+    import re
+
+    from fsql_spark.fsql_catalog import _part_brand_csv_tree
+    from fsql_spark import Q_IN, read_partitioned_table
+
+    url = _part_brand_csv_tree(spark, SF)
+    df = read_partitioned_table(url, Q_IN("p_brand", ["Brand#11", "Brand#23"]), spark=spark)
+    plan = plan_of(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*p_brand", plan), plan[:1500]
+    assert plan.count("FileScan csv") == 1
