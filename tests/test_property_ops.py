@@ -191,3 +191,52 @@ def test_gopher_rules_match_python_model(spark, corpus):
         for k, v in want.items():
             assert bool(got[i][k]) == v, (i, k, toks)
         assert bool(got[i]["passes"]) == all(want.values())
+
+
+@PROP
+@given(
+    assign=st.lists(st.integers(min_value=0, max_value=2), min_size=1, max_size=24),
+    data=st.data(),
+)
+def test_rollup_merge_matches_python_model(spark, tmp_path_factory, assign, data):
+    """The incremental rollup over ANY disjoint batch assignment equals a
+    pure-Python single-pass aggregate (counts exact; sums to merge-order
+    float noise) — the mergeable-partials invariant as a property, not just
+    the fixed mod-3/mod-4 splits."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from fsql_spark.operators.rollup import read_rollup, update_rollup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, b in enumerate(assign):
+        ts = base + dt.timedelta(minutes=7 * i)
+        key = "k" + str(i % 2)
+        val = float(data.draw(st.integers(min_value=-50, max_value=50), label=f"v{i}"))
+        rows.append((i, b, ts, key, val))
+
+    want: dict = defaultdict(lambda: [0, 0.0])
+    for _i, _b, ts, key, val in rows:
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        agg = want[(hour, key)]
+        agg[0] += 1
+        agg[1] += val
+
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "id long, b int, ts timestamp, event_type string, value double",
+    )
+    url = str(tmp_path_factory.mktemp("rollup_prop") / "t")
+    for b in range(3):
+        batch = df.where(df.b == b)
+        update_rollup(spark, batch, url)
+
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in read_rollup(spark, url).collect()
+    }
+    assert got.keys() == set(want.keys())
+    for k, (n, s) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 1e-9
