@@ -62,8 +62,10 @@ from .multimodal import (  # noqa: F401
     MULTIMODAL_QUERIES,
     decode_image,
     documents_as_media,
+    documents_as_video,
     extract_features,
     fake_decode_image,
+    sample_container_frames,
 )
 from .passages import (  # noqa: F401
     PASSAGE_ORACLES,

@@ -112,6 +112,99 @@ def sample_video_frames(media: DataFrame, every_ms: int) -> DataFrame:  # pragma
     raise NotImplementedError("no video codec in this environment (see module docstring)")
 
 
+#: the engine's self-describing synthetic container: magic + big-endian
+#: u32 frame_size + u32 n_frames header, then n_frames fixed-width frames.
+#: A REAL binary format the engine both writes and parses distributedly —
+#: no external codec, so the frame pipeline is exactly testable end-to-end
+#: (frames derive from text bytes, so a SQL oracle can recompute every
+#: frame fingerprint without touching the binary).
+VIDEO_MAGIC = b"FVID"
+
+
+def documents_as_video(spark: SparkSession, sf: str, frame_size: int = 32) -> DataFrame:
+    """Synthesize a video-shaped media table: each document's UTF-8 bytes
+    packed into an FVID container (frames = fixed-width byte windows,
+    ``'.'``-padded; at least one frame). Built by an Arrow-batched kernel —
+    the ingest-side twin of the parse kernel."""
+    import math
+    import struct
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                n = max(1, math.ceil(len(b) / frame_size))
+                frames = b"".join(
+                    b[i * frame_size : (i + 1) * frame_size].ljust(frame_size, b".")
+                    for i in range(n)
+                )
+                contents.append(VIDEO_MAGIC + struct.pack(">II", frame_size, n) + frames)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "content": contents,
+                    "mime": "application/x-fvid",
+                    "width": frame_size,
+                    "height": 1,
+                    "duration_ms": [40 * ((len(c) - 12) // frame_size) for c in contents],
+                }
+            )
+
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_fp", StringType()),
+    ]
+)
+
+
+def sample_container_frames(
+    media: DataFrame, every: int = 3, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL distributed frame sampling over the FVID container: each task
+    parses the header, validates the magic, and emits an md5 fingerprint of
+    every ``every``-th frame — the strided-frame-sample shape a video
+    pipeline runs, minus only the external codec (the container IS the
+    codec here, so this path is fully testable). Corrupt payloads raise
+    with the media id rather than fingerprinting garbage."""
+    import hashlib
+    import struct
+
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(raw)
+                if b[:4] != VIDEO_MAGIC or len(b) < 12:
+                    raise ValueError(f"media {mid}: not an FVID container")
+                fs_, n = struct.unpack(">II", b[4:12])
+                if len(b) != 12 + fs_ * n:
+                    raise ValueError(f"media {mid}: truncated container")
+                for i in range(0, n, every):
+                    frame = b[12 + i * fs_ : 12 + (i + 1) * fs_]
+                    ids.append(mid)
+                    idxs.append(i)
+                    fps.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame_fp": pd.Series(fps, dtype="object")}
+            )
+
+    return media.select(id_col, content_col).mapInPandas(kernel, FRAME_SCHEMA)
+
+
 def documents_as_media(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize a media table from documents (text bytes as payload) so the
     binary plumbing is exercised on real distributed data."""
@@ -141,5 +234,42 @@ SELECT doc_id                           AS media_id,
 FROM documents
 """
 
-MULTIMODAL_QUERIES = {"q_multimodal_features": q_multimodal_features}
-MULTIMODAL_ORACLES = {"q_multimodal_features": Q_MULTIMODAL_SQL}
+def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end video-frame pipeline: documents packed into FVID
+    containers (binary synth kernel), then strided frame sampling (binary
+    parse kernel) — every 3rd frame fingerprinted. The oracle recomputes
+    each fingerprint from the text windows the frames were derived from,
+    so the WHOLE binary round trip is value-checked."""
+    media = documents_as_video(spark, sf)
+    return sample_container_frames(media, every=3)
+
+
+# frames are '.'-padded 32-byte text windows (ASCII corpus: chars == bytes),
+# so the oracle rebuilds each sampled frame with substr+rpad and md5s it —
+# no binary parsing needed to verify the binary pipeline
+Q_FRAME_SAMPLE_SQL = """
+WITH sized AS (
+  SELECT doc_id, text,
+         GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER), 1) AS n
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, s.i AS frame_idx,
+         rpad(substr(text, s.i * 32 + 1, 32), 32, '.') AS frame
+  FROM sized, unnest(generate_series(0, n - 1, 3)) AS s(i)
+)
+SELECT doc_id AS media_id,
+       frame_idx,
+       md5(frame) AS frame_fp
+FROM frames
+"""
+
+
+MULTIMODAL_QUERIES = {
+    "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_frame_sample": q_multimodal_frame_sample,
+}
+MULTIMODAL_ORACLES = {
+    "q_multimodal_features": Q_MULTIMODAL_SQL,
+    "q_multimodal_frame_sample": Q_FRAME_SAMPLE_SQL,
+}

@@ -1369,3 +1369,41 @@ def test_stateless_lm_scorer_matches_distributed(spark):
         assert a[k]["n_tokens"] == b[k]["n_tokens"]
         assert a[k]["n_oov"] == b[k]["n_oov"]
         assert abs(a[k]["cross_entropy"] - b[k]["cross_entropy"]) < 1e-12
+
+
+def test_fvid_container_roundtrip_and_corruption(spark):
+    """The synthetic container is a REAL binary format: parse recovers
+    exactly the frames synth wrote (incl. the padded final frame and the
+    one-frame empty doc), corrupt payloads fail loudly with the media id,
+    and a stride of 1 returns every frame."""
+    import hashlib
+
+    from fsql_spark.operators.multimodal import (
+        VIDEO_MAGIC,
+        documents_as_video,
+        sample_container_frames,
+    )
+
+    rows = [(0, ""), (1, "x" * 32), (2, "y" * 33)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # documents_as_video reads from an sf dir; stage the frame-edge corpus
+    # as a temp documents.parquet
+    import tempfile
+    d = tempfile.mkdtemp(prefix="fvid_docs_")
+    docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    media = documents_as_video(spark, d)
+
+    out = {(r["media_id"], r["frame_idx"]): r["frame_fp"]
+           for r in sample_container_frames(media, every=1).collect()}
+    assert out[(0, 0)] == hashlib.md5(b"." * 32).hexdigest()       # empty doc: 1 pad frame
+    assert out[(1, 0)] == hashlib.md5(b"x" * 32).hexdigest()       # exact fit: 1 frame
+    assert (1, 1) not in out
+    assert out[(2, 1)] == hashlib.md5(b"y" + b"." * 31).hexdigest()  # padded tail
+
+    with pytest.raises(ValueError, match="every"):
+        sample_container_frames(media, every=0)
+    bad = media.withColumn("content", F.lit(b"NOTFVID"))
+    with pytest.raises(Exception, match="FVID"):
+        sample_container_frames(bad, every=1).collect()
