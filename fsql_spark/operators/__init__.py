@@ -60,7 +60,9 @@ from .multimodal import (  # noqa: F401
     MEDIA_SCHEMA,
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
+    audio_window_energy,
     decode_image,
+    documents_as_audio,
     documents_as_media,
     documents_as_video,
     extract_features,

@@ -205,6 +205,103 @@ def sample_container_frames(
     return media.select(id_col, content_col).mapInPandas(kernel, FRAME_SCHEMA)
 
 
+#: audio sibling of FVID: magic + big-endian u32 sample_rate + u32
+#: n_samples header, then n_samples u8 "PCM" samples (text bytes) — the
+#: windowed-energy pipeline below is exact integer arithmetic, so the
+#: oracle recomputes every window from the characters the samples derive
+#: from.
+AUDIO_MAGIC = b"FAUD"
+
+
+def documents_as_audio(spark: SparkSession, sf: str, sample_rate: int = 8000) -> DataFrame:
+    """Synthesize an audio-shaped media table: each document's UTF-8 bytes
+    as u8 samples in an FAUD container."""
+    import struct
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                contents.append(AUDIO_MAGIC + struct.pack(">II", sample_rate, len(b)) + b)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "content": contents,
+                    "mime": "application/x-faud",
+                    "width": -1,
+                    "height": -1,
+                    "duration_ms": [
+                        (len(c) - 12) * 1000 // sample_rate for c in contents
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_window_energy(
+    media: DataFrame, window: int = 64, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Windowed signal energy over FAUD samples: per window of ``window``
+    samples, ``sum((s - 128)^2)`` — the VAD/silence-detection shape of an
+    audio-preprocessing pipeline, as a fully vectorized numpy kernel
+    (frombuffer + squared + reduceat; no per-sample Python). Exact integer
+    arithmetic end-to-end, so the result is bit-identical to the SQL
+    recomputation from the source characters. Zero-sample payloads emit no
+    rows; corrupt containers are refused by media id."""
+    import struct
+
+    import numpy as np
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, counts, energies = [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(raw)
+                if b[:4] != AUDIO_MAGIC or len(b) < 12:
+                    raise ValueError(f"media {mid}: not an FAUD container")
+                _rate, n = struct.unpack(">II", b[4:12])
+                if len(b) != 12 + n:
+                    raise ValueError(f"media {mid}: truncated container")
+                if n == 0:
+                    continue
+                samples = np.frombuffer(b, dtype=np.uint8, offset=12).astype(np.int64) - 128
+                starts = np.arange(0, n, window)
+                e = np.add.reduceat(samples * samples, starts)
+                sizes = np.diff(np.append(starts, n))
+                ids.extend([mid] * len(starts))
+                idxs.extend(range(len(starts)))
+                counts.extend(sizes.tolist())
+                energies.extend(e.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(kernel, ENERGY_SCHEMA)
+
+
 def documents_as_media(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize a media table from documents (text bytes as payload) so the
     binary plumbing is exercised on real distributed data."""
@@ -265,11 +362,41 @@ FROM frames
 """
 
 
+def q_multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end audio pipeline: documents packed as FAUD u8 samples,
+    windowed energy (64-sample windows) via the vectorized kernel. Exact
+    integer arithmetic, so the oracle recomputes every window from the
+    source characters and the hash compare is bit-level."""
+    media = documents_as_audio(spark, sf)
+    return audio_window_energy(media, window=64)
+
+
+# samples are text bytes (ASCII corpus: ascii(char) == byte); energy is
+# exact integer arithmetic, recomputed per character position
+Q_AUDIO_ENERGY_SQL = """
+WITH chars AS (
+  SELECT doc_id,
+         CAST((s.p - 1) // 64 AS INTEGER)          AS window_idx,
+         ascii(substr(text, CAST(s.p AS INTEGER), 1)) - 128 AS v
+  FROM documents, unnest(generate_series(1, LENGTH(text))) AS s(p)
+  WHERE LENGTH(text) > 0
+)
+SELECT doc_id AS media_id,
+       window_idx,
+       CAST(COUNT(*) AS BIGINT)   AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM chars
+GROUP BY doc_id, window_idx
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
+    "q_multimodal_audio_energy": q_multimodal_audio_energy,
 }
 MULTIMODAL_ORACLES = {
     "q_multimodal_features": Q_MULTIMODAL_SQL,
     "q_multimodal_frame_sample": Q_FRAME_SAMPLE_SQL,
+    "q_multimodal_audio_energy": Q_AUDIO_ENERGY_SQL,
 }

@@ -1407,3 +1407,42 @@ def test_fvid_container_roundtrip_and_corruption(spark):
     bad = media.withColumn("content", F.lit(b"NOTFVID"))
     with pytest.raises(Exception, match="FVID"):
         sample_container_frames(bad, every=1).collect()
+
+
+def test_faud_audio_energy_matches_python(spark):
+    """Windowed energy vs a pure-Python model: partial final window,
+    single-sample doc, empty doc (no rows), corruption refused."""
+    import tempfile
+
+    from fsql_spark.operators.multimodal import audio_window_energy, documents_as_audio
+
+    rows = [(0, ""), (1, "A"), (2, "ab" * 40)]  # 80 chars -> windows 64 + 16
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="faud_docs_")
+    docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    media = documents_as_audio(spark, d)
+    got = {(r["media_id"], r["window_idx"]): (r["n_samples"], r["energy"])
+           for r in audio_window_energy(media, window=64).collect()}
+
+    def model(text):
+        vals = [b - 128 for b in text.encode()]
+        out = {}
+        for i in range(0, len(vals), 64):
+            w = vals[i : i + 64]
+            out[i // 64] = (len(w), sum(v * v for v in w))
+        return out
+
+    assert not any(k[0] == 0 for k in got)  # empty doc: no windows
+    for doc_id, text in rows[1:]:
+        for widx, expect in model(text).items():
+            assert got[(doc_id, widx)] == expect
+    assert got[(2, 1)][0] == 16  # partial final window
+
+    with pytest.raises(ValueError, match="window"):
+        audio_window_energy(media, window=0)
+    bad = media.withColumn("content", F.lit(b"NOTFAUD"))
+    with pytest.raises(Exception, match="FAUD"):
+        audio_window_energy(bad).collect()
