@@ -69,6 +69,9 @@ HEAVIEST = [
     "q_perplexity_buckets",
     "q_dedup_representatives",
     "q_fsql_jsongz_scan",
+    # binary container pipelines: synth + parse kernels over 10x payloads
+    "q_multimodal_frame_sample",
+    "q_multimodal_audio_energy",
 ]
 
 # entries touch these tables; everything else symlinks to sf0.1 so the same
