@@ -129,6 +129,10 @@ def documents_as_video(spark: SparkSession, sf: str, frame_size: int = 32) -> Da
     import math
     import struct
 
+    # fail on the driver, not as an opaque executor-side ZeroDivision/
+    # struct.error (review find; mirrors every/window guards)
+    if frame_size < 1:
+        raise ValueError(f"frame_size must be >= 1, got {frame_size}")
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -189,8 +193,10 @@ def sample_container_frames(
                 if b[:4] != VIDEO_MAGIC or len(b) < 12:
                     raise ValueError(f"media {mid}: not an FVID container")
                 fs_, n = struct.unpack(">II", b[4:12])
-                if len(b) != 12 + fs_ * n:
-                    raise ValueError(f"media {mid}: truncated container")
+                # fs_ == 0 would satisfy the length check for ANY declared n
+                # and fabricate up to 2^32 empty-frame rows (review find)
+                if fs_ == 0 or len(b) != 12 + fs_ * n:
+                    raise ValueError(f"media {mid}: corrupt FVID header")
                 for i in range(0, n, every):
                     frame = b[12 + i * fs_ : 12 + (i + 1) * fs_]
                     ids.append(mid)
@@ -218,6 +224,8 @@ def documents_as_audio(spark: SparkSession, sf: str, sample_rate: int = 8000) ->
     as u8 samples in an FAUD container."""
     import struct
 
+    if sample_rate < 1:
+        raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -356,7 +364,7 @@ frames AS (
   FROM sized, unnest(generate_series(0, n - 1, 3)) AS s(i)
 )
 SELECT doc_id AS media_id,
-       frame_idx,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
        md5(frame) AS frame_fp
 FROM frames
 """

@@ -1371,12 +1371,23 @@ def test_stateless_lm_scorer_matches_distributed(spark):
         assert abs(a[k]["cross_entropy"] - b[k]["cross_entropy"]) < 1e-12
 
 
-def test_fvid_container_roundtrip_and_corruption(spark):
+def _stage_documents(spark, tmp_path, rows):
+    """Stage a handcrafted corpus as an sf-dir-shaped documents.parquet
+    (pytest-managed dir, auto-cleaned) for operators that read by sf dir."""
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_fvid_container_roundtrip_and_corruption(spark, tmp_path):
     """The synthetic container is a REAL binary format: parse recovers
     exactly the frames synth wrote (incl. the padded final frame and the
     one-frame empty doc), corrupt payloads fail loudly with the media id,
     and a stride of 1 returns every frame."""
     import hashlib
+    import struct
 
     from fsql_spark.operators.multimodal import (
         VIDEO_MAGIC,
@@ -1384,15 +1395,7 @@ def test_fvid_container_roundtrip_and_corruption(spark):
         sample_container_frames,
     )
 
-    rows = [(0, ""), (1, "x" * 32), (2, "y" * 33)]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    # documents_as_video reads from an sf dir; stage the frame-edge corpus
-    # as a temp documents.parquet
-    import tempfile
-    d = tempfile.mkdtemp(prefix="fvid_docs_")
-    docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
-        "n_chars", F.length("text")
-    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    d = _stage_documents(spark, tmp_path, [(0, ""), (1, "x" * 32), (2, "y" * 33)])
     media = documents_as_video(spark, d)
 
     out = {(r["media_id"], r["frame_idx"]): r["frame_fp"]
@@ -1404,25 +1407,27 @@ def test_fvid_container_roundtrip_and_corruption(spark):
 
     with pytest.raises(ValueError, match="every"):
         sample_container_frames(media, every=0)
+    with pytest.raises(ValueError, match="frame_size"):
+        documents_as_video(spark, d, frame_size=0)
     bad = media.withColumn("content", F.lit(b"NOTFVID"))
     with pytest.raises(Exception, match="FVID"):
         sample_container_frames(bad, every=1).collect()
+    # frame_size 0 in the HEADER satisfies the length check for any n —
+    # must refuse, not fabricate 2^32 empty-frame rows (review find)
+    zero_fs = media.withColumn(
+        "content", F.lit(VIDEO_MAGIC + struct.pack(">II", 0, 0xFFFFFFFF))
+    )
+    with pytest.raises(Exception, match="corrupt FVID"):
+        sample_container_frames(zero_fs, every=1).collect()
 
 
-def test_faud_audio_energy_matches_python(spark):
+def test_faud_audio_energy_matches_python(spark, tmp_path):
     """Windowed energy vs a pure-Python model: partial final window,
     single-sample doc, empty doc (no rows), corruption refused."""
-    import tempfile
-
     from fsql_spark.operators.multimodal import audio_window_energy, documents_as_audio
 
     rows = [(0, ""), (1, "A"), (2, "ab" * 40)]  # 80 chars -> windows 64 + 16
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    d = tempfile.mkdtemp(prefix="faud_docs_")
-    docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
-        "n_chars", F.length("text")
-    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
-
+    d = _stage_documents(spark, tmp_path, rows)
     media = documents_as_audio(spark, d)
     got = {(r["media_id"], r["window_idx"]): (r["n_samples"], r["energy"])
            for r in audio_window_energy(media, window=64).collect()}
