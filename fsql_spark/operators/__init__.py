@@ -67,6 +67,7 @@ from .multimodal import (  # noqa: F401
     documents_as_video,
     extract_features,
     fake_decode_image,
+    pack_video,
     sample_container_frames,
 )
 from .passages import (  # noqa: F401

@@ -121,11 +121,11 @@ def sample_video_frames(media: DataFrame, every_ms: int) -> DataFrame:  # pragma
 VIDEO_MAGIC = b"FVID"
 
 
-def documents_as_video(spark: SparkSession, sf: str, frame_size: int = 32) -> DataFrame:
-    """Synthesize a video-shaped media table: each document's UTF-8 bytes
-    packed into an FVID container (frames = fixed-width byte windows,
-    ``'.'``-padded; at least one frame). Built by an Arrow-batched kernel —
-    the ingest-side twin of the parse kernel."""
+def pack_video(docs: DataFrame, frame_size: int = 32) -> DataFrame:
+    """Pack (doc_id, text) rows into FVID containers — a STATELESS Arrow
+    kernel, so the same code runs on a batch relation or a readStream
+    (crawl-time container packing). The ingest-side twin of the parse
+    kernel."""
     import math
     import struct
 
@@ -133,7 +133,7 @@ def documents_as_video(spark: SparkSession, sf: str, frame_size: int = 32) -> Da
     # struct.error (review find; mirrors every/window guards)
     if frame_size < 1:
         raise ValueError(f"frame_size must be >= 1, got {frame_size}")
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    docs = docs.select("doc_id", "text")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,6 +159,12 @@ def documents_as_video(spark: SparkSession, sf: str, frame_size: int = 32) -> Da
             )
 
     return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def documents_as_video(spark: SparkSession, sf: str, frame_size: int = 32) -> DataFrame:
+    """Synthesize a video-shaped media table from the sf-dir documents
+    (see :func:`pack_video` for the container)."""
+    return pack_video(spark.read.parquet(f"{sf}/documents.parquet"), frame_size)
 
 
 FRAME_SCHEMA = StructType(

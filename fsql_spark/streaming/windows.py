@@ -548,6 +548,23 @@ ORDER BY d.lang
 """
 
 
+def q_stream_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary container processing AT CRAWL INGEST: arriving documents are
+    packed into FVID containers and frame-sampled by the SAME two stateless
+    Arrow kernels the batch entry uses, chained on a readStream — no state,
+    no watermark; the container pipeline is source-agnostic. Oracle aliased
+    from the batch entry (identical output set by construction)."""
+    from ..operators.multimodal import pack_video, sample_container_frames
+
+    media = pack_video(documents_stream(spark, sf))
+    sampled = sample_container_frames(media, every=3)
+    out = run_to_memory(sampled, mode="append")
+    return out.select("media_id", "frame_idx", "frame_fp")
+
+
+from ..operators.multimodal import Q_FRAME_SAMPLE_SQL as Q_STREAM_FRAME_SAMPLE_SQL  # noqa: E402
+
+
 def events_batch_tree(spark: SparkSession, sf: str) -> str:
     """Build-once: the events table staged as a 3-file parquet dir (ts
     already normalized to TIMESTAMP) so a file-source stream delivers it in
@@ -713,6 +730,7 @@ STREAMING_QUERIES = {
     "q_stream_anomaly": q_stream_anomaly,
     "q_stream_rollup_ingest": q_stream_rollup_ingest,
     "q_stream_perplexity": q_stream_perplexity,
+    "q_stream_frame_sample": q_stream_frame_sample,
 }
 
 STREAMING_ORACLES = {
@@ -728,4 +746,5 @@ STREAMING_ORACLES = {
     "q_stream_anomaly": Q_STREAM_ANOMALY_SQL,
     "q_stream_rollup_ingest": Q_STREAM_ROLLUP_SQL,
     "q_stream_perplexity": Q_STREAM_PERPLEXITY_SQL,
+    "q_stream_frame_sample": Q_STREAM_FRAME_SAMPLE_SQL,
 }
