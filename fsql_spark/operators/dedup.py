@@ -345,7 +345,16 @@ def minhash_lsh_pairs(
     pipeline separates the exact-dup layer from the near-dup layer anyway."""
     if sigs is None and df is None:
         raise ValueError("pass either df or sigs")
-    if collapse_exact and df is not None and sigs is None:
+    if collapse_exact and sigs is not None:
+        # a signed table has no text left to collapse — silently ignoring the
+        # flag would hand back the quadratic within-class pairs the caller
+        # asked to suppress
+        raise ValueError(
+            "collapse_exact requires the raw corpus (df); it cannot be applied "
+            "to a precomputed signature table — collapse before signing, or "
+            "pass df instead of sigs"
+        )
+    if collapse_exact:
         df = dedup_exact(df, [text_col], key_col)
     rows_per_band = num_hashes // bands
     if sigs is not None:
@@ -850,13 +859,29 @@ def simhash(text: Column, bits: int = 64, ngram: int = 1) -> Column:
 
 
 def simhash_pairs(
-    df: DataFrame, key_col: str, text_col: str, max_hamming: int = 3, bits: int = 64
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Pairs within Hamming distance d of SimHash signatures.
 
     Block-permutation bucketing: split the signature into (d+1) blocks — any
     pair within distance d agrees exactly on >=1 block (pigeonhole), so the
-    join key is (block_idx, block_value): linear shuffle, exact verify after."""
+    join key is (block_idx, block_value): linear shuffle, exact verify after.
+
+    ``collapse_exact``: collapse exact-duplicate texts to their canonical
+    (min-key) representative BEFORE signing — same lever as
+    :func:`minhash_lsh_pairs`. Exact copies have hamming distance 0 by
+    definition, so an m-copy class alone emits m·(m-1)/2 qualifying pairs:
+    the bucketing join is linear but the OUTPUT is quadratic in dup-class
+    size (measured ~121x pair growth at 10x data on the sf1 corpus).
+    Collapsing makes the output track DISTINCT contents; recover full
+    classes with :func:`dedup_exact_keys` (one hash-aggregate)."""
+    if collapse_exact:
+        df = dedup_exact(df, [text_col], key_col)
     blocks = max_hamming + 1
     block_bits = bits // blocks
     # persist: the signature expression is heavy (64 bit-majority passes) and
@@ -1172,12 +1197,60 @@ WHERE bit_count(xor(a.sg, b.sg)) <= 3
 """
 
 
+def q_simhash_collapsed(spark: SparkSession, sf: str) -> DataFrame:
+    """simhash_pairs with the collapse_exact lever: exact-dup classes
+    collapse to their min-key representative before signing, so the
+    (quadratic-in-class-size) hamming-0 copy pairs never reach the output.
+    Oracle: the same FNV-1a/bit-majority replica as Q_SIMHASH_SQL, computed
+    over the min-key-per-distinct-text representatives."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, collapse_exact=True)
+
+
+Q_SIMHASH_COLLAPSED_SQL = """
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM reps WHERE text IS NOT NULL AND text != ''
+),
+hashed AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST('14695981039346656037' AS UBIGINT),
+                        [CAST(unicode(tok[i]) AS UBIGINT) FOR i IN range(1, length(tok) + 1)]),
+           (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                          % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)
+         ) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b.range AS bit,
+         SUM(CAST((h >> b.range) & 1 AS BIGINT)) AS s, COUNT(*) AS c
+  FROM hashed, range(0, 64) b
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN 2 * s > c THEN CAST(1 AS UBIGINT) << CAST(bit AS INTEGER)
+                       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sg
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sg, b.sg)) <= 3
+"""
+
+
 DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_stats": q_dedup_stats,
     "q_jaccard_near_dups": q_jaccard_near_dups,
     "q_minhash_near_dups": q_minhash_near_dups,
     "q_simhash_near_dups": q_simhash_near_dups,
+    "q_simhash_collapsed": q_simhash_collapsed,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_bloom": q_dedup_incremental_bloom,
     "q_minhash_incremental": q_minhash_incremental,
@@ -1198,4 +1271,5 @@ DEDUP_ORACLES = {
     "q_minhash_near_dups": Q_MINHASH_SQL,
     "q_minhash_incremental": Q_MINHASH_INCREMENTAL_SQL,
     "q_simhash_near_dups": Q_SIMHASH_SQL,
+    "q_simhash_collapsed": Q_SIMHASH_COLLAPSED_SQL,
 }

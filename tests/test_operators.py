@@ -1188,6 +1188,42 @@ def test_minhash_collapse_exact_kills_dup_class_quadratics(spark, docs_with_dups
     assert any(b == a + 100000 for a, b in plain)
     # ...but the near-dup layer (the +200000 perturbed copies) survives
     assert any(b == a + 200000 for a, b in collapsed)
+    # a signed table has no text to collapse — refuse, don't silently ignore
+    from fsql_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(docs_with_dups, "doc_id", "text", 32, 3)
+    with pytest.raises(ValueError, match="collapse_exact"):
+        minhash_lsh_pairs(None, "doc_id", "text", 0.9, sigs=sigs, collapse_exact=True)
+
+
+def test_simhash_collapse_exact_kills_dup_class_quadratics(spark, docs_with_dups):
+    """Same lever as minhash: exact copies are hamming-0 pairs by definition
+    (quadratic OUTPUT in dup-class size), so collapse_exact must make the
+    result equal simhash over the exact-deduped corpus — within-class pairs
+    vanish, cross-content near-dups survive on canonical keys."""
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(docs_with_dups, "doc_id", "text", 7).collect()
+    }
+    collapsed = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(
+            docs_with_dups, "doc_id", "text", 7, collapse_exact=True
+        ).collect()
+    }
+    pre = dedup_exact(docs_with_dups, ["text"], "doc_id")
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(pre, "doc_id", "text", 7).collect()
+    }
+    assert collapsed == expected
+    # the exact-dup (hamming-0 copy) layer is gone...
+    assert all(b != a + 100000 for a, b in collapsed)
+    assert any(b == a + 100000 for a, b in plain)
+    assert len(collapsed) < len(plain)
+    # ...but the near-dup layer survives (the ' zzqx' suffix perturbs one
+    # token — signature stays within the radius for most docs)
+    assert any(b == a + 200000 for a, b in collapsed)
 
 
 def test_ivf_centroid_persistence_roundtrip(spark, tmp_path):
