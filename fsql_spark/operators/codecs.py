@@ -1,0 +1,287 @@
+"""Pure stdlib+numpy image/audio codecs: PNG (zlib inflate + per-row
+unfilter) and WAV (RIFF PCM parse).
+
+These make ``decode_image`` / ``decode_audio`` REAL for the two formats a
+crawl pipeline meets first, with zero external dependencies — PNG is just
+zlib (stdlib) over filtered scanlines, WAV is a struct parse. The
+NotImplementedError path survives only for genuinely codec-requiring
+formats (JPEG, video).
+
+Codec scope (loud refusal outside it):
+
+- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+  6 (RGBA), non-interlaced. All five scanline filters (None/Sub/Up/
+  Average/Paeth) decode; CRCs are verified. Palette (3), 16-bit and
+  Adam7 interlace raise NotImplementedError naming the feature.
+- WAV: RIFF/WAVE, PCM (format 1), 8-bit unsigned or 16-bit signed
+  little-endian, any channel count.
+
+Performance shape: these run INSIDE Arrow-batched mapInPandas kernels
+(one image/clip per row), so the per-image work is small and the
+distribution is Spark's. Unfiltering is vectorized per row where the
+filter allows (None/Up are full-row numpy; Sub is a per-lane cumsum
+mod 256; Average/Paeth carry an inherent per-pixel data dependency and
+run as bounded Python loops over one row's pixels).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+class CodecError(ValueError):
+    """Malformed or corrupt media payload (bad magic, CRC, structure)."""
+
+
+def _png_chunks(data: bytes):
+    """Yield (type, payload) for each chunk, verifying length and CRC."""
+    pos = len(PNG_SIGNATURE)
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise CodecError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > len(data):
+            raise CodecError(f"truncated PNG chunk {ctype!r}")
+        payload = data[pos + 8 : end]
+        (crc,) = struct.unpack(">I", data[end : end + 4])
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise CodecError(f"PNG chunk {ctype!r}: CRC mismatch")
+        yield ctype, payload
+        pos = end + 4
+        if ctype == b"IEND":
+            return
+    raise CodecError("PNG missing IEND chunk")
+
+
+def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse one scanline filter (PNG spec §9). ``row`` is the filtered
+    int32 scanline, ``prev`` the RECONSTRUCTED previous scanline (zeros for
+    the first). Returns the reconstructed scanline as int32 in [0, 255]."""
+    n = row.shape[0]
+    if ftype == 0:  # None
+        return row
+    if ftype == 1:  # Sub: recon[i] = row[i] + recon[i-bpp]  (per-lane prefix
+        # sum; mod-256 addition is associative, so cumsum-then-mask is exact)
+        out = row.copy()
+        for lane in range(bpp):
+            out[lane::bpp] = np.cumsum(out[lane::bpp]) & 0xFF
+        return out
+    if ftype == 2:  # Up
+        return (row + prev) & 0xFF
+    if ftype == 3:  # Average: recon[i] = row[i] + (left + up) // 2
+        out = row.copy()
+        for i in range(n):
+            left = out[i - bpp] if i >= bpp else 0
+            out[i] = (out[i] + ((left + prev[i]) >> 1)) & 0xFF
+        return out
+    if ftype == 4:  # Paeth
+        out = row.copy()
+        for i in range(n):
+            a = out[i - bpp] if i >= bpp else 0  # left (reconstructed)
+            b = prev[i]  # up
+            c = prev[i - bpp] if i >= bpp else 0  # upper-left
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (out[i] + pred) & 0xFF
+        return out
+    raise CodecError(f"PNG: unknown filter type {ftype}")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG byte string to a uint8 array: (H, W) for grayscale,
+    (H, W, C) otherwise. Verifies signature + per-chunk CRCs; refuses
+    corrupt structure with :class:`CodecError` and out-of-scope features
+    (palette / 16-bit / interlace) with NotImplementedError."""
+    if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
+        raise CodecError("not a PNG (bad signature)")
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    for ctype, payload in _png_chunks(data):
+        if ctype == b"IHDR":
+            if len(payload) != 13:
+                raise CodecError("PNG IHDR: bad length")
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if comp != 0 or filt != 0:
+                raise CodecError("PNG: unknown compression/filter method")
+            if interlace != 0:
+                raise NotImplementedError("PNG: Adam7 interlace not supported")
+            if depth != 8:
+                raise NotImplementedError(f"PNG: bit depth {depth} not supported (8 only)")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG: color type {color} not supported")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise CodecError("PNG missing IHDR")
+    if width == 0 or height == 0:
+        raise CodecError("PNG: zero-sized image")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise CodecError(f"PNG IDAT: {exc}") from exc
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise CodecError("PNG: decompressed size mismatch")
+    flat = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(height):
+        base = r * (1 + stride)
+        recon = _unfilter_row(int(flat[base]), flat[base + 1 : base + 1 + stride], prev, channels)
+        out[r] = recon.astype(np.uint8)
+        prev = recon
+    return out if channels == 1 else out.reshape(height, width, channels)
+
+
+def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Forward scanline filter — fully vectorizable (predictors read only
+    RAW values, unlike decode's reconstructed-value dependency)."""
+    n = row.shape[0]
+    left = np.zeros(n, dtype=np.int32)
+    left[bpp:] = row[:-bpp]
+    if ftype == 0:
+        return row
+    if ftype == 1:
+        return (row - left) & 0xFF
+    if ftype == 2:
+        return (row - prev) & 0xFF
+    if ftype == 3:
+        return (row - ((left + prev) >> 1)) & 0xFF
+    if ftype == 4:
+        ul = np.zeros(n, dtype=np.int32)
+        ul[bpp:] = prev[:-bpp]
+        p = left + prev - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+        return (row - pred) & 0xFF
+    raise ValueError(f"unknown filter type {ftype}")
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filters: str = "cycle") -> bytes:
+    """Encode a uint8 array ((H,W) gray / (H,W,2) gray+alpha / (H,W,3) RGB /
+    (H,W,4) RGBA) as a deterministic PNG. ``filters``: 'none' writes filter-0
+    rows; 'cycle' rotates row filters 0→1→2→3→4 so a decoder must exercise
+    every unfilter path — the mode the engine's synthetic media tables use,
+    making decode round trips a REAL test of the codec, not an echo."""
+    if arr.dtype != np.uint8:
+        raise ValueError(f"encode_png needs uint8, got {arr.dtype}")
+    if arr.ndim == 2:
+        channels, color = 1, 0
+    elif arr.ndim == 3 and arr.shape[2] in (1, 2, 3, 4):
+        channels = arr.shape[2]
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        if channels == 1:
+            arr = arr[:, :, 0]
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    height, width = arr.shape[0], arr.shape[1]
+    if height == 0 or width == 0:
+        raise ValueError("cannot encode a zero-sized image")
+    stride = width * channels
+    pixels = arr.reshape(height, stride).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(height):
+        ftype = (r % 5) if filters == "cycle" else 0
+        lines.append(ftype)
+        lines.extend(_filter_row(ftype, pixels[r], prev, channels).astype(np.uint8).tobytes())
+        prev = pixels[r]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF PCM)
+# --------------------------------------------------------------------------
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM byte string -> (sample_rate, samples).
+    ``samples`` is (n,) for mono, (n, channels) otherwise — int16 for
+    16-bit, uint8 for 8-bit. Non-PCM formats raise NotImplementedError."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise CodecError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    frames = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise CodecError(f"WAV: truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise CodecError("WAV fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            frames = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or frames is None:
+        raise CodecError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"WAV: format {audio_format} not supported (PCM only)")
+    if channels < 1:
+        raise CodecError("WAV: zero channels")
+    if bits == 16:
+        samples = np.frombuffer(frames[: len(frames) - len(frames) % (2 * channels)], dtype="<i2")
+    elif bits == 8:
+        samples = np.frombuffer(frames[: len(frames) - len(frames) % channels], dtype=np.uint8)
+    else:
+        raise NotImplementedError(f"WAV: {bits}-bit samples not supported (8/16)")
+    return rate, (samples if channels == 1 else samples.reshape(-1, channels))
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 (16-bit PCM) or uint8 (8-bit PCM) samples — (n,) mono or
+    (n, channels) — as a canonical RIFF/WAVE byte string."""
+    if sample_rate < 1:
+        raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    if samples.dtype == np.int16:
+        bits = 16
+    elif samples.dtype == np.uint8:
+        bits = 8
+    else:
+        raise ValueError(f"encode_wav needs int16 or uint8, got {samples.dtype}")
+    channels = 1 if samples.ndim == 1 else samples.shape[1]
+    frames = samples.astype("<i2" if bits == 16 else np.uint8).tobytes()
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits)
+    body = b"WAVE" + _chunk_le(b"fmt ", fmt) + _chunk_le(b"data", frames)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _chunk_le(cid: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""
+    return cid + struct.pack("<I", len(payload)) + payload + pad

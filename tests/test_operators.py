@@ -127,11 +127,18 @@ def test_multimodal_plumbing(spark):
     assert meta["n_bytes"] == joined["n_bytes"].iloc[0]
 
 
-def test_decode_image_stub_raises():
+def test_decode_image_non_png_needs_external_codec():
     from fsql_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG fake")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed: non-PNG formats decode via fallback")
+    except ImportError:
+        pass
+    # JPEG magic: no native codec, Pillow absent -> loud NotImplementedError
+    with pytest.raises(NotImplementedError, match="needs Pillow"):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
 
 
 def test_ivf_ann_recall_vs_brute_force(spark):
