@@ -103,35 +103,56 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
         print(f"bench: signature prematerialization failed: {exc!r}", file=sys.stderr)
 
 
-def _run_all(spark, queries, sf_dir: str, cpus: str):
+def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None = None):
+    """Time every query. ``repeat_under``: entries whose first run lands
+    under this many seconds re-run twice more and report the MEDIAN (min/
+    max recorded in the spread dict) — sub-2 s entries are dominated by
+    scheduler/JIT jitter on this machine (±0.5 s run-over-run, PERF.md),
+    and single samples made round-over-round comparisons flag noise as
+    regressions. Entries above the threshold are workload-dominated; one
+    sample is representative and re-running them would double bench wall
+    time for nothing."""
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in sorted(queries):
         fn = queries[name]
-        start = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # a failing query must not hide the rest
-            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
-            timings[name] = float("nan")
-            try:  # if the JVM died, restart so later queries still run
-                spark.sql("SELECT 1").collect()
-            except Exception:
-                from pyspark.sql import SparkSession
+        runs: list[float] = []
+        failed = False
+        while True:
+            start = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # a failing query must not hide the rest
+                print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+                failed = True
+                try:  # if the JVM died, restart so later queries still run
+                    spark.sql("SELECT 1").collect()
+                except Exception:
+                    from pyspark.sql import SparkSession
 
-                SparkSession._instantiatedSession = None
-                SparkSession._activeSession = None
-                spark = _fresh_spark(cpus)
+                    SparkSession._instantiatedSession = None
+                    SparkSession._activeSession = None
+                    spark = _fresh_spark(cpus)
+                break
+            runs.append(time.perf_counter() - start)
+            # several operators persist() intermediates (LSH signatures etc.);
+            # without this, 74 queries accumulate cached blocks and the GC
+            # pressure inflates late-running queries' times run-over-run
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            if len(runs) >= 3 or repeat_under is None or runs[0] >= repeat_under:
+                break
+        if failed:
+            timings[name] = float("nan")
             continue
-        timings[name] = round(time.perf_counter() - start, 4)
-        # several operators persist() intermediates (LSH signatures etc.);
-        # without this, 74 queries accumulate cached blocks and the GC
-        # pressure inflates late-running queries' times run-over-run
-        try:
-            spark.catalog.clearCache()
-        except Exception:
-            pass
-    return spark, timings
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)
+        if len(runs) > 1:
+            spread[name] = {"min": round(runs[0], 4), "max": round(runs[-1], 4), "runs": len(runs)}
+    return spark, timings, spread
 
 
 def _sf_tag(sf_dir: str):
@@ -172,19 +193,22 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         print(f"bench: udf warmup failed: {exc!r}", file=sys.stderr)
 
-    spark, timings = _run_all(spark, queries, sf_dir, cpus)
+    # median-of-3 for sub-2 s entries (primary leg only: the sf2 leg feeds
+    # informational scaling ratios, not round-over-round comparisons)
+    spark, timings, spread = _run_all(spark, queries, sf_dir, cpus, repeat_under=2.0)
     total = round(sum(v for v in timings.values() if v == v), 4)
     out = {
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_spread": spread,
         "sf": _sf_tag(sf_dir),
     }
 
     if not os.environ.get("SPARK_GRAFT_NO_SF2") and os.path.isdir(sf2_dir):
         _premateralize_trees(spark, sf2_dir)
-        spark, timings2 = _run_all(spark, queries, sf2_dir, cpus)
+        spark, timings2, _ = _run_all(spark, queries, sf2_dir, cpus)
         ratios = {
             n: round(timings[n] / timings2[n], 2)
             for n in timings

@@ -213,8 +213,13 @@ def write_object(
     Superset: a *Spark* DataFrame writes a (directory-shaped) table via
     ``df.write`` — use :func:`write_table` for partitioned writes.
 
-    DEVIATION: parquet engine is pyarrow (fastparquet is not installed here);
-    the ``engine`` format option accepts only ``pyarrow``.
+    Parquet engine (reference `api.py:138-146`): the ``engine`` format
+    option accepts ``pyarrow`` and ``fastparquet``; the latter is
+    import-gated (like xlsx reads) and raises a clear error when the
+    library is absent. DEVIATION: the default engine is ``pyarrow``
+    (the reference defaults to fastparquet, which this environment does
+    not ship); pass ``format_options={"engine": "fastparquet"}`` for
+    reference-default behavior where it is installed.
     """
     import pandas as pd
 
@@ -232,10 +237,23 @@ def write_object(
         fmt = format or "parquet"
         if fmt == "parquet":
             engine = format_options.get("engine", "pyarrow")
-            if engine != "pyarrow":
+            if engine == "fastparquet":
+                try:
+                    import fastparquet  # noqa: F401
+                except ImportError as exc:
+                    raise ImportError(
+                        "format_options engine='fastparquet' requires the "
+                        "fastparquet package, which is not installed; use "
+                        "engine='pyarrow' (the default)"
+                    ) from exc
+                # fastparquet writes by path/open_with, not file object
+                # (reference api.py:140-141)
+                data.to_parquet(path, engine="fastparquet", open_with=fs.open)
+            elif engine == "pyarrow":
+                with fs.open(path, "wb") as fd:
+                    data.to_parquet(fd, engine="pyarrow")
+            else:
                 raise ValueError(f"unsupported engine for dataframe writing: {engine}")
-            with fs.open(path, "wb") as fd:
-                data.to_parquet(fd, engine="pyarrow")
         elif fmt == "csv":
             with fs.open(path, "wb") as fd:
                 data.to_csv(fd)

@@ -254,6 +254,17 @@ def read_unigram_model(
             f"unigram model at {url} is format v{fmt}, this engine expects "
             f"v{_LM_FORMAT} (tokenization/smoothing changed) — rebuild it"
         )
+    # the mixed-config check cannot catch an append written with the SAME
+    # config: duplicate token rows pass distinct-meta and then double
+    # n_tokens/ce via broadcast-join fan-out in doc_cross_entropy. The
+    # stored __vocab_size pins the expected row count exactly.
+    n_rows = df.count()
+    if n_rows != int(vocab_size):
+        raise ValueError(
+            f"unigram model at {url} has {n_rows} token rows but records "
+            f"__vocab_size={int(vocab_size)} — it was appended to (duplicate "
+            "token rows would double-count every scored document); rebuild it"
+        )
     return df.drop(*_LM_META_COLS), float(oov_logprob), int(total_tf), int(vocab_size)
 
 
@@ -322,23 +333,29 @@ def q_doc_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     corpus; the cut exercises real OOV scoring)."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     # ONE tokenization pass: the persisted tf stream feeds both the (eager)
-    # model training and the lazy scoring plan. Caller-owned cache:
-    # MEMORY_AND_DISK default, evictable under pressure; it cannot be
-    # unpersisted here because the returned plan still reads it.
+    # model training and the scoring plan. The scored slice is bounded
+    # (doc_id < 300), so it is materialized driver-side — exactly like the
+    # model itself — which lets the corpus-scale tf cache be RELEASED per
+    # call instead of accumulating executor storage across catalog runs.
     tf = term_frequencies(docs).persist()
-    model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K, tf=tf)
-    scored = doc_cross_entropy(docs, model, oov_lp, tf=tf)
-    return (
-        scored.where(F.col("doc_id") < 300)
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_oov",
-            F.round("cross_entropy", 4).alias("cross_entropy"),
-            F.round("perplexity", 2).alias("perplexity"),
+    try:
+        model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K, tf=tf)
+        out = (
+            doc_cross_entropy(docs, model, oov_lp, tf=tf)
+            .where(F.col("doc_id") < 300)
+            .select(
+                "doc_id",
+                "n_tokens",
+                "n_oov",
+                F.round("cross_entropy", 4).alias("cross_entropy"),
+                F.round("perplexity", 2).alias("perplexity"),
+            )
+            .orderBy("doc_id")
         )
-        .orderBy("doc_id")
-    )
+        pdf = out.toPandas()  # <=300 rows x 5 scalars
+    finally:
+        tf.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
 
 
 Q_DOC_PERPLEXITY_SQL = f"""
@@ -388,7 +405,7 @@ def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("ce") <= t2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return (
+    out = (
         scored.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
@@ -398,6 +415,11 @@ def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+    # 3-row audit: materialize it and release the narrow scored cache too —
+    # repeated catalog runs must not accumulate per-call executor storage
+    pdf = out.toPandas()
+    scored.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
 
 
 def _q_perplexity_buckets_sql() -> str:

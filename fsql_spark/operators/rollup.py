@@ -15,8 +15,11 @@ Scale shape (100 TB/day event volume):
   exact for the integer counts). That invariant IS the catalog entry's
   oracle: three arbitrary (mod-3) batches vs DuckDB's single-pass
   aggregate. The contract is exactly-once batches: a REPLAYED batch
-  double-counts (additive partials are not idempotent) — a pipeline that
-  may retry should restate whole hours via
+  double-counts (additive partials are not idempotent). Streaming callers
+  get this ENFORCED by passing ``foreachBatch``'s monotonic batch id to
+  ``update_rollup(batch_id=...)`` — already-merged ids are skipped, the id
+  committing atomically with the data in the swap. Ad-hoc batch callers
+  that may retry without ids should restate whole hours via
   ``maintenance.overwrite_partitions`` semantics instead of re-merging.
 - The rewrite commits via the staging + backup + swap discipline of
   ``maintenance.compact`` (atomic where FileSystem.move is; the rollup is
@@ -52,6 +55,19 @@ def hourly_rollup(
     ).agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("sum_value"))
 
 
+#: underscore-prefixed so parquet directory reads ignore it (like _SUCCESS);
+#: lives INSIDE the rollup dir so the swap moves it atomically with the data
+_BATCH_ID_FILE = "_last_batch_id"
+
+
+def _last_merged_batch_id(fs: FileSystem, base: str) -> Optional[int]:
+    marker = f"{base}/{_BATCH_ID_FILE}"
+    if not fs.exists(marker):
+        return None
+    with fs.open(marker, "r") as fd:
+        return int(fd.read().strip())
+
+
 def update_rollup(
     spark: SparkSession,
     batch: DataFrame,
@@ -60,14 +76,31 @@ def update_rollup(
     key_cols: Sequence[str] = ("event_type",),
     value_col: str = "value",
     fs: Optional[FileSystem] = None,
+    batch_id: Optional[int] = None,
 ) -> None:
     """Merge ``batch``'s hourly partials into the rollup stored at ``url``
     (created on first call). The batch is scanned once; the stored table is
     rollup-sized. Mergeability of (count, sum) makes the result independent
-    of how events were split into batches."""
+    of how events were split into batches.
+
+    ``batch_id``: pass the monotonic micro-batch id from a ``foreachBatch``
+    callback and replayed batches become no-ops — a checkpoint restart
+    re-delivers the last uncommitted batch, and additive partials are NOT
+    idempotent, so without the guard a replay double-counts. The id is
+    recorded inside the rollup directory itself (swapped atomically with
+    the data: a crash between data-commit and id-commit is impossible), so
+    the exactly-once contract the module docstring documents is ENFORCED
+    for the streaming wiring, not just assumed. Single-writer per rollup,
+    like the swap discipline itself."""
     path, fs = get_url_and_fs(url, fs)
     base = path.rstrip("/")
     _recover_interrupted_swap(fs, base)
+    last = _last_merged_batch_id(fs, base) if fs.exists(base) else None
+    if batch_id is not None and last is not None and batch_id <= last:
+        return  # checkpoint replay: this batch's partials are already in
+    # an interleaved id-less (ad-hoc) merge must not ERASE the streaming
+    # watermark — carry the recorded id through the rewrite
+    marker_id = batch_id if batch_id is not None else last
     part = hourly_rollup(batch, ts_col, key_cols, value_col)
     keys = ["hour_start", *key_cols]
     if fs.exists(base):
@@ -85,6 +118,9 @@ def update_rollup(
         # staging write happens BEFORE the swap, so the merge plan can still
         # read the old files it references lazily
         merged.write.mode("overwrite").parquet(fs.spark_url(staging))
+        if marker_id is not None:
+            with fs.open(f"{staging}/{_BATCH_ID_FILE}", "w") as fd:
+                fd.write(str(marker_id))
         if fs.exists(base):
             backup = base + f".rollup_backup_{tag}"
             fs.move(base, backup)

@@ -194,21 +194,23 @@ def lsh_ann_pairs(
     the vectors (n_tables independent tables of n_planes bits); same-bucket
     pairs are refined with exact cosine. Deterministic (seeded planes).
 
-    ``dim`` defaults to the observed vector width: the plane matrix is a
-    pure function of (seed, n_tables, n_planes, dim), so each kernel task
-    regenerates it identically from the batch it sees (no driver probe job,
-    no broadcast). Pass ``dim`` explicitly only to pin an expectation — a
-    mismatched width then raises instead of bucketing garbage.
-
-    Caveat: width consistency is validated per Arrow batch (`np.stack`
-    raises on ragged batches), not across the whole table — a corpus whose
-    widths differ BETWEEN files (partial re-embedding migration) can
-    silently bucket with per-width plane families, making cross-width pairs
-    unfindable. If mixed widths are possible in your data, pin ``dim=`` so
-    every stray width raises."""
+    ``dim`` defaults to the width of the FIRST row, probed on the driver (a
+    limit-1 job — scans one row of one column) and then enforced per Arrow
+    batch in every kernel task: the plane matrix is a pure function of
+    (seed, n_tables, n_planes, dim), so tasks regenerate it identically
+    with no broadcast, and a corpus whose widths differ BETWEEN files
+    (partial re-embedding migration) fails LOUDLY instead of silently
+    bucketing each width with an incompatible plane family — cross-width
+    pairs would otherwise be unfindable. Pass ``dim`` explicitly to skip
+    the probe or to pin a different expectation."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    if dim is None:
+        probe = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is not None:  # empty input: kernel never runs, no pin needed
+            dim = int(probe["d"])
 
     def _bucket(vecs, table):
         mat = np.stack(vecs.to_numpy())  # (batch, dim) Arrow-batched
@@ -338,6 +340,16 @@ def read_ivf_centroids(spark: SparkSession, url: str):
             f"config at format v{_IVF_FORMAT} — rebuild it"
         )
     rows = df.select("centroid_id", "vector").orderBy("centroid_id").collect()
+    # a same-config append passes the distinct-meta check but duplicates
+    # centroid ids — assignment would then dot against a doubled codebook.
+    # Ids are dense 0..k-1 by construction, so count == max_id + 1 exactly.
+    ids = [r["centroid_id"] for r in rows]
+    if len(ids) != len(set(ids)) or (ids and len(ids) != max(ids) + 1):
+        raise ValueError(
+            f"IVF centroid table at {url} has {len(ids)} rows for centroid "
+            f"ids {min(ids)}..{max(ids)} — duplicated or missing centroids "
+            "(appended-to table?); rebuild it"
+        )
     cents = np.array([r["vector"] for r in rows], dtype=np.float64)
     return cents, int(configs[0][0]), int(configs[0][1])
 

@@ -599,7 +599,11 @@ def q_stream_rollup_ingest(spark: SparkSession, sf: str) -> DataFrame:
         )
         q = (
             stream.writeStream.foreachBatch(
-                lambda bdf, _bid: update_rollup(spark, bdf, staging)
+                # thread the micro-batch id through: a checkpoint-restart
+                # replay of an already-merged batch must be a no-op (additive
+                # partials are not idempotent; the rollup records the last
+                # merged id atomically with its data)
+                lambda bdf, bid: update_rollup(spark, bdf, staging, batch_id=bid)
             )
             .option("checkpointLocation", tempfile.mkdtemp(prefix="fsql_ckpt_"))
             .trigger(availableNow=True)

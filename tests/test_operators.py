@@ -1018,6 +1018,22 @@ def test_unigram_model_persistence_roundtrip(spark, tmp_path):
     with _pytest.raises(ValueError, match="MIXED"):
         read_unigram_model(spark, url)
 
+    # SAME-config append passes distinct-meta but duplicates token rows —
+    # the vocab-size row-count pin must catch it (each dup token would
+    # double-count via broadcast-join fan-out in doc_cross_entropy)
+    url2 = str(tmp_path / "lm_model_dup")
+    write_unigram_model(model, oov_lp, total_tf, vocab_size, url2)
+    dup = (
+        model.limit(3)
+        .withColumn("__oov_logprob", SF_.lit(float(oov_lp)))
+        .withColumn("__total_tf", SF_.lit(int(total_tf)))
+        .withColumn("__vocab_size", SF_.lit(int(vocab_size)))
+        .withColumn("__lm_fmt", SF_.lit(1))
+    )
+    write_table(dup, url2, mode="append")
+    with _pytest.raises(ValueError, match="appended to"):
+        read_unigram_model(spark, url2)
+
 
 def test_document_operators_survive_degenerate_corpus(spark):
     """Empty / whitespace-only / shorter-than-ngram documents are certain at
@@ -1092,6 +1108,18 @@ def test_similarity_operators_survive_zero_norm_and_any_dim(spark):
     assert (2, 3) in pairs and all(0 not in p for p in pairs)  # zero vector never matches
     with pytest.raises(Exception, match="expected 64-dim"):
         lsh_ann_pairs(emb, "vec_id", "embedding", 0.3, n_planes=4, n_tables=4, dim=64).collect()
+    # zero-config default: first-row width is probed and PINNED, so a
+    # mixed-width corpus (partial re-embedding) fails loudly instead of
+    # silently bucketing per-width plane families (advice find)
+    mixed = emb.unionByName(
+        spark.createDataFrame([(9, [1.0] * 16)], schema)
+    )
+    with pytest.raises(Exception, match="expected 8-dim"):
+        lsh_ann_pairs(mixed, "vec_id", "embedding", 0.3, n_planes=4, n_tables=4).collect()
+    # empty input: no probe pin, no kernel run, clean empty result
+    assert lsh_ann_pairs(
+        emb.where("vec_id < 0"), "vec_id", "embedding", 0.3, n_planes=4, n_tables=4
+    ).count() == 0
     bf = {
         (r["query_id"], r["neighbor_id"])
         for r in brute_force_pairs(emb, emb, "vec_id", "embedding", 0.3).collect()
@@ -1270,6 +1298,26 @@ def test_ivf_centroid_persistence_roundtrip(spark, tmp_path):
     with pytest.raises(ValueError, match="lacks metadata"):
         read_ivf_centroids(spark, str(tmp_path / "bare"))
 
+    # SAME-config append: distinct-meta passes, centroid ids duplicate —
+    # the dense-id pin (count == max_id + 1, no dups) must refuse
+    spark.read.parquet(url).limit(2).write.mode("append").parquet(url)
+    with pytest.raises(ValueError, match="duplicated or missing"):
+        read_ivf_centroids(spark, url)
+
+
+def test_lm_catalog_entries_release_their_caches(spark):
+    """q_doc_perplexity / q_perplexity_buckets materialize their bounded
+    outputs and unpersist the corpus-scale tf / scored caches — repeated
+    catalog runs must not accumulate executor storage (advice find)."""
+    from fsql_spark.operators.lm import q_doc_perplexity, q_perplexity_buckets
+
+    spark.catalog.clearCache()
+    q_doc_perplexity(spark, SF).count()
+    q_perplexity_buckets(spark, SF).count()
+    jsc = spark.sparkContext._jsc.sc()
+    cached = jsc.getRDDStorageInfo()
+    assert len(cached) == 0, [str(c) for c in cached]
+
 
 def test_perplexity_buckets_partition_the_corpus(spark):
     """head/middle/tail cover every scored doc exactly once, ordered by ce
@@ -1310,6 +1358,38 @@ def test_rollup_merge_invariant_and_swap(spark, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0]  # counts exact
         assert abs(got[k][1] - want[k][1]) < 1e-6  # sums to merge-order noise
+
+
+def test_rollup_batch_id_makes_replay_idempotent(spark, tmp_path):
+    """foreachBatch exactly-once enforcement: re-delivering an already-merged
+    micro-batch id is a no-op (checkpoint-restart replay), a NEW id merges,
+    and id-less calls keep the legacy always-merge behavior."""
+    import datetime as dt
+
+    from fsql_spark.operators.rollup import read_rollup, update_rollup
+
+    T = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, "t", T, 1.0), (2, "t", T, 2.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    url = str(tmp_path / "r")
+
+    def total():
+        return sum(r["n_events"] for r in read_rollup(spark, url).collect())
+
+    update_rollup(spark, ev, url, batch_id=0)
+    assert total() == 2
+    update_rollup(spark, ev, url, batch_id=0)  # replay of batch 0
+    assert total() == 2  # unchanged: skipped
+    update_rollup(spark, ev, url, batch_id=1)  # genuinely new batch
+    assert total() == 4
+    update_rollup(spark, ev, url)  # id-less ad-hoc call: merges (documented)
+    assert total() == 6
+    # the marker is underscore-prefixed: parquet reads ignore it, and it
+    # rode the swap (still present after three rewrites)
+    update_rollup(spark, ev, url, batch_id=1)  # stale id vs recorded 1: skip
+    assert total() == 6
 
 
 def test_review_fix_regressions(spark, tmp_path):

@@ -152,6 +152,26 @@ def test_write_object_roundtrips(spark, tmp_path, df1):
         write_object(str(tmp_path / "x"), 42)
 
 
+def test_write_object_parquet_engine_option(spark, tmp_path, df1):
+    """Reference `api.py:138-146` engine kwarg: pyarrow/fastparquet accepted
+    (fastparquet import-gated with a clear error when absent, like xlsx),
+    anything else refused."""
+    p = tmp_path / "pa.parquet"
+    write_object(str(p), df1, format_options={"engine": "pyarrow"})
+    assert_same(pd.read_parquet(p), df1)
+    with pytest.raises(ValueError, match="unsupported engine"):
+        write_object(str(tmp_path / "bad.parquet"), df1, format_options={"engine": "avro"})
+    fp = tmp_path / "fp.parquet"
+    try:
+        import fastparquet  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="fastparquet"):
+            write_object(str(fp), df1, format_options={"engine": "fastparquet"})
+        return
+    write_object(str(fp), df1, format_options={"engine": "fastparquet"})
+    assert_same(pd.read_parquet(fp), df1)
+
+
 def test_write_table_partitioned_roundtrip(spark, tmp_path, df1):
     """Partitioned Spark write readable back via read_partitioned_table."""
     from fsql_spark import write_table
