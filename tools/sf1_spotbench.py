@@ -26,6 +26,14 @@ Caveats (read the ratios with the row counts):
 Usage: python tools/sf1_spotbench.py  (prints one JSON line per entry:
 sf0.1/sf1 times, result rows at both scales, wall ratio; ratio <= 10 on 10x
 data = sub-linear-or-linear per decade for output that scales ~linearly).
+
+``--all`` sweeps the ENTIRE catalog instead of the heavy list (one isolated
+full run per round closes the scaling story uniformly); ``--collapse-demo``
+builds a SECOND perf corpus of 10 EXACT copies per doc (no filler — real
+copy-classes, the web-boilerplate shape) and measures simhash_pairs with
+and without collapse_exact: the plain output is quadratic in class size
+(45 within-class pairs per 10-copy doc), the collapsed output tracks
+distinct contents.
 """
 
 from __future__ import annotations
@@ -143,6 +151,56 @@ def build_sf1(spark) -> None:
         fd.write("ok")
 
 
+SF1_DUP = "/tmp/fsql_spark_sf1_dup"
+
+
+def build_sf1_dup(spark) -> None:
+    """10 EXACT copies of every sf0.1 doc (doc_id offset, text unchanged):
+    the copy-class corpus the collapse_exact lever targets. Never used for
+    correctness."""
+    from pyspark.sql import functions as F
+
+    dst = f"{SF1_DUP}/documents.parquet"
+    if os.path.exists(dst):
+        return
+    os.makedirs(SF1_DUP, exist_ok=True)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    out = docs.select((F.col("doc_id")).alias("doc_id"), "text")
+    for c in range(1, 10):
+        out = out.unionByName(
+            docs.select((F.col("doc_id") + c * 1_000_000).alias("doc_id"), "text")
+        )
+    _write_single_file(out, dst)
+
+
+def collapse_demo(spark) -> None:
+    """simhash_pairs on a real copy-class corpus, with and without the
+    collapse lever. Expected shape: plain emits >= 45 within-class pairs
+    per 10-copy doc (quadratic in class size); collapsed emits only
+    representative pairs (the sf0.1 near-dup graph)."""
+    from fsql_spark.operators.dedup import simhash_pairs
+
+    build_sf1_dup(spark)
+    docs = spark.read.parquet(f"{SF1_DUP}/documents.parquet")
+    # warmup (untimed): signature kernel JIT + Arrow pool on this corpus
+    simhash_pairs(docs.limit(500), "doc_id", "text", 3).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
+    row = {"query": "simhash_collapse_demo", "corpus": "10 exact copies of sf0.1 docs"}
+    for tag, collapse in (("plain", False), ("collapsed", True)):
+        start = time.perf_counter()
+        df = simhash_pairs(docs, "doc_id", "text", 3, collapse_exact=collapse).persist()
+        df.write.format("noop").mode("overwrite").save()
+        row[tag] = round(time.perf_counter() - start, 2)
+        row[f"pairs_{tag}"] = df.count()
+        df.unpersist()
+        spark.catalog.clearCache()
+    row["wall_drop"] = round(row["plain"] / row["collapsed"], 2)
+    row["pair_drop"] = round(row["pairs_plain"] / max(row["pairs_collapsed"], 1), 2)
+    print(json.dumps(row))
+
+
 def main() -> None:
     from fsql_spark.session import get_spark
 
@@ -150,36 +208,48 @@ def main() -> None:
 
     spark = get_spark(app_name="fsql-sf1-spotbench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--collapse-demo" in sys.argv:
+        collapse_demo(spark)
+        return
+
     build_sf1(spark)
 
     qs = entry_mod.queries()
-    # prematerialize signature caches at both scales (untimed, like bench.py)
-    from fsql_spark.operators.dedup import corpus_signatures_cached
+    names = sorted(qs) if "--all" in sys.argv else HEAVIEST
+    # prematerialize trees + caches at both scales (untimed, like bench.py)
+    from bench import _premateralize_trees
 
     for sf in (SF01, SF1):
-        corpus_signatures_cached(spark, sf, num_hashes=64, ngram=3)
+        _premateralize_trees(spark, sf)
 
     # warmup pass (untimed): JVM codegen, Arrow worker pool, stream
     # checkpoint machinery — so the timed ratios compare data volumes, not
     # first-use environment setup
-    for name in HEAVIEST:
-        qs[name](spark, SF01).write.format("noop").mode("overwrite").save()
+    for name in names:
+        try:
+            qs[name](spark, SF01).write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            print(f"warmup {name} failed: {exc!r}", file=sys.stderr)
         spark.catalog.clearCache()
 
-    for name in HEAVIEST:
+    for name in names:
         row = {"query": name}
-        for tag, sf in (("sf0.1", SF01), ("sf1", SF1)):
-            start = time.perf_counter()
-            # persist so the untimed row-count audit reads the cached
-            # result instead of re-running the whole pipeline (~2x wall)
-            df = qs[name](spark, sf).persist()
-            df.write.format("noop").mode("overwrite").save()
-            row[tag] = round(time.perf_counter() - start, 2)
-            row[f"rows_{tag}"] = df.count()
-            df.unpersist()
-            spark.catalog.clearCache()
-        row["ratio_10x_data"] = round(row["sf1"] / row["sf0.1"], 2)
-        print(json.dumps(row))
+        try:
+            for tag, sf in (("sf0.1", SF01), ("sf1", SF1)):
+                start = time.perf_counter()
+                # persist so the untimed row-count audit reads the cached
+                # result instead of re-running the whole pipeline (~2x wall)
+                df = qs[name](spark, sf).persist()
+                df.write.format("noop").mode("overwrite").save()
+                row[tag] = round(time.perf_counter() - start, 2)
+                row[f"rows_{tag}"] = df.count()
+                df.unpersist()
+                spark.catalog.clearCache()
+            row["ratio_10x_data"] = round(row["sf1"] / row["sf0.1"], 2)
+        except Exception as exc:
+            row["error"] = repr(exc)
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
