@@ -569,18 +569,20 @@ def decode_image_stats(media: DataFrame, content_col: str = "content",
     return media.select(id_col, content_col).mapInPandas(kernel, PIXEL_STATS_SCHEMA)
 
 
-def documents_as_wav(spark: SparkSession, sf: str, sample_rate: int = 8000) -> DataFrame:
-    """Synthesize a REAL 16-bit PCM WAV media table: sample[i] =
-    (text_byte[i] - 128) * 257 — spreads u8 across the full int16 range
-    while staying exact-integer, so the SQL oracle recomputes every decoded
-    sample from the source characters."""
+def pack_wav(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Pack (doc_id, text) rows into REAL 16-bit PCM WAV containers:
+    sample[i] = (text_byte[i] - 128) * 257 — spreads u8 across the full
+    int16 range while staying exact-integer, so the SQL oracle recomputes
+    every decoded sample from the source characters. A STATELESS Arrow
+    kernel (like :func:`pack_video`): the same code runs on a batch
+    relation or a readStream."""
     import numpy as np
 
     from .codecs import encode_wav
 
     if sample_rate < 1:
         raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    docs = docs.select("doc_id", "text")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -603,6 +605,12 @@ def documents_as_wav(spark: SparkSession, sf: str, sample_rate: int = 8000) -> D
             )
 
     return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def documents_as_wav(spark: SparkSession, sf: str, sample_rate: int = 8000) -> DataFrame:
+    """Synthesize the WAV media table from the sf-dir documents (see
+    :func:`pack_wav` for the container)."""
+    return pack_wav(spark.read.parquet(f"{sf}/documents.parquet"), sample_rate)
 
 
 def decode_audio_energy(media: DataFrame, window: int = 64,

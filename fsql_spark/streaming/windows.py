@@ -565,6 +565,25 @@ def q_stream_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 from ..operators.multimodal import Q_FRAME_SAMPLE_SQL as Q_STREAM_FRAME_SAMPLE_SQL  # noqa: E402
 
 
+def q_stream_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL-codec processing AT CRAWL INGEST: arriving documents are packed
+    into 16-bit PCM WAV containers and decoded + energy-windowed by the
+    SAME two stateless Arrow kernels the batch entry uses (`pack_wav` ->
+    `decode_audio_energy`, the native RIFF parser inside), chained on a
+    readStream — sixth batch/stream unification proof, this one through a
+    real-world binary format. Oracle aliased from the batch entry
+    (identical output set by construction)."""
+    from ..operators.multimodal import decode_audio_energy, pack_wav
+
+    media = pack_wav(documents_stream(spark, sf))
+    energy = decode_audio_energy(media, window=64)
+    out = run_to_memory(energy, mode="append")
+    return out.select("media_id", "window_idx", "n_samples", "energy")
+
+
+from ..operators.multimodal import Q_WAV_ENERGY_SQL as Q_STREAM_AUDIO_DECODE_SQL  # noqa: E402
+
+
 def events_batch_tree(spark: SparkSession, sf: str) -> str:
     """Build-once: the events table staged as a 3-file parquet dir (ts
     already normalized to TIMESTAMP) so a file-source stream delivers it in
@@ -735,6 +754,7 @@ STREAMING_QUERIES = {
     "q_stream_rollup_ingest": q_stream_rollup_ingest,
     "q_stream_perplexity": q_stream_perplexity,
     "q_stream_frame_sample": q_stream_frame_sample,
+    "q_stream_audio_decode": q_stream_audio_decode,
 }
 
 STREAMING_ORACLES = {
@@ -751,4 +771,5 @@ STREAMING_ORACLES = {
     "q_stream_rollup_ingest": Q_STREAM_ROLLUP_SQL,
     "q_stream_perplexity": Q_STREAM_PERPLEXITY_SQL,
     "q_stream_frame_sample": Q_STREAM_FRAME_SAMPLE_SQL,
+    "q_stream_audio_decode": Q_STREAM_AUDIO_DECODE_SQL,
 }
