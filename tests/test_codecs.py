@@ -189,3 +189,47 @@ def test_decode_image_stats_matches_source_bytes(spark):
         assert r["n_pixels"] == n * 32
         assert r["px_sum"] == sum(padded)
         assert r["px_md5"] == hashlib.md5(padded).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# property tests: pure-Python codecs, no Spark jobs -> generous example count
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    c=st.sampled_from([0, 2, 3, 4]),  # 0 = 2-D gray
+    filters=st.sampled_from(["none", "cycle"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_round_trip_property(h, w, c, filters, seed):
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if c == 0 else (h, w, c)
+    arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(arr, filters))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=200),
+    ch=st.integers(min_value=1, max_value=3),
+    bits16=st.booleans(),
+    rate=st.integers(min_value=1, max_value=96000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_round_trip_property(n, ch, bits16, rate, seed):
+    rng = np.random.RandomState(seed)
+    shape = (n,) if ch == 1 else (n, ch)
+    s = (
+        rng.randint(-32768, 32768, size=shape).astype(np.int16)
+        if bits16
+        else rng.randint(0, 256, size=shape).astype(np.uint8)
+    )
+    got_rate, out = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate and out.shape == s.shape and (out == s).all()
