@@ -125,7 +125,9 @@ def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None 
                 df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # a failing query must not hide the rest
                 print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
-                failed = True
+                # a transient failure on a median RE-run must not discard a
+                # genuine first sample — only an all-runs failure is NaN
+                failed = not runs
                 try:  # if the JVM died, restart so later queries still run
                     spark.sql("SELECT 1").collect()
                 except Exception:

@@ -260,11 +260,20 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if channels < 1:
         raise CodecError("WAV: zero channels")
     if bits == 16:
-        samples = np.frombuffer(frames[: len(frames) - len(frames) % (2 * channels)], dtype="<i2")
+        frame_size = 2 * channels
     elif bits == 8:
-        samples = np.frombuffer(frames[: len(frames) - len(frames) % channels], dtype=np.uint8)
+        frame_size = channels
     else:
         raise NotImplementedError(f"WAV: {bits}-bit samples not supported (8/16)")
+    if len(frames) % frame_size:
+        # silently dropping a ragged tail would mask corruption (off-by-one
+        # size fields) from pipelines that quarantine on decode failure —
+        # refuse loudly, matching the CRC discipline of the PNG side
+        raise CodecError(
+            f"WAV: data chunk of {len(frames)} bytes is not a multiple of the "
+            f"{frame_size}-byte frame size ({channels} ch x {bits}-bit)"
+        )
+    samples = np.frombuffer(frames, dtype="<i2" if bits == 16 else np.uint8)
     return rate, (samples if channels == 1 else samples.reshape(-1, channels))
 
 

@@ -381,44 +381,51 @@ def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     from .sketches import sampled_quantiles
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # caches release on EVERY path (try/finally — a mid-job failure must not
+    # leave corpus-scale blocks persisted with no handle to free them)
     tf = term_frequencies(docs).persist()
-    model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K, tf=tf)
-    # persist the NARROW (doc_id, ce) relation: the threshold sample and the
-    # final bucketing both consume it — without this the corpus-scale
-    # scoring join would run twice (review find). Two columns per doc, not
-    # corpus text; the threshold collect below materializes it.
-    scored = (
-        doc_cross_entropy(docs, model, oov_lp, tf=tf)
-        .select("doc_id", F.round("cross_entropy", 4).alias("ce"))
-        .persist()
-    )
-    th = sampled_quantiles(
-        scored, "ce", "doc_id", fraction=0.5, quantiles=(1 / 3, 2 / 3)
-    ).collect()[0]
-    # the threshold collect above materialized the narrow scored cache;
-    # every later read goes through it, so the corpus-scale tf cache is now
-    # dead weight — release it (review find)
-    tf.unpersist()
-    t1, t2 = th["q33_ce"], th["q67_ce"]
-    bucket = (
-        F.when(F.col("ce") <= t1, F.lit("head"))
-        .when(F.col("ce") <= t2, F.lit("middle"))
-        .otherwise(F.lit("tail"))
-    )
-    out = (
-        scored.withColumn("bucket", bucket)
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.min("ce"), 4).alias("min_ce"),
-            F.round(F.max("ce"), 4).alias("max_ce"),
+    scored = None
+    try:
+        model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K, tf=tf)
+        # persist the NARROW (doc_id, ce) relation: the threshold sample and
+        # the final bucketing both consume it — without this the corpus-scale
+        # scoring join would run twice (review find). Two columns per doc, not
+        # corpus text; the threshold collect below materializes it.
+        scored = (
+            doc_cross_entropy(docs, model, oov_lp, tf=tf)
+            .select("doc_id", F.round("cross_entropy", 4).alias("ce"))
+            .persist()
         )
-        .orderBy("bucket")
-    )
-    # 3-row audit: materialize it and release the narrow scored cache too —
-    # repeated catalog runs must not accumulate per-call executor storage
-    pdf = out.toPandas()
-    scored.unpersist()
+        th = sampled_quantiles(
+            scored, "ce", "doc_id", fraction=0.5, quantiles=(1 / 3, 2 / 3)
+        ).collect()[0]
+        # the threshold collect above materialized the narrow scored cache;
+        # every later read goes through it, so the corpus-scale tf cache is
+        # now dead weight — release it early (review find)
+        tf.unpersist()
+        t1, t2 = th["q33_ce"], th["q67_ce"]
+        bucket = (
+            F.when(F.col("ce") <= t1, F.lit("head"))
+            .when(F.col("ce") <= t2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        out = (
+            scored.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.min("ce"), 4).alias("min_ce"),
+                F.round(F.max("ce"), 4).alias("max_ce"),
+            )
+            .orderBy("bucket")
+        )
+        # 3-row audit: materialize it so the scored cache can release too —
+        # repeated catalog runs must not accumulate per-call executor storage
+        pdf = out.toPandas()
+    finally:
+        tf.unpersist()
+        if scored is not None:
+            scored.unpersist()
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
@@ -457,6 +464,45 @@ FROM bucketed
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+# lint_target hooks: the entries above materialize their bounded results
+# driver-side (to release corpus-scale caches per call), so their returned
+# DataFrame is a LocalTableScan — these expose the REAL distributed plans
+# (scoring join, bucket aggregate) for the catalog-wide physical-plan lint.
+
+def _doc_perplexity_lint_plan(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K)
+    return (
+        doc_cross_entropy(docs, model, oov_lp)
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "n_tokens", "n_oov", "cross_entropy", "perplexity")
+    )
+
+
+def _perplexity_buckets_lint_plan(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    model, oov_lp, _, _ = unigram_model(docs, top_k=_TOP_K)
+    scored = doc_cross_entropy(docs, model, oov_lp).select(
+        "doc_id", F.round("cross_entropy", 4).alias("ce")
+    )
+    # fixed thresholds: the lint checks plan SHAPE; the entry's real
+    # thresholds come from a driver collect that cannot ride a lazy plan
+    bucket = (
+        F.when(F.col("ce") <= 3.0, F.lit("head"))
+        .when(F.col("ce") <= 4.0, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+q_doc_perplexity.lint_target = _doc_perplexity_lint_plan
+q_perplexity_buckets.lint_target = _perplexity_buckets_lint_plan
 
 
 LM_QUERIES = {

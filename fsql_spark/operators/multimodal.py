@@ -70,7 +70,11 @@ def decode_image(content: bytes):
         from PIL import Image  # type: ignore
         import io
 
-        return Image.open(io.BytesIO(content))
+        import numpy as np
+
+        # normalize to the documented ndarray contract — downstream kernels
+        # (resize, stats) index .shape and must not care which codec decoded
+        return np.asarray(Image.open(io.BytesIO(content)), dtype=np.uint8)
     except ImportError as exc:
         head = content[:4].hex() if content else "<empty>"
         raise NotImplementedError(

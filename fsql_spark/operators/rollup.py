@@ -96,8 +96,21 @@ def update_rollup(
     base = path.rstrip("/")
     _recover_interrupted_swap(fs, base)
     last = _last_merged_batch_id(fs, base) if fs.exists(base) else None
-    if batch_id is not None and last is not None and batch_id <= last:
-        return  # checkpoint replay: this batch's partials are already in
+    if batch_id is not None and last is not None:
+        if batch_id == last:
+            return  # checkpoint replay: this batch's partials are already in
+        if batch_id < last:
+            # within one checkpoint, foreachBatch ids are monotonic and a
+            # replay re-delivers at most the LAST batch — an id BELOW the
+            # marker means the id space reset (fresh/relocated checkpoint
+            # pointed at an existing rollup). Silently skipping would drop
+            # genuinely new data forever; refuse so the operator restates.
+            raise ValueError(
+                f"rollup at {url} last merged batch id {last} but received "
+                f"id {batch_id}: the stream's id space reset (new checkpoint "
+                "against an existing rollup?) — restate the rollup or resume "
+                "from the original checkpoint"
+            )
     # an interleaved id-less (ad-hoc) merge must not ERASE the streaming
     # watermark — carry the recorded id through the rewrite
     marker_id = batch_id if batch_id is not None else last

@@ -1388,7 +1388,12 @@ def test_rollup_batch_id_makes_replay_idempotent(spark, tmp_path):
     assert total() == 6
     # the marker is underscore-prefixed: parquet reads ignore it, and it
     # rode the swap (still present after three rewrites)
-    update_rollup(spark, ev, url, batch_id=1)  # stale id vs recorded 1: skip
+    update_rollup(spark, ev, url, batch_id=1)  # re-delivery of LAST id: skip
+    assert total() == 6
+    # id BELOW the marker = id-space reset (fresh checkpoint against an
+    # existing rollup): silent skip would drop new data forever — refuse
+    with pytest.raises(ValueError, match="id space reset"):
+        update_rollup(spark, ev, url, batch_id=0)
     assert total() == 6
 
 
