@@ -697,6 +697,47 @@ FROM sized JOIN px ON sized.doc_id = px.doc_id
 """
 
 
+def q_image_resize_png(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode -> nearest-neighbor resize to 8x8 -> re-encode -> decode
+    again: the full distributed image-preprocessing loop over REAL PNGs.
+    Emitting the resized images' pixel stats makes both codec directions
+    AND the sampler value-checkable: the oracle recomputes every sampled
+    pixel position from the '.'-padded text (src_row = r*h//8, src_col =
+    c*32//8) and sums the character codes."""
+    media = documents_as_png(spark, sf, width=32)
+    resized = resize_images(media, width=8, height=8)
+    return decode_image_stats(resized).select(
+        "media_id", "width", "height", "n_pixels", "px_sum"
+    )
+
+
+Q_IMAGE_RESIZE_SQL = """
+WITH sized AS (
+  SELECT doc_id,
+         rpad(text, CAST(GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER), 1) * 32 AS INTEGER), '.') AS padded,
+         GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER), 1) AS h
+  FROM documents
+),
+samples AS (
+  SELECT doc_id,
+         ascii(substr(padded,
+                      CAST(LEAST((r.i * h) // 8, h - 1) * 32
+                           + LEAST((c.i * 32) // 8, 31) + 1 AS INTEGER),
+                      1)) AS v
+  FROM sized,
+       unnest(generate_series(0, 7)) AS r(i),
+       unnest(generate_series(0, 7)) AS c(i)
+)
+SELECT doc_id                    AS media_id,
+       8                         AS width,
+       8                         AS height,
+       CAST(64 AS BIGINT)        AS n_pixels,
+       CAST(SUM(v) AS BIGINT)    AS px_sum
+FROM samples
+GROUP BY doc_id
+"""
+
+
 def q_audio_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end REAL audio codec round trip: documents as 16-bit PCM WAV
     ((byte-128)*257 samples), decoded distributedly, 64-sample windowed
@@ -728,6 +769,7 @@ MULTIMODAL_QUERIES = {
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
     "q_multimodal_audio_energy": q_multimodal_audio_energy,
     "q_image_decode_png": q_image_decode_png,
+    "q_image_resize_png": q_image_resize_png,
     "q_audio_decode_wav": q_audio_decode_wav,
 }
 MULTIMODAL_ORACLES = {
@@ -735,5 +777,6 @@ MULTIMODAL_ORACLES = {
     "q_multimodal_frame_sample": Q_FRAME_SAMPLE_SQL,
     "q_multimodal_audio_energy": Q_AUDIO_ENERGY_SQL,
     "q_image_decode_png": Q_IMAGE_DECODE_SQL,
+    "q_image_resize_png": Q_IMAGE_RESIZE_SQL,
     "q_audio_decode_wav": Q_WAV_ENERGY_SQL,
 }

@@ -233,3 +233,17 @@ def test_wav_round_trip_property(n, ch, bits16, rate, seed):
     )
     got_rate, out = decode_wav(encode_wav(s, rate))
     assert got_rate == rate and out.shape == s.shape and (out == s).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=300), prefix=st.sampled_from([b"", PNG_SIGNATURE, b"RIFF"]))
+def test_codecs_refuse_arbitrary_garbage(junk, prefix):
+    """Crawl payloads are adversarial: any byte string must produce a typed
+    refusal (CodecError / NotImplementedError), never a hang, wrong-type
+    error, or silent success, including when it starts with a valid magic."""
+    data = prefix + junk
+    for dec in (decode_png, decode_wav):
+        try:
+            dec(data)
+        except (CodecError, NotImplementedError):
+            pass
