@@ -103,6 +103,7 @@ from .sampling import (  # noqa: F401
     SAMPLING_QUERIES,
     hash_fraction_sample,
     pack_shards,
+    replicate_by_weight,
     sample_per_group,
     shuffle_deterministic,
     split_by_hash,

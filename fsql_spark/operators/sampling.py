@@ -25,6 +25,7 @@ surface (SURVEY §2.6).
 
 from __future__ import annotations
 
+import math
 from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -76,6 +77,55 @@ def hash_fraction_sample(
     if fraction is None:
         raise ValueError("pass fraction or fractions")
     return df.where(h < F.lit(fraction_to_hex_threshold(fraction)))
+
+
+def replicate_by_weight(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: Mapping[str, float],
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Domain-mixture replication with REAL-valued weights — the
+    pretraining mixture op (Pile/DoReMi style): weight 2.5 means every row
+    of that stratum appears twice and ~half appear a third time; weight
+    0.25 means ~a quarter appear once (so one operator covers up- AND
+    down-sampling). Strata absent from ``weights`` are dropped (the mixing
+    contract of :func:`hash_fraction_sample`).
+
+    Deterministic and map-only: ``floor(w)`` full copies via a literal
+    sequence explode, plus one fractional copy kept where the row's md5
+    hash fraction < ``w - floor(w)`` — the SAME hash convention as every
+    sampler here, so the decision is reproducible across engines and runs.
+    ``epoch_col`` (0-based copy index) rides along so downstream epoch
+    shuffling can interleave copies instead of emitting them back-to-back.
+    At 100 TB the output is weight-scaled input with zero shuffle; the
+    explode is rows-out = copies, never a cross join."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    max_copies = max(int(math.ceil(w)) for w in weights.values())
+    if max_copies == 0:
+        return df.where(F.lit(False)).withColumn(epoch_col, F.lit(0))
+    full = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], int(kv[1]))]
+    )[F.col(stratum_col)]
+    frac_th = F.create_map(
+        *[
+            F.lit(x)
+            for kv in weights.items()
+            for x in (kv[0], fraction_to_hex_threshold(kv[1] - int(kv[1])))
+        ]
+    )[F.col(stratum_col)]
+    h = _hash_hex(F.col(key_col))
+    epoch = F.explode(F.sequence(F.lit(0), F.lit(max_copies - 1))).alias(epoch_col)
+    out = df.withColumn(epoch_col, epoch)
+    keep = full.isNotNull() & (
+        (F.col(epoch_col) < full) | ((F.col(epoch_col) == full) & (h < frac_th))
+    )
+    return out.where(keep)
 
 
 def sample_per_group(
@@ -266,6 +316,45 @@ GROUP BY source
 """
 
 
+def q_domain_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Real-weight mixture replication audit: src0 x2.5 (two full epochs +
+    a hash-chosen half), src1 x1.0, src2 x0.25 (down-sample) — per source,
+    resulting row count, distinct docs, and the max epoch index."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rep = replicate_by_weight(
+        docs, "doc_id", "source", {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+    )
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("epoch").alias("max_epoch"),
+    )
+
+
+Q_DOMAIN_UPSAMPLE_SQL = f"""
+WITH w AS (
+  SELECT * FROM (VALUES ('src0', 2, '{fraction_to_hex_threshold(0.5)}'),
+                        ('src1', 1, '{fraction_to_hex_threshold(0.0)}'),
+                        ('src2', 0, '{fraction_to_hex_threshold(0.25)}'))
+       AS t(source, n_full, frac_th)
+),
+rep AS (
+  SELECT d.source, d.doc_id, e.i AS epoch
+  FROM documents d
+  JOIN w USING (source),
+       unnest(generate_series(0, 2)) AS e(i)
+  WHERE e.i < w.n_full
+     OR (e.i = w.n_full AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < w.frac_th)
+)
+SELECT source,
+       COUNT(*)                 AS n_rows,
+       COUNT(DISTINCT doc_id)   AS n_docs,
+       CAST(MAX(epoch) AS INTEGER) AS max_epoch
+FROM rep
+GROUP BY source
+"""
+
+
 def q_split_train_val_test(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 90/5/5 split assignment, audited per (split, lang)."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -342,6 +431,7 @@ WHERE shuffle_pos <= 100
 SAMPLING_QUERIES = {
     "q_sample_per_lang": q_sample_per_lang,
     "q_sample_mix_weighted": q_sample_mix_weighted,
+    "q_domain_upsample": q_domain_upsample,
     "q_shuffle_order": q_shuffle_order,
     "q_split_train_val_test": q_split_train_val_test,
     "q_pack_shards": q_pack_shards,
@@ -350,6 +440,7 @@ SAMPLING_QUERIES = {
 SAMPLING_ORACLES = {
     "q_sample_per_lang": Q_SAMPLE_PER_LANG_SQL,
     "q_sample_mix_weighted": Q_SAMPLE_MIX_SQL,
+    "q_domain_upsample": Q_DOMAIN_UPSAMPLE_SQL,
     "q_split_train_val_test": Q_SPLIT_SQL,
     "q_pack_shards": Q_PACK_SQL,
     # the banded rank == the global ROW_NUMBER because the band is a prefix

@@ -306,6 +306,50 @@ def test_hash_fraction_sample_is_deterministic_and_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_replicate_by_weight_mixture_semantics(spark):
+    """Real-weight domain replication: floor(w) full epochs per row, one
+    hash-chosen fractional epoch, unlisted strata dropped, deterministic,
+    map-only (no shuffle), and the fractional pick equals the sampler's
+    hash decision (same convention)."""
+    from fsql_spark.operators.sampling import hash_fraction_sample, replicate_by_weight
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    weights = {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+    rep = replicate_by_weight(docs, "doc_id", "source", weights)
+    rows = rep.select("doc_id", "source", "epoch").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault((r["doc_id"], r["source"]), []).append(r["epoch"])
+    src_of = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    # every src0 doc has epochs {0,1} (+{2} for the hash-chosen half)
+    for (d, s), eps in by_doc.items():
+        eps = sorted(eps)
+        if s == "src0":
+            assert eps in ([0, 1], [0, 1, 2])
+        elif s == "src1":
+            assert eps == [0]
+        elif s == "src2":
+            assert eps == [0]
+    # unlisted strata: none beyond the three in weights leak through
+    assert {s for (_, s) in by_doc} <= set(weights)
+    # fractional picks == the plain sampler's decision at the same fraction
+    half = {r["doc_id"] for r in hash_fraction_sample(
+        docs.where(F.col("source") == "src0"), "doc_id", 0.5).select("doc_id").collect()}
+    third_epoch = {d for (d, s), eps in by_doc.items() if s == "src0" and 2 in eps}
+    assert third_epoch == half
+    quarter = {r["doc_id"] for r in hash_fraction_sample(
+        docs.where(F.col("source") == "src2"), "doc_id", 0.25).select("doc_id").collect()}
+    kept_src2 = {d for (d, s) in by_doc if s == "src2"}
+    assert kept_src2 == quarter
+    # map-only: no Exchange in the plan
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # degenerate weights
+    with pytest.raises(ValueError, match=">= 0"):
+        replicate_by_weight(docs, "doc_id", "source", {"src0": -1})
+    assert replicate_by_weight(docs, "doc_id", "source", {"src0": 0.0}).count() == 0
+
+
 def test_sample_per_group_exact_counts(spark):
     from fsql_spark.operators import sample_per_group
 
