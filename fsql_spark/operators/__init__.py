@@ -51,6 +51,8 @@ from .inference import (  # noqa: F401
 from .lm import (  # noqa: F401
     LM_ORACLES,
     LM_QUERIES,
+    bigram_model,
+    doc_bigram_cross_entropy,
     doc_cross_entropy,
     read_unigram_model,
     unigram_model,

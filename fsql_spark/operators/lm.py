@@ -205,6 +205,127 @@ _LM_FORMAT = 1
 _LM_META_COLS = ["__oov_logprob", "__total_tf", "__vocab_size", "__lm_fmt"]
 
 
+# --------------------------------------------------------------------------
+# bigram LM (unigram backoff)
+# --------------------------------------------------------------------------
+
+def _pair_stream(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, prev, cur) for every token occurrence — ``prev`` NULL for each
+    document's first token. Built ROW-LOCALLY with a transform over the
+    token array (JVM-side, no per-doc window/shuffle — the LAG formulation
+    would shuffle the whole corpus on doc_id just to look one token back).
+    The outer single-element transform let-binds the filtered split once
+    per row (the HOF-CSE lesson from the shingle kernels)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+    def _of(ts):
+        n = F.size(ts)
+        pairs = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                F.when(i > 1, F.element_at(ts, i - 1)).alias("prev"),
+                F.element_at(ts, i).alias("cur"),
+            ),
+        )
+        # n == 0 must short-circuit: sequence(1, 0) is a DESCENDING [1, 0]
+        # whose 0 index would throw under ANSI element_at
+        return F.when(
+            n <= 0, F.array().cast("array<struct<prev:string,cur:string>>")
+        ).otherwise(pairs)
+
+    arr = F.transform(F.array(toks), _of)[0]
+    return df.select(F.col(id_col), F.explode(arr).alias("p")).select(
+        id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+
+
+def bigram_model(
+    corpus: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100_000,
+) -> DataFrame:
+    """Laplace-smoothed bigram table: the ``top_k`` (prev, cur) pairs by
+    corpus count (ties lexical — deterministic cut) with
+    ``logprob = ln((c(prev,cur) + 1) / (ctx(prev) + V + 1))`` where
+    ``ctx(prev)`` counts ALL bigrams with that context (not just kept ones)
+    and ``V`` is the unigram vocab size — so the bigram and unigram layers
+    smooth against the same vocabulary. Exact integer counts into one ln
+    per pair: a SQL engine replays the table bit-for-bit.
+
+    Scale shape: pair extraction is map-only (row-local transform), the
+    count is one map-side-combinable shuffle on (prev, cur), and the
+    returned table is MATERIALIZED driver-side (top-k-sized metadata, the
+    shipped artifact) — downstream scoring broadcasts it with no lineage
+    back into the corpus."""
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    pairs = _pair_stream(corpus, id_col, text_col).where(F.col("prev").isNotNull())
+    counts = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c12")).persist()
+    try:
+        ctx = counts.groupBy("prev").agg(F.sum("c12").alias("cctx"))
+        rows = (
+            counts.orderBy(F.desc("c12"), "prev", "cur")
+            .limit(top_k)
+            .join(ctx, "prev")
+            .select(
+                "prev",
+                "cur",
+                F.log(
+                    (F.col("c12") + F.lit(1.0))
+                    / (F.col("cctx") + F.lit(float(vocab_size + 1)))
+                ).alias("logprob"),
+            )
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    schema = StructType(
+        [
+            StructField("prev", StringType()),
+            StructField("cur", StringType()),
+            StructField("logprob", DoubleType()),
+        ]
+    )
+    return corpus.sparkSession.createDataFrame(rows, schema)
+
+
+def doc_bigram_cross_entropy(
+    df: DataFrame,
+    uni_model: DataFrame,
+    oov_logprob: float,
+    bi_model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy under the bigram model with deterministic
+    unigram backoff: each token scores its bigram logprob when the (prev,
+    cur) pair is in the table, else the unigram logprob of the token, else
+    the shared OOV mass — document-first tokens (prev NULL) always take the
+    unigram layer. No interpolation weights: the backoff chain is a
+    COALESCE, so the oracle replays it exactly.
+
+    ``(id, n_tokens, n_bigram_hits, cross_entropy, perplexity)``. The
+    corpus never shuffles for the models (both broadcast); the per-doc
+    aggregate partial-combines map-side."""
+    pairs = _pair_stream(df, id_col, text_col)
+    u = F.broadcast(uni_model.select(F.col("token").alias("cur"), F.col("logprob").alias("uni_lp")))
+    b = F.broadcast(bi_model.select("prev", "cur", F.col("logprob").alias("bi_lp")))
+    scored = pairs.join(u, "cur", "left").join(b, ["prev", "cur"], "left")
+    lp = F.coalesce(F.col("bi_lp"), F.col("uni_lp"), F.lit(oov_logprob))
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            n.alias("n_tokens"),
+            F.sum(F.when(F.col("bi_lp").isNotNull(), 1).otherwise(0)).alias("n_bigram_hits"),
+            (-F.sum(lp) / n).alias("cross_entropy"),
+        )
+        .withColumn("perplexity", F.exp("cross_entropy"))
+    )
+
+
 def write_unigram_model(
     model: DataFrame, oov_logprob: float, total_tf: int, vocab_size: int, url: str
 ) -> None:
@@ -370,6 +491,77 @@ ORDER BY doc_id
 """
 
 
+_TOP_B = 200  # bigram-table cut for the catalog entry (backoff path exercised)
+
+
+def q_doc_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document perplexity under the corpus-trained bigram model
+    (top-200 pairs, unigram backoff, shared V) for the 300 lowest doc_ids.
+    Oracle: full SQL replica — pair positions from the filtered token list,
+    the bigram table from exact counts, the COALESCE backoff chain."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    uni, oov_lp, _, vocab_size = unigram_model(docs, top_k=_TOP_K)
+    bi = bigram_model(docs, vocab_size, top_k=_TOP_B)
+    out = (
+        doc_bigram_cross_entropy(docs, uni, oov_lp, bi)
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_bigram_hits",
+            F.round("cross_entropy", 4).alias("cross_entropy"),
+            F.round("perplexity", 2).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+    # both models are already driver-materialized; the scored slice is
+    # bounded (doc_id < 300) — nothing persists, nothing leaks
+    return out
+
+
+Q_DOC_BIGRAM_PERPLEXITY_SQL = f"""
+WITH {_LM_MODEL_CTE},
+toksl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ts[CAST(s.i AS INTEGER)] AS cur,
+         CASE WHEN s.i > 1 THEN ts[CAST(s.i - 1 AS INTEGER)] END AS prev
+  FROM toksl, unnest(generate_series(1, len(ts))) AS s(i)
+),
+bic AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM pos WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+bctx AS (SELECT prev, SUM(c12) AS cctx FROM bic GROUP BY prev),
+btop AS (SELECT prev, cur, c12 FROM bic ORDER BY c12 DESC, prev, cur LIMIT {_TOP_B}),
+bim AS (
+  SELECT t.prev, t.cur,
+         LN((t.c12 + 1.0) / (x.cctx + (SELECT v FROM scalars) + 1.0)) AS bi_lp
+  FROM btop t JOIN bctx x USING (prev)
+),
+lps AS (
+  SELECT p.doc_id,
+         COALESCE(b.bi_lp, m.logprob,
+                  (SELECT LN(1.0 / (t + v + 1.0)) FROM scalars)) AS lp,
+         CASE WHEN b.bi_lp IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM pos p
+  LEFT JOIN bim b ON p.prev = b.prev AND p.cur = b.cur
+  LEFT JOIN model m ON p.cur = m.token
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT)  AS n_tokens,
+       CAST(SUM(hit) AS BIGINT)  AS n_bigram_hits,
+       ROUND(-SUM(lp) / COUNT(*), 4)      AS cross_entropy,
+       ROUND(EXP(-SUM(lp) / COUNT(*)), 2) AS perplexity
+FROM lps
+WHERE doc_id < 300
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style head/middle/tail bucketing (Wenzek et al. 2019 §4.3):
     tercile thresholds of the cross-entropy distribution from a
@@ -508,11 +700,13 @@ q_perplexity_buckets.lint_target = _perplexity_buckets_lint_plan
 LM_QUERIES = {
     "q_lm_vocab": q_lm_vocab,
     "q_doc_perplexity": q_doc_perplexity,
+    "q_doc_bigram_perplexity": q_doc_bigram_perplexity,
     "q_perplexity_buckets": q_perplexity_buckets,
 }
 
 LM_ORACLES = {
     "q_lm_vocab": Q_LM_VOCAB_SQL,
     "q_doc_perplexity": Q_DOC_PERPLEXITY_SQL,
+    "q_doc_bigram_perplexity": Q_DOC_BIGRAM_PERPLEXITY_SQL,
     "q_perplexity_buckets": _q_perplexity_buckets_sql(),
 }

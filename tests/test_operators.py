@@ -1079,6 +1079,65 @@ def test_unigram_model_persistence_roundtrip(spark, tmp_path):
         read_unigram_model(spark, url2)
 
 
+def test_bigram_lm_backoff_matches_python_model(spark):
+    """Bigram scorer vs an independent pure-Python model on a corpus with
+    known pair structure: bigram layer for kept pairs, unigram backoff for
+    unseen pairs AND first tokens, OOV for unknown tokens; degenerate docs
+    (empty / one-token / multi-space) handled."""
+    import math as m
+
+    from fsql_spark.operators.lm import (
+        bigram_model,
+        doc_bigram_cross_entropy,
+        unigram_model,
+    )
+
+    texts = {
+        0: "a b a b a b",     # dominant pair (a,b) and (b,a)
+        1: "a c",              # pair below the cut -> backoff to unigrams
+        2: "a",                # single token: unigram only, no pairs
+        3: "zzz a b",          # OOV first token
+        4: "",                 # empty: no output row
+        5: "a  b",             # double space: filtered tokens, pair (a,b)
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    uni, oov_lp, total_tf, V = unigram_model(docs, top_k=3)  # vocab {a,b,c} by tf
+    bi = bigram_model(docs, V, top_k=2)  # keeps (a,b) and (b,a) only
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bigram_hits"], r["cross_entropy"])
+        for r in doc_bigram_cross_entropy(docs, uni, oov_lp, bi).collect()
+    }
+    assert 4 not in got and set(got) == {0, 1, 2, 3, 5}
+
+    # independent python model
+    toks = {d: [t for t in s.split(" ") if t] for d, s in texts.items()}
+    from collections import Counter
+    uc = Counter(t for ts in toks.values() for t in ts)
+    vocab = dict(sorted(uc.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    T = sum(uc.values())
+    uni_lp = {t: m.log((c + 1) / (T + len(vocab) + 1)) for t, c in vocab.items()}
+    oov = m.log(1 / (T + len(vocab) + 1))
+    pc = Counter((ts[i - 1], ts[i]) for ts in toks.values() for i in range(1, len(ts)))
+    ctx = Counter()
+    for (p, _), c in pc.items():
+        ctx[p] += c
+    kept = dict(sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:2])
+    bi_lp = {pr: m.log((c + 1) / (ctx[pr[0]] + len(vocab) + 1)) for pr, c in kept.items()}
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        lps, hits = [], 0
+        for i, t in enumerate(ts):
+            pair = (ts[i - 1], t) if i else None
+            if pair in bi_lp:
+                lps.append(bi_lp[pair]); hits += 1
+            else:
+                lps.append(uni_lp.get(t, oov))
+        want = (len(ts), hits, -sum(lps) / len(ts))
+        assert got[d][0] == want[0] and got[d][1] == want[1]
+        assert abs(got[d][2] - want[2]) < 1e-12, (d, got[d], want)
+
+
 def test_document_operators_survive_degenerate_corpus(spark):
     """Empty / whitespace-only / shorter-than-ngram documents are certain at
     crawl scale; every document operator must process them without error
