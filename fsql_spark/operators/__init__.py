@@ -131,6 +131,8 @@ from .similarity import (  # noqa: F401
     dot,
     l2_norm,
     lsh_ann_pairs,
+    quantize_embeddings,
+    quantized_topk,
     read_ivf_centroids,
     write_ivf_centroids,
 )

@@ -609,6 +609,139 @@ def brute_force_self_pairs(
     return pairs.select(F.col("query_id").alias("vec_a"), F.col("neighbor_id").alias("vec_b"))
 
 
+# --------------------------------------------------------------------------
+# int8 quantization (ANN memory-scale path)
+# --------------------------------------------------------------------------
+
+def quantize_embeddings(
+    vectors: DataFrame, key_col: str, vec_col: str,
+    qvec_col: str = "qvec", scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = floor(x_i * 127 / max|x| + 0.5)`` (round-half-up — the one
+    rounding rule every SQL engine reproduces verbatim, unlike banker's
+    rounding), clamped to [-127, 127]; the zero vector quantizes to zeros
+    with scale 0. 4x memory reduction for a broadcast/cached ANN corpus —
+    at 100 TB of embeddings the difference between a codebook that fits
+    executor memory and one that doesn't. Approximate dot products on the
+    int8 codes rank candidates; exact float re-rank recovers precision
+    (see :func:`quantized_topk`). Entirely JVM expressions (transform /
+    aggregate): no UDF, map-only, and exactly SQL-replayable — the
+    determinism audit IS the catalog oracle."""
+    v = _as_double(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(amax <= 0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x * F.lit(127.0) / amax + F.lit(0.5)).cast("int")),
+            ),
+        )
+    )
+    return vectors.withColumn(qvec_col, q).withColumn(
+        scale_col, (amax / F.lit(127.0)).cast("double")
+    )
+
+
+def _quantize_np(mat):
+    """numpy twin of :func:`quantize_embeddings`'s rule: per-row symmetric
+    int8, round-half-up, zero rows -> zero codes."""
+    import numpy as np
+
+    amax = np.abs(mat).max(axis=1, keepdims=True)
+    safe = np.where(amax > 0, amax, 1.0)
+    q = np.clip(np.floor(mat * 127.0 / safe + 0.5), -127, 127)
+    return np.where(amax > 0, q, 0.0).astype(np.int32)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    vec_col: str,
+    k: int = 10,
+    rerank: int = 30,
+) -> DataFrame:
+    """Two-stage ANN: rank by APPROXIMATE cosine on int8 codes, keep the
+    top ``rerank`` per query, then EXACT float cosine re-rank of the
+    shortlist to the final ``k`` — the classic quantize-then-rerank recall
+    recovery. Same blocked-kernel shape as :func:`brute_force_topk` (the
+    corpus streams through mapInPandas, query CODES broadcast in the
+    closure; integer matmul per Arrow batch), so the corpus never shuffles
+    and no nested-loop join appears in the plan. The float vectors are
+    touched only for the shortlist (k_rerank x n_queries rows) via two
+    broadcast equi-joins."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if not 0 < k <= rerank:
+        raise ValueError(f"need 0 < k <= rerank, got k={k} rerank={rerank}")
+    q_keys, q_mat = _query_matrix(queries, key_col, vec_col)
+    q_codes = _quantize_np(q_mat)
+    q_norms = np.sqrt((q_codes.astype(np.int64) ** 2).sum(axis=1))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("approx", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+            codes = _quantize_np(v).astype(np.int64)
+            norms = np.sqrt((codes**2).sum(axis=1))
+            sims = (codes @ q_codes.T.astype(np.int64)).astype(np.float64)
+            denom = np.maximum(norms[:, None] * q_norms[None, :], 1e-12)
+            sims = sims / denom
+            n_ids = pdf[key_col].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j in range(sims.shape[1]):
+                cand = np.nonzero(n_ids != q_keys[j])[0]
+                if not len(cand):
+                    continue
+                order = np.lexsort((n_ids[cand], -sims[cand, j]))[:rerank]
+                top = cand[order]
+                out_q.extend([q_keys[j]] * len(top))
+                out_n.extend(n_ids[top])
+                out_c.extend(sims[top, j])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "approx": out_c})
+
+    scored = corpus.select(key_col, vec_col).mapInPandas(kernel, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: fetch float vectors for the shortlist only (broadcast
+    # the tiny shortlist into the corpus scan, then the query vectors in)
+    nvec = corpus.select(
+        F.col(key_col).alias("neighbor_id"), _as_double(vec_col).alias("nv")
+    )
+    qvec = queries.select(
+        F.col(key_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    exact = (
+        nvec.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), 4))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup_keys(
     vectors: DataFrame,
     key_col: str,
@@ -872,6 +1005,46 @@ SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """int8 quantization determinism audit: per vector, the code sum /
+    extremes and the reconstruction scale — exact integers once the
+    round-half-up rule fixes each code, so the oracle replays the whole
+    quantizer (the artifact an ANN serving tier ships) value-for-value."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = quantize_embeddings(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max("qvec").alias("q_max"),
+        F.array_min("qvec").alias("q_min"),
+    )
+
+
+Q_EMBEDDING_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+m AS (
+  SELECT vec_id, x, list_max(list_transform(x, e -> ABS(e))) AS amax FROM v
+),
+q AS (
+  SELECT vec_id, amax,
+         CASE WHEN amax <= 0 THEN list_transform(x, e -> 0)
+              ELSE list_transform(x, e ->
+                GREATEST(-127, LEAST(127, CAST(FLOOR(e * 127.0 / amax + 0.5) AS INTEGER))))
+         END AS qv
+  FROM m
+)
+SELECT vec_id,
+       ROUND(amax / 127.0, 6)                       AS scale,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT)    AS q_sum,
+       CAST(list_max(qv) AS INTEGER)                AS q_max,
+       CAST(list_min(qv) AS INTEGER)                AS q_min
+FROM q
+"""
+
+
 def q_embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label centroid norms — array aggregation via posexplode + regroup
     (the shuffle carries (label, pos, val) triples; at scale this is the
@@ -909,6 +1082,7 @@ SIMILARITY_QUERIES = {
     "q_embedding_ivf_ann": q_embedding_ivf_ann,
     "q_embedding_near_dup_keys": q_embedding_near_dup_keys,
     "q_embedding_near_dup_keys_lsh": q_embedding_near_dup_keys_lsh,
+    "q_embedding_quantize": q_embedding_quantize,
     "q_embedding_label_centroids": q_embedding_label_centroids,
 }
 
@@ -923,5 +1097,6 @@ SIMILARITY_ORACLES = {
     "q_embedding_ivf_knn": Q_EMB_IVF_SQL,  # full-probe config => exact
     "q_embedding_ivf_ann": Q_EMB_IVF_ANN_SQL,  # sampled-centroid replica
     "q_embedding_near_dup_keys": Q_EMB_NEAR_DUP_SQL,
+    "q_embedding_quantize": Q_EMBEDDING_QUANTIZE_SQL,
     "q_embedding_label_centroids": Q_EMB_CENTROIDS_SQL,
 }

@@ -1364,6 +1364,47 @@ def test_simhash_collapse_exact_kills_dup_class_quadratics(spark, docs_with_dups
     assert any(b == a + 200000 for a, b in collapsed)
 
 
+def test_quantized_topk_recall_and_quantizer_exactness(spark):
+    """int8 quantize-then-rerank ANN: (a) the quantizer's numpy kernel twin
+    agrees with the Column formulation code-for-code; (b) top-k with exact
+    re-rank recovers most of the brute-force neighbors; (c) returned
+    cosines are EXACT (float re-rank), not approximations."""
+    import numpy as np
+
+    from fsql_spark.operators.similarity import (
+        _quantize_np,
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # (a) Column vs numpy twin
+    rows = quantize_embeddings(emb.limit(50), "vec_id", "embedding").collect()
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    np_codes = _quantize_np(mat)
+    for i, r in enumerate(rows):
+        assert list(r["qvec"]) == list(np_codes[i]), r["vec_id"]
+        assert abs(r["scale"] - np.abs(mat[i]).max() / 127.0) < 1e-12
+    # (b) recall vs brute force
+    qs = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qs, "vec_id", "embedding", k=10).collect()
+    }
+    approx_rows = quantized_topk(emb, qs, "vec_id", "embedding", k=10, rerank=40).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+    # (c) per-query exactly k rows, ranks 1..k, cosines from the FLOAT side
+    from collections import Counter
+    per_q = Counter(r["query_id"] for r in approx_rows)
+    assert all(v == 10 for v in per_q.values())
+    assert all(1 <= r["rank"] <= 10 and r["cos"] <= 1.0001 for r in approx_rows)
+    with pytest.raises(ValueError, match="rerank"):
+        quantized_topk(emb, qs, "vec_id", "embedding", k=10, rerank=5)
+
+
 def test_ivf_centroid_persistence_roundtrip(spark, tmp_path):
     """Train-once quantizer lifecycle: persisted centroids reload
     bit-identically, batch assignment with the loaded quantizer equals
