@@ -53,6 +53,8 @@ from .lm import (  # noqa: F401
     LM_QUERIES,
     bigram_model,
     doc_bigram_cross_entropy,
+    read_bigram_model,
+    write_bigram_model,
     doc_cross_entropy,
     read_unigram_model,
     unigram_model,

@@ -389,6 +389,56 @@ def read_unigram_model(
     return df.drop(*_LM_META_COLS), float(oov_logprob), int(total_tf), int(vocab_size)
 
 
+_BIGRAM_FORMAT = 1
+_BIGRAM_META_COLS = ["__vocab_size", "__n_pairs", "__bigram_fmt"]
+
+
+def write_bigram_model(model: DataFrame, vocab_size: int, url: str) -> None:
+    """Materialize a trained bigram table (train-once lifecycle, like
+    :func:`write_unigram_model`): the smoothing vocab size, pair count and
+    format version ride as constant columns, validated on read."""
+    from ..api import write_table
+
+    n_pairs = model.count()
+    out = (
+        model.withColumn("__vocab_size", F.lit(int(vocab_size)))
+        .withColumn("__n_pairs", F.lit(int(n_pairs)))
+        .withColumn("__bigram_fmt", F.lit(_BIGRAM_FORMAT))
+    )
+    write_table(out, url)
+
+
+def read_bigram_model(spark: SparkSession, url: str) -> tuple[DataFrame, int]:
+    """Load a persisted bigram table -> (model, vocab_size). Refuses
+    missing/mismatched format, mixed configs, and same-config appends (the
+    stored __n_pairs pins the exact row count — duplicate pair rows would
+    fan out the scoring join)."""
+    from ..fs import get_url_and_fs
+
+    path, fs = get_url_and_fs(url)
+    df = spark.read.parquet(fs.spark_url(path))
+    missing = [c for c in _BIGRAM_META_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"bigram model at {url} lacks metadata column(s) {missing} — "
+            f"rebuild with write_bigram_model (current format v{_BIGRAM_FORMAT})"
+        )
+    configs = [tuple(r) for r in df.select(*_BIGRAM_META_COLS).distinct().limit(3).collect()]
+    if len(configs) != 1 or configs[0][2] != _BIGRAM_FORMAT:
+        raise ValueError(
+            f"bigram model at {url} has config(s) {configs}, expected one "
+            f"config at format v{_BIGRAM_FORMAT} — rebuild it"
+        )
+    vocab_size, n_pairs, _fmt = configs[0]
+    n_rows = df.count()
+    if n_rows != int(n_pairs):
+        raise ValueError(
+            f"bigram model at {url} has {n_rows} pair rows but records "
+            f"__n_pairs={int(n_pairs)} — it was appended to; rebuild it"
+        )
+    return df.drop(*_BIGRAM_META_COLS), int(vocab_size)
+
+
 # --------------------------------------------------------------------------
 # catalog entries + oracles
 # --------------------------------------------------------------------------

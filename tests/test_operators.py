@@ -1079,6 +1079,40 @@ def test_unigram_model_persistence_roundtrip(spark, tmp_path):
         read_unigram_model(spark, url2)
 
 
+def test_bigram_model_persistence_roundtrip(spark, tmp_path):
+    """Persisted bigram table reloads bit-identically and scores exactly
+    like the in-memory one; format tamper and same-config appends refuse."""
+    from fsql_spark.operators.lm import (
+        bigram_model,
+        doc_bigram_cross_entropy,
+        read_bigram_model,
+        unigram_model,
+        write_bigram_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    uni, oov_lp, _, V = unigram_model(docs, top_k=20)
+    bi = bigram_model(docs, V, top_k=50)
+    url = str(tmp_path / "bi_model")
+    write_bigram_model(bi, V, url)
+    bi2, V2 = read_bigram_model(spark, url)
+    assert V2 == V
+    assert {tuple(r) for r in bi2.collect()} == {tuple(r) for r in bi.collect()}
+    batch = docs.where(F.col("doc_id") < 30)
+    a = {r["doc_id"]: r["cross_entropy"]
+         for r in doc_bigram_cross_entropy(batch, uni, oov_lp, bi).collect()}
+    b = {r["doc_id"]: r["cross_entropy"]
+         for r in doc_bigram_cross_entropy(batch, uni, oov_lp, bi2).collect()}
+    assert a == b
+    spark.read.parquet(url).limit(2).write.mode("append").parquet(url)
+    with pytest.raises(ValueError, match="appended to"):
+        read_bigram_model(spark, url)
+    bare = docs.limit(1).select(F.lit("a").alias("prev"))
+    bare.write.mode("overwrite").parquet(str(tmp_path / "bare"))
+    with pytest.raises(ValueError, match="lacks metadata"):
+        read_bigram_model(spark, str(tmp_path / "bare"))
+
+
 def test_bigram_lm_backoff_matches_python_model(spark):
     """Bigram scorer vs an independent pure-Python model on a corpus with
     known pair structure: bigram layer for kept pairs, unigram backoff for
