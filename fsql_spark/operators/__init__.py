@@ -65,13 +65,20 @@ from .multimodal import (  # noqa: F401
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
     audio_window_energy,
+    decode_audio,
+    decode_audio_energy,
     decode_image,
+    decode_image_stats,
     documents_as_audio,
     documents_as_media,
+    documents_as_png,
     documents_as_video,
+    documents_as_wav,
     extract_features,
     fake_decode_image,
     pack_video,
+    pack_wav,
+    resize_images,
     sample_container_frames,
 )
 from .passages import (  # noqa: F401
