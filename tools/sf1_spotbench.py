@@ -216,7 +216,12 @@ def main() -> None:
     build_sf1(spark)
 
     qs = entry_mod.queries()
-    names = sorted(qs) if "--all" in sys.argv else HEAVIEST
+    if "--queries" in sys.argv:  # explicit subset: --queries a,b,c
+        names = sys.argv[sys.argv.index("--queries") + 1].split(",")
+    elif "--all" in sys.argv:
+        names = sorted(qs)
+    else:
+        names = HEAVIEST
     # prematerialize trees + caches at both scales (untimed, like bench.py)
     from bench import _premateralize_trees
 
