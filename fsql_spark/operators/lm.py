@@ -245,6 +245,7 @@ def bigram_model(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = 100_000,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Laplace-smoothed bigram table: the ``top_k`` (prev, cur) pairs by
     corpus count (ties lexical — deterministic cut) with
@@ -258,10 +259,15 @@ def bigram_model(
     count is one map-side-combinable shuffle on (prev, cur), and the
     returned table is MATERIALIZED driver-side (top-k-sized metadata, the
     shipped artifact) — downstream scoring broadcasts it with no lineage
-    back into the corpus."""
+    back into the corpus. Pass a (persisted) ``pairs`` stream from
+    :func:`_pair_stream` to share ONE pair-extraction pass between model
+    training and document scoring (the ``tf=`` convention of
+    :func:`unigram_model`)."""
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
-    pairs = _pair_stream(corpus, id_col, text_col).where(F.col("prev").isNotNull())
+    if pairs is None:
+        pairs = _pair_stream(corpus, id_col, text_col)
+    pairs = pairs.where(F.col("prev").isNotNull())
     counts = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c12")).persist()
     try:
         ctx = counts.groupBy("prev").agg(F.sum("c12").alias("cctx"))
@@ -298,6 +304,7 @@ def doc_bigram_cross_entropy(
     bi_model: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document cross-entropy under the bigram model with deterministic
     unigram backoff: each token scores its bigram logprob when the (prev,
@@ -308,8 +315,10 @@ def doc_bigram_cross_entropy(
 
     ``(id, n_tokens, n_bigram_hits, cross_entropy, perplexity)``. The
     corpus never shuffles for the models (both broadcast); the per-doc
-    aggregate partial-combines map-side."""
-    pairs = _pair_stream(df, id_col, text_col)
+    aggregate partial-combines map-side. Pass ``pairs`` (persisted) to
+    reuse the training pass's pair extraction."""
+    if pairs is None:
+        pairs = _pair_stream(df, id_col, text_col)
     u = F.broadcast(uni_model.select(F.col("token").alias("cur"), F.col("logprob").alias("uni_lp")))
     b = F.broadcast(bi_model.select("prev", "cur", F.col("logprob").alias("bi_lp")))
     scored = pairs.join(u, "cur", "left").join(b, ["prev", "cur"], "left")
@@ -337,6 +346,12 @@ def write_unigram_model(
     appended to under a different config or format refuses loudly)."""
     from ..api import write_table
 
+    if vocab_size == 0:
+        # the same latent flaw as the bigram writer: zero rows lose the
+        # constant meta columns and the artifact can never be read back
+        raise ValueError(
+            "unigram model is empty (no tokens in corpus) — nothing to persist"
+        )
     out = (
         model.withColumn("__oov_logprob", F.lit(float(oov_logprob)))
         .withColumn("__total_tf", F.lit(int(total_tf)))
@@ -400,6 +415,15 @@ def write_bigram_model(model: DataFrame, vocab_size: int, url: str) -> None:
     from ..api import write_table
 
     n_pairs = model.count()
+    if n_pairs == 0:
+        # constant meta columns cannot survive a zero-row write, which would
+        # make the artifact permanently unreadable — refuse HERE with the
+        # actionable story instead (a bigram-less corpus scores fine through
+        # the unigram backoff; there is nothing to ship)
+        raise ValueError(
+            "bigram model is empty (corpus has no two-token documents) — "
+            "nothing to persist; score with the unigram model alone"
+        )
     out = (
         model.withColumn("__vocab_size", F.lit(int(vocab_size)))
         .withColumn("__n_pairs", F.lit(int(n_pairs)))
@@ -550,23 +574,28 @@ def q_doc_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     Oracle: full SQL replica — pair positions from the filtered token list,
     the bigram table from exact counts, the COALESCE backoff chain."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    uni, oov_lp, _, vocab_size = unigram_model(docs, top_k=_TOP_K)
-    bi = bigram_model(docs, vocab_size, top_k=_TOP_B)
-    out = (
-        doc_bigram_cross_entropy(docs, uni, oov_lp, bi)
-        .where(F.col("doc_id") < 300)
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_bigram_hits",
-            F.round("cross_entropy", 4).alias("cross_entropy"),
-            F.round("perplexity", 2).alias("perplexity"),
+    # ONE pair-extraction pass shared by bigram training and scoring (the
+    # tf= convention of q_doc_perplexity); released on every path
+    pairs = _pair_stream(docs).persist()
+    try:
+        uni, oov_lp, _, vocab_size = unigram_model(docs, top_k=_TOP_K)
+        bi = bigram_model(docs, vocab_size, top_k=_TOP_B, pairs=pairs)
+        out = (
+            doc_bigram_cross_entropy(docs, uni, oov_lp, bi, pairs=pairs)
+            .where(F.col("doc_id") < 300)
+            .select(
+                "doc_id",
+                "n_tokens",
+                "n_bigram_hits",
+                F.round("cross_entropy", 4).alias("cross_entropy"),
+                F.round("perplexity", 2).alias("perplexity"),
+            )
+            .orderBy("doc_id")
         )
-        .orderBy("doc_id")
-    )
-    # both models are already driver-materialized; the scored slice is
-    # bounded (doc_id < 300) — nothing persists, nothing leaks
-    return out
+        pdf = out.toPandas()  # <=300 rows
+    finally:
+        pairs.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
 
 
 Q_DOC_BIGRAM_PERPLEXITY_SQL = f"""
@@ -743,8 +772,16 @@ def _perplexity_buckets_lint_plan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _doc_bigram_perplexity_lint_plan(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    uni, oov_lp, _, vocab_size = unigram_model(docs, top_k=_TOP_K)
+    bi = bigram_model(docs, vocab_size, top_k=_TOP_B)
+    return doc_bigram_cross_entropy(docs, uni, oov_lp, bi).where(F.col("doc_id") < 300)
+
+
 q_doc_perplexity.lint_target = _doc_perplexity_lint_plan
 q_perplexity_buckets.lint_target = _perplexity_buckets_lint_plan
+q_doc_bigram_perplexity.lint_target = _doc_bigram_perplexity_lint_plan
 
 
 LM_QUERIES = {

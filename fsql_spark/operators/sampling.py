@@ -99,8 +99,10 @@ def replicate_by_weight(
     sampler here, so the decision is reproducible across engines and runs.
     ``epoch_col`` (0-based copy index) rides along so downstream epoch
     shuffling can interleave copies instead of emitting them back-to-back.
-    At 100 TB the output is weight-scaled input with zero shuffle; the
-    explode is rows-out = copies, never a cross join."""
+    At 100 TB the output is weight-scaled input with zero shuffle; each row
+    explodes to its OWN stratum's ceil(w) candidates (at most one of which
+    the fractional filter drops), never to a global maximum or a cross
+    join."""
     if not weights:
         raise ValueError("weights must be non-empty")
     for s, w in weights.items():
@@ -119,12 +121,18 @@ def replicate_by_weight(
             for x in (kv[0], fraction_to_hex_threshold(kv[1] - int(kv[1])))
         ]
     )[F.col(stratum_col)]
+    # per-STRATUM explode bound: a 1.0-weight stratum must not generate (and
+    # immediately filter) the heaviest stratum's copy count — with
+    # {"books": 20, "web": 1} over a web-dominated corpus a global-max
+    # formulation would 20x the dominant stratum's row generation
+    ceil_copies = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], int(math.ceil(kv[1])))]
+    )[F.col(stratum_col)]
     h = _hash_hex(F.col(key_col))
-    epoch = F.explode(F.sequence(F.lit(0), F.lit(max_copies - 1))).alias(epoch_col)
-    out = df.withColumn(epoch_col, epoch)
-    keep = full.isNotNull() & (
-        (F.col(epoch_col) < full) | ((F.col(epoch_col) == full) & (h < frac_th))
+    out = df.where(ceil_copies.isNotNull() & (ceil_copies > 0)).withColumn(
+        epoch_col, F.explode(F.sequence(F.lit(0), ceil_copies - 1))
     )
+    keep = (F.col(epoch_col) < full) | ((F.col(epoch_col) == full) & (h < frac_th))
     return out.where(keep)
 
 

@@ -243,7 +243,8 @@ def test_codecs_refuse_arbitrary_garbage(junk, prefix):
     error, or silent success, including when it starts with a valid magic."""
     data = prefix + junk
     for dec in (decode_png, decode_wav):
-        try:
+        # MUST raise: a regression that returns None/garbage for malformed
+        # bytes would otherwise pass silently (random junk cannot satisfy
+        # PNG per-chunk CRCs or a RIFF/WAVE fmt+data layout)
+        with pytest.raises((CodecError, NotImplementedError)):
             dec(data)
-        except (CodecError, NotImplementedError):
-            pass

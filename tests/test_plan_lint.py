@@ -45,5 +45,5 @@ def test_catalog_plan_has_no_scale_killers(name, spark):
 def test_materialized_entries_declare_lint_targets():
     """The driver-materialized LM entries (LocalTableScan results) must
     carry the lint_target hook exposing their real distributed plan."""
-    for name in ("q_doc_perplexity", "q_perplexity_buckets"):
+    for name in ("q_doc_perplexity", "q_perplexity_buckets", "q_doc_bigram_perplexity"):
         assert getattr(entry_mod.queries()[name], "lint_target", None) is not None

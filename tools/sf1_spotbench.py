@@ -213,15 +213,21 @@ def main() -> None:
         collapse_demo(spark)
         return
 
-    build_sf1(spark)
-
     qs = entry_mod.queries()
     if "--queries" in sys.argv:  # explicit subset: --queries a,b,c
-        names = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        idx = sys.argv.index("--queries") + 1
+        if idx >= len(sys.argv):
+            sys.exit("usage: sf1_spotbench.py --queries name1,name2,...")
+        names = sys.argv[idx].split(",")
+        unknown = [n for n in names if n not in qs]
+        if unknown:  # fail fast BEFORE the expensive sf1 build
+            sys.exit(f"unknown catalog entries: {unknown}")
     elif "--all" in sys.argv:
         names = sorted(qs)
     else:
         names = HEAVIEST
+
+    build_sf1(spark)
     # prematerialize trees + caches at both scales (untimed, like bench.py)
     from bench import _premateralize_trees
 
