@@ -53,6 +53,7 @@ from .lm import (  # noqa: F401
     LM_QUERIES,
     bigram_model,
     doc_bigram_cross_entropy,
+    doc_bigram_cross_entropy_stateless,
     read_bigram_model,
     write_bigram_model,
     doc_cross_entropy,

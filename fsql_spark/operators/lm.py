@@ -404,6 +404,70 @@ def read_unigram_model(
     return df.drop(*_LM_META_COLS), float(oov_logprob), int(total_tf), int(vocab_size)
 
 
+def doc_bigram_cross_entropy_stateless(
+    df: DataFrame,
+    uni_logprobs: dict | DataFrame,
+    oov_logprob: float,
+    bi_logprobs: dict | DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """STATELESS bigram scorer (the :func:`doc_cross_entropy_stateless`
+    twin): both model layers ride as plain dicts in the kernel closure and
+    each document scores row-locally with the same COALESCE backoff chain
+    (bigram -> unigram -> OOV) — no joins, no aggregation state, so the
+    same code runs unmodified on a readStream. Zero-token documents emit
+    no row, matching the join formulation exactly."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if isinstance(uni_logprobs, DataFrame):
+        uni_logprobs = {
+            r["token"]: r["logprob"] for r in uni_logprobs.select("token", "logprob").collect()
+        }
+    if isinstance(bi_logprobs, DataFrame):
+        bi_logprobs = {
+            (r["prev"], r["cur"]): r["logprob"]
+            for r in bi_logprobs.select("prev", "cur", "logprob").collect()
+        }
+    src = df.select(id_col, text_col)
+    schema = StructType(
+        [
+            src.schema[id_col],
+            StructField("n_tokens", LongType()),
+            StructField("n_bigram_hits", LongType()),
+            StructField("cross_entropy", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for key, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in (text or "").split(" ") if t]
+                if not toks:
+                    continue
+                total, hits = 0.0, 0
+                prev = None
+                for t in toks:
+                    lp = bi_logprobs.get((prev, t)) if prev is not None else None
+                    if lp is not None:
+                        hits += 1
+                    else:
+                        lp = uni_logprobs.get(t)
+                        if lp is None:
+                            lp = oov_logprob
+                    total += lp
+                    prev = t
+                rows.append((key, len(toks), hits, -total / len(toks)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_tokens", "n_bigram_hits", "cross_entropy"]
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
 _BIGRAM_FORMAT = 1
 _BIGRAM_META_COLS = ["__vocab_size", "__n_pairs", "__bigram_fmt"]
 

@@ -1113,6 +1113,36 @@ def test_bigram_model_persistence_roundtrip(spark, tmp_path):
         read_bigram_model(spark, str(tmp_path / "bare"))
 
 
+def test_bigram_stateless_scorer_equals_join_formulation(spark):
+    """The dict-in-closure kernel scorer must agree with the broadcast-join
+    scorer to float exactness on the real corpus slice (same backoff
+    chain, same zero-token exclusion) — the property that makes it safe to
+    run the SAME scoring on a readStream."""
+    from fsql_spark.operators.lm import (
+        bigram_model,
+        doc_bigram_cross_entropy,
+        doc_bigram_cross_entropy_stateless,
+        unigram_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    uni, oov_lp, _, V = unigram_model(docs, top_k=20)
+    bi = bigram_model(docs, V, top_k=50)
+    batch = docs.where(F.col("doc_id") < 40)
+    joined = {
+        r["doc_id"]: (r["n_tokens"], r["n_bigram_hits"], r["cross_entropy"])
+        for r in doc_bigram_cross_entropy(batch, uni, oov_lp, bi).collect()
+    }
+    kernel = {
+        r["doc_id"]: (r["n_tokens"], r["n_bigram_hits"], r["cross_entropy"])
+        for r in doc_bigram_cross_entropy_stateless(batch, uni, oov_lp, bi).collect()
+    }
+    assert joined.keys() == kernel.keys()
+    for d in joined:
+        assert joined[d][:2] == kernel[d][:2]
+        assert abs(joined[d][2] - kernel[d][2]) < 1e-9, d
+
+
 def test_bigram_lm_backoff_matches_python_model(spark):
     """Bigram scorer vs an independent pure-Python model on a corpus with
     known pair structure: bigram layer for kept pairs, unigram backoff for
