@@ -95,6 +95,40 @@ def test_hash_fraction_sample_matches_python_model(spark, keys, fraction):
 
 
 @PROP
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True),
+    w0=st.sampled_from([0.0, 0.25, 1.0, 2.5]),
+    w1=st.sampled_from([0.5, 1.0, 3.0]),
+)
+def test_replicate_by_weight_matches_python_model(spark, keys, w0, w1):
+    """(key, epoch) multiset == the python model: floor(w) full epochs plus
+    a hash-thresholded fractional epoch per stratum; strata outside the
+    weight map never appear."""
+    from fsql_spark.operators import replicate_by_weight
+
+    rows = [(v, "s" + str(v % 3)) for v in keys]  # stratum s2 unlisted
+    df = spark.createDataFrame(rows, "key long, src string")
+    weights = {"s0": w0, "s1": w1}
+    got = sorted(
+        (r["key"], r["epoch"])
+        for r in replicate_by_weight(df, "key", "src", weights).collect()
+    )
+    want = []
+    for v, s in rows:
+        w = weights.get(s)
+        if w is None:
+            continue
+        full = int(w)
+        frac = w - full
+        thresh = "g" if frac >= 1.0 else format(int(frac * 2**32), "08x")
+        copies = full + (
+            1 if hashlib.md5(str(v).encode()).hexdigest()[:8] < thresh else 0
+        )
+        want.extend((v, e) for e in range(copies))
+    assert got == sorted(want)
+
+
+@PROP
 @given(keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200, unique=True))
 def test_split_by_hash_matches_python_model(spark, keys):
     from fsql_spark.operators import split_by_hash
