@@ -144,6 +144,16 @@ def doc_cross_entropy(
     )
 
 
+def _py_tokens(text: str | None) -> list[str]:
+    """THE Python-side tokenization, shared by every stateless kernel —
+    must stay equivalent to the JVM side (``split(text, ' ')`` + non-empty
+    filter in term_frequencies / _pair_stream) and the SQL CTEs. One
+    definition: a tokenization tweak cannot silently desynchronize the
+    scorers (_LM_FORMAT guards the persisted-model side of the same
+    hazard)."""
+    return [t for t in (text or "").split(" ") if t]
+
+
 def doc_cross_entropy_stateless(
     df: DataFrame,
     logprobs: dict | DataFrame,
@@ -185,7 +195,7 @@ def doc_cross_entropy_stateless(
             # zip over plain columns (no per-row Series construction) and
             # ONE dict probe per token (None sentinel = OOV)
             for key, text, *extra in zip(pdf[id_col], pdf[text_col], *carries):
-                toks = [t for t in (text or "").split(" ") if t]
+                toks = _py_tokens(text)
                 if not toks:
                     continue
                 lps = [logprobs.get(t) for t in toks]
@@ -411,13 +421,15 @@ def doc_bigram_cross_entropy_stateless(
     bi_logprobs: dict | DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """STATELESS bigram scorer (the :func:`doc_cross_entropy_stateless`
-    twin): both model layers ride as plain dicts in the kernel closure and
-    each document scores row-locally with the same COALESCE backoff chain
-    (bigram -> unigram -> OOV) — no joins, no aggregation state, so the
-    same code runs unmodified on a readStream. Zero-token documents emit
-    no row, matching the join formulation exactly."""
+    twin — same ``carry_cols`` contract, so the two are interchangeable in
+    streaming wiring): both model layers ride as plain dicts in the kernel
+    closure and each document scores row-locally with the same COALESCE
+    backoff chain (bigram -> unigram -> OOV) — no joins, no aggregation
+    state, so the same code runs unmodified on a readStream. Zero-token
+    documents emit no row, matching the join formulation exactly."""
     import pandas as pd
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -431,10 +443,11 @@ def doc_bigram_cross_entropy_stateless(
             (r["prev"], r["cur"]): r["logprob"]
             for r in bi_logprobs.select("prev", "cur", "logprob").collect()
         }
-    src = df.select(id_col, text_col)
+    src = df.select(id_col, text_col, *carry_cols)
     schema = StructType(
-        [
-            src.schema[id_col],
+        [src.schema[id_col]]
+        + [src.schema[c] for c in carry_cols]
+        + [
             StructField("n_tokens", LongType()),
             StructField("n_bigram_hits", LongType()),
             StructField("cross_entropy", DoubleType()),
@@ -444,8 +457,9 @@ def doc_bigram_cross_entropy_stateless(
     def run(batches):
         for pdf in batches:
             rows = []
-            for key, text in zip(pdf[id_col], pdf[text_col]):
-                toks = [t for t in (text or "").split(" ") if t]
+            carries = [pdf[c] for c in carry_cols]
+            for key, text, *extra in zip(pdf[id_col], pdf[text_col], *carries):
+                toks = _py_tokens(text)
                 if not toks:
                     continue
                 total, hits = 0.0, 0
@@ -460,9 +474,10 @@ def doc_bigram_cross_entropy_stateless(
                             lp = oov_logprob
                     total += lp
                     prev = t
-                rows.append((key, len(toks), hits, -total / len(toks)))
+                rows.append((key, *extra, len(toks), hits, -total / len(toks)))
             yield pd.DataFrame(
-                rows, columns=[id_col, "n_tokens", "n_bigram_hits", "cross_entropy"]
+                rows,
+                columns=[id_col, *carry_cols, "n_tokens", "n_bigram_hits", "cross_entropy"],
             )
 
     return src.mapInPandas(run, schema=schema)

@@ -119,8 +119,8 @@ def test_replicate_by_weight_matches_python_model(spark, keys, w0, w1):
         if w is None:
             continue
         full = int(w)
-        frac = w - full
-        thresh = "g" if frac >= 1.0 else format(int(frac * 2**32), "08x")
+        frac = w - full  # always < 1.0: the keep-all branch is unreachable here
+        thresh = format(int(frac * 2**32), "08x")
         copies = full + (
             1 if hashlib.md5(str(v).encode()).hexdigest()[:8] < thresh else 0
         )
