@@ -164,7 +164,9 @@ def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None 
             timings[name] = float("nan")
             continue
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 4)
+        # lower-middle for even-length runs (a failed re-run leaves 2 samples;
+        # runs[len//2] would report the MAX and bias noisy sub-2s entries high)
+        timings[name] = round(runs[(len(runs) - 1) // 2], 4)
         if len(runs) > 1:
             spread[name] = {"min": round(runs[0], 4), "max": round(runs[-1], 4), "runs": len(runs)}
     return spark, timings, spread

@@ -74,7 +74,9 @@ def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np
         # sum; mod-256 addition is associative, so cumsum-then-mask is exact)
         out = row.copy()
         for lane in range(bpp):
-            out[lane::bpp] = np.cumsum(out[lane::bpp]) & 0xFF
+            # int64 lanes: an int32 cumsum would silently overflow (wrong
+            # pixels, no error) for scanlines beyond ~8.4M bytes per lane
+            out[lane::bpp] = np.cumsum(out[lane::bpp].astype(np.int64)) & 0xFF
         return out
     if ftype == 2:  # Up
         return (row + prev) & 0xFF

@@ -154,6 +154,27 @@ def _py_tokens(text: str | None) -> list[str]:
     return [t for t in (text or "").split(" ") if t]
 
 
+#: stateless scorers collect the model to the driver and ship it in the
+#: kernel closure. The bound normally comes from the TRAINER's top-K caps
+#: (30k unigram / 100k bigram), but a model LOADED from an external parquet
+#: carries no such guarantee — refuse to collect past this ceiling rather
+#: than silently OOM the driver. ~2M rows of (token, logprob) is ~100 MB
+#: in the closure: already past where the join formulation wins anyway.
+MAX_STATELESS_MODEL_ROWS = 2_000_000
+
+
+def _collect_model_bounded(model: DataFrame, cols: list, what: str) -> list:
+    rows = model.select(*cols).limit(MAX_STATELESS_MODEL_ROWS + 1).collect()
+    if len(rows) > MAX_STATELESS_MODEL_ROWS:
+        raise ValueError(
+            f"{what}: model exceeds {MAX_STATELESS_MODEL_ROWS} rows — too large "
+            "for a stateless kernel closure; use the broadcast-join "
+            "formulation (doc_cross_entropy / doc_bigram_cross_entropy) "
+            "or retrain with a top-K cap"
+        )
+    return rows
+
+
 def doc_cross_entropy_stateless(
     df: DataFrame,
     logprobs: dict | DataFrame,
@@ -176,7 +197,12 @@ def doc_cross_entropy_stateless(
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     if isinstance(logprobs, DataFrame):
-        logprobs = {r["token"]: r["logprob"] for r in logprobs.select("token", "logprob").collect()}
+        logprobs = {
+            r["token"]: r["logprob"]
+            for r in _collect_model_bounded(
+                logprobs, ["token", "logprob"], "doc_cross_entropy_stateless"
+            )
+        }
     src = df.select(id_col, text_col, *carry_cols)
     schema = StructType(
         [src.schema[id_col]]
@@ -436,12 +462,17 @@ def doc_bigram_cross_entropy_stateless(
 
     if isinstance(uni_logprobs, DataFrame):
         uni_logprobs = {
-            r["token"]: r["logprob"] for r in uni_logprobs.select("token", "logprob").collect()
+            r["token"]: r["logprob"]
+            for r in _collect_model_bounded(
+                uni_logprobs, ["token", "logprob"], "doc_bigram_cross_entropy_stateless (unigram layer)"
+            )
         }
     if isinstance(bi_logprobs, DataFrame):
         bi_logprobs = {
             (r["prev"], r["cur"]): r["logprob"]
-            for r in bi_logprobs.select("prev", "cur", "logprob").collect()
+            for r in _collect_model_bounded(
+                bi_logprobs, ["prev", "cur", "logprob"], "doc_bigram_cross_entropy_stateless (bigram layer)"
+            )
         }
     src = df.select(id_col, text_col, *carry_cols)
     schema = StructType(

@@ -97,6 +97,19 @@ def decode_audio(content: bytes):
     )
 
 
+def _reraise_with_media_id(mid, exc: Exception):
+    """Annotate a decode failure with the failing media id — for EVERY
+    exception type. ValueError/NotImplementedError keep their type (callers
+    and tests match on them); foreign codec exceptions (Pillow's
+    UnidentifiedImageError / OSError for corrupt non-PNG payloads) are
+    wrapped in CodecError so the id is never lost."""
+    from .codecs import CodecError
+
+    if isinstance(exc, (ValueError, NotImplementedError)):
+        raise type(exc)(f"media {mid}: {exc}") from exc
+    raise CodecError(f"media {mid}: {exc}") from exc
+
+
 def fake_decode_image(content: bytes) -> dict:
     """Deterministic FAKE decoder (clearly marked): derives pseudo-dimensions
     from the payload bytes so plumbing tests have stable expectations."""
@@ -160,8 +173,8 @@ def resize_images(media: DataFrame, width: int, height: int,
             for mid, raw in zip(pdf[id_col], pdf[content_col]):
                 try:
                     arr = decode_image(raw)
-                except (ValueError, NotImplementedError) as exc:
-                    raise type(exc)(f"media {mid}: {exc}") from exc
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
                 h, w = arr.shape[0], arr.shape[1]
                 rows = np.minimum((np.arange(height) * h) // height, h - 1)
                 cols = np.minimum((np.arange(width) * w) // width, w - 1)
@@ -550,8 +563,8 @@ def decode_image_stats(media: DataFrame, content_col: str = "content",
             for mid, raw in zip(pdf[id_col], pdf[content_col]):
                 try:
                     arr = decode_image(raw)
-                except (ValueError, NotImplementedError) as exc:
-                    raise type(exc)(f"media {mid}: {exc}") from exc
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
                 px = np.asarray(arr, dtype=np.uint8)
                 ids.append(mid)
                 hs.append(px.shape[0])
@@ -575,9 +588,14 @@ def decode_image_stats(media: DataFrame, content_col: str = "content",
 
 def pack_wav(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
     """Pack (doc_id, text) rows into REAL 16-bit PCM WAV containers:
-    sample[i] = (text_byte[i] - 128) * 257 — spreads u8 across the full
-    int16 range while staying exact-integer, so the SQL oracle recomputes
-    every decoded sample from the source characters. A STATELESS Arrow
+    sample[i] = (text_byte[i] - 128) * 256 — spreads u8 across int16's
+    range ([-32768, 32512]) with exact-integer arithmetic and NO overflow
+    for any byte value (a *257 scale would wrap byte 0: -32896 -> +32640
+    via int16 truncation, silently diverging from the SQL oracle), so the
+    oracle recomputes every decoded sample from the source characters.
+    Oracle equivalence assumes an ASCII corpus (the kernel is byte-based
+    over UTF-8; the oracle's ascii()/LENGTH are character-based — they
+    agree exactly when every character is one byte). A STATELESS Arrow
     kernel (like :func:`pack_video`): the same code runs on a batch
     relation or a readStream."""
     import numpy as np
@@ -593,7 +611,7 @@ def pack_wav(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
             contents, durs = [], []
             for text in pdf["text"]:
                 b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
-                samples = ((b.astype(np.int32) - 128) * 257).astype(np.int16)
+                samples = ((b.astype(np.int32) - 128) * 256).astype(np.int16)
                 contents.append(encode_wav(samples, sample_rate))
                 durs.append(len(b) * 1000 // sample_rate)
             yield pd.DataFrame(
@@ -636,8 +654,8 @@ def decode_audio_energy(media: DataFrame, window: int = 64,
             for mid, raw in zip(pdf[id_col], pdf[content_col]):
                 try:
                     _rate, samples = decode_audio(raw)
-                except (ValueError, NotImplementedError) as exc:
-                    raise type(exc)(f"media {mid}: {exc}") from exc
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
                 flat = samples.astype(np.int64)
                 if flat.ndim == 2:  # per-frame energy across channels
                     flat = (flat * flat).sum(axis=1)
@@ -740,7 +758,7 @@ GROUP BY doc_id
 
 def q_audio_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end REAL audio codec round trip: documents as 16-bit PCM WAV
-    ((byte-128)*257 samples), decoded distributedly, 64-sample windowed
+    ((byte-128)*256 samples), decoded distributedly, 64-sample windowed
     energy. Exact integer arithmetic — the oracle recomputes every window
     from the source characters."""
     media = documents_as_wav(spark, sf)
@@ -751,7 +769,7 @@ Q_WAV_ENERGY_SQL = """
 WITH chars AS (
   SELECT doc_id,
          CAST((s.p - 1) // 64 AS INTEGER) AS window_idx,
-         (ascii(substr(text, CAST(s.p AS INTEGER), 1)) - 128) * 257 AS v
+         (ascii(substr(text, CAST(s.p AS INTEGER), 1)) - 128) * 256 AS v
   FROM documents, unnest(generate_series(1, LENGTH(text))) AS s(p)
   WHERE LENGTH(text) > 0
 )

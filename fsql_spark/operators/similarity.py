@@ -208,9 +208,17 @@ def lsh_ann_pairs(
     from pyspark.sql.functions import pandas_udf
 
     if dim is None:
-        probe = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+        # null-filtered: F.size(NULL) is -1 (non-ANSI), which would pin
+        # dim=-1 and fail every batch with a confusing "expected -1-dim"
+        probe = (
+            vectors.where(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
         if probe is not None:  # empty input: kernel never runs, no pin needed
             dim = int(probe["d"])
+            if dim < 0:
+                raise ValueError(f"{vec_col}: could not probe vector width (got {dim})")
 
     def _bucket(vecs, table):
         mat = np.stack(vecs.to_numpy())  # (batch, dim) Arrow-batched
@@ -231,7 +239,12 @@ def lsh_ann_pairs(
     _bucket.__annotations__ = {"vecs": pd.Series, "table": pd.Series, "return": pd.Series}
     bucket_of = pandas_udf(_bucket, LongType())
 
-    base = vectors.select(F.col(key_col).alias("k"), _as_double(vec_col).alias("v"))
+    # NULL embeddings are unmatchable by definition — drop them here instead
+    # of letting np.stack die inside the kernel (a handful of null vectors
+    # must not kill a full-corpus job)
+    base = vectors.where(F.col(vec_col).isNotNull()).select(
+        F.col(key_col).alias("k"), _as_double(vec_col).alias("v")
+    )
     tabled = base.withColumn("t", F.explode(F.array(*[F.lit(i) for i in range(n_tables)])))
     bucketed = tabled.withColumn("bucket", bucket_of(F.col("v"), F.col("t")))
     other = bucketed.select(

@@ -1,0 +1,100 @@
+"""Regression tests for the round-7 ADVICE/verdict fixes:
+
+- pack_wav sample scale: byte 0 (NUL) must not wrap via int16 overflow
+- lsh_ann_pairs dim probe: NULL first vector must not pin dim=-1
+- decode kernels: foreign exceptions (non-ValueError) keep the media id
+- stateless LM scorers: refuse to collect an unbounded external model
+- simhash_pairs collapse_exact short-circuit: identical output either way
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fsql_spark.operators import lm as lm_mod
+from fsql_spark.operators.codecs import CodecError, decode_wav
+from fsql_spark.operators.dedup import simhash_pairs
+from fsql_spark.operators.multimodal import (
+    decode_image_stats,
+    pack_wav,
+)
+from fsql_spark.operators.similarity import lsh_ann_pairs
+
+
+def test_pack_wav_nul_byte_exact(spark):
+    # "\x00" is the worst case: (0-128)*256 = -32768 == int16 min, exact.
+    # The old *257 scale produced -32896, which wrapped to +32640.
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["\x00a\xff"]}))
+    wav = pack_wav(docs).collect()[0]
+    _rate, samples = decode_wav(bytes(wav["content"]))
+    # text encodes to UTF-8 bytes [0x00, 0x61, 0xC3, 0xBF]
+    expect = [(b - 128) * 256 for b in "\x00a\xff".encode("utf-8")]
+    assert samples.tolist() == expect
+    assert samples.dtype == np.int16
+    assert samples.min() == -32768  # no wrap
+
+
+def test_lsh_probe_skips_null_vectors(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(4)]
+    df = spark.createDataFrame([(99, None)] + rows, "vec_id: long, embedding: array<double>")
+    # old behavior: F.size(NULL) = -1 pinned dim=-1 -> every batch failed
+    out = lsh_ann_pairs(
+        df.where("embedding IS NOT NULL OR vec_id = 99"),
+        "vec_id", "embedding", 0.0, n_planes=2, n_tables=2,
+    )
+    out.collect()  # must not raise "expected -1-dim"
+
+
+def test_lsh_all_null_is_empty(spark):
+    # all-null corpus: null vectors are unmatchable and filtered -> empty
+    # pair set (and no confusing "expected -1-dim" error from the probe)
+    df = spark.createDataFrame([(1, None), (2, None)], "vec_id: long, embedding: array<double>")
+    assert lsh_ann_pairs(df, "vec_id", "embedding", 0.0, n_planes=2, n_tables=2).count() == 0
+
+
+def test_decode_kernel_annotates_foreign_exceptions(spark):
+    # a payload that is neither PNG nor decodable: without Pillow the decode
+    # raises NotImplementedError (type preserved); with Pillow installed it
+    # raises UnidentifiedImageError — either way the media id must survive
+    media = spark.createDataFrame(
+        [(42, bytearray(b"\xff\xd8\xff\xe0 not really a jpeg"))],
+        "media_id: long, content: binary",
+    )
+    with pytest.raises(Exception) as ei:
+        decode_image_stats(media).collect()
+    assert "media 42" in str(ei.value)
+
+
+def test_stateless_lm_refuses_unbounded_model(spark, monkeypatch):
+    monkeypatch.setattr(lm_mod, "MAX_STATELESS_MODEL_ROWS", 2)
+    model = spark.createDataFrame(
+        pd.DataFrame({"token": ["a", "b", "c"], "logprob": [-1.0, -2.0, -3.0]})
+    )
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
+    with pytest.raises(ValueError, match="exceeds 2 rows"):
+        lm_mod.doc_cross_entropy_stateless(docs, model, -10.0)
+    bi = spark.createDataFrame(
+        pd.DataFrame({"prev": ["a", "a", "b"], "cur": ["b", "c", "c"], "logprob": [-1.0] * 3})
+    )
+    with pytest.raises(ValueError, match="bigram layer"):
+        lm_mod.doc_bigram_cross_entropy_stateless(docs, {"a": -1.0}, -10.0, bi)
+
+
+def test_simhash_collapse_shortcircuit_equivalence(spark):
+    # corpus WITHOUT exact dups: short-circuit skips the collapse pass but
+    # the output must be identical to plain simhash_pairs
+    texts = [f"the quick brown fox {i} jumps over the lazy dog" for i in range(12)]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(12), "text": texts}))
+    plain = sorted(map(tuple, simhash_pairs(df, "doc_id", "text").collect()))
+    collapsed = sorted(map(tuple, simhash_pairs(df, "doc_id", "text", collapse_exact=True).collect()))
+    assert plain == collapsed
+    # corpus WITH a dup class: collapse engages and keeps only canonical keys
+    dup = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6), "text": ["same text here"] * 3 + texts[:3]})
+    )
+    out = simhash_pairs(dup, "doc_id", "text", collapse_exact=True).toPandas()
+    copies = {1, 2}  # non-canonical members of the dup class (canonical = 0)
+    assert not (set(out["doc_a"]) | set(out["doc_b"])) & copies
