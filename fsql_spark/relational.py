@@ -833,6 +833,129 @@ GROUP BY 1
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier within a region — the
+    classic correlated-MIN subquery, expressed as the decorrelated plan
+    (per-part min joined back on equality).
+    DEVIATION (documented): no partsupp/ps_supplycost — the observed unit
+    cost MIN(l_extendedprice / l_quantity) per (part, supplier) from
+    lineitem serves as the supply cost. Costs rounded to 2dp on BOTH
+    engines before the min-equality so division ulps can't break ties.
+    Scale: the part/supplier dims broadcast; the one shuffle is the
+    (partkey, suppkey) aggregate over lineitem — partial-agg combines
+    map-side. The region-filtered semi-join prunes suppliers BEFORE the
+    per-part min, so the min is taken over exactly the eligible set."""
+    part = _t(spark, sf, "part").where(
+        (F.col("p_size") == 15) | (F.col("p_type") == "SMALL")
+    )
+    region = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == region.r_regionkey
+    )
+    supplier = _t(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    )
+    li = _t(spark, sf, "lineitem")
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(supplier.select(F.col("s_suppkey").alias("ss"))),
+            li.l_suppkey == F.col("ss"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supplycost"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mp")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        cost.join(min_cost, (cost.l_partkey == F.col("mp")) & (cost.supplycost == F.col("min_cost")))
+        .join(F.broadcast(supplier), cost.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("supplycost").alias("supplycost"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(MIN(l_extendedprice / l_quantity), 2) AS supplycost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15 OR p_type = 'SMALL')
+    AND l_suppkey IN (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+  GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost
+FROM cost
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE supplycost = (SELECT MIN(c2.supplycost) FROM cost c2 WHERE c2.l_partkey = cost.l_partkey)
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value held by one region's suppliers,
+    HAVING value > fraction-of-total (scalar aggregate subquery) — the
+    decorrelated form: the grouped frame is computed once (persisted), its
+    grand total reduced to ONE driver scalar (the q22 pattern — a 1-row
+    inequality join would compile to a BroadcastNestedLoopJoin), and
+    applied as a literal filter.
+    DEVIATION (documented): no partsupp/availqty — "stock value" is the
+    observed SUM(l_extendedprice) per part shipped by EUROPE suppliers.
+    Values rounded to 2dp on BOTH engines before the threshold compare."""
+    region = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == region.r_regionkey
+    )
+    supplier = _t(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    )
+    li = _t(spark, sf, "lineitem")
+    value = (
+        li.join(
+            F.broadcast(supplier.select(F.col("s_suppkey").alias("ss"))),
+            li.l_suppkey == F.col("ss"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+    )
+    value = value.persist()
+    # F.round (half-up, matching SQL ROUND) — not Python round (banker's)
+    threshold = value.agg(
+        F.round(F.sum("part_value") * 0.001, 2).alias("t")
+    ).collect()[0][0] or 0.0
+    return value.where(F.col("part_value") > F.lit(threshold)).select(
+        "l_partkey", "part_value"
+    )
+
+
+Q11_SQL = """
+WITH value AS (
+  SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS part_value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE')
+  GROUP BY 1
+)
+SELECT l_partkey, part_value
+FROM value
+WHERE part_value > (SELECT ROUND(SUM(part_value) * 0.001, 2) FROM value)
+"""
+
+
 # --------------------------------------------------------------------------
 # windows / top-k / rollup / set ops / anti-semi
 # --------------------------------------------------------------------------
@@ -1287,6 +1410,8 @@ RELATIONAL_QUERIES = {
     "q20_part_promotion_suppliers": q20_part_promotion_suppliers,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
     "q_top_parts_per_brand": q_top_parts_per_brand,
     "q_customer_running_total": q_customer_running_total,
     "q_rollup_returns": q_rollup_returns,
@@ -1324,6 +1449,8 @@ RELATIONAL_ORACLES = {
     "q20_part_promotion_suppliers": Q20_SQL,
     "q21_waiting_supplier": Q21_SQL,
     "q22_global_sales_opportunity": Q22_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_stock": Q11_SQL,
     "q_top_parts_per_brand": Q_TOP_PARTS_SQL,
     "q_customer_running_total": Q_RUNNING_SQL,
     "q_rollup_returns": Q_ROLLUP_SQL,
