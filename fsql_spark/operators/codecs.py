@@ -9,10 +9,12 @@ formats (JPEG, video).
 
 Codec scope (loud refusal outside it):
 
-- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-  6 (RGBA), non-interlaced. All five scanline filters (None/Sub/Up/
-  Average/Paeth) decode; CRCs are verified. Palette (3), 16-bit and
-  Adam7 interlace raise NotImplementedError naming the feature.
+- PNG: color types 0 (gray), 2 (RGB), 3 (palette, with optional tRNS
+  alpha), 4 (gray+alpha), 6 (RGBA); bit depths 8 everywhere and 16 for
+  the non-palette types; non-interlaced. All five scanline filters
+  (None/Sub/Up/Average/Paeth) decode; CRCs are verified. Sub-byte
+  depths (1/2/4) and Adam7 interlace raise NotImplementedError naming
+  the feature.
 - WAV: RIFF/WAVE, PCM (format 1), 8-bit unsigned or 16-bit signed
   little-endian, any channel count.
 
@@ -33,8 +35,9 @@ import numpy as np
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-#: color type -> samples per pixel
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: color type -> samples per pixel (palette indices are 1 sample/px; the
+#: PLTE lookup to RGB happens after unfiltering)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 class CodecError(ValueError):
@@ -106,14 +109,20 @@ def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode a PNG byte string to a uint8 array: (H, W) for grayscale,
-    (H, W, C) otherwise. Verifies signature + per-chunk CRCs; refuses
-    corrupt structure with :class:`CodecError` and out-of-scope features
-    (palette / 16-bit / interlace) with NotImplementedError."""
+    """Decode a PNG byte string to a numpy array: (H, W) for grayscale,
+    (H, W, C) otherwise — uint8 for depth 8 (palette images come back as
+    the looked-up RGB/RGBA), uint16 for depth 16. Verifies signature +
+    per-chunk CRCs; refuses corrupt structure with :class:`CodecError`
+    and out-of-scope features (sub-byte depths / interlace) with
+    NotImplementedError."""
     if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise CodecError("not a PNG (bad signature)")
     width = height = None
+    depth = 8
+    color = 0
     channels = 0
+    palette = None
+    trns = None
     idat = bytearray()
     for ctype, payload in _png_chunks(data):
         if ctype == b"IHDR":
@@ -126,11 +135,20 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise CodecError("PNG: unknown compression/filter method")
             if interlace != 0:
                 raise NotImplementedError("PNG: Adam7 interlace not supported")
-            if depth != 8:
-                raise NotImplementedError(f"PNG: bit depth {depth} not supported (8 only)")
             if color not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG: color type {color} not supported")
+            if depth not in (8, 16) or (color == 3 and depth != 8):
+                # spec also allows 1/2/4-bit packing — out of scope, loud
+                raise NotImplementedError(
+                    f"PNG: bit depth {depth} for color type {color} not supported"
+                )
             channels = _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(payload) % 3 or not 3 <= len(payload) <= 256 * 3:
+                raise CodecError("PNG PLTE: bad length")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(payload, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.extend(payload)
         elif ctype == b"IEND":
@@ -143,7 +161,9 @@ def decode_png(data: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise CodecError(f"PNG IDAT: {exc}") from exc
-    stride = width * channels
+    bps = depth // 8  # bytes per sample
+    stride = width * channels * bps
+    bpp = channels * bps  # filter unit (PNG spec: filters act on BYTES)
     if len(raw) != height * (1 + stride):
         raise CodecError("PNG: decompressed size mismatch")
     flat = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
@@ -151,9 +171,31 @@ def decode_png(data: bytes) -> np.ndarray:
     prev = np.zeros(stride, dtype=np.int32)
     for r in range(height):
         base = r * (1 + stride)
-        recon = _unfilter_row(int(flat[base]), flat[base + 1 : base + 1 + stride], prev, channels)
+        recon = _unfilter_row(int(flat[base]), flat[base + 1 : base + 1 + stride], prev, bpp)
         out[r] = recon.astype(np.uint8)
         prev = recon
+    if depth == 16:  # big-endian byte pairs -> uint16 samples
+        pairs = out.reshape(height, width * channels, 2).astype(np.uint16)
+        samples = (pairs[:, :, 0] << 8) | pairs[:, :, 1]
+        return samples.reshape(height, width) if channels == 1 else samples.reshape(
+            height, width, channels
+        )
+    if color == 3:  # palette lookup AFTER unfiltering (indices filter as bytes)
+        if palette is None:
+            raise CodecError("PNG: palette image missing PLTE chunk")
+        idx = out.reshape(height, width)
+        if int(idx.max()) >= palette.shape[0]:
+            raise CodecError(
+                f"PNG: palette index {int(idx.max())} out of range "
+                f"(palette has {palette.shape[0]} entries)"
+            )
+        rgb = palette[idx]  # (H, W, 3)
+        if trns is None:
+            return rgb
+        # tRNS: alpha per palette entry, entries past its length are opaque
+        alpha_lut = np.full(palette.shape[0], 255, dtype=np.uint8)
+        alpha_lut[: min(len(trns), palette.shape[0])] = trns[: palette.shape[0]]
+        return np.dstack([rgb, alpha_lut[idx]])
     return out if channels == 1 else out.reshape(height, width, channels)
 
 
@@ -190,14 +232,34 @@ def _chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
+def _filtered_idat(byte_rows: np.ndarray, bpp: int, filters: str) -> bytes:
+    """Filter byte-level scanlines ((H, stride) int32) into an IDAT stream.
+    'none' writes filter-0 rows; 'cycle' rotates 0→1→2→3→4 so a decoder
+    must exercise every unfilter path."""
+    height, stride = byte_rows.shape
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(height):
+        ftype = (r % 5) if filters == "cycle" else 0
+        lines.append(ftype)
+        lines.extend(_filter_row(ftype, byte_rows[r], prev, bpp).astype(np.uint8).tobytes())
+        prev = byte_rows[r]
+    return zlib.compress(bytes(lines), 6)
+
+
 def encode_png(arr: np.ndarray, filters: str = "cycle") -> bytes:
-    """Encode a uint8 array ((H,W) gray / (H,W,2) gray+alpha / (H,W,3) RGB /
-    (H,W,4) RGBA) as a deterministic PNG. ``filters``: 'none' writes filter-0
-    rows; 'cycle' rotates row filters 0→1→2→3→4 so a decoder must exercise
-    every unfilter path — the mode the engine's synthetic media tables use,
-    making decode round trips a REAL test of the codec, not an echo."""
-    if arr.dtype != np.uint8:
-        raise ValueError(f"encode_png needs uint8, got {arr.dtype}")
+    """Encode a uint8 or uint16 array ((H,W) gray / (H,W,2) gray+alpha /
+    (H,W,3) RGB / (H,W,4) RGBA) as a deterministic PNG (bit depth 8 or 16
+    by dtype). ``filters``: 'none' writes filter-0 rows; 'cycle' rotates
+    row filters 0→1→2→3→4 so a decoder must exercise every unfilter path —
+    the mode the engine's synthetic media tables use, making decode round
+    trips a REAL test of the codec, not an echo."""
+    if arr.dtype == np.uint8:
+        depth = 8
+    elif arr.dtype == np.uint16:
+        depth = 16
+    else:
+        raise ValueError(f"encode_png needs uint8 or uint16, got {arr.dtype}")
     if arr.ndim == 2:
         channels, color = 1, 0
     elif arr.ndim == 3 and arr.shape[2] in (1, 2, 3, 4):
@@ -210,22 +272,48 @@ def encode_png(arr: np.ndarray, filters: str = "cycle") -> bytes:
     height, width = arr.shape[0], arr.shape[1]
     if height == 0 or width == 0:
         raise ValueError("cannot encode a zero-sized image")
-    stride = width * channels
-    pixels = arr.reshape(height, stride).astype(np.int32)
-    lines = bytearray()
-    prev = np.zeros(stride, dtype=np.int32)
-    for r in range(height):
-        ftype = (r % 5) if filters == "cycle" else 0
-        lines.append(ftype)
-        lines.extend(_filter_row(ftype, pixels[r], prev, channels).astype(np.uint8).tobytes())
-        prev = pixels[r]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    bps = depth // 8
+    stride = width * channels * bps
+    if depth == 16:  # samples serialize big-endian; filters act on BYTES
+        byte_rows = (
+            np.ascontiguousarray(arr.astype(">u2")).view(np.uint8).reshape(height, stride)
+        ).astype(np.int32)
+    else:
+        byte_rows = arr.reshape(height, stride).astype(np.int32)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _chunk(b"IDAT", _filtered_idat(byte_rows, channels * bps, filters))
         + _chunk(b"IEND", b"")
     )
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    filters: str = "cycle",
+) -> bytes:
+    """Encode a uint8 index array (H, W) + (n, 3) uint8 palette as a
+    color-type-3 PNG, optionally with a tRNS alpha table (n,). Indices must
+    stay within the palette (decode refuses out-of-range lookups)."""
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("encode_png_palette needs a uint8 (H, W) index array")
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= palette.shape[0] <= 256:
+        raise ValueError("palette must be (n, 3) uint8 with 1 <= n <= 256")
+    if int(indices.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("palette index out of range")
+    height, width = indices.shape
+    if height == 0 or width == 0:
+        raise ValueError("cannot encode a zero-sized image")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    chunks = _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        chunks += _chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
+    chunks += _chunk(b"IDAT", _filtered_idat(indices.astype(np.int32), 1, filters))
+    return PNG_SIGNATURE + chunks + _chunk(b"IEND", b"")
 
 
 # --------------------------------------------------------------------------

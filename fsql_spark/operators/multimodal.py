@@ -565,7 +565,9 @@ def decode_image_stats(media: DataFrame, content_col: str = "content",
                     arr = decode_image(raw)
                 except Exception as exc:
                     _reraise_with_media_id(mid, exc)
-                px = np.asarray(arr, dtype=np.uint8)
+                # preserve dtype: 16-bit PNGs decode to uint16 — forcing
+                # uint8 here would silently truncate their pixel stats
+                px = np.asarray(arr)
                 ids.append(mid)
                 hs.append(px.shape[0])
                 ws.append(px.shape[1])
@@ -633,6 +635,58 @@ def documents_as_wav(spark: SparkSession, sf: str, sample_rate: int = 8000) -> D
     """Synthesize the WAV media table from the sf-dir documents (see
     :func:`pack_wav` for the container)."""
     return pack_wav(spark.read.parquet(f"{sf}/documents.parquet"), sample_rate)
+
+
+#: deterministic 64-entry palette for the synthetic palette-PNG table:
+#: pal[i] = ((i*7)%256, (i*13)%256, (i*29)%256) — coprime multipliers give
+#: distinct RGB triples a SQL oracle can recompute per character
+PALETTE_SIZE = 64
+
+
+def documents_as_palette_png(spark: SparkSession, sf: str, width: int = 32) -> DataFrame:
+    """Synthesize a REAL color-type-3 (palette) PNG media table: each
+    document's text bytes map to palette indices (byte % 64), '.'-padded
+    like :func:`documents_as_png`, encoded with CYCLING row filters and a
+    PLTE chunk. Decoding exercises the palette-lookup path end-to-end; the
+    palette is a pure function of the index, so a SQL oracle recomputes
+    every looked-up RGB from the source text."""
+    import math
+
+    import numpy as np
+
+    from .codecs import encode_png_palette
+
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    i = np.arange(PALETTE_SIZE)
+    palette = np.stack([(i * 7) % 256, (i * 13) % 256, (i * 29) % 256], axis=1).astype(np.uint8)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, heights = [], []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                n = max(1, math.ceil(len(b) / width))
+                padded = b.ljust(n * width, b".")
+                idx = (np.frombuffer(padded, dtype=np.uint8) % PALETTE_SIZE).astype(
+                    np.uint8
+                ).reshape(n, width)
+                contents.append(encode_png_palette(idx, palette, filters="cycle"))
+                heights.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": contents,
+                    "mime": "image/png",
+                    "width": pd.Series([width] * len(contents), dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "duration_ms": pd.Series([-1] * len(contents), dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
 
 
 def decode_audio_energy(media: DataFrame, window: int = 64,
@@ -756,6 +810,42 @@ GROUP BY doc_id
 """
 
 
+def q_image_decode_palette(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end palette-PNG codec round trip: documents as color-type-3
+    PNGs (byte %64 indices through a deterministic PLTE, cycling filters),
+    decoded distributedly, pixel stats over the looked-up RGB. The oracle
+    recomputes every RGB triple from the source characters — a wrong
+    palette lookup (or any unfilter bit-flip) breaks px_sum."""
+    media = documents_as_palette_png(spark, sf, width=32)
+    return decode_image_stats(media).select(
+        "media_id", "width", "height", "n_pixels", "px_sum"
+    )
+
+
+Q_IMAGE_PALETTE_SQL = """
+WITH sized AS (
+  SELECT doc_id,
+         rpad(text, CAST(GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER), 1) * 32 AS INTEGER), '.') AS padded,
+         GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER), 1) AS n
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         SUM((ascii(substr(padded, CAST(s.p AS INTEGER), 1)) % 64) * 7  % 256
+           + (ascii(substr(padded, CAST(s.p AS INTEGER), 1)) % 64) * 13 % 256
+           + (ascii(substr(padded, CAST(s.p AS INTEGER), 1)) % 64) * 29 % 256) AS px_sum
+  FROM sized, unnest(generate_series(1, LENGTH(padded))) AS s(p)
+  GROUP BY doc_id
+)
+SELECT sized.doc_id                 AS media_id,
+       32                           AS width,
+       CAST(n AS INTEGER)           AS height,
+       CAST(n * 32 * 3 AS BIGINT)   AS n_pixels,
+       CAST(px.px_sum AS BIGINT)    AS px_sum
+FROM sized JOIN px ON sized.doc_id = px.doc_id
+"""
+
+
 def q_audio_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end REAL audio codec round trip: documents as 16-bit PCM WAV
     ((byte-128)*256 samples), decoded distributedly, 64-sample windowed
@@ -788,6 +878,7 @@ MULTIMODAL_QUERIES = {
     "q_multimodal_audio_energy": q_multimodal_audio_energy,
     "q_image_decode_png": q_image_decode_png,
     "q_image_resize_png": q_image_resize_png,
+    "q_image_decode_palette": q_image_decode_palette,
     "q_audio_decode_wav": q_audio_decode_wav,
 }
 MULTIMODAL_ORACLES = {
@@ -796,5 +887,6 @@ MULTIMODAL_ORACLES = {
     "q_multimodal_audio_energy": Q_AUDIO_ENERGY_SQL,
     "q_image_decode_png": Q_IMAGE_DECODE_SQL,
     "q_image_resize_png": Q_IMAGE_RESIZE_SQL,
+    "q_image_decode_palette": Q_IMAGE_PALETTE_SQL,
     "q_audio_decode_wav": Q_WAV_ENERGY_SQL,
 }

@@ -17,6 +17,7 @@ from fsql_spark.operators.codecs import (
     decode_png,
     decode_wav,
     encode_png,
+    encode_png_palette,
     encode_wav,
 )
 
@@ -77,12 +78,63 @@ def test_png_corrupt_and_scope_refusals():
         end = struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
         return PNG_SIGNATURE + chunk + end
 
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
-        decode_png(ihdr_png(depth=16))
-    with pytest.raises(NotImplementedError, match="color type 3"):
-        decode_png(ihdr_png(color=3))
+    with pytest.raises(NotImplementedError, match="bit depth 4"):
+        decode_png(ihdr_png(depth=4))
+    with pytest.raises(NotImplementedError, match="color type 7"):
+        decode_png(ihdr_png(color=7))
+    with pytest.raises(NotImplementedError, match="bit depth 16 for color type 3"):
+        decode_png(ihdr_png(depth=16, color=3))
     with pytest.raises(NotImplementedError, match="interlace"):
         decode_png(ihdr_png(interlace=1))
+
+
+def test_png_palette_round_trip():
+    idx = RNG.randint(0, 7, size=(23, 17)).astype(np.uint8)
+    pal = RNG.randint(0, 256, size=(7, 3)).astype(np.uint8)
+    out = decode_png(encode_png_palette(idx, pal))
+    assert out.shape == (23, 17, 3) and (out == pal[idx]).all()
+    # tRNS alpha: listed entries take their alpha, the rest are opaque
+    trns = np.array([0, 128, 255], dtype=np.uint8)
+    out4 = decode_png(encode_png_palette(idx, pal, trns=trns))
+    alut = np.full(7, 255, np.uint8)
+    alut[:3] = trns
+    assert out4.shape == (23, 17, 4)
+    assert (out4[:, :, :3] == pal[idx]).all() and (out4[:, :, 3] == alut[idx]).all()
+
+
+def test_png_palette_refusals():
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png_palette(np.full((4, 4), 9, np.uint8), pal)
+    # decode-side out-of-range: encode with a big palette, then shrink PLTE
+    big = encode_png_palette(np.full((4, 4), 5, np.uint8), RNG.randint(0, 256, (6, 3)).astype(np.uint8))
+    # rebuild with a 2-entry PLTE but the same IDAT (indices now exceed it)
+    chunks = []
+    pos = len(PNG_SIGNATURE)
+    while pos < len(big):
+        (length,) = struct.unpack(">I", big[pos : pos + 4])
+        ctype = big[pos + 4 : pos + 8]
+        payload = big[pos + 8 : pos + 8 + length]
+        if ctype == b"PLTE":
+            payload = payload[:6]
+        crc = struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        chunks.append(struct.pack(">I", len(payload)) + ctype + payload + crc)
+        pos += 12 + length
+    with pytest.raises(CodecError, match="palette index 5 out of range"):
+        decode_png(PNG_SIGNATURE + b"".join(chunks))
+    # palette image with no PLTE at all
+    no_plte = [c for c in chunks if c[4:8] != b"PLTE"]
+    with pytest.raises(CodecError, match="missing PLTE"):
+        decode_png(PNG_SIGNATURE + b"".join(no_plte))
+
+
+@pytest.mark.parametrize("shape", [(9, 13), (9, 13, 3), (5, 4, 4), (1, 1)])
+@pytest.mark.parametrize("filters", ["none", "cycle"])
+def test_png_16bit_round_trip(shape, filters):
+    a16 = RNG.randint(0, 65536, size=shape).astype(np.uint16)
+    got = decode_png(encode_png(a16, filters=filters))
+    assert got.dtype == np.uint16 and got.shape == a16.shape and (got == a16).all()
 
 
 @pytest.mark.parametrize(
