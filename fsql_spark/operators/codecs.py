@@ -1,11 +1,12 @@
 """Pure stdlib+numpy image/audio codecs: PNG (zlib inflate + per-row
 unfilter) and WAV (RIFF PCM parse).
 
-These make ``decode_image`` / ``decode_audio`` REAL for the two formats a
-crawl pipeline meets first, with zero external dependencies — PNG is just
-zlib (stdlib) over filtered scanlines, WAV is a struct parse. The
-NotImplementedError path survives only for genuinely codec-requiring
-formats (JPEG, video).
+These make ``decode_image`` / ``decode_audio`` REAL with zero external
+dependencies — PNG is just zlib (stdlib) over filtered scanlines, WAV is
+a struct parse. Baseline JPEG decodes natively too (``jpeg.py``, a full
+pure-numpy Huffman+DCT implementation). The NotImplementedError path
+survives only for formats that genuinely need an external codec (GIF,
+WebP, video containers).
 
 Codec scope (loud refusal outside it):
 

@@ -1,0 +1,669 @@
+"""Pure stdlib+numpy baseline JPEG (ITU-T T.81) codec.
+
+Closes the "JPEG second after PNG" gap with zero external dependencies:
+``encode_jpeg`` / ``decode_jpeg`` implement the real pipeline — level
+shift, 8x8 DCT, quantization (Annex K tables, libjpeg-convention quality
+scaling), zigzag, differential DC + run-length AC Huffman coding with the
+spec's standard code tables, byte stuffing, and the whole thing in
+reverse. No counterpart in the reference (fsql has no multimodal
+surface); the driver brief mandates multimodal decode.
+
+Scope (loud refusal outside it):
+
+- Baseline sequential DCT (SOF0), 8-bit precision, Huffman entropy
+  coding. Progressive (SOF2), arithmetic coding, 12-bit, and
+  hierarchical modes raise NotImplementedError naming the feature.
+- 1 component (grayscale) or 3 components (YCbCr, JFIF conversion)
+  with sampling factors 1 or 2 per axis (covers 4:4:4, 4:2:2, 4:2:0).
+- Restart markers (DRI/RSTn) are honored on decode.
+
+Determinism contract (what makes a JPEG entry ORACLE-ABLE): every
+rounding step uses floor(x + 0.5), and both DCT directions snap their
+float output to the nearest 1/256 (dyadic, exact in float64). True DCT
+coefficients of a CONSTANT 8x8 block are exact integers (DC = 8*(v-128),
+AC = 0), so the snap eliminates matmul ulps and the full encode->decode
+round trip becomes exact integer arithmetic a SQL oracle can replicate:
+with Q00 divisible by 8 (quality 50 gives the Annex K DC step of 16),
+    decoded = clamp(floor(8*(v-128)/Q00 + 0.5) * Q00/8 + 128, 0, 255).
+For general images the snap is a <1/512 perturbation, far inside the
+quantizer's step (>= 1).
+
+Performance shape: like ``codecs.py``, these run INSIDE Arrow-batched
+mapInPandas kernels — one image per row, numpy for the blockwise DCT
+(a single (n_blocks, 8, 8) tensor matmul per component), plain-Python
+bit I/O only for the entropy layer.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import CodecError
+
+# --------------------------------------------------------------------------
+# spec constants (ITU-T T.81 Annex K — public)
+# --------------------------------------------------------------------------
+
+#: Annex K.1 luminance / K.2 chrominance quantization tables (natural order)
+QUANT_LUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+QUANT_CHROM = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+#: Annex K.3 standard Huffman tables: (bits[1..16], values)
+HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+for _bits, _vals in (HUFF_DC_LUM, HUFF_DC_CHROM, HUFF_AC_LUM, HUFF_AC_CHROM):
+    assert sum(_bits) == len(_vals), "Huffman table BITS/HUFFVAL mismatch"
+
+
+def _zigzag_order() -> np.ndarray:
+    """The 64-entry zigzag permutation, generated (not transcribed): entry k
+    is the natural-order index of the k-th zigzag coefficient."""
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        # even diagonals run bottom-left -> top-right (row descending = col
+        # ascending), odd ones the reverse — the T.81 Figure 5 order
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
+    )
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()  # natural index of each zigzag position
+UNZIGZAG = np.argsort(ZIGZAG)  # zigzag position of each natural index
+
+#: orthonormal 8-point DCT-II matrix: dct2(b) = C @ b @ C.T
+_C = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if k == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * n + 1) * k * np.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _snap(x: np.ndarray) -> np.ndarray:
+    """Snap to the nearest 1/256 (dyadic — exact in float64): kills matmul
+    ulps so integer-valued true coefficients stay EXACT integers (the
+    determinism contract in the module docstring)."""
+    return np.floor(x * 256.0 + 0.5) / 256.0
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    return np.floor(x + 0.5)
+
+
+def quality_scaled_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-convention quality scaling (public): 1..100, 50 = the Annex K
+    table verbatim."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# bit I/O + Huffman
+# --------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        pad = (8 - self.nbits % 8) % 8
+        if pad:  # pad with 1-bits (spec convention)
+            self.write((1 << pad) - 1, pad)
+        self.acc = 0
+        self.nbits = 0
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        if self.pos >= len(d):
+            raise CodecError("JPEG: entropy data ran out")
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise CodecError("JPEG: truncated at 0xFF")
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed data byte
+                self.pos += 2
+                return 0xFF
+            raise CodecError("JPEG: entropy data ran out (hit marker)")
+        self.pos += 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.acc = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker (restart-interval decode)."""
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF or d[self.pos + 1] != 0xD0 + (n & 7):
+            raise CodecError(f"JPEG: expected RST{n & 7} marker")
+        self.pos += 2
+
+
+def _build_encode_table(bits: list, values: list) -> dict:
+    """Canonical Huffman code assignment (spec C.2): symbol -> (code, len)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_decode_table(bits: list, values: list) -> dict:
+    """(length, code) -> symbol, same canonical assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise CodecError("JPEG: invalid Huffman code")
+
+
+def _magnitude(v: int) -> tuple:
+    """(size, appended-bits) per spec F.1.2.1: negatives code as v-1 in
+    ``size`` bits."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _extend(received: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return received if received >= (1 << (size - 1)) else received - (1 << size) + 1
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float -> (H//8 * W//8, 8, 8) snapped DCT coefficients."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return _snap(_C @ blocks @ _C.T)
+
+
+def _encode_component_blocks(
+    writer: _BitWriter, blocks_q: np.ndarray, dc_tab: dict, ac_tab: dict, pred: int
+) -> int:
+    """Huffman-encode quantized blocks (already zigzagged, (n, 64) int32)."""
+    for zz in blocks_q:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        size, bits = _magnitude(diff)
+        code, length = dc_tab[size]
+        writer.write(code, length)
+        if size:
+            writer.write(bits, size)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_tab[0xF0]  # ZRL
+                writer.write(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = ac_tab[(run << 4) | size]
+            writer.write(code, length)
+            writer.write(bits, size)
+            run = 0
+        if last < 63:
+            code, length = ac_tab[0x00]  # EOB
+            writer.write(code, length)
+    return pred
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate to multiples of (mh, mw) — the spec's recommended
+    extension, and replication keeps constant blocks constant."""
+    h, w = plane.shape
+    return np.pad(
+        plane, ((0, (-h) % mh), (0, (-w) % mw)), mode="edge"
+    )
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 50,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 array — (H, W) grayscale or (H, W, 3) RGB — as a
+    baseline JFIF JPEG (SOF0, standard Huffman tables, Annex K quant
+    tables scaled by ``quality``). ``subsampling``: '4:4:4' or '4:2:0'
+    (3-component only). ``restart_interval`` > 0 writes DRI + RSTn
+    markers every that many MCUs (error-resilience segmentation — also
+    exercises the decoder's restart path). Deterministic: same array ->
+    same bytes."""
+    if arr.dtype != np.uint8:
+        raise ValueError(f"encode_jpeg needs uint8, got {arr.dtype}")
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    if arr.shape[0] == 0 or arr.shape[1] == 0:
+        raise ValueError("cannot encode a zero-sized image")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"subsampling must be '4:4:4' or '4:2:0', got {subsampling}")
+    sub = (not gray) and subsampling == "4:2:0"
+    height, width = arr.shape[0], arr.shape[1]
+
+    qlum = quality_scaled_table(QUANT_LUM, quality)
+    qchrom = quality_scaled_table(QUANT_CHROM, quality)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [
+            np.clip(_round_half_up(p), 0, 255) for p in (y, cb, cr)
+        ]
+        if sub:  # 2x2 mean, floor(x+0.5) for determinism
+            for i in (1, 2):
+                p = _pad_to(planes[i], 2, 2)
+                planes[i] = _round_half_up(
+                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+                )
+
+    # component geometry: (h_i, v_i) sampling factors
+    factors = [(1, 1)] if gray else ([(2, 2), (1, 1), (1, 1)] if sub else [(1, 1), (1, 1), (1, 1)])
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    # quantize each component's blocks, in MCU-interleaved order
+    comp_blocks = []  # per component: (blocks_y, blocks_x, zz (n,64))
+    for ci, plane in enumerate(planes):
+        h_i, v_i = factors[ci]
+        # pad each component to the size the MCU grid implies
+        mcus_y = -(-height // (8 * vmax))
+        mcus_x = -(-width // (8 * hmax))
+        th, tw = mcus_y * 8 * v_i, mcus_x * 8 * h_i
+        p = plane[: min(plane.shape[0], th), : min(plane.shape[1], tw)]
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        coefs = _fdct_blocks(p - 128.0)
+        q = (qlum if ci == 0 else qchrom).astype(np.float64)
+        zz = _round_half_up(coefs / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
+        comp_blocks.append((th // 8, tw // 8, zz))
+
+    # entropy-encode in MCU order
+    writer = _BitWriter()
+    enc_dc = [_build_encode_table(*HUFF_DC_LUM), _build_encode_table(*HUFF_DC_CHROM)]
+    enc_ac = [_build_encode_table(*HUFF_AC_LUM), _build_encode_table(*HUFF_AC_CHROM)]
+    preds = [0] * len(planes)
+    mcus_y = -(-height // (8 * vmax))
+    mcus_x = -(-width // (8 * hmax))
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()  # byte-align, then the bare RSTn marker
+                writer.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * len(planes)
+            mcu_count += 1
+            for ci, (by, bx, zz) in enumerate(comp_blocks):
+                h_i, v_i = factors[ci]
+                t = 0 if ci == 0 else 1
+                for dy in range(v_i):
+                    for dx in range(h_i):
+                        bidx = (my * v_i + dy) * bx + (mx * h_i + dx)
+                        preds[ci] = _encode_component_blocks(
+                            writer, zz[bidx : bidx + 1], enc_dc[t], enc_ac[t], preds[ci]
+                        )
+    writer.flush()
+
+    # --- assemble the stream ---
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xFFDB, b"\x00" + bytes(qlum.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qchrom.reshape(64)[ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        h_i, v_i = factors[ci]
+        sof += struct.pack(">BBB", ci + 1, (h_i << 4) | v_i, 0 if ci == 0 else 1)
+    out += seg(0xFFC0, sof)
+    for tclass, tid, (bits, vals) in (
+        (0, 0, HUFF_DC_LUM),
+        (1, 0, HUFF_AC_LUM),
+        (0, 1, HUFF_DC_CHROM),
+        (1, 1, HUFF_AC_CHROM),
+    ):
+        if gray and tid == 1:
+            continue
+        out += seg(0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = struct.pack(">B", ncomp)
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += struct.pack(">BB", ci + 1, (t << 4) | t)
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG byte string to a uint8 array — (H, W) for
+    one component, (H, W, 3) RGB for three (JFIF YCbCr conversion).
+    Refuses corrupt structure with :class:`CodecError` and non-baseline
+    modes (progressive / arithmetic / 12-bit) with NotImplementedError."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise CodecError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict = {}
+    dc_tables: dict = {}
+    ac_tables: dict = {}
+    frame = None  # (height, width, comps) where comps = [(cid, h, v, tq)]
+    restart_interval = 0
+    result = None
+
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise CodecError(f"JPEG: expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            continue
+        if pos + 2 > len(data):
+            raise CodecError("JPEG: truncated segment header")
+        (length,) = struct.unpack(">H", data[pos : pos + 2])
+        payload = data[pos + 2 : pos + length]
+        if len(payload) != length - 2:
+            raise CodecError("JPEG: truncated segment payload")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant tables not supported")
+                if p + 65 > len(payload):
+                    raise CodecError("JPEG DQT: truncated table")
+                zz = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
+                qtables[tq] = zz[UNZIGZAG].reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                if len(vals) != n:
+                    raise CodecError("JPEG DHT: truncated table")
+                (dc_tables if tc == 0 else ac_tables)[th] = _build_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext. sequential)
+            precision, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
+            if precision != 8:
+                raise NotImplementedError(f"JPEG: {precision}-bit precision not supported")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack(">BBB", payload[6 + 3 * i : 9 + 3 * i])
+                h_i, v_i = hv >> 4, hv & 0x0F
+                if h_i not in (1, 2) or v_i not in (1, 2):
+                    raise NotImplementedError(
+                        f"JPEG: sampling factor {h_i}x{v_i} not supported (1 or 2)"
+                    )
+                comps.append((cid, h_i, v_i, tq))
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"JPEG: {ncomp}-component images not supported")
+            frame = (height, width, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "JPEG: only baseline sequential Huffman (SOF0/SOF1) is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise CodecError("JPEG: SOS before SOF")
+            ns = payload[0]
+            scan_sel = []
+            for i in range(ns):
+                cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan_sel.append((cs, tt >> 4, tt & 0x0F))
+            result, pos = _decode_scan(
+                data, pos + length, frame, scan_sel, qtables, dc_tables, ac_tables,
+                restart_interval,
+            )
+            continue  # pos already advanced past entropy data
+        pos += length
+    if result is None:
+        raise CodecError("JPEG: no scan decoded")
+    return result
+
+
+def _decode_scan(data, pos, frame, scan_sel, qtables, dc_tables, ac_tables, restart_interval):
+    height, width, comps = frame
+    if len(scan_sel) != len(comps):
+        raise NotImplementedError("JPEG: multi-scan (progressive-style) files not supported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_y = -(-height // (8 * vmax))
+    mcus_x = -(-width // (8 * hmax))
+
+    order = []  # (comp_idx, dc_table, ac_table, qtable, blocks_x, plane, h, v)
+    planes = []
+    for ci, (cid, h_i, v_i, tq) in enumerate(comps):
+        sel = next((s for s in scan_sel if s[0] == cid), None)
+        if sel is None:
+            raise CodecError(f"JPEG: scan does not cover component {cid}")
+        _, td, ta = sel
+        if td not in dc_tables or ta not in ac_tables or tq not in qtables:
+            raise CodecError("JPEG: scan references an undefined table")
+        by, bx = mcus_y * v_i, mcus_x * h_i
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        planes.append(plane)
+        order.append((ci, dc_tables[td], ac_tables[ta], qtables[tq].astype(np.float64), bx, plane, h_i, v_i))
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * len(comps)
+            for ci, dc_tab, ac_tab, q, bx, plane, h_i, v_i in order:
+                for dy in range(v_i):
+                    for dx in range(h_i):
+                        zz = np.zeros(64, dtype=np.float64)
+                        size = _decode_symbol(reader, dc_tab)
+                        if size > 11:
+                            raise CodecError("JPEG: DC size out of range")
+                        preds[ci] += _extend(reader.receive(size), size)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(reader, ac_tab)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise CodecError("JPEG: AC run past block end")
+                            zz[k] = _extend(reader.receive(size), size)
+                            k += 1
+                        block = (zz[UNZIGZAG].reshape(8, 8)) * q
+                        px = _snap(_C.T @ block @ _C)
+                        r0 = (my * v_i + dy) * 8
+                        c0 = (mx * h_i + dx) * 8
+                        plane[r0 : r0 + 8, c0 : c0 + 8] = px
+            mcu_count += 1
+
+    # reassemble: upsample, level shift, color convert, crop
+    full = []
+    for ci, (cid, h_i, v_i, tq) in enumerate(comps):
+        p = planes[ci]
+        if h_i != hmax or v_i != vmax:
+            p = np.repeat(np.repeat(p, vmax // v_i, axis=0), hmax // h_i, axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        out = np.clip(_round_half_up(full[0] + 128.0), 0, 255).astype(np.uint8)
+        return out, reader.pos
+    y, cb, cr = full[0] + 128.0, full[1] + 128.0, full[2] + 128.0
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(_round_half_up(c), 0, 255).astype(np.uint8) for c in (r, g, b)], axis=2
+    )
+    return rgb, reader.pos

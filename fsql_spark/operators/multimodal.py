@@ -2,13 +2,14 @@
 with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-Decode is REAL for PNG and WAV via the engine's pure stdlib+numpy codecs
-(``codecs.py``: zlib inflate + scanline unfilter; RIFF PCM parse) — no
+Decode is REAL for PNG (incl. palette + 16-bit), baseline JPEG, and WAV
+via the engine's pure stdlib+numpy codecs (``codecs.py``: zlib inflate +
+scanline unfilter; ``jpeg.py``: Huffman+DCT; RIFF PCM parse) — no
 external library needed. ``decode_image``/``decode_audio`` dispatch on
-magic bytes and raise NotImplementedError only for genuinely
-codec-requiring formats (JPEG, video), falling back to PIL for those when
-it happens to be installed. A clearly-marked deterministic FAKE decoder
-remains for format-agnostic plumbing tests.
+magic bytes and raise NotImplementedError only for formats that
+genuinely need an external codec (GIF, WebP, video containers), falling
+back to PIL for those when it happens to be installed. A clearly-marked
+deterministic FAKE decoder remains for format-agnostic plumbing tests.
 
 Scale notes: binary payloads ride the scan as plain parquet BYTE_ARRAY;
 mapInPandas streams Arrow batches so peak memory is one batch per task —
@@ -57,15 +58,20 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(content: bytes):
-    """Real image decode. PNG decodes natively (stdlib zlib + numpy
-    unfilter, see ``codecs.py``) and returns a uint8 numpy array — (H, W)
-    gray or (H, W, C). Other formats (JPEG, ...) fall back to Pillow when
-    installed, else raise NotImplementedError naming the format."""
+    """Real image decode. PNG (stdlib zlib + numpy unfilter, ``codecs.py``)
+    and baseline JPEG (pure-numpy Huffman+DCT, ``jpeg.py``) decode
+    natively and return a numpy array — (H, W) gray or (H, W, C). Other
+    formats (GIF, WebP, ...) fall back to Pillow when installed, else
+    raise NotImplementedError naming the format."""
     from .codecs import PNG_SIGNATURE, decode_png
 
     content = bytes(content)
     if content[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":  # SOI
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     try:  # pragma: no cover - no external codec in container
         from PIL import Image  # type: ignore
         import io
@@ -78,8 +84,9 @@ def decode_image(content: bytes):
     except ImportError as exc:
         head = content[:4].hex() if content else "<empty>"
         raise NotImplementedError(
-            f"non-PNG image (head bytes {head}) needs Pillow, which is not "
-            "installed in this environment; PNG decodes natively"
+            f"image with head bytes {head} needs Pillow, which is not "
+            "installed in this environment; PNG and baseline JPEG decode "
+            "natively"
         ) from exc
 
 
@@ -810,6 +817,86 @@ GROUP BY doc_id
 """
 
 
+def documents_as_jpeg(spark: SparkSession, sf: str, chars_per_row: int = 16) -> DataFrame:
+    """Synthesize a REAL baseline-JPEG media table: each text byte becomes
+    one CONSTANT 8x8 block ('.'-padded to fill the last block row),
+    encoded at quality 50 grayscale. Constant blocks make the lossy
+    DCT round trip exactly predictable (see ``jpeg.py``'s determinism
+    contract): decoded = clamp(2*floor((byte-128)/2 + 0.5) + 128), so a
+    SQL oracle verifies the full Huffman+DCT pipeline per character."""
+    import math
+
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    if chars_per_row < 1:
+        raise ValueError(f"chars_per_row must be >= 1, got {chars_per_row}")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, heights = [], []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                n = max(1, math.ceil(len(b) / chars_per_row))
+                padded = b.ljust(n * chars_per_row, b".")
+                mat = np.frombuffer(padded, dtype=np.uint8).reshape(n, chars_per_row)
+                arr = np.repeat(np.repeat(mat, 8, axis=0), 8, axis=1)
+                contents.append(encode_jpeg(arr, quality=50))
+                heights.append(n * 8)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": contents,
+                    "mime": "image/jpeg",
+                    "width": pd.Series([chars_per_row * 8] * len(contents), dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "duration_ms": pd.Series([-1] * len(contents), dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def q_image_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end REAL JPEG codec round trip: documents as constant-block
+    baseline JPEGs, decoded distributedly (pure-numpy Huffman+DCT), pixel
+    stats emitted. The oracle recomputes every decoded value from the
+    source characters via the closed-form quantization round trip — a
+    wrong Huffman bit, DC prediction, zigzag slot, or DCT scale anywhere
+    breaks px_sum."""
+    media = documents_as_jpeg(spark, sf, chars_per_row=16)
+    return decode_image_stats(media).select(
+        "media_id", "width", "height", "n_pixels", "px_sum"
+    )
+
+
+Q_IMAGE_JPEG_SQL = """
+WITH sized AS (
+  SELECT doc_id,
+         rpad(text, CAST(GREATEST(CAST(CEIL(LENGTH(text) / 16.0) AS INTEGER), 1) * 16 AS INTEGER), '.') AS padded,
+         GREATEST(CAST(CEIL(LENGTH(text) / 16.0) AS INTEGER), 1) AS n
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         SUM(64 * LEAST(255, GREATEST(0,
+             2 * CAST(FLOOR((ascii(substr(padded, CAST(s.p AS INTEGER), 1)) - 128) / 2.0 + 0.5) AS BIGINT)
+             + 128))) AS px_sum
+  FROM sized, unnest(generate_series(1, LENGTH(padded))) AS s(p)
+  GROUP BY doc_id
+)
+SELECT sized.doc_id                   AS media_id,
+       128                            AS width,
+       CAST(n * 8 AS INTEGER)         AS height,
+       CAST(n * 16 * 64 AS BIGINT)    AS n_pixels,
+       CAST(px.px_sum AS BIGINT)      AS px_sum
+FROM sized JOIN px ON sized.doc_id = px.doc_id
+"""
+
+
 def q_image_decode_palette(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end palette-PNG codec round trip: documents as color-type-3
     PNGs (byte %64 indices through a deterministic PLTE, cycling filters),
@@ -879,6 +966,7 @@ MULTIMODAL_QUERIES = {
     "q_image_decode_png": q_image_decode_png,
     "q_image_resize_png": q_image_resize_png,
     "q_image_decode_palette": q_image_decode_palette,
+    "q_image_decode_jpeg": q_image_decode_jpeg,
     "q_audio_decode_wav": q_audio_decode_wav,
 }
 MULTIMODAL_ORACLES = {
@@ -888,5 +976,6 @@ MULTIMODAL_ORACLES = {
     "q_image_decode_png": Q_IMAGE_DECODE_SQL,
     "q_image_resize_png": Q_IMAGE_RESIZE_SQL,
     "q_image_decode_palette": Q_IMAGE_PALETTE_SQL,
+    "q_image_decode_jpeg": Q_IMAGE_JPEG_SQL,
     "q_audio_decode_wav": Q_WAV_ENERGY_SQL,
 }

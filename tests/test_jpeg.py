@@ -1,0 +1,138 @@
+"""Baseline JPEG codec tests: exact constant-block round trips (the
+closed-form oracle family), bounded-error smooth/noise round trips,
+4:2:0 vs 4:4:4, restart markers, odd sizes, corrupt/scope refusals,
+and the distributed decode dispatch over Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fsql_spark.operators.codecs import CodecError
+from fsql_spark.operators.jpeg import (
+    QUANT_LUM,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    quality_scaled_table,
+)
+
+RNG = np.random.RandomState(20260814)
+
+
+def _expected_constant(v: np.ndarray, q00: int) -> np.ndarray:
+    """Closed-form decode of a constant 8x8 block (module determinism
+    contract): clamp(floor(8*(v-128)/q00 + 0.5) * q00/8 + 128)."""
+    s = v.astype(np.int64) - 128
+    sq = np.floor(8.0 * s / q00 + 0.5)
+    return np.clip(sq * q00 / 8.0 + 128, 0, 255).astype(np.uint8)
+
+
+def test_constant_blocks_exact_all_values():
+    # every uint8 value as a constant block; quality 50 -> Q00 = 16
+    v = np.arange(256, dtype=np.uint8)
+    img = np.repeat(np.repeat(v.reshape(16, 16), 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg(img, quality=50))
+    expect = np.repeat(
+        np.repeat(_expected_constant(v, 16).reshape(16, 16), 8, axis=0), 8, axis=1
+    )
+    assert out.shape == img.shape
+    assert (out == expect).all()
+
+
+@pytest.mark.parametrize("quality,q00", [(50, 16), (25, 32), (75, 8)])
+def test_constant_blocks_exact_when_q00_divides_8(quality, q00):
+    assert quality_scaled_table(QUANT_LUM, quality)[0, 0] == q00
+    if q00 % 8:
+        pytest.skip("closed form needs 8 | Q00")
+    v = np.arange(32, 127, dtype=np.uint8)
+    img = np.repeat(np.repeat(v.reshape(-1, 1), 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert (out[::8, 0] == _expected_constant(v, q00)).all()
+
+
+def test_zigzag_is_the_spec_permutation():
+    # spot anchors of the well-known order: 0,1,8,16,9,2,3,10,... ends at 63
+    assert ZIGZAG[0] == 0 and ZIGZAG[1] == 1 and ZIGZAG[2] == 8
+    assert ZIGZAG[3] == 16 and ZIGZAG[4] == 9 and ZIGZAG[5] == 2
+    assert ZIGZAG[63] == 63 and sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+def test_smooth_round_trip_bounded_error():
+    g = (np.add.outer(np.arange(40), np.arange(48)) * 2 % 256).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(g, quality=90))
+    assert d.shape == g.shape
+    assert np.abs(d.astype(int) - g.astype(int)).max() <= 16
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_color_round_trip(subsampling):
+    img = np.zeros((24, 40, 3), np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 40).astype(np.uint8)
+    img[:, :, 1] = 100
+    img[:, :, 2] = np.linspace(255, 0, 24).astype(np.uint8)[:, None]
+    d = decode_jpeg(encode_jpeg(img, quality=90, subsampling=subsampling))
+    assert d.shape == img.shape
+    # 4:2:0 halves chroma resolution: looser but still tight on a gradient
+    bound = 16 if subsampling == "4:4:4" else 40
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= bound
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 5), (9, 17), (16, 16), (23, 31, 3)])
+def test_odd_sizes_round_trip_shape(shape):
+    a = RNG.randint(60, 196, size=shape).astype(np.uint8)
+    sub = "4:2:0" if len(shape) == 3 else "4:4:4"
+    d = decode_jpeg(encode_jpeg(a, quality=95, subsampling=sub))
+    assert d.shape == a.shape
+
+
+def test_restart_markers_do_not_change_output():
+    a = RNG.randint(0, 256, size=(40, 56)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(a, quality=92))
+    for ri in (1, 2, 5, 7):
+        assert (decode_jpeg(encode_jpeg(a, quality=92, restart_interval=ri)) == base).all()
+    c = RNG.randint(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    b3 = decode_jpeg(encode_jpeg(c, quality=85, subsampling="4:2:0"))
+    d3 = decode_jpeg(encode_jpeg(c, quality=85, subsampling="4:2:0", restart_interval=3))
+    assert (d3 == b3).all()
+
+
+def test_determinism_same_bytes():
+    a = RNG.randint(0, 256, size=(17, 23)).astype(np.uint8)
+    assert encode_jpeg(a, quality=70) == encode_jpeg(a.copy(), quality=70)
+
+
+def test_refusals():
+    with pytest.raises(CodecError, match="SOI"):
+        decode_jpeg(b"nope")
+    a = np.zeros((8, 8), np.uint8)
+    good = bytearray(encode_jpeg(a))
+    # flip the SOF0 marker to SOF2 (progressive) -> loud NotImplementedError
+    i = bytes(good).find(b"\xff\xc0")
+    prog = good.copy()
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(CodecError):
+        decode_jpeg(bytes(good[:-4]))  # truncated entropy data / no EOI scan end
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(a, quality=0)
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg(a.astype(np.int32))
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="4:1:1")
+
+
+def test_quality_scaling_anchors():
+    assert (quality_scaled_table(QUANT_LUM, 50) == QUANT_LUM).all()
+    assert quality_scaled_table(QUANT_LUM, 100).min() == 1
+    assert (quality_scaled_table(QUANT_LUM, 1) >= QUANT_LUM).all()
+
+
+def test_decode_image_dispatches_jpeg_natively(spark):
+    from fsql_spark.operators.multimodal import decode_image
+
+    a = np.repeat(np.repeat(np.array([[70, 80], [90, 100]], np.uint8), 8, 0), 8, 1)
+    out = decode_image(encode_jpeg(a, quality=50))
+    assert out.shape == (16, 16)
+    assert (out == _expected_constant(a.astype(np.uint8), 16)).all()
