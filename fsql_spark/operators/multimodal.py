@@ -198,9 +198,103 @@ def resize_images(media: DataFrame, width: int, height: int,
     return media.select(id_col, content_col).mapInPandas(kernel, schema)
 
 
-def sample_video_frames(media: DataFrame, every_ms: int) -> DataFrame:  # pragma: no cover
-    """STUB: frame sampling needs ffmpeg; same mapInPandas shape."""
-    raise NotImplementedError("no video codec in this environment (see module docstring)")
+Y4M_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("luma_sum", LongType()),
+        StructField("frame_fp", StringType()),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every: int = 3, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL distributed frame sampling over a genuine video format: Y4M
+    (YUV4MPEG2 — the public uncompressed interchange container) decodes
+    natively (``video.py``) and every ``every``-th frame emits its exact
+    luma sum + md5 fingerprint. Compressed containers (MP4/WebM/...)
+    raise NotImplementedError naming the payload, with the media id
+    attached. The FVID twin is :func:`sample_container_frames`."""
+    import hashlib
+
+    import numpy as np
+
+    from .video import Y4M_MAGIC, decode_y4m
+
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums, fps = [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(raw)
+                try:
+                    if not b.startswith(Y4M_MAGIC):
+                        head = b[:4].hex() if b else "<empty>"
+                        raise NotImplementedError(
+                            f"video with head bytes {head} needs an external "
+                            "codec; YUV4MPEG2 decodes natively"
+                        )
+                    frames = decode_y4m(b)["y"]
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
+                for i in range(0, frames.shape[0], every):
+                    ids.append(mid)
+                    idxs.append(i)
+                    sums.append(int(frames[i].astype(np.int64).sum()))
+                    fps.append(hashlib.md5(frames[i].tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "luma_sum": pd.Series(sums, dtype="int64"),
+                    "frame_fp": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(kernel, Y4M_FRAME_SCHEMA)
+
+
+def pack_y4m(docs: DataFrame, frame_w: int = 8, frame_h: int = 8) -> DataFrame:
+    """Pack (doc_id, text) rows into REAL Y4M videos: each text byte
+    becomes one CONSTANT mono luma frame (value = the byte), so the frame
+    pipeline downstream is exactly oracle-able (frame i's luma_sum is
+    w*h*byte, its fingerprint the md5 of w*h copies of the character).
+    A STATELESS Arrow kernel like :func:`pack_video`/:func:`pack_wav`."""
+    import numpy as np
+
+    from .video import encode_y4m
+
+    if frame_w < 1 or frame_h < 1:
+        raise ValueError(f"frame size must be >= 1x1, got {frame_w}x{frame_h}")
+    docs = docs.select("doc_id", "text")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, durs = [], []
+            for text in pdf["text"]:
+                b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                frames = np.broadcast_to(
+                    b[:, None, None], (len(b), frame_h, frame_w)
+                ).copy()
+                contents.append(encode_y4m(frames, fps=(25, 1)))
+                durs.append(len(b) * 1000 // 25)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "content": contents,
+                    "mime": "video/x-yuv4mpeg",
+                    "width": pd.Series([frame_w] * len(contents), dtype="int32"),
+                    "height": pd.Series([frame_h] * len(contents), dtype="int32"),
+                    "duration_ms": pd.Series(durs, dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
 
 
 #: the engine's self-describing synthetic container: magic + big-endian
@@ -933,6 +1027,27 @@ FROM sized JOIN px ON sized.doc_id = px.doc_id
 """
 
 
+def q_video_frame_sample_y4m(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end REAL video-format round trip: documents packed as Y4M
+    (one constant 8x8 mono frame per text byte), strided frame sampling
+    (every 3rd) with exact luma sums and md5 fingerprints. The oracle
+    recomputes BOTH from the source characters — frame_fp is the md5 of
+    64 copies of the character, so a single wrong plane byte breaks it."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    media = pack_y4m(docs, frame_w=8, frame_h=8)
+    return sample_video_frames(media, every=3)
+
+
+Q_Y4M_FRAME_SQL = """
+SELECT doc_id                                                   AS media_id,
+       CAST(s.p - 1 AS INTEGER)                                 AS frame_idx,
+       CAST(64 * ascii(substr(text, CAST(s.p AS INTEGER), 1)) AS BIGINT) AS luma_sum,
+       md5(repeat(substr(text, CAST(s.p AS INTEGER), 1), 64))   AS frame_fp
+FROM documents, unnest(generate_series(1, LENGTH(text), 3)) AS s(p)
+WHERE LENGTH(text) > 0
+"""
+
+
 def q_audio_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end REAL audio codec round trip: documents as 16-bit PCM WAV
     ((byte-128)*256 samples), decoded distributedly, 64-sample windowed
@@ -967,6 +1082,7 @@ MULTIMODAL_QUERIES = {
     "q_image_resize_png": q_image_resize_png,
     "q_image_decode_palette": q_image_decode_palette,
     "q_image_decode_jpeg": q_image_decode_jpeg,
+    "q_video_frame_sample_y4m": q_video_frame_sample_y4m,
     "q_audio_decode_wav": q_audio_decode_wav,
 }
 MULTIMODAL_ORACLES = {
@@ -977,5 +1093,6 @@ MULTIMODAL_ORACLES = {
     "q_image_resize_png": Q_IMAGE_RESIZE_SQL,
     "q_image_decode_palette": Q_IMAGE_PALETTE_SQL,
     "q_image_decode_jpeg": Q_IMAGE_JPEG_SQL,
+    "q_video_frame_sample_y4m": Q_Y4M_FRAME_SQL,
     "q_audio_decode_wav": Q_WAV_ENERGY_SQL,
 }
