@@ -203,51 +203,97 @@ class _BitWriter:
         self.nbits = 0
 
 
+def _destuff_scan(data: bytes, pos: int):
+    """Pre-scan an entropy-coded segment ONCE: strip 0xFF00 stuffing,
+    record RSTn boundaries (as destuffed offsets), find where the scan
+    ends (the first real marker). Returns (clean_bytes, rst_offsets,
+    rst_markers, end_pos). This turns the hot decode path into plain
+    buffered bit reads with no per-byte marker logic."""
+    parts = []
+    rst_offsets = []
+    rst_markers = []
+    start = pos
+    clean_len = 0
+    while True:
+        ff = data.find(0xFF, pos)
+        if ff < 0:
+            parts.append(data[start:])
+            clean_len += len(data) - start
+            return b"".join(parts), rst_offsets, rst_markers, len(data)
+        nxt = data[ff + 1] if ff + 1 < len(data) else None
+        if nxt == 0x00:  # stuffed data byte: keep the 0xFF, drop the 0x00
+            parts.append(data[start : ff + 1])
+            clean_len += ff + 1 - start
+            pos = start = ff + 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:  # restart marker
+            parts.append(data[start:ff])
+            clean_len += ff - start
+            rst_offsets.append(clean_len)
+            rst_markers.append(nxt - 0xD0)
+            pos = start = ff + 2
+        else:  # real marker (or truncation) ends the scan
+            parts.append(data[start:ff])
+            clean_len += ff - start
+            return b"".join(parts), rst_offsets, rst_markers, ff
+
+
 class _BitReader:
-    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers."""
+    """Buffered MSB-first bit reader over a destuffed entropy segment.
+    ``peek16`` may read past the end (zero-padded) so a terminal symbol
+    can be matched by the lookup table; actually CONSUMING past the end
+    raises."""
 
-    def __init__(self, data: bytes, pos: int) -> None:
+    def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
+        self.pos = 0  # next unread byte
+        self.buf = 0
+        self.nbuf = 0  # bits in buf
+        self.padded = 0  # pad bits appended past the real data
 
-    def _next_byte(self) -> int:
-        d = self.data
-        if self.pos >= len(d):
+    def _fill(self, need: int) -> None:
+        while self.nbuf < need:
+            chunk = self.data[self.pos : self.pos + 4]
+            if chunk:
+                self.buf = (self.buf << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                self.nbuf += 8 * len(chunk)
+                self.pos += len(chunk)
+            else:
+                self.buf <<= 8
+                self.nbuf += 8
+                self.padded += 8
+        if self.padded > 16:  # peek slack only — consumption ran past the end
             raise CodecError("JPEG: entropy data ran out")
-        b = d[self.pos]
-        if b == 0xFF:
-            if self.pos + 1 >= len(d):
-                raise CodecError("JPEG: truncated at 0xFF")
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:  # stuffed data byte
-                self.pos += 2
-                return 0xFF
-            raise CodecError("JPEG: entropy data ran out (hit marker)")
-        self.pos += 1
-        return b
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self.acc = self._next_byte()
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.buf >> (self.nbuf - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        self.nbuf -= n
+        self.buf &= (1 << self.nbuf) - 1
 
     def receive(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.read_bit()
+        if length == 0:
+            return 0
+        self._fill(length)
+        v = (self.buf >> (self.nbuf - length)) & ((1 << length) - 1)
+        self.consume(length)
         return v
 
-    def align_and_expect_rst(self, n: int) -> None:
-        """Byte-align and consume the RSTn marker (restart-interval decode)."""
-        self.nbits = 0
-        d = self.data
-        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF or d[self.pos + 1] != 0xD0 + (n & 7):
-            raise CodecError(f"JPEG: expected RST{n & 7} marker")
-        self.pos += 2
+    def byte_offset(self) -> int:
+        """Destuffed offset of the next whole byte (for RST alignment)."""
+        return self.pos - self.nbuf // 8
+
+    def align(self) -> None:
+        drop = self.nbuf % 8
+        if drop:
+            self.consume(drop)
+        # drop whole buffered bytes too: restart decoding resumes exactly
+        # at byte_offset, so rewind pos instead of keeping stale buffer
+        self.pos -= self.nbuf // 8
+        self.buf = 0
+        self.nbuf = 0
+        self.padded = 0
 
 
 def _build_encode_table(bits: list, values: list) -> dict:
@@ -264,28 +310,49 @@ def _build_encode_table(bits: list, values: list) -> dict:
     return table
 
 
-def _build_decode_table(bits: list, values: list) -> dict:
-    """(length, code) -> symbol, same canonical assignment."""
-    table = {}
+_ENC_DC = [_build_encode_table(*HUFF_DC_LUM), _build_encode_table(*HUFF_DC_CHROM)]
+_ENC_AC = [_build_encode_table(*HUFF_AC_LUM), _build_encode_table(*HUFF_AC_CHROM)]
+
+
+#: decode-LUT cache keyed by the DHT payload — every image from the same
+#: encoder family shares tables, and a 65k-entry LUT build costs more than
+#: the entropy decode of a small image (profiled: 2.3 of 5 ms/img)
+_DECODE_TABLE_CACHE: dict = {}
+
+
+def _build_decode_table(bits: list, values: list) -> list:
+    """Peek-16 lookup list: for any 16-bit window, entry ``(length << 8) |
+    symbol`` (0 = invalid code). One PLAIN-LIST read per symbol replaces
+    up to 16 per-bit dict probes (and beats numpy scalar indexing ~10x in
+    this hot loop)."""
+    key = (bytes(bits), bytes(values))
+    cached = _DECODE_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut[lo:hi] = (length << 8) | values[k]
             code += 1
             k += 1
         code <<= 1
-    return table
+    out = lut.tolist()
+    if len(_DECODE_TABLE_CACHE) > 64:  # bound: forget foreign one-off tables
+        _DECODE_TABLE_CACHE.clear()
+    _DECODE_TABLE_CACHE[key] = out
+    return out
 
 
-def _decode_symbol(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise CodecError("JPEG: invalid Huffman code")
+def _decode_symbol(reader: _BitReader, table: list) -> int:
+    entry = table[reader.peek16()]
+    if entry == 0:
+        raise CodecError("JPEG: invalid Huffman code")
+    reader.consume(entry >> 8)
+    return entry & 0xFF
 
 
 def _magnitude(v: int) -> tuple:
@@ -426,8 +493,8 @@ def encode_jpeg(
 
     # entropy-encode in MCU order
     writer = _BitWriter()
-    enc_dc = [_build_encode_table(*HUFF_DC_LUM), _build_encode_table(*HUFF_DC_CHROM)]
-    enc_ac = [_build_encode_table(*HUFF_AC_LUM), _build_encode_table(*HUFF_AC_CHROM)]
+    enc_dc = _ENC_DC  # fixed standard tables — built once at import
+    enc_ac = _ENC_AC
     preds = [0] * len(planes)
     mcus_y = -(-height // (8 * vmax))
     mcus_x = -(-width // (8 * hmax))
@@ -595,8 +662,10 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, dc_tables, ac_tables, rest
     mcus_y = -(-height // (8 * vmax))
     mcus_x = -(-width // (8 * hmax))
 
-    order = []  # (comp_idx, dc_table, ac_table, qtable, blocks_x, plane, h, v)
-    planes = []
+    # per component: tables + accumulators for the two-phase decode
+    order = []  # (ci, dc_lut, ac_lut, coeff_lists, block_idx_list, bx)
+    qs = []
+    geoms = []
     for ci, (cid, h_i, v_i, tq) in enumerate(comps):
         sel = next((s for s in scan_sel if s[0] == cid), None)
         if sel is None:
@@ -605,32 +674,49 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, dc_tables, ac_tables, rest
         if td not in dc_tables or ta not in ac_tables or tq not in qtables:
             raise CodecError("JPEG: scan references an undefined table")
         by, bx = mcus_y * v_i, mcus_x * h_i
-        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
-        planes.append(plane)
-        order.append((ci, dc_tables[td], ac_tables[ta], qtables[tq].astype(np.float64), bx, plane, h_i, v_i))
+        order.append((ci, dc_tables[td], ac_tables[ta], [], [], bx))
+        qs.append(qtables[tq].astype(np.float64))
+        geoms.append((by, bx, h_i, v_i))
 
-    reader = _BitReader(data, pos)
+    # --- phase 1: entropy decode into plain Python lists (the hot loop
+    # touches no numpy; LUT symbol lookup + buffered bit reads only) ---
+    clean, rst_offsets, rst_markers, end_pos = _destuff_scan(data, pos)
+    reader = _BitReader(clean)
+    rst_i = 0
     preds = [0] * len(comps)
     mcu_count = 0
     rst_n = 0
+    receive = reader.receive
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_and_expect_rst(rst_n)
+                reader.align()
+                if rst_i >= len(rst_offsets) or rst_offsets[rst_i] != reader.byte_offset():
+                    raise CodecError(f"JPEG: expected RST{rst_n} marker")
+                if rst_markers[rst_i] != rst_n:
+                    raise CodecError(
+                        f"JPEG: expected RST{rst_n}, found RST{rst_markers[rst_i]}"
+                    )
+                rst_i += 1
                 rst_n = (rst_n + 1) & 7
                 preds = [0] * len(comps)
-            for ci, dc_tab, ac_tab, q, bx, plane, h_i, v_i in order:
+            for ci, dc_tab, ac_tab, coeffs, bidxs, bx in order:
+                h_i, v_i = geoms[ci][2], geoms[ci][3]
                 for dy in range(v_i):
                     for dx in range(h_i):
-                        zz = np.zeros(64, dtype=np.float64)
+                        zz = [0] * 64
                         size = _decode_symbol(reader, dc_tab)
                         if size > 11:
                             raise CodecError("JPEG: DC size out of range")
-                        preds[ci] += _extend(reader.receive(size), size)
+                        preds[ci] += _extend(receive(size), size)
                         zz[0] = preds[ci]
                         k = 1
                         while k < 64:
-                            rs = _decode_symbol(reader, ac_tab)
+                            entry = ac_tab[reader.peek16()]
+                            if entry == 0:
+                                raise CodecError("JPEG: invalid Huffman code")
+                            reader.consume(entry >> 8)
+                            rs = entry & 0xFF
                             run, size = rs >> 4, rs & 0x0F
                             if size == 0:
                                 if run == 15:  # ZRL
@@ -640,14 +726,24 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, dc_tables, ac_tables, rest
                             k += run
                             if k > 63:
                                 raise CodecError("JPEG: AC run past block end")
-                            zz[k] = _extend(reader.receive(size), size)
+                            zz[k] = _extend(receive(size), size)
                             k += 1
-                        block = (zz[UNZIGZAG].reshape(8, 8)) * q
-                        px = _snap(_C.T @ block @ _C)
-                        r0 = (my * v_i + dy) * 8
-                        c0 = (mx * h_i + dx) * 8
-                        plane[r0 : r0 + 8, c0 : c0 + 8] = px
+                        coeffs.append(zz)
+                        bidxs.append((my * v_i + dy) * bx + mx * h_i + dx)
             mcu_count += 1
+
+    # --- phase 2: dequantize + IDCT, ONE batched tensor matmul per
+    # component ((n, 8, 8) @ — no per-block numpy) ---
+    planes = []
+    for ci, _dc, _ac, coeffs, bidxs, bx in order:
+        by, bx, h_i, v_i = geoms[ci]
+        blocks = np.asarray(coeffs, dtype=np.float64)[:, UNZIGZAG].reshape(-1, 8, 8) * qs[ci]
+        px = _snap(_C.T @ blocks @ _C)
+        arr = np.zeros((by * bx, 8, 8), dtype=np.float64)
+        arr[np.asarray(bidxs, dtype=np.int64)] = px
+        planes.append(
+            arr.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
 
     # reassemble: upsample, level shift, color convert, crop
     full = []
@@ -658,7 +754,7 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, dc_tables, ac_tables, rest
         full.append(p[:height, :width])
     if len(full) == 1:
         out = np.clip(_round_half_up(full[0] + 128.0), 0, 255).astype(np.uint8)
-        return out, reader.pos
+        return out, end_pos
     y, cb, cr = full[0] + 128.0, full[1] + 128.0, full[2] + 128.0
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -666,4 +762,4 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, dc_tables, ac_tables, rest
     rgb = np.stack(
         [np.clip(_round_half_up(c), 0, 255).astype(np.uint8) for c in (r, g, b)], axis=2
     )
-    return rgb, reader.pos
+    return rgb, end_pos

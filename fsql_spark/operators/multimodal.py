@@ -926,7 +926,15 @@ def documents_as_jpeg(spark: SparkSession, sf: str, chars_per_row: int = 16) -> 
 
     if chars_per_row < 1:
         raise ValueError(f"chars_per_row must be >= 1, got {chars_per_row}")
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    # JPEG entropy coding is the one genuinely CPU-heavy kernel (a Python
+    # bit loop per block): spread the rows so a single-file scan doesn't
+    # serialize it onto one task. At cluster scale many input files give
+    # this parallelism for free; locally the repartition buys 32x.
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1033,7 +1041,12 @@ def q_video_frame_sample_y4m(spark: SparkSession, sf: str) -> DataFrame:
     (every 3rd) with exact luma sums and md5 fingerprints. The oracle
     recomputes BOTH from the source characters — frame_fp is the md5 of
     64 copies of the character, so a single wrong plane byte breaks it."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        # one frame per text byte: spread a single-file scan before the
+        # per-frame fan-out so one task doesn't carry the whole corpus
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     media = pack_y4m(docs, frame_w=8, frame_h=8)
     return sample_video_frames(media, every=3)
 

@@ -904,13 +904,16 @@ WHERE supplycost = (SELECT MIN(c2.supplycost) FROM cost c2 WHERE c2.l_partkey = 
 
 def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q11 shape: per-part value held by one region's suppliers,
-    HAVING value > fraction-of-total (scalar aggregate subquery) — the
-    decorrelated form: the grouped frame is computed once (persisted), its
-    grand total reduced to ONE driver scalar (the q22 pattern — a 1-row
-    inequality join would compile to a BroadcastNestedLoopJoin), and
-    applied as a literal filter.
+    HAVING value > a scalar-aggregate threshold — the decorrelated form:
+    the grouped frame is computed once (persisted), its threshold reduced
+    to ONE driver scalar (the q22 pattern — a 1-row inequality join would
+    compile to a BroadcastNestedLoopJoin), and applied as a literal
+    filter.
     DEVIATION (documented): no partsupp/availqty — "stock value" is the
-    observed SUM(l_extendedprice) per part shipped by EUROPE suppliers.
+    observed SUM(l_extendedprice) per part shipped by EUROPE suppliers,
+    and the threshold is 2x the MEAN part value (TPC-H's fixed
+    fraction-of-total scales the threshold with corpus size and empties
+    the result as parts multiply; the mean form is scale-invariant).
     Values rounded to 2dp on BOTH engines before the threshold compare."""
     region = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
     nation = _t(spark, sf, "nation").join(
@@ -932,7 +935,7 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     value = value.persist()
     # F.round (half-up, matching SQL ROUND) — not Python round (banker's)
     threshold = value.agg(
-        F.round(F.sum("part_value") * 0.001, 2).alias("t")
+        F.round(F.avg("part_value") * 2, 2).alias("t")
     ).collect()[0][0] or 0.0
     return value.where(F.col("part_value") > F.lit(threshold)).select(
         "l_partkey", "part_value"
@@ -952,7 +955,7 @@ WITH value AS (
 )
 SELECT l_partkey, part_value
 FROM value
-WHERE part_value > (SELECT ROUND(SUM(part_value) * 0.001, 2) FROM value)
+WHERE part_value > (SELECT ROUND(AVG(part_value) * 2, 2) FROM value)
 """
 
 
