@@ -72,6 +72,10 @@ def decode_image(content: bytes):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(content)["frames"][0]
     try:  # pragma: no cover - no external codec in container
         from PIL import Image  # type: ignore
         import io
@@ -962,6 +966,63 @@ def documents_as_jpeg(spark: SparkSession, sf: str, chars_per_row: int = 16) -> 
     return docs.mapInPandas(synth, MEDIA_SCHEMA)
 
 
+def documents_as_gif(spark: SparkSession, sf: str, width: int = 32) -> DataFrame:
+    """Synthesize a REAL GIF89a media table: the same byte%64 palette
+    mapping as :func:`documents_as_palette_png` but through the GIF
+    container — INTERLACED, so decoding exercises LZW, the 4-pass row
+    reorder, and the color table lookup. Lossless, so the SQL oracle
+    recomputes every RGB from the source characters."""
+    import math
+
+    import numpy as np
+
+    from .gif import encode_gif
+
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    i = np.arange(PALETTE_SIZE)
+    palette = np.stack([(i * 7) % 256, (i * 13) % 256, (i * 29) % 256], axis=1).astype(np.uint8)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, heights = [], []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                n = max(1, math.ceil(len(b) / width))
+                padded = b.ljust(n * width, b".")
+                idx = (np.frombuffer(padded, dtype=np.uint8) % PALETTE_SIZE).astype(
+                    np.uint8
+                ).reshape(n, width)
+                contents.append(encode_gif(idx, palette, interlace=True))
+                heights.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": contents,
+                    "mime": "image/gif",
+                    "width": pd.Series([width] * len(contents), dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "duration_ms": pd.Series([-1] * len(contents), dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def q_image_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end GIF codec round trip: documents as INTERLACED GIF89a
+    (byte %64 indices through the deterministic palette), decoded
+    distributedly (LZW + 4-pass deinterlace + table lookup), RGB pixel
+    stats. Same oracle family as the palette-PNG entry — lossless, so a
+    wrong LZW code or interlace row anywhere breaks px_sum."""
+    media = documents_as_gif(spark, sf, width=32)
+    return decode_image_stats(media).select(
+        "media_id", "width", "height", "n_pixels", "px_sum"
+    )
+
+
 def q_image_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end REAL JPEG codec round trip: documents as constant-block
     baseline JPEGs, decoded distributedly (pure-numpy Huffman+DCT), pixel
@@ -1094,6 +1155,7 @@ MULTIMODAL_QUERIES = {
     "q_image_decode_png": q_image_decode_png,
     "q_image_resize_png": q_image_resize_png,
     "q_image_decode_palette": q_image_decode_palette,
+    "q_image_decode_gif": q_image_decode_gif,
     "q_image_decode_jpeg": q_image_decode_jpeg,
     "q_video_frame_sample_y4m": q_video_frame_sample_y4m,
     "q_audio_decode_wav": q_audio_decode_wav,
@@ -1105,6 +1167,7 @@ MULTIMODAL_ORACLES = {
     "q_image_decode_png": Q_IMAGE_DECODE_SQL,
     "q_image_resize_png": Q_IMAGE_RESIZE_SQL,
     "q_image_decode_palette": Q_IMAGE_PALETTE_SQL,
+    "q_image_decode_gif": Q_IMAGE_PALETTE_SQL,  # same pixels, different container
     "q_image_decode_jpeg": Q_IMAGE_JPEG_SQL,
     "q_video_frame_sample_y4m": Q_Y4M_FRAME_SQL,
     "q_audio_decode_wav": Q_WAV_ENERGY_SQL,

@@ -127,18 +127,23 @@ def test_multimodal_plumbing(spark):
     assert meta["n_bytes"] == joined["n_bytes"].iloc[0]
 
 
-def test_decode_image_non_png_needs_external_codec():
+def test_decode_image_unknown_format_needs_external_codec():
+    from fsql_spark.operators.codecs import CodecError
     from fsql_spark.operators.multimodal import decode_image
 
+    # JPEG magic now dispatches to the NATIVE decoder: a corrupt payload is
+    # a codec error, not a missing-dependency error
+    with pytest.raises(CodecError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("Pillow installed: non-PNG formats decode via fallback")
+        pytest.skip("Pillow installed: foreign formats decode via fallback")
     except ImportError:
         pass
-    # JPEG magic: no native codec, Pillow absent -> loud NotImplementedError
+    # WebP: genuinely foreign, Pillow absent -> loud NotImplementedError
     with pytest.raises(NotImplementedError, match="needs Pillow"):
-        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_ivf_ann_recall_vs_brute_force(spark):
