@@ -12,9 +12,9 @@ Codec scope (loud refusal outside it):
 
 - PNG: color types 0 (gray), 2 (RGB), 3 (palette, with optional tRNS
   alpha), 4 (gray+alpha), 6 (RGBA); bit depths 8 everywhere and 16 for
-  the non-palette types; non-interlaced. All five scanline filters
-  (None/Sub/Up/Average/Paeth) decode; CRCs are verified. Sub-byte
-  depths (1/2/4) and Adam7 interlace raise NotImplementedError naming
+  the non-palette types; sequential AND Adam7-interlaced. All five
+  scanline filters (None/Sub/Up/Average/Paeth) decode; CRCs are
+  verified. Sub-byte depths (1/2/4) raise NotImplementedError naming
   the feature.
 - WAV: RIFF/WAVE, PCM (format 1), 8-bit unsigned or 16-bit signed
   little-endian, any channel count.
@@ -109,12 +109,41 @@ def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np
     raise CodecError(f"PNG: unknown filter type {ftype}")
 
 
+#: Adam7 pass geometry: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _unfilter_image(raw: bytes, offset: int, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Unfilter ``height`` scanlines of ``stride`` bytes starting at
+    ``offset`` in the decompressed stream -> (height, stride) uint8."""
+    flat = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=height * (1 + stride)).astype(
+        np.int32
+    )
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(height):
+        base = r * (1 + stride)
+        recon = _unfilter_row(int(flat[base]), flat[base + 1 : base + 1 + stride], prev, bpp)
+        out[r] = recon.astype(np.uint8)
+        prev = recon
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG byte string to a numpy array: (H, W) for grayscale,
     (H, W, C) otherwise — uint8 for depth 8 (palette images come back as
-    the looked-up RGB/RGBA), uint16 for depth 16. Verifies signature +
-    per-chunk CRCs; refuses corrupt structure with :class:`CodecError`
-    and out-of-scope features (sub-byte depths / interlace) with
+    the looked-up RGB/RGBA), uint16 for depth 16. Adam7 interlace
+    decodes (each pass is its own filtered sub-image). Verifies signature
+    + per-chunk CRCs; refuses corrupt structure with :class:`CodecError`
+    and out-of-scope features (sub-byte depths) with
     NotImplementedError."""
     if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise CodecError("not a PNG (bad signature)")
@@ -122,6 +151,7 @@ def decode_png(data: bytes) -> np.ndarray:
     depth = 8
     color = 0
     channels = 0
+    interlace = 0
     palette = None
     trns = None
     idat = bytearray()
@@ -134,8 +164,8 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             if comp != 0 or filt != 0:
                 raise CodecError("PNG: unknown compression/filter method")
-            if interlace != 0:
-                raise NotImplementedError("PNG: Adam7 interlace not supported")
+            if interlace not in (0, 1):
+                raise CodecError(f"PNG: unknown interlace method {interlace}")
             if color not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG: color type {color} not supported")
             if depth not in (8, 16) or (color == 3 and depth != 8):
@@ -165,16 +195,27 @@ def decode_png(data: bytes) -> np.ndarray:
     bps = depth // 8  # bytes per sample
     stride = width * channels * bps
     bpp = channels * bps  # filter unit (PNG spec: filters act on BYTES)
-    if len(raw) != height * (1 + stride):
-        raise CodecError("PNG: decompressed size mismatch")
-    flat = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for r in range(height):
-        base = r * (1 + stride)
-        recon = _unfilter_row(int(flat[base]), flat[base + 1 : base + 1 + stride], prev, bpp)
-        out[r] = recon.astype(np.uint8)
-        prev = recon
+    if interlace == 0:
+        if len(raw) != height * (1 + stride):
+            raise CodecError("PNG: decompressed size mismatch")
+        out = _unfilter_image(raw, 0, height, stride, bpp)
+    else:  # Adam7: seven independently-filtered sub-images, then scatter
+        pixels = np.zeros((height, width, bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            if offset + ph * (1 + pstride) > len(raw):
+                raise CodecError("PNG: decompressed size mismatch (interlaced)")
+            sub = _unfilter_image(raw, offset, ph, pstride, bpp)
+            pixels[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+            offset += ph * (1 + pstride)
+        if offset != len(raw):
+            raise CodecError("PNG: decompressed size mismatch (interlaced)")
+        out = pixels.reshape(height, stride)
     if depth == 16:  # big-endian byte pairs -> uint16 samples
         pairs = out.reshape(height, width * channels, 2).astype(np.uint16)
         samples = (pairs[:, :, 0] << 8) | pairs[:, :, 1]
@@ -233,10 +274,10 @@ def _chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
-def _filtered_idat(byte_rows: np.ndarray, bpp: int, filters: str) -> bytes:
-    """Filter byte-level scanlines ((H, stride) int32) into an IDAT stream.
-    'none' writes filter-0 rows; 'cycle' rotates 0→1→2→3→4 so a decoder
-    must exercise every unfilter path."""
+def _filtered_lines(byte_rows: np.ndarray, bpp: int, filters: str) -> bytearray:
+    """Filter byte-level scanlines ((H, stride) int32) into the raw (still
+    uncompressed) line stream. 'none' writes filter-0 rows; 'cycle'
+    rotates 0→1→2→3→4 so a decoder must exercise every unfilter path."""
     height, stride = byte_rows.shape
     lines = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
@@ -245,16 +286,34 @@ def _filtered_idat(byte_rows: np.ndarray, bpp: int, filters: str) -> bytes:
         lines.append(ftype)
         lines.extend(_filter_row(ftype, byte_rows[r], prev, bpp).astype(np.uint8).tobytes())
         prev = byte_rows[r]
+    return lines
+
+
+def _idat_stream(byte_rows: np.ndarray, bpp: int, filters: str, interlace: bool) -> bytes:
+    """Compressed IDAT payload — sequential, or Adam7 (each pass filtered
+    as its own sub-image, exactly as decode expects)."""
+    if not interlace:
+        return zlib.compress(bytes(_filtered_lines(byte_rows, bpp, filters)), 6)
+    height, stride = byte_rows.shape
+    width = stride // bpp
+    pixels = byte_rows.reshape(height, width, bpp)
+    lines = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pixels[y0::dy, x0::dx, :]
+        if sub.size == 0:
+            continue
+        lines += _filtered_lines(sub.reshape(sub.shape[0], -1), bpp, filters)
     return zlib.compress(bytes(lines), 6)
 
 
-def encode_png(arr: np.ndarray, filters: str = "cycle") -> bytes:
+def encode_png(arr: np.ndarray, filters: str = "cycle", interlace: bool = False) -> bytes:
     """Encode a uint8 or uint16 array ((H,W) gray / (H,W,2) gray+alpha /
     (H,W,3) RGB / (H,W,4) RGBA) as a deterministic PNG (bit depth 8 or 16
-    by dtype). ``filters``: 'none' writes filter-0 rows; 'cycle' rotates
-    row filters 0→1→2→3→4 so a decoder must exercise every unfilter path —
-    the mode the engine's synthetic media tables use, making decode round
-    trips a REAL test of the codec, not an echo."""
+    by dtype; Adam7 when ``interlace``). ``filters``: 'none' writes
+    filter-0 rows; 'cycle' rotates row filters 0→1→2→3→4 so a decoder
+    must exercise every unfilter path — the mode the engine's synthetic
+    media tables use, making decode round trips a REAL test of the codec,
+    not an echo."""
     if arr.dtype == np.uint8:
         depth = 8
     elif arr.dtype == np.uint16:
@@ -281,11 +340,11 @@ def encode_png(arr: np.ndarray, filters: str = "cycle") -> bytes:
         ).astype(np.int32)
     else:
         byte_rows = arr.reshape(height, stride).astype(np.int32)
-    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, int(interlace))
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", _filtered_idat(byte_rows, channels * bps, filters))
+        + _chunk(b"IDAT", _idat_stream(byte_rows, channels * bps, filters, interlace))
         + _chunk(b"IEND", b"")
     )
 
@@ -295,6 +354,7 @@ def encode_png_palette(
     palette: np.ndarray,
     trns: np.ndarray | None = None,
     filters: str = "cycle",
+    interlace: bool = False,
 ) -> bytes:
     """Encode a uint8 index array (H, W) + (n, 3) uint8 palette as a
     color-type-3 PNG, optionally with a tRNS alpha table (n,). Indices must
@@ -309,11 +369,11 @@ def encode_png_palette(
     height, width = indices.shape
     if height == 0 or width == 0:
         raise ValueError("cannot encode a zero-sized image")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, int(interlace))
     chunks = _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
     if trns is not None:
         chunks += _chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
-    chunks += _chunk(b"IDAT", _filtered_idat(indices.astype(np.int32), 1, filters))
+    chunks += _chunk(b"IDAT", _idat_stream(indices.astype(np.int32), 1, filters, interlace))
     return PNG_SIGNATURE + chunks + _chunk(b"IEND", b"")
 
 

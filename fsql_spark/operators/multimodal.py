@@ -2,14 +2,16 @@
 with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-Decode is REAL for PNG (incl. palette + 16-bit), baseline JPEG, and WAV
-via the engine's pure stdlib+numpy codecs (``codecs.py``: zlib inflate +
-scanline unfilter; ``jpeg.py``: Huffman+DCT; RIFF PCM parse) — no
-external library needed. ``decode_image``/``decode_audio`` dispatch on
-magic bytes and raise NotImplementedError only for formats that
-genuinely need an external codec (GIF, WebP, video containers), falling
-back to PIL for those when it happens to be installed. A clearly-marked
-deterministic FAKE decoder remains for format-agnostic plumbing tests.
+Decode is REAL for PNG (palette, 16-bit, Adam7 interlace), baseline
+JPEG, GIF, WAV, and Y4M video via the engine's pure stdlib+numpy codecs
+(``codecs.py``: zlib inflate + scanline unfilter; ``jpeg.py``:
+Huffman+DCT; ``gif.py``: LZW; ``video.py``: YUV4MPEG2; RIFF PCM parse)
+— no external library needed. ``decode_image``/``decode_audio``
+dispatch on magic bytes and raise NotImplementedError only for formats
+that genuinely need an external codec (WebP, compressed video
+containers), falling back to PIL for those when it happens to be
+installed. A clearly-marked deterministic FAKE decoder remains for
+format-agnostic plumbing tests.
 
 Scale notes: binary payloads ride the scan as plain parquet BYTE_ARRAY;
 mapInPandas streams Arrow batches so peak memory is one batch per task —

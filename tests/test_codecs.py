@@ -84,8 +84,52 @@ def test_png_corrupt_and_scope_refusals():
         decode_png(ihdr_png(color=7))
     with pytest.raises(NotImplementedError, match="bit depth 16 for color type 3"):
         decode_png(ihdr_png(depth=16, color=3))
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_png(ihdr_png(interlace=1))
+    with pytest.raises(CodecError, match="unknown interlace"):
+        decode_png(ihdr_png(interlace=2))
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 1), (7, 5), (9, 17), (16, 16), (23, 31, 3), (10, 12, 4), (6, 9, 2)]
+)
+@pytest.mark.parametrize("filters", ["none", "cycle"])
+def test_png_adam7_round_trip(shape, filters):
+    a = RNG.randint(0, 256, size=shape).astype(np.uint8)
+    assert (decode_png(encode_png(a, filters=filters, interlace=True)) == a).all()
+
+
+def test_png_adam7_16bit_and_palette():
+    a16 = RNG.randint(0, 65536, size=(11, 13, 3)).astype(np.uint16)
+    assert (decode_png(encode_png(a16, interlace=True)) == a16).all()
+    idx = RNG.randint(0, 7, size=(21, 13)).astype(np.uint8)
+    pal = RNG.randint(0, 256, size=(7, 3)).astype(np.uint8)
+    assert (decode_png(encode_png_palette(idx, pal, interlace=True)) == pal[idx]).all()
+    out4 = decode_png(
+        encode_png_palette(idx, pal, trns=np.array([9, 200], np.uint8), interlace=True)
+    )
+    assert out4.shape == (21, 13, 4)
+
+
+def test_png_adam7_truncated_pass_refused():
+    a = RNG.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    png = bytearray(encode_png(a, interlace=True))
+    # recompress a SHORTER stream into the IDAT chunk: structure intact,
+    # pass payload missing -> size-mismatch refusal (not garbage pixels)
+    import struct as _s
+    import zlib as _z
+
+    pos = len(PNG_SIGNATURE)
+    out = bytearray(PNG_SIGNATURE)
+    while pos < len(png):
+        (length,) = _s.unpack(">I", png[pos : pos + 4])
+        ctype = bytes(png[pos + 4 : pos + 8])
+        payload = bytes(png[pos + 8 : pos + 8 + length])
+        if ctype == b"IDAT":
+            payload = _z.compress(_z.decompress(payload)[:-40], 6)
+        crc = _s.pack(">I", _z.crc32(ctype + payload) & 0xFFFFFFFF)
+        out += _s.pack(">I", len(payload)) + ctype + payload + crc
+        pos += 12 + length
+    with pytest.raises(CodecError, match="size mismatch"):
+        decode_png(bytes(out))
 
 
 def test_png_palette_round_trip():
