@@ -446,6 +446,99 @@ ORDER BY lang
 """
 
 
+def winnow_fingerprints(
+    df: DataFrame, k: int = 5, w: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the public algorithm): hash every character k-gram, then
+    from every window of ``w`` consecutive hashes select the RIGHTMOST
+    minimum; the deduplicated selections are the document's fingerprints.
+    Guarantees >=1 selection per window (any shared substring of length
+    >= w+k-1 yields a shared fingerprint) at expected density 2/(w+1).
+
+    Spark-first formulation — no UDF: k-grams explode from a sequence(),
+    hashes are md5 hex (byte-identical across engines, minimized
+    lexicographically), and "rightmost minimum of some fully-contained
+    window" decomposes into ``w`` frame conditions: position q is selected
+    iff for some t in [0, w-1] (window [q-t, q-t+w-1] inside the gram
+    range) the t hashes left of q are all >= h[q] AND the w-1-t hashes
+    right of q are all > h[q]. One shuffle (the per-document window sort);
+    documents with fewer than w+k-1 characters contain no full window and
+    emit nothing, by construction."""
+    from pyspark.sql import Window
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    n = (F.length(text_col) - k + 1).alias("n")
+    grams = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"), n)
+        .where(F.col("n") >= w)
+        .select("doc", "n", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("pos"), "t")
+        .select("doc", "n", "pos", F.md5(F.col("t").substr(F.col("pos"), F.lit(k))).alias("h"))
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    conds = []
+    for t in range(w):
+        c = (F.col("pos") - t >= 1) & (F.col("pos") - t + (w - 1) <= F.col("n"))
+        if t > 0:
+            c = c & (F.min("h").over(win.rowsBetween(-t, -1)) >= F.col("h"))
+        if t < w - 1:
+            c = c & (F.min("h").over(win.rowsBetween(1, w - 1 - t)) > F.col("h"))
+        conds.append(c)
+    selected = conds[0]
+    for c in conds[1:]:
+        selected = selected | c
+    # window expressions must materialize in a projection before the filter
+    return (
+        grams.withColumn("sel", selected)
+        .where(F.col("sel"))
+        .select(F.col("doc").alias(id_col), F.col("pos").alias("gram_pos"), F.col("h").alias("fp"))
+    )
+
+
+def q_doc_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
+def _winnow_sql(k: int = 5, w: int = 4) -> str:
+    conds = []
+    for t in range(w):
+        parts = [f"(pos - {t} >= 1 AND pos - {t} + {w - 1} <= n)"]
+        if t > 0:
+            parts.append(
+                f"COALESCE(MIN(h) OVER (PARTITION BY doc ORDER BY pos "
+                f"ROWS BETWEEN {t} PRECEDING AND 1 PRECEDING) >= h, FALSE)"
+            )
+        if t < w - 1:
+            parts.append(
+                f"COALESCE(MIN(h) OVER (PARTITION BY doc ORDER BY pos "
+                f"ROWS BETWEEN 1 FOLLOWING AND {w - 1 - t} FOLLOWING) > h, FALSE)"
+            )
+        conds.append("(" + " AND ".join(parts) + ")")
+    return f"""
+WITH sized AS (
+  SELECT doc_id AS doc, text AS t, LENGTH(text) - {k} + 1 AS n
+  FROM documents
+  WHERE LENGTH(text) - {k} + 1 >= {w}
+),
+grams AS (
+  SELECT doc, n, CAST(s.p AS INTEGER) AS pos,
+         md5(substr(t, CAST(s.p AS INTEGER), {k})) AS h
+  FROM sized, unnest(generate_series(1, n)) AS s(p)
+),
+flagged AS (
+  SELECT doc, pos, h, ({" OR ".join(conds)}) AS sel
+  FROM grams
+)
+SELECT doc AS doc_id, pos AS gram_pos, h AS fp
+FROM flagged WHERE sel
+"""
+
+
+Q_WINNOW_SQL = _winnow_sql(5, 4)
+
+
 TEXT_QUERIES = {
     "q_doc_text_stats": q_doc_text_stats,
     "q_doc_lang_id": q_doc_lang_id,
@@ -453,9 +546,11 @@ TEXT_QUERIES = {
     "q_doc_redact_normalize": q_doc_redact_normalize,
     "q_chunk_documents": q_chunk_documents,
     "q_quality_filter": q_quality_filter,
+    "q_doc_winnow_fingerprints": q_doc_winnow_fingerprints,
 }
 
 TEXT_ORACLES = {
+    "q_doc_winnow_fingerprints": Q_WINNOW_SQL,
     "q_doc_text_stats": Q_TEXT_STATS_SQL,
     "q_doc_lang_id": Q_LANG_ID_SQL,
     "q_docs_by_lang_source": Q_DOCS_BY_LANG_SQL,

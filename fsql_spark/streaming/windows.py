@@ -584,6 +584,25 @@ def q_stream_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
 from ..operators.multimodal import Q_WAV_ENERGY_SQL as Q_STREAM_AUDIO_DECODE_SQL  # noqa: E402
 
 
+def q_stream_video_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video-format processing AT CRAWL INGEST: arriving documents are
+    packed into Y4M containers and frame-sampled by the SAME two stateless
+    Arrow kernels the batch entry uses (`pack_y4m` ->
+    `sample_video_frames`, the native YUV4MPEG2 parser inside), chained on
+    a readStream — seventh batch/stream unification proof, through a real
+    public video container. Oracle aliased from the batch entry
+    (identical output set by construction)."""
+    from ..operators.multimodal import pack_y4m, sample_video_frames
+
+    media = pack_y4m(documents_stream(spark, sf), frame_w=8, frame_h=8)
+    frames = sample_video_frames(media, every=3)
+    out = run_to_memory(frames, mode="append")
+    return out.select("media_id", "frame_idx", "luma_sum", "frame_fp")
+
+
+from ..operators.multimodal import Q_Y4M_FRAME_SQL as Q_STREAM_VIDEO_DECODE_SQL  # noqa: E402
+
+
 def events_batch_tree(spark: SparkSession, sf: str) -> str:
     """Build-once: the events table staged as a 3-file parquet dir (ts
     already normalized to TIMESTAMP) so a file-source stream delivers it in
@@ -755,6 +774,7 @@ STREAMING_QUERIES = {
     "q_stream_perplexity": q_stream_perplexity,
     "q_stream_frame_sample": q_stream_frame_sample,
     "q_stream_audio_decode": q_stream_audio_decode,
+    "q_stream_video_decode": q_stream_video_decode,
 }
 
 STREAMING_ORACLES = {
@@ -772,4 +792,5 @@ STREAMING_ORACLES = {
     "q_stream_perplexity": Q_STREAM_PERPLEXITY_SQL,
     "q_stream_frame_sample": Q_STREAM_FRAME_SAMPLE_SQL,
     "q_stream_audio_decode": Q_STREAM_AUDIO_DECODE_SQL,
+    "q_stream_video_decode": Q_STREAM_VIDEO_DECODE_SQL,
 }

@@ -98,3 +98,52 @@ def test_simhash_collapse_shortcircuit_equivalence(spark):
     out = simhash_pairs(dup, "doc_id", "text", collapse_exact=True).toPandas()
     copies = {1, 2}  # non-canonical members of the dup class (canonical = 0)
     assert not (set(out["doc_a"]) | set(out["doc_b"])) & copies
+
+
+def test_winnow_matches_reference_algorithm(spark):
+    """winnow_fingerprints == the textbook algorithm (rightmost minimum of
+    every fully-contained window, deduplicated) on adversarial inputs:
+    repeated characters (ties everywhere), periodic strings, short docs."""
+    import hashlib
+    import random
+
+    from fsql_spark.operators.text import winnow_fingerprints
+
+    def ref(text, k=5, w=4):
+        n = len(text) - k + 1
+        if n < w:
+            return set()
+        hs = [hashlib.md5(text[i : i + k].encode()).hexdigest() for i in range(n)]
+        sel = set()
+        for s in range(n - w + 1):
+            window = hs[s : s + w]
+            m = min(window)
+            q = s + max(i for i, h in enumerate(window) if h == m)
+            sel.add((q + 1, hs[q]))
+        return sel
+
+    random.seed(11)
+    texts = ["".join(random.choice("abcab ") for _ in range(random.randint(2, 60))) for _ in range(60)]
+    texts += ["aaaaaaaaaaaa", "abcabcabcabc", "", "abcd", "abcdefgh"]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = winnow_fingerprints(df, k=5, w=4).toPandas()
+    for i, t in enumerate(texts):
+        mine = set(map(tuple, got[got.doc_id == i][["gram_pos", "fp"]].itertuples(index=False)))
+        assert mine == ref(t), (i, t)
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Every w-window of a long document contains >= 1 fingerprint, and the
+    density is near the 2/(w+1) expectation for random text."""
+    import random
+
+    from fsql_spark.operators.text import winnow_fingerprints
+
+    random.seed(5)
+    text = "".join(random.choice("abcdefghijklmnop") for _ in range(4000))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+    pos = sorted(winnow_fingerprints(df, k=5, w=4).toPandas()["gram_pos"])
+    gaps = [b - a for a, b in zip(pos, pos[1:])]
+    assert max(gaps) <= 4  # the winnowing guarantee: one selection per window
+    density = len(pos) / (len(text) - 5 + 1)
+    assert 0.3 < density < 0.5  # 2/(w+1) = 0.4
