@@ -10,14 +10,15 @@ WebP, video containers).
 
 Codec scope (loud refusal outside it):
 
-- PNG: color types 0 (gray), 2 (RGB), 3 (palette, with optional tRNS
-  alpha), 4 (gray+alpha), 6 (RGBA); bit depths 8 everywhere and 16 for
-  the non-palette types; sequential AND Adam7-interlaced. All five
-  scanline filters (None/Sub/Up/Average/Paeth) decode; CRCs are
-  verified. Sub-byte depths (1/2/4) raise NotImplementedError naming
-  the feature.
-- WAV: RIFF/WAVE, PCM (format 1), 8-bit unsigned or 16-bit signed
-  little-endian, any channel count.
+- PNG: every spec-legal color-type/depth combination — gray 1/2/4/8/16,
+  RGB 8/16, palette 1/2/4/8 (with optional tRNS alpha), gray+alpha and
+  RGBA 8/16; sequential AND Adam7-interlaced (byte-aligned depths).
+  All five scanline filters (None/Sub/Up/Average/Paeth) decode; CRCs
+  are verified. Sub-byte gray decodes to RAW 0..2^depth-1 values
+  (unscaled, documented).
+- WAV: RIFF/WAVE (incl. WAVE_FORMAT_EXTENSIBLE dispatch), integer PCM
+  8/16/24/32-bit and IEEE float 32/64-bit, any channel count. ADPCM /
+  mu-law raise NotImplementedError.
 
 Performance shape: these run INSIDE Arrow-batched mapInPandas kernels
 (one image/clip per row), so the per-image work is small and the
@@ -139,12 +140,12 @@ def _unfilter_image(raw: bytes, offset: int, height: int, stride: int, bpp: int)
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG byte string to a numpy array: (H, W) for grayscale,
-    (H, W, C) otherwise — uint8 for depth 8 (palette images come back as
-    the looked-up RGB/RGBA), uint16 for depth 16. Adam7 interlace
-    decodes (each pass is its own filtered sub-image). Verifies signature
-    + per-chunk CRCs; refuses corrupt structure with :class:`CodecError`
-    and out-of-scope features (sub-byte depths) with
-    NotImplementedError."""
+    (H, W, C) otherwise — uint8 for depths <= 8 (palette images come back
+    as the looked-up RGB/RGBA; sub-byte gray as RAW 0..2^depth-1 values),
+    uint16 for depth 16. Adam7 interlace decodes (each pass is its own
+    filtered sub-image; byte-aligned depths only). Verifies signature +
+    per-chunk CRCs; refuses corrupt structure with :class:`CodecError`
+    and out-of-scope combinations with NotImplementedError."""
     if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise CodecError("not a PNG (bad signature)")
     width = height = None
@@ -168,8 +169,9 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise CodecError(f"PNG: unknown interlace method {interlace}")
             if color not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG: color type {color} not supported")
-            if depth not in (8, 16) or (color == 3 and depth != 8):
-                # spec also allows 1/2/4-bit packing — out of scope, loud
+            # spec-legal depths: gray 1/2/4/8/16, palette 1/2/4/8, others 8/16
+            legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color, (8, 16))
+            if depth not in legal:
                 raise NotImplementedError(
                     f"PNG: bit depth {depth} for color type {color} not supported"
                 )
@@ -192,9 +194,11 @@ def decode_png(data: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise CodecError(f"PNG IDAT: {exc}") from exc
-    bps = depth // 8  # bytes per sample
-    stride = width * channels * bps
-    bpp = channels * bps  # filter unit (PNG spec: filters act on BYTES)
+    bps = max(1, depth // 8)  # bytes per sample (packed depths share a byte)
+    stride = (width * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)  # filter unit (PNG: filters act on BYTES)
+    if depth < 8 and interlace == 1:
+        raise NotImplementedError("PNG: Adam7 with sub-byte depths not supported")
     if interlace == 0:
         if len(raw) != height * (1 + stride):
             raise CodecError("PNG: decompressed size mismatch")
@@ -216,6 +220,13 @@ def decode_png(data: bytes) -> np.ndarray:
         if offset != len(raw):
             raise CodecError("PNG: decompressed size mismatch (interlaced)")
         out = pixels.reshape(height, stride)
+    if depth < 8:  # unpack MSB-first sub-byte samples
+        # raw 0..2^depth-1 values, unscaled (documented contract) — for
+        # palette these are the PLTE indices, looked up below
+        bits = np.unpackbits(out, axis=1)[:, : width * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        out = (bits.reshape(height, width, depth) * weights).sum(axis=2).astype(np.uint8)
+        stride = width
     if depth == 16:  # big-endian byte pairs -> uint16 samples
         pairs = out.reshape(height, width * channels, 2).astype(np.uint16)
         samples = (pairs[:, :, 0] << 8) | pairs[:, :, 1]
@@ -306,7 +317,18 @@ def _idat_stream(byte_rows: np.ndarray, bpp: int, filters: str, interlace: bool)
     return zlib.compress(bytes(lines), 6)
 
 
-def encode_png(arr: np.ndarray, filters: str = "cycle", interlace: bool = False) -> bytes:
+def _pack_subbyte(arr: np.ndarray, depth: int) -> np.ndarray:
+    """Pack (H, W) small-valued samples into MSB-first ``depth``-bit rows
+    -> (H, ceil(W*depth/8)) uint8 (rows padded with zero bits)."""
+    h, w = arr.shape
+    bits = ((arr[:, :, None].astype(np.uint8) >> np.arange(depth - 1, -1, -1)) & 1).reshape(
+        h, w * depth
+    )
+    return np.packbits(bits, axis=1)
+
+
+def encode_png(arr: np.ndarray, filters: str = "cycle", interlace: bool = False,
+               depth: int | None = None) -> bytes:
     """Encode a uint8 or uint16 array ((H,W) gray / (H,W,2) gray+alpha /
     (H,W,3) RGB / (H,W,4) RGBA) as a deterministic PNG (bit depth 8 or 16
     by dtype; Adam7 when ``interlace``). ``filters``: 'none' writes
@@ -315,11 +337,15 @@ def encode_png(arr: np.ndarray, filters: str = "cycle", interlace: bool = False)
     media tables use, making decode round trips a REAL test of the codec,
     not an echo."""
     if arr.dtype == np.uint8:
-        depth = 8
+        depth = depth or 8
     elif arr.dtype == np.uint16:
-        depth = 16
+        depth = depth or 16
+        if depth != 16:
+            raise ValueError("uint16 input implies depth 16")
     else:
         raise ValueError(f"encode_png needs uint8 or uint16, got {arr.dtype}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"unsupported depth {depth}")
     if arr.ndim == 2:
         channels, color = 1, 0
     elif arr.ndim == 3 and arr.shape[2] in (1, 2, 3, 4):
@@ -332,19 +358,28 @@ def encode_png(arr: np.ndarray, filters: str = "cycle", interlace: bool = False)
     height, width = arr.shape[0], arr.shape[1]
     if height == 0 or width == 0:
         raise ValueError("cannot encode a zero-sized image")
-    bps = depth // 8
-    stride = width * channels * bps
-    if depth == 16:  # samples serialize big-endian; filters act on BYTES
+    if depth < 8:
+        if channels != 1:
+            raise ValueError("sub-byte depth needs a single-channel (gray) array")
+        if interlace:
+            raise ValueError("sub-byte depth with Adam7 not supported")
+        if int(arr.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"samples must fit in {depth} bits")
+        byte_rows = _pack_subbyte(arr, depth).astype(np.int32)
+        stride = byte_rows.shape[1]
+    elif depth == 16:  # samples serialize big-endian; filters act on BYTES
+        stride = width * channels * 2
         byte_rows = (
             np.ascontiguousarray(arr.astype(">u2")).view(np.uint8).reshape(height, stride)
         ).astype(np.int32)
     else:
+        stride = width * channels
         byte_rows = arr.reshape(height, stride).astype(np.int32)
     ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, int(interlace))
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", _idat_stream(byte_rows, channels * bps, filters, interlace))
+        + _chunk(b"IDAT", _idat_stream(byte_rows, max(1, channels * depth // 8), filters, interlace))
         + _chunk(b"IEND", b"")
     )
 
@@ -355,6 +390,7 @@ def encode_png_palette(
     trns: np.ndarray | None = None,
     filters: str = "cycle",
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """Encode a uint8 index array (H, W) + (n, 3) uint8 palette as a
     color-type-3 PNG, optionally with a tRNS alpha table (n,). Indices must
@@ -369,11 +405,19 @@ def encode_png_palette(
     height, width = indices.shape
     if height == 0 or width == 0:
         raise ValueError("cannot encode a zero-sized image")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, int(interlace))
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth must be 1/2/4/8, got {depth}")
+    if depth < 8:
+        if interlace:
+            raise ValueError("sub-byte depth with Adam7 not supported")
+        if int(indices.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"indices must fit in {depth} bits")
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, int(interlace))
     chunks = _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
     if trns is not None:
         chunks += _chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
-    chunks += _chunk(b"IDAT", _idat_stream(indices.astype(np.int32), 1, filters, interlace))
+    rows = _pack_subbyte(indices, depth) if depth < 8 else indices
+    chunks += _chunk(b"IDAT", _idat_stream(rows.astype(np.int32), 1, filters, interlace))
     return PNG_SIGNATURE + chunks + _chunk(b"IEND", b"")
 
 
@@ -382,9 +426,11 @@ def encode_png_palette(
 # --------------------------------------------------------------------------
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode a RIFF/WAVE PCM byte string -> (sample_rate, samples).
-    ``samples`` is (n,) for mono, (n, channels) otherwise — int16 for
-    16-bit, uint8 for 8-bit. Non-PCM formats raise NotImplementedError."""
+    """Decode a RIFF/WAVE byte string -> (sample_rate, samples).
+    ``samples`` is (n,) for mono, (n, channels) otherwise — uint8 for
+    8-bit PCM, int16 for 16-bit, int32 for 24-bit (sign-extended),
+    float32/float64 for IEEE-float (format 3). Other formats (ADPCM,
+    mu-law, ...) raise NotImplementedError."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise CodecError("not a RIFF/WAVE file")
     pos = 12
@@ -406,16 +452,36 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or frames is None:
         raise CodecError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1:
-        raise NotImplementedError(f"WAV: format {audio_format} not supported (PCM only)")
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the real format rides in the fmt extension's SubFormat GUID; the
+        # first two GUID bytes are the classic format code
+        for pos2, cid2, body2 in _wav_chunks(data):
+            if cid2 == b"fmt " and len(body2) >= 26:
+                audio_format = struct.unpack("<H", body2[24:26])[0]
+                break
+    if audio_format == 3:  # IEEE float
+        if bits == 32:
+            dtype, width = "<f4", 4
+        elif bits == 64:
+            dtype, width = "<f8", 8
+        else:
+            raise NotImplementedError(f"WAV: {bits}-bit float samples not supported (32/64)")
+    elif audio_format == 1:  # integer PCM
+        if bits == 16:
+            dtype, width = "<i2", 2
+        elif bits == 8:
+            dtype, width = np.uint8, 1
+        elif bits == 24:
+            dtype, width = None, 3  # assembled below (no native 3-byte dtype)
+        elif bits == 32:
+            dtype, width = "<i4", 4
+        else:
+            raise NotImplementedError(f"WAV: {bits}-bit samples not supported (8/16/24/32)")
+    else:
+        raise NotImplementedError(f"WAV: format {audio_format} not supported (PCM/float)")
     if channels < 1:
         raise CodecError("WAV: zero channels")
-    if bits == 16:
-        frame_size = 2 * channels
-    elif bits == 8:
-        frame_size = channels
-    else:
-        raise NotImplementedError(f"WAV: {bits}-bit samples not supported (8/16)")
+    frame_size = width * channels
     if len(frames) % frame_size:
         # silently dropping a ragged tail would mask corruption (off-by-one
         # size fields) from pipelines that quarantine on decode failure —
@@ -424,25 +490,66 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             f"WAV: data chunk of {len(frames)} bytes is not a multiple of the "
             f"{frame_size}-byte frame size ({channels} ch x {bits}-bit)"
         )
-    samples = np.frombuffer(frames, dtype="<i2" if bits == 16 else np.uint8)
+    if width == 3:  # 24-bit: sign-extend 3-byte little-endian into int32
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        samples = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)) - ((b[:, 2] & 0x80) << 17)
+    else:
+        samples = np.frombuffer(frames, dtype=dtype)
     return rate, (samples if channels == 1 else samples.reshape(-1, channels))
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Encode int16 (16-bit PCM) or uint8 (8-bit PCM) samples — (n,) mono or
-    (n, channels) — as a canonical RIFF/WAVE byte string."""
+def _wav_chunks(data: bytes):
+    """Yield (pos, chunk_id, body) for each RIFF chunk (word-aligned)."""
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        yield pos, cid, body
+        pos += 8 + size + (size & 1)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, bits: int | None = None) -> bytes:
+    """Encode samples — (n,) mono or (n, channels) — as a canonical
+    RIFF/WAVE byte string. Bit width follows dtype: uint8 -> 8-bit PCM,
+    int16 -> 16-bit, int32 -> 32-bit (or 24-bit when ``bits=24``; values
+    must fit), float32/float64 -> IEEE float (format 3)."""
     if sample_rate < 1:
         raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    fmt_code = 1
     if samples.dtype == np.int16:
-        bits = 16
+        bits = bits or 16
+        frames = samples.astype("<i2").tobytes()
     elif samples.dtype == np.uint8:
-        bits = 8
+        bits = bits or 8
+        frames = samples.astype(np.uint8).tobytes()
+    elif samples.dtype == np.int32:
+        bits = bits or 32
+        if bits == 24:
+            flat = samples.reshape(-1).astype(np.int64)
+            if flat.size and (flat.max() > 0x7FFFFF or flat.min() < -0x800000):
+                raise ValueError("24-bit samples must fit in [-2^23, 2^23-1]")
+            u = (flat & 0xFFFFFF).astype(np.uint32)
+            b3 = np.empty((flat.size, 3), dtype=np.uint8)
+            b3[:, 0] = u & 0xFF
+            b3[:, 1] = (u >> 8) & 0xFF
+            b3[:, 2] = (u >> 16) & 0xFF
+            frames = b3.tobytes()
+        else:
+            frames = samples.astype("<i4").tobytes()
+    elif samples.dtype in (np.float32, np.float64):
+        fmt_code = 3
+        bits = 32 if samples.dtype == np.float32 else 64
+        frames = samples.astype("<f4" if bits == 32 else "<f8").tobytes()
     else:
-        raise ValueError(f"encode_wav needs int16 or uint8, got {samples.dtype}")
+        raise ValueError(f"encode_wav needs uint8/int16/int32/float32/float64, got {samples.dtype}")
+    if bits not in (8, 16, 24, 32, 64):
+        raise ValueError(f"unsupported bit width {bits}")
     channels = 1 if samples.ndim == 1 else samples.shape[1]
-    frames = samples.astype("<i2" if bits == 16 else np.uint8).tobytes()
     block_align = channels * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits)
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
     body = b"WAVE" + _chunk_le(b"fmt ", fmt) + _chunk_le(b"data", frames)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

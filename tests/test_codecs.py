@@ -78,8 +78,8 @@ def test_png_corrupt_and_scope_refusals():
         end = struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
         return PNG_SIGNATURE + chunk + end
 
-    with pytest.raises(NotImplementedError, match="bit depth 4"):
-        decode_png(ihdr_png(depth=4))
+    with pytest.raises(NotImplementedError, match="bit depth 3"):
+        decode_png(ihdr_png(depth=3))  # spec-illegal depth refuses loudly
     with pytest.raises(NotImplementedError, match="color type 7"):
         decode_png(ihdr_png(color=7))
     with pytest.raises(NotImplementedError, match="bit depth 16 for color type 3"):
@@ -201,14 +201,44 @@ def test_wav_refusals():
         decode_wav(b"OggS not a wav")
     s = RNG.randint(0, 256, size=(10,)).astype(np.uint8)
     wav = bytearray(encode_wav(s, 8000))
-    # flip PCM format code (offset: RIFF(12) + 'fmt '+size(8) -> fmt_code)
-    wav[20] = 3
-    with pytest.raises(NotImplementedError, match="PCM only"):
+    # flip PCM format code to ADPCM (offset: RIFF(12) + 'fmt '+size(8))
+    wav[20] = 2
+    with pytest.raises(NotImplementedError, match="PCM/float"):
         decode_wav(bytes(wav))
-    with pytest.raises(ValueError, match="int16 or uint8"):
-        encode_wav(s.astype(np.float32), 8000)
+    # float format code with a non-float bit width refuses too
+    wav[20] = 3
+    with pytest.raises(NotImplementedError, match="float samples"):
+        decode_wav(bytes(wav))
+    with pytest.raises(ValueError, match="encode_wav needs"):
+        encode_wav(s.astype(np.int8), 8000)
     with pytest.raises(ValueError, match="sample_rate"):
         encode_wav(s, 0)
+
+
+@pytest.mark.parametrize("case", ["i24", "i24stereo", "i32", "f32", "f64"])
+def test_wav_extended_formats_round_trip(case):
+    if case == "i24":
+        s = RNG.randint(-(1 << 23), 1 << 23, size=200).astype(np.int32)
+        s[:2] = [-(1 << 23), (1 << 23) - 1]
+        kw = {"bits": 24}
+    elif case == "i24stereo":
+        s = RNG.randint(-(1 << 23), 1 << 23, size=(60, 2)).astype(np.int32)
+        kw = {"bits": 24}
+    elif case == "i32":
+        s = RNG.randint(-(2**31), 2**31, size=64).astype(np.int32)
+        kw = {}
+    elif case == "f32":
+        s = RNG.standard_normal(64).astype(np.float32)
+        kw = {}
+    else:
+        s = RNG.standard_normal(64).astype(np.float64)
+        kw = {}
+    rate, out = decode_wav(encode_wav(s, 48000, **kw))
+    assert rate == 48000 and out.dtype == s.dtype and out.shape == s.shape
+    assert (out == s).all()
+    if case == "i24":
+        with pytest.raises(ValueError, match="must fit"):
+            encode_wav(np.array([1 << 23], np.int32), 8000, bits=24)
 
 
 def test_wav_odd_data_chunk_is_word_aligned():
@@ -344,3 +374,32 @@ def test_codecs_refuse_arbitrary_garbage(junk, prefix):
         # PNG per-chunk CRCs or a RIFF/WAVE fmt+data layout)
         with pytest.raises((CodecError, NotImplementedError)):
             dec(data)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("filters", ["none", "cycle"])
+def test_png_subbyte_gray_round_trip(depth, filters):
+    # widths that do NOT divide the samples-per-byte evenly (padding bits)
+    a = RNG.randint(0, 1 << depth, size=(13, 21)).astype(np.uint8)
+    got = decode_png(encode_png(a, filters=filters, depth=depth))
+    assert got.shape == a.shape and (got == a).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_palette_round_trip(depth):
+    npal = 1 << depth
+    idx = RNG.randint(0, npal, size=(9, 31)).astype(np.uint8)
+    pal = RNG.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+    assert (decode_png(encode_png_palette(idx, pal, depth=depth)) == pal[idx]).all()
+
+
+def test_png_subbyte_refusals():
+    a = RNG.randint(0, 2, size=(4, 4)).astype(np.uint8)
+    with pytest.raises(ValueError, match="fit in 1 bits"):
+        encode_png(np.full((4, 4), 2, np.uint8), depth=1)
+    with pytest.raises(ValueError, match="Adam7"):
+        encode_png(a, depth=1, interlace=True)
+    with pytest.raises(ValueError, match="single-channel"):
+        encode_png(RNG.randint(0, 2, (4, 4, 3)).astype(np.uint8), depth=1)
+    with pytest.raises(ValueError, match="palette depth"):
+        encode_png_palette(a, np.zeros((2, 3), np.uint8), depth=3)
