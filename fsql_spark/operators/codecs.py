@@ -477,8 +477,12 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             dtype, width = "<i4", 4
         else:
             raise NotImplementedError(f"WAV: {bits}-bit samples not supported (8/16/24/32)")
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law: 1 byte/sample
+        if bits != 8:
+            raise CodecError(f"WAV: G.711 requires 8-bit samples, got {bits}")
+        dtype, width = "g711", 1
     else:
-        raise NotImplementedError(f"WAV: format {audio_format} not supported (PCM/float)")
+        raise NotImplementedError(f"WAV: format {audio_format} not supported (PCM/float/G.711)")
     if channels < 1:
         raise CodecError("WAV: zero channels")
     frame_size = width * channels
@@ -493,9 +497,68 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if width == 3:  # 24-bit: sign-extend 3-byte little-endian into int32
         b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
         samples = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)) - ((b[:, 2] & 0x80) << 17)
+    elif dtype == "g711":  # expand to linear int16
+        raw = np.frombuffer(frames, dtype=np.uint8)
+        samples = decode_alaw(raw) if audio_format == 6 else decode_mulaw(raw)
     else:
         samples = np.frombuffer(frames, dtype=dtype)
     return rate, (samples if channels == 1 else samples.reshape(-1, channels))
+
+
+def decode_mulaw(encoded: np.ndarray) -> np.ndarray:
+    """G.711 mu-law -> linear int16 (the ITU formula, exact integer)."""
+    u = ~np.asarray(encoded, dtype=np.uint8)
+    sign = (u & 0x80) != 0
+    exp = ((u >> 4) & 0x07).astype(np.int32)
+    mant = (u & 0x0F).astype(np.int32)
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def decode_alaw(encoded: np.ndarray) -> np.ndarray:
+    """G.711 A-law -> linear int16 (even-bit inversion + segment expand)."""
+    a = np.asarray(encoded, dtype=np.uint8) ^ 0x55
+    positive = (a & 0x80) != 0  # A-law: set sign bit means POSITIVE
+    exp = ((a >> 4) & 0x07).astype(np.int32)
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(positive, mag, -mag).astype(np.int16)
+
+
+def decode_au(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a Sun/NeXT ``.au`` byte string -> (sample_rate, samples):
+    mu-law (enc 1, expanded to int16), linear PCM 8/16-bit (enc 2/3,
+    big-endian), A-law (enc 27). Other encodings raise
+    NotImplementedError."""
+    if len(data) < 24 or data[:4] != b".snd":
+        raise CodecError("not a Sun .au file")
+    offset, size, enc, rate, channels = struct.unpack(">IIIII", data[4:24])
+    if offset < 24 or offset > len(data):
+        raise CodecError(".au: bad data offset")
+    body = data[offset:]
+    if size != 0xFFFFFFFF and len(body) < size:
+        raise CodecError(".au: truncated payload")
+    if size != 0xFFFFFFFF:
+        body = body[:size]
+    if channels < 1:
+        raise CodecError(".au: zero channels")
+    if enc == 1:
+        samples = decode_mulaw(np.frombuffer(body, dtype=np.uint8))
+    elif enc == 27:
+        samples = decode_alaw(np.frombuffer(body, dtype=np.uint8))
+    elif enc == 2:  # 8-bit linear PCM (signed)
+        samples = np.frombuffer(body, dtype=np.int8)
+    elif enc == 3:  # 16-bit linear PCM, big-endian
+        if len(body) % 2:
+            raise CodecError(".au: odd 16-bit payload")
+        samples = np.frombuffer(body, dtype=">i2").astype(np.int16)
+    else:
+        raise NotImplementedError(f".au: encoding {enc} not supported")
+    if channels > 1:
+        if samples.shape[0] % channels:
+            raise CodecError(".au: payload not a multiple of the channel count")
+        samples = samples.reshape(-1, channels)
+    return rate, samples
 
 
 def _wav_chunks(data: bytes):

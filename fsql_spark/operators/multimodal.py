@@ -97,16 +97,20 @@ def decode_image(content: bytes):
 
 
 def decode_audio(content: bytes):
-    """Real audio decode: RIFF/WAVE PCM parses natively (see ``codecs.py``)
-    -> (sample_rate, samples ndarray). Other formats raise
-    NotImplementedError."""
-    from .codecs import decode_wav
+    """Real audio decode -> (sample_rate, samples ndarray). RIFF/WAVE
+    (integer PCM 8/16/24/32, IEEE float, G.711 mu-law/A-law) and Sun
+    ``.au`` parse natively (see ``codecs.py``); other formats (MP3, OGG,
+    FLAC, ...) raise NotImplementedError."""
+    from .codecs import decode_au, decode_wav
 
     content = bytes(content)
     if content[:4] == b"RIFF":
         return decode_wav(content)
+    if content[:4] == b".snd":
+        return decode_au(content)
     raise NotImplementedError(
-        "non-WAV audio needs an external codec; RIFF/WAVE PCM decodes natively"
+        "compressed audio needs an external codec; RIFF/WAVE and Sun .au "
+        "decode natively"
     )
 
 
