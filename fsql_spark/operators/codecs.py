@@ -194,7 +194,6 @@ def decode_png(data: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise CodecError(f"PNG IDAT: {exc}") from exc
-    bps = max(1, depth // 8)  # bytes per sample (packed depths share a byte)
     stride = (width * channels * depth + 7) // 8
     bpp = max(1, channels * depth // 8)  # filter unit (PNG: filters act on BYTES)
     if depth < 8 and interlace == 1:
@@ -230,9 +229,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if depth == 16:  # big-endian byte pairs -> uint16 samples
         pairs = out.reshape(height, width * channels, 2).astype(np.uint16)
         samples = (pairs[:, :, 0] << 8) | pairs[:, :, 1]
-        return samples.reshape(height, width) if channels == 1 else samples.reshape(
+        result = samples.reshape(height, width) if channels == 1 else samples.reshape(
             height, width, channels
         )
+        return _apply_colorkey_trns(result, color, depth, trns)
     if color == 3:  # palette lookup AFTER unfiltering (indices filter as bytes)
         if palette is None:
             raise CodecError("PNG: palette image missing PLTE chunk")
@@ -249,7 +249,34 @@ def decode_png(data: bytes) -> np.ndarray:
         alpha_lut = np.full(palette.shape[0], 255, dtype=np.uint8)
         alpha_lut[: min(len(trns), palette.shape[0])] = trns[: palette.shape[0]]
         return np.dstack([rgb, alpha_lut[idx]])
-    return out if channels == 1 else out.reshape(height, width, channels)
+    result = out if channels == 1 else out.reshape(height, width, channels)
+    return _apply_colorkey_trns(result, color, depth, trns)
+
+
+def _apply_colorkey_trns(result: np.ndarray, color: int, depth: int, trns):
+    """Spec-legal tRNS for NON-palette types: a single transparent color
+    key — 2 big-endian bytes (gray) or 6 (RGB), only the low ``depth``
+    bits significant. Pixels matching the key get alpha 0; output grows
+    an alpha channel (gray -> (H,W,2), RGB -> (H,W,4)). Color types 4/6
+    already carry alpha; a tRNS there is spec-illegal and ignored."""
+    if trns is None or color not in (0, 2):
+        return result
+    opaque = 65535 if depth == 16 else 255
+    if color == 0:
+        if len(trns) < 2:
+            raise CodecError("PNG tRNS: gray color key needs 2 bytes")
+        key = ((int(trns[0]) << 8) | int(trns[1])) & ((1 << depth) - 1)
+        alpha = np.where(result == key, 0, opaque).astype(result.dtype)
+        return np.dstack([result, alpha])
+    if len(trns) < 6:
+        raise CodecError("PNG tRNS: RGB color key needs 6 bytes")
+    key = [
+        ((int(trns[2 * i]) << 8) | int(trns[2 * i + 1])) & ((1 << depth) - 1)
+        for i in range(3)
+    ]
+    match = (result == np.asarray(key, dtype=result.dtype)).all(axis=2)
+    alpha = np.where(match, 0, opaque).astype(result.dtype)
+    return np.dstack([result, alpha])
 
 
 def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
@@ -433,32 +460,28 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     mu-law, ...) raise NotImplementedError."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise CodecError("not a RIFF/WAVE file")
-    pos = 12
     fmt = None
+    fmt_body = b""
     frames = None
-    while pos + 8 <= len(data):
-        cid = data[pos : pos + 4]
-        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + size]
-        if len(body) != size:
+    for _pos, cid, body, declared in _wav_chunks(data):
+        if len(body) != declared:
             raise CodecError(f"WAV: truncated chunk {cid!r}")
         if cid == b"fmt ":
-            if size < 16:
+            if declared < 16:
                 raise CodecError("WAV fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             frames = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or frames is None:
         raise CodecError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
     if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
-        # the real format rides in the fmt extension's SubFormat GUID; the
-        # first two GUID bytes are the classic format code
-        for pos2, cid2, body2 in _wav_chunks(data):
-            if cid2 == b"fmt " and len(body2) >= 26:
-                audio_format = struct.unpack("<H", body2[24:26])[0]
-                break
+        # the real format rides in the fmt extension's SubFormat GUID; its
+        # first two bytes are the classic format code
+        if len(fmt_body) < 26:
+            raise CodecError("WAV: EXTENSIBLE fmt chunk too short for SubFormat")
+        audio_format = struct.unpack("<H", fmt_body[24:26])[0]
     if audio_format == 3:  # IEEE float
         if bits == 32:
             dtype, width = "<f4", 4
@@ -562,13 +585,14 @@ def decode_au(data: bytes) -> tuple[int, np.ndarray]:
 
 
 def _wav_chunks(data: bytes):
-    """Yield (pos, chunk_id, body) for each RIFF chunk (word-aligned)."""
+    """Yield (pos, chunk_id, body, declared_size) for each RIFF chunk
+    (word-aligned) — THE chunk walk, shared by every RIFF consumer."""
     pos = 12
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
-        yield pos, cid, body
+        yield pos, cid, body, size
         pos += 8 + size + (size & 1)
 
 
@@ -579,6 +603,21 @@ def encode_wav(samples: np.ndarray, sample_rate: int, bits: int | None = None) -
     must fit), float32/float64 -> IEEE float (format 3)."""
     if sample_rate < 1:
         raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    # an explicit bits must be consistent with the dtype: every other combo
+    # would write a header whose frame size disagrees with the payload —
+    # silent corruption on decode (only int32 has two valid widths)
+    allowed = {
+        np.dtype(np.uint8): (8,),
+        np.dtype(np.int16): (16,),
+        np.dtype(np.int32): (32, 24),
+        np.dtype(np.float32): (32,),
+        np.dtype(np.float64): (64,),
+    }.get(samples.dtype)
+    if allowed is not None and bits is not None and bits not in allowed:
+        raise ValueError(
+            f"bits={bits} is inconsistent with {samples.dtype} samples "
+            f"(valid: {allowed})"
+        )
     fmt_code = 1
     if samples.dtype == np.int16:
         bits = bits or 16

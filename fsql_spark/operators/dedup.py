@@ -864,7 +864,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bits: int = 64,
-    collapse_exact: bool = False,
+    collapse_exact: bool | str = False,
 ) -> DataFrame:
     """Pairs within Hamming distance d of SimHash signatures.
 
@@ -879,15 +879,20 @@ def simhash_pairs(
     the bucketing join is linear but the OUTPUT is quadratic in dup-class
     size (measured ~121x pair growth at 10x data on the sf1 corpus).
     Collapsing makes the output track DISTINCT contents; recover full
-    classes with :func:`dedup_exact_keys` (one hash-aggregate)."""
-    if collapse_exact:
-        # short-circuit: on a corpus WITHOUT exact-dup classes the collapse
-        # is pure overhead (sf1 filler corpus: 8.38s vs 3.23s plain). Probe
-        # with a hashes-only duplicate-class check — shuffles 8 bytes/row,
-        # not text payloads. Exactness: equal texts always share a hash, so
-        # zero duplicated hashes PROVES zero duplicated texts (a hash
-        # collision between distinct texts only triggers a harmless
-        # collapse pass). One eager job at call time, documented.
+    classes with :func:`dedup_exact_keys` (one hash-aggregate).
+    Three settings: ``False`` (no collapse), ``True`` (always collapse —
+    no probing, for callers who know dup classes exist or want the
+    representative semantics regardless), ``"auto"`` (probe first with a
+    hashes-only duplicate-class check and skip the collapse on a dup-free
+    corpus, where it is pure overhead — sf1 filler corpus: 8.38s vs
+    3.23s plain). The probe is one extra eager scan of ``df``'s lineage;
+    prefer ``True`` when the input pipeline is expensive and dup classes
+    are expected."""
+    if collapse_exact == "auto":
+        # exactness of the skip: equal texts always share a hash, so zero
+        # duplicated hashes PROVES zero duplicated texts (a hash collision
+        # between distinct texts only triggers a harmless collapse pass);
+        # the probe shuffles 8 bytes/row, not text payloads
         has_dup_classes = not (
             df.groupBy(F.xxhash64(F.col(text_col)).alias("__h"))
             .count()
@@ -897,6 +902,8 @@ def simhash_pairs(
         )
         if has_dup_classes:
             df = dedup_exact(df, [text_col], key_col)
+    elif collapse_exact:
+        df = dedup_exact(df, [text_col], key_col)
     blocks = max_hamming + 1
     block_bits = bits // blocks
     # persist: the signature expression is heavy (64 bit-majority passes) and
@@ -1219,7 +1226,9 @@ def q_simhash_collapsed(spark: SparkSession, sf: str) -> DataFrame:
     Oracle: the same FNV-1a/bit-majority replica as Q_SIMHASH_SQL, computed
     over the min-key-per-distinct-text representatives."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, collapse_exact=True)
+    # "auto": the cheap-source case — the dup-class probe is one hashes-only
+    # rescan of the parquet, and it skips the collapse on a dup-free corpus
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, collapse_exact="auto")
 
 
 Q_SIMHASH_COLLAPSED_SQL = """

@@ -179,8 +179,10 @@ def decode_gif(data: bytes) -> dict:
                 raise CodecError("GIF: truncated extension")
             label = data[pos + 1]
             pos += 2
-            if label == 0xF9 and pos + 1 < len(data) and data[pos] >= 4:
-                size = data[pos]
+            if label == 0xF9:
+                # GCE block: size byte (>=4) + flags + delay(2) + index
+                if pos + 5 > len(data) or data[pos] < 4:
+                    raise CodecError("GIF: truncated graphics control extension")
                 gce_flags = data[pos + 1]
                 if gce_flags & 0x01:
                     transparent = data[pos + 4]

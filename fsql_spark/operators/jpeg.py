@@ -225,6 +225,10 @@ def _destuff_scan(data: bytes, pos: int):
             parts.append(data[start : ff + 1])
             clean_len += ff + 1 - start
             pos = start = ff + 2
+        elif nxt == 0xFF:  # fill byte preceding a marker (B.1.1.2): drop it
+            parts.append(data[start:ff])
+            clean_len += ff - start
+            pos = start = ff + 1
         elif nxt is not None and 0xD0 <= nxt <= 0xD7:  # restart marker
             parts.append(data[start:ff])
             clean_len += ff - start
@@ -579,6 +583,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise CodecError(f"JPEG: expected marker at byte {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # spec-legal fill byte (B.1.1.2): any number of
+            pos += 1  # 0xFFs may pad before a marker — consume one
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break

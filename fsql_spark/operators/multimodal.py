@@ -60,11 +60,11 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(content: bytes):
-    """Real image decode. PNG (stdlib zlib + numpy unfilter, ``codecs.py``)
-    and baseline JPEG (pure-numpy Huffman+DCT, ``jpeg.py``) decode
-    natively and return a numpy array — (H, W) gray or (H, W, C). Other
-    formats (GIF, WebP, ...) fall back to Pillow when installed, else
-    raise NotImplementedError naming the format."""
+    """Real image decode. PNG (stdlib zlib + numpy unfilter, ``codecs.py``),
+    baseline JPEG (pure-numpy Huffman+DCT, ``jpeg.py``) and GIF (LZW,
+    ``gif.py``) decode natively and return a numpy array — (H, W) gray or
+    (H, W, C). Other formats (WebP, ...) fall back to Pillow when
+    installed, else raise NotImplementedError naming the format."""
     from .codecs import PNG_SIGNATURE, decode_png
 
     content = bytes(content)
@@ -754,24 +754,30 @@ def documents_as_wav(spark: SparkSession, sf: str, sample_rate: int = 8000) -> D
 PALETTE_SIZE = 64
 
 
-def documents_as_palette_png(spark: SparkSession, sf: str, width: int = 32) -> DataFrame:
-    """Synthesize a REAL color-type-3 (palette) PNG media table: each
-    document's text bytes map to palette indices (byte % 64), '.'-padded
-    like :func:`documents_as_png`, encoded with CYCLING row filters and a
-    PLTE chunk. Decoding exercises the palette-lookup path end-to-end; the
-    palette is a pure function of the index, so a SQL oracle recomputes
-    every looked-up RGB from the source text."""
+def doc_palette():
+    """THE deterministic 64-entry palette shared by the palette-PNG and GIF
+    synthetic tables AND (as a formula) their SQL oracle — one definition,
+    so a tweak cannot silently diverge the three."""
+    import numpy as np
+
+    i = np.arange(PALETTE_SIZE)
+    return np.stack([(i * 7) % 256, (i * 13) % 256, (i * 29) % 256], axis=1).astype(np.uint8)
+
+
+def _documents_as_indexed_image(
+    spark: SparkSession, sf: str, width: int, encode, mime: str
+) -> DataFrame:
+    """Shared synth for palette-indexed image tables: '.'-pad the text,
+    map bytes to palette indices (byte % 64), hand (indices, palette) to
+    ``encode``. The PNG and GIF tables differ ONLY in the container."""
     import math
 
     import numpy as np
 
-    from .codecs import encode_png_palette
-
     if width < 1:
         raise ValueError(f"width must be >= 1, got {width}")
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
-    i = np.arange(PALETTE_SIZE)
-    palette = np.stack([(i * 7) % 256, (i * 13) % 256, (i * 29) % 256], axis=1).astype(np.uint8)
+    palette = doc_palette()
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -783,14 +789,14 @@ def documents_as_palette_png(spark: SparkSession, sf: str, width: int = 32) -> D
                 idx = (np.frombuffer(padded, dtype=np.uint8) % PALETTE_SIZE).astype(
                     np.uint8
                 ).reshape(n, width)
-                contents.append(encode_png_palette(idx, palette, filters="cycle"))
+                contents.append(encode(idx, palette))
                 heights.append(n)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
                     "kind": "image",
                     "content": contents,
-                    "mime": "image/png",
+                    "mime": mime,
                     "width": pd.Series([width] * len(contents), dtype="int32"),
                     "height": pd.Series(heights, dtype="int32"),
                     "duration_ms": pd.Series([-1] * len(contents), dtype="int32"),
@@ -798,6 +804,22 @@ def documents_as_palette_png(spark: SparkSession, sf: str, width: int = 32) -> D
             )
 
     return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def documents_as_palette_png(spark: SparkSession, sf: str, width: int = 32) -> DataFrame:
+    """Synthesize a REAL color-type-3 (palette) PNG media table: each
+    document's text bytes map to palette indices (byte % 64), '.'-padded
+    like :func:`documents_as_png`, encoded with CYCLING row filters and a
+    PLTE chunk. Decoding exercises the palette-lookup path end-to-end; the
+    palette is a pure function of the index, so a SQL oracle recomputes
+    every looked-up RGB from the source text."""
+    from .codecs import encode_png_palette
+
+    return _documents_as_indexed_image(
+        spark, sf, width,
+        lambda idx, pal: encode_png_palette(idx, pal, filters="cycle"),
+        "image/png",
+    )
 
 
 def decode_audio_energy(media: DataFrame, window: int = 64,
@@ -978,43 +1000,13 @@ def documents_as_gif(spark: SparkSession, sf: str, width: int = 32) -> DataFrame
     container — INTERLACED, so decoding exercises LZW, the 4-pass row
     reorder, and the color table lookup. Lossless, so the SQL oracle
     recomputes every RGB from the source characters."""
-    import math
-
-    import numpy as np
-
     from .gif import encode_gif
 
-    if width < 1:
-        raise ValueError(f"width must be >= 1, got {width}")
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
-    i = np.arange(PALETTE_SIZE)
-    palette = np.stack([(i * 7) % 256, (i * 13) % 256, (i * 29) % 256], axis=1).astype(np.uint8)
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            contents, heights = [], []
-            for text in pdf["text"]:
-                b = (text or "").encode("utf-8")
-                n = max(1, math.ceil(len(b) / width))
-                padded = b.ljust(n * width, b".")
-                idx = (np.frombuffer(padded, dtype=np.uint8) % PALETTE_SIZE).astype(
-                    np.uint8
-                ).reshape(n, width)
-                contents.append(encode_gif(idx, palette, interlace=True))
-                heights.append(n)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "kind": "image",
-                    "content": contents,
-                    "mime": "image/gif",
-                    "width": pd.Series([width] * len(contents), dtype="int32"),
-                    "height": pd.Series(heights, dtype="int32"),
-                    "duration_ms": pd.Series([-1] * len(contents), dtype="int32"),
-                }
-            )
-
-    return docs.mapInPandas(synth, MEDIA_SCHEMA)
+    return _documents_as_indexed_image(
+        spark, sf, width,
+        lambda idx, pal: encode_gif(idx, pal, interlace=True),
+        "image/gif",
+    )
 
 
 def q_image_decode_gif(spark: SparkSession, sf: str) -> DataFrame:

@@ -83,34 +83,53 @@ def decode_y4m(data: bytes):
         cw = ch = c_size = 0
     frame_size = y_size + 2 * c_size
 
-    ys, us, vs = [], [], []
-    pos = nl + 1
-    while pos < len(data):
-        fnl = data.find(b"\n", pos)
-        if fnl < 0 or data[pos : pos + 5] != b"FRAME":
-            raise CodecError(f"Y4M: expected FRAME header at byte {pos}")
-        pos = fnl + 1
-        raw = data[pos : pos + frame_size]
-        if len(raw) != frame_size:
-            raise CodecError("Y4M: truncated frame payload")
-        ys.append(np.frombuffer(raw[:y_size], dtype=np.uint8).reshape(height, width))
-        if chroma:
-            us.append(
-                np.frombuffer(raw[y_size : y_size + c_size], dtype=np.uint8).reshape(ch, cw)
-            )
-            vs.append(np.frombuffer(raw[y_size + c_size :], dtype=np.uint8).reshape(ch, cw))
-        pos += frame_size
+    body = data[nl + 1 :]
+    record = 6 + frame_size  # b"FRAME\n" + planes
+    # fast path: bare FRAME headers make every record fixed-width, so the
+    # whole stream parses as ONE reshape + slice — no per-frame Python.
+    # A video is one frame per moment; a loop per frame is a loop per
+    # pixel-row-of-time and dominated the profile (~30x on long clips).
+    if len(body) % record == 0 and (
+        np.frombuffer(body, dtype=np.uint8).reshape(-1, record)[:, :6]
+        == np.frombuffer(b"FRAME\n", dtype=np.uint8)
+    ).all():
+        mat = np.frombuffer(body, dtype=np.uint8).reshape(-1, record)[:, 6:]
+        n = mat.shape[0]
+        ymat = mat[:, :y_size].reshape(n, height, width)
+        umat = mat[:, y_size : y_size + c_size].reshape(n, ch, cw) if chroma else None
+        vmat = mat[:, y_size + c_size :].reshape(n, ch, cw) if chroma else None
+    else:  # general path: FRAME headers may carry parameters
+        ys, us, vs = [], [], []
+        pos = nl + 1
+        while pos < len(data):
+            fnl = data.find(b"\n", pos)
+            if fnl < 0 or data[pos : pos + 5] != b"FRAME":
+                raise CodecError(f"Y4M: expected FRAME header at byte {pos}")
+            pos = fnl + 1
+            raw = data[pos : pos + frame_size]
+            if len(raw) != frame_size:
+                raise CodecError("Y4M: truncated frame payload")
+            ys.append(np.frombuffer(raw[:y_size], dtype=np.uint8).reshape(height, width))
+            if chroma:
+                us.append(
+                    np.frombuffer(raw[y_size : y_size + c_size], dtype=np.uint8).reshape(ch, cw)
+                )
+                vs.append(np.frombuffer(raw[y_size + c_size :], dtype=np.uint8).reshape(ch, cw))
+            pos += frame_size
+        ymat = np.stack(ys) if ys else np.zeros((0, height, width), dtype=np.uint8)
+        umat = (np.stack(us) if us else np.zeros((0, ch, cw), dtype=np.uint8)) if chroma else None
+        vmat = (np.stack(vs) if vs else np.zeros((0, ch, cw), dtype=np.uint8)) if chroma else None
     out = {
         "width": width,
         "height": height,
         "fps_num": fps_num,
         "fps_den": fps_den,
         "colorspace": colorspace,
-        "y": np.stack(ys) if ys else np.zeros((0, height, width), dtype=np.uint8),
+        "y": ymat,
     }
     if chroma:
-        out["u"] = np.stack(us) if us else np.zeros((0, ch, cw), dtype=np.uint8)
-        out["v"] = np.stack(vs) if vs else np.zeros((0, ch, cw), dtype=np.uint8)
+        out["u"] = umat
+        out["v"] = vmat
     return out
 
 
@@ -132,14 +151,21 @@ def encode_y4m(
         raise ValueError("provide both u and v chroma planes or neither")
     cspace = "mono" if u is None else "420jpeg"
     header = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C{cspace}\n"
+    if u is None:
+        # vectorized mono writer: one (n, 6 + frame) byte matrix, no
+        # per-frame Python (mirrors the decode fast path)
+        frame = height * width
+        mat = np.empty((n, 6 + frame), dtype=np.uint8)
+        mat[:, :6] = np.frombuffer(b"FRAME\n", dtype=np.uint8)
+        mat[:, 6:] = y.reshape(n, frame)
+        return header.encode("ascii") + mat.tobytes()
     out = bytearray(header.encode("ascii"))
+    expect = (-(-height // 2), -(-width // 2))
+    if u.shape != (n, *expect) or v.shape != (n, *expect):
+        raise ValueError(f"chroma planes must be (n, {expect[0]}, {expect[1]})")
     for i in range(n):
         out += b"FRAME\n"
         out += y[i].tobytes()
-        if u is not None:
-            expect = (-(-height // 2), -(-width // 2))
-            if u[i].shape != expect or v[i].shape != expect:
-                raise ValueError(f"chroma planes must be {expect}, got {u[i].shape}")
-            out += u[i].astype(np.uint8).tobytes()
-            out += v[i].astype(np.uint8).tobytes()
+        out += u[i].astype(np.uint8).tobytes()
+        out += v[i].astype(np.uint8).tobytes()
     return bytes(out)

@@ -590,17 +590,32 @@ def q_stream_video_decode(spark: SparkSession, sf: str) -> DataFrame:
     Arrow kernels the batch entry uses (`pack_y4m` ->
     `sample_video_frames`, the native YUV4MPEG2 parser inside), chained on
     a readStream — seventh batch/stream unification proof, through a real
-    public video container. Oracle aliased from the batch entry
-    (identical output set by construction)."""
+    public video container. Stride 30 (one keyframe-ish sample per ~1.2s
+    of 25fps video) rather than the batch entry's 3: the memory sink
+    materializes every output row on the driver, so the STREAM harness
+    entry keeps its result driver-sized while still decoding every
+    container in full (the parse cost is identical at any stride)."""
     from ..operators.multimodal import pack_y4m, sample_video_frames
 
-    media = pack_y4m(documents_stream(spark, sf), frame_w=8, frame_h=8)
-    frames = sample_video_frames(media, every=3)
+    # the single-file micro-batch arrives as one partition; spread it
+    # before the per-frame kernels (stateless, so the shuffle is legal)
+    docs = documents_stream(spark, sf).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = pack_y4m(docs, frame_w=8, frame_h=8)
+    frames = sample_video_frames(media, every=30)
     out = run_to_memory(frames, mode="append")
     return out.select("media_id", "frame_idx", "luma_sum", "frame_fp")
 
 
-from ..operators.multimodal import Q_Y4M_FRAME_SQL as Q_STREAM_VIDEO_DECODE_SQL  # noqa: E402
+Q_STREAM_VIDEO_DECODE_SQL = """
+SELECT doc_id                                                   AS media_id,
+       CAST(s.p - 1 AS INTEGER)                                 AS frame_idx,
+       CAST(64 * ascii(substr(text, CAST(s.p AS INTEGER), 1)) AS BIGINT) AS luma_sum,
+       md5(repeat(substr(text, CAST(s.p AS INTEGER), 1), 64))   AS frame_fp
+FROM documents, unnest(generate_series(1, LENGTH(text), 30)) AS s(p)
+WHERE LENGTH(text) > 0
+"""
 
 
 def events_batch_tree(spark: SparkSession, sf: str) -> str:

@@ -89,15 +89,19 @@ def test_simhash_collapse_shortcircuit_equivalence(spark):
     texts = [f"the quick brown fox {i} jumps over the lazy dog" for i in range(12)]
     df = spark.createDataFrame(pd.DataFrame({"doc_id": range(12), "text": texts}))
     plain = sorted(map(tuple, simhash_pairs(df, "doc_id", "text").collect()))
-    collapsed = sorted(map(tuple, simhash_pairs(df, "doc_id", "text", collapse_exact=True).collect()))
-    assert plain == collapsed
+    for mode in (True, "auto"):  # no dup classes: all three modes agree
+        collapsed = sorted(
+            map(tuple, simhash_pairs(df, "doc_id", "text", collapse_exact=mode).collect())
+        )
+        assert plain == collapsed, mode
     # corpus WITH a dup class: collapse engages and keeps only canonical keys
     dup = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(6), "text": ["same text here"] * 3 + texts[:3]})
     )
-    out = simhash_pairs(dup, "doc_id", "text", collapse_exact=True).toPandas()
     copies = {1, 2}  # non-canonical members of the dup class (canonical = 0)
-    assert not (set(out["doc_a"]) | set(out["doc_b"])) & copies
+    for mode in (True, "auto"):
+        out = simhash_pairs(dup, "doc_id", "text", collapse_exact=mode).toPandas()
+        assert not (set(out["doc_a"]) | set(out["doc_b"])) & copies, mode
 
 
 def test_winnow_matches_reference_algorithm(spark):
