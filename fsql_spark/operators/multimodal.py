@@ -78,6 +78,10 @@ def decode_image(content: bytes):
         from .gif import decode_gif
 
         return decode_gif(content)["frames"][0]
+    if content[:2] == b"BM":
+        from .bmp import decode_bmp
+
+        return decode_bmp(content)
     try:  # pragma: no cover - no external codec in container
         from PIL import Image  # type: ignore
         import io
