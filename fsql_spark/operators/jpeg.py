@@ -10,12 +10,21 @@ surface); the driver brief mandates multimodal decode.
 
 Scope (loud refusal outside it):
 
-- Baseline sequential DCT (SOF0), 8-bit precision, Huffman entropy
-  coding. Progressive (SOF2), arithmetic coding, 12-bit, and
+- Sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2 — spectral
+  selection + successive approximation, both directions: the decoder
+  accumulates per-component coefficients across scans and reconstructs
+  at EOI; the encoder writes a 4-kind scan script). 8-bit precision,
+  Huffman entropy coding. Arithmetic coding, 12-bit, lossless and
   hierarchical modes raise NotImplementedError naming the feature.
 - 1 component (grayscale) or 3 components (YCbCr, JFIF conversion)
   with sampling factors 1 or 2 per axis (covers 4:4:4, 4:2:2, 4:2:0).
 - Restart markers (DRI/RSTn) are honored on decode.
+
+Progressive correctness is pinned by an equivalence property, not just
+round trips: the progressive transmission carries the SAME quantized
+coefficients as the sequential one, so decode(progressive(img)) must
+equal decode(sequential(img)) EXACTLY — asserted across random images,
+all subsampling modes, and edge-block geometries in the test suite.
 
 Determinism contract (what makes a JPEG entry ORACLE-ABLE): every
 rounding step uses floor(x + 0.5), and both DCT directions snap their
@@ -418,6 +427,166 @@ def _encode_component_blocks(
     return pred
 
 
+def _enc_ac_first_block(writer: _BitWriter, ac_tab: dict, zz, ss: int, se: int, al: int) -> None:
+    """Progressive AC first-scan encoding for one block (G.1.2.2 shape).
+    Blocks ending in EOB state flush an EOB0 IMMEDIATELY — the standard
+    AC tables carry no EOBn (n>0) symbols, so runs cannot span blocks
+    (the decoder still accepts foreign EOBn)."""
+    run = 0
+    emitted_any = False
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        m = (t if t >= 0 else -t) >> al
+        if m == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]
+            writer.write(code, length)
+            run -= 16
+        size, bits = _magnitude(m if t >= 0 else -m)
+        code, length = ac_tab[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+        emitted_any = True
+    if run > 0 or not emitted_any:
+        code, length = ac_tab[0x00]  # EOB0
+        writer.write(code, length)
+
+
+def _enc_ac_refine_block(writer: _BitWriter, ac_tab: dict, zz, ss: int, se: int, al: int) -> None:
+    """Progressive AC refinement encoding for one block (G.1.2.3):
+    correction bits for history coefficients ride AFTER the next emitted
+    symbol; a block ending in EOB state flushes EOB0 + its remaining
+    correction bits immediately (EOB0-only discipline, as above)."""
+    absv = [(abs(int(zz[k]))) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    run = 0
+    br: list = []
+    ended_clean = False
+    for k in range(ss, se + 1):
+        m = absv[k - ss]
+        if m == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            code, length = ac_tab[0xF0]
+            writer.write(code, length)
+            run -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if m > 1:  # history coefficient: one correction bit, deferred
+            br.append(m & 1)
+            continue
+        code, length = ac_tab[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        run = 0
+        ended_clean = k == se
+    if run > 0 or br or not ended_clean:
+        code, length = ac_tab[0x00]  # EOB0
+        writer.write(code, length)
+        for b in br:
+            writer.write(b, 1)
+
+
+def _progressive_scans(comp_blocks, factors, mcus_y, mcus_x, ncomp, height, width):
+    """The SOF2 scan script: DC first (Al=1) interleaved, per-component
+    AC first 1..63 (Al=1), DC refine, per-component AC refine — every
+    progressive scan kind exercised, and the accumulated coefficients
+    equal the sequential transmission exactly."""
+    scans = []
+
+    def sos(sel, ss, se, ah, al):
+        p = struct.pack(">B", len(sel))
+        for ci in sel:
+            t = 0 if ci == 0 else 1
+            p += struct.pack(">BB", ci + 1, (t << 4) | t)
+        return p + struct.pack(">BBB", ss, se, (ah << 4) | al)
+
+    all_comps = list(range(ncomp))
+    hmax = max(f[0] for f in factors[:ncomp])
+    vmax = max(f[1] for f in factors[:ncomp])
+
+    def ni_blocks(ci):
+        """Non-interleaved scans cover the component's OWN block grid
+        (B.2.3), row-major, strided by the MCU-grid row width — the same
+        geometry the decoder walks. MCU padding blocks are skipped; their
+        pixels crop away."""
+        by, bx, _zz = comp_blocks[ci]
+        h_i, v_i = factors[ci]
+        bw = -(-(-(-width * h_i // hmax)) // 8)
+        bh = -(-(-(-height * v_i // vmax)) // 8)
+        for r in range(bh):
+            for c in range(bw):
+                yield r * bx + c
+
+    # scan 1: DC first, Al=1, interleaved over all components
+    w = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in all_comps:
+                by, bx, zz = comp_blocks[ci]
+                h_i, v_i = factors[ci]
+                dc_tab = _ENC_DC[0 if ci == 0 else 1]
+                for dy in range(v_i):
+                    for dx in range(h_i):
+                        bidx = (my * v_i + dy) * bx + (mx * h_i + dx)
+                        v = int(zz[bidx][0]) >> 1  # point transform (arith shift)
+                        size, bits = _magnitude(v - preds[ci])
+                        preds[ci] = v
+                        code, length = dc_tab[size]
+                        w.write(code, length)
+                        if size:
+                            w.write(bits, size)
+    w.flush()
+    scans.append((sos(all_comps, 0, 0, 0, 1), bytes(w.out)))
+
+    # scan 2 per component: AC first 1..63, Al=1 (non-interleaved grid)
+    for ci in all_comps:
+        by, bx, zz = comp_blocks[ci]
+        ac_tab = _ENC_AC[0 if ci == 0 else 1]
+        w = _BitWriter()
+        for bidx in ni_blocks(ci):
+            _enc_ac_first_block(w, ac_tab, zz[bidx], 1, 63, 1)
+        w.flush()
+        scans.append((sos([ci], 1, 63, 0, 1), bytes(w.out)))
+
+    # scan 3: DC refine (Ah=1, Al=0): one raw bit per block, no Huffman
+    w = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in all_comps:
+                by, bx, zz = comp_blocks[ci]
+                h_i, v_i = factors[ci]
+                for dy in range(v_i):
+                    for dx in range(h_i):
+                        bidx = (my * v_i + dy) * bx + (mx * h_i + dx)
+                        w.write(int(zz[bidx][0]) & 1, 1)
+    w.flush()
+    scans.append((sos(all_comps, 0, 0, 1, 0), bytes(w.out)))
+
+    # scan 4 per component: AC refine (Ah=1, Al=0)
+    for ci in all_comps:
+        by, bx, zz = comp_blocks[ci]
+        ac_tab = _ENC_AC[0 if ci == 0 else 1]
+        w = _BitWriter()
+        for bidx in ni_blocks(ci):
+            _enc_ac_refine_block(w, ac_tab, zz[bidx], 1, 63, 0)
+        w.flush()
+        scans.append((sos([ci], 1, 63, 1, 0), bytes(w.out)))
+    return scans
+
+
 def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     """Edge-replicate to multiples of (mh, mw) — the spec's recommended
     extension, and replication keeps constant blocks constant."""
@@ -432,13 +601,18 @@ def encode_jpeg(
     quality: int = 50,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode a uint8 array — (H, W) grayscale or (H, W, 3) RGB — as a
     baseline JFIF JPEG (SOF0, standard Huffman tables, Annex K quant
     tables scaled by ``quality``). ``subsampling``: '4:4:4' or '4:2:0'
     (3-component only). ``restart_interval`` > 0 writes DRI + RSTn
     markers every that many MCUs (error-resilience segmentation — also
-    exercises the decoder's restart path). Deterministic: same array ->
+    exercises the decoder's restart path; sequential mode only).
+    ``progressive`` writes an SOF2 multi-scan file — DC first (Al=1),
+    per-component AC first (Al=1), DC refine, per-component AC refine —
+    which decodes IDENTICALLY to the sequential file (same quantized
+    coefficients, reordered transmission). Deterministic: same array ->
     same bytes."""
     if arr.dtype != np.uint8:
         raise ValueError(f"encode_jpeg needs uint8, got {arr.dtype}")
@@ -451,6 +625,8 @@ def encode_jpeg(
         raise ValueError("cannot encode a zero-sized image")
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"subsampling must be '4:4:4' or '4:2:0', got {subsampling}")
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is only supported in sequential mode")
     sub = (not gray) and subsampling == "4:2:0"
     height, width = arr.shape[0], arr.shape[1]
 
@@ -495,33 +671,45 @@ def encode_jpeg(
         zz = _round_half_up(coefs / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
         comp_blocks.append((th // 8, tw // 8, zz))
 
-    # entropy-encode in MCU order
-    writer = _BitWriter()
+    # entropy-encode
     enc_dc = _ENC_DC  # fixed standard tables — built once at import
     enc_ac = _ENC_AC
-    preds = [0] * len(planes)
     mcus_y = -(-height // (8 * vmax))
     mcus_x = -(-width // (8 * hmax))
-    mcu_count = 0
-    rst_n = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                writer.flush()  # byte-align, then the bare RSTn marker
-                writer.out += bytes([0xFF, 0xD0 + rst_n])
-                rst_n = (rst_n + 1) & 7
-                preds = [0] * len(planes)
-            mcu_count += 1
-            for ci, (by, bx, zz) in enumerate(comp_blocks):
-                h_i, v_i = factors[ci]
-                t = 0 if ci == 0 else 1
-                for dy in range(v_i):
-                    for dx in range(h_i):
-                        bidx = (my * v_i + dy) * bx + (mx * h_i + dx)
-                        preds[ci] = _encode_component_blocks(
-                            writer, zz[bidx : bidx + 1], enc_dc[t], enc_ac[t], preds[ci]
-                        )
-    writer.flush()
+    ncomp = 1 if gray else 3
+    if progressive:
+        scans = _progressive_scans(
+            comp_blocks, factors, mcus_y, mcus_x, ncomp, height, width
+        )
+    else:
+        writer = _BitWriter()
+        preds = [0] * len(planes)
+        mcu_count = 0
+        rst_n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    writer.flush()  # byte-align, then the bare RSTn marker
+                    writer.out += bytes([0xFF, 0xD0 + rst_n])
+                    rst_n = (rst_n + 1) & 7
+                    preds = [0] * len(planes)
+                mcu_count += 1
+                for ci, (by, bx, zz) in enumerate(comp_blocks):
+                    h_i, v_i = factors[ci]
+                    t = 0 if ci == 0 else 1
+                    for dy in range(v_i):
+                        for dx in range(h_i):
+                            bidx = (my * v_i + dy) * bx + (mx * h_i + dx)
+                            preds[ci] = _encode_component_blocks(
+                                writer, zz[bidx : bidx + 1], enc_dc[t], enc_ac[t], preds[ci]
+                            )
+        writer.flush()
+        sos = struct.pack(">B", ncomp)
+        for ci in range(ncomp):
+            t = 0 if ci == 0 else 1
+            sos += struct.pack(">BB", ci + 1, (t << 4) | t)
+        sos += b"\x00\x3f\x00"
+        scans = [(sos, bytes(writer.out))]
 
     # --- assemble the stream ---
     def seg(marker: int, payload: bytes) -> bytes:
@@ -532,12 +720,11 @@ def encode_jpeg(
     out += seg(0xFFDB, b"\x00" + bytes(qlum.reshape(64)[ZIGZAG].astype(np.uint8)))
     if not gray:
         out += seg(0xFFDB, b"\x01" + bytes(qchrom.reshape(64)[ZIGZAG].astype(np.uint8)))
-    ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for ci in range(ncomp):
         h_i, v_i = factors[ci]
         sof += struct.pack(">BBB", ci + 1, (h_i << 4) | v_i, 0 if ci == 0 else 1)
-    out += seg(0xFFC0, sof)
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
     for tclass, tid, (bits, vals) in (
         (0, 0, HUFF_DC_LUM),
         (1, 0, HUFF_AC_LUM),
@@ -549,13 +736,9 @@ def encode_jpeg(
         out += seg(0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = struct.pack(">B", ncomp)
-    for ci in range(ncomp):
-        t = 0 if ci == 0 else 1
-        sos += struct.pack(">BB", ci + 1, (t << 4) | t)
-    sos += b"\x00\x3f\x00"
-    out += seg(0xFFDA, sos)
-    out += writer.out
+    for sos_payload, entropy in scans:
+        out += seg(0xFFDA, sos_payload)
+        out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -565,19 +748,24 @@ def encode_jpeg(
 # --------------------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG byte string to a uint8 array — (H, W) for
-    one component, (H, W, 3) RGB for three (JFIF YCbCr conversion).
-    Refuses corrupt structure with :class:`CodecError` and non-baseline
-    modes (progressive / arithmetic / 12-bit) with NotImplementedError."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG byte string
+    to a uint8 array — (H, W) for one component, (H, W, 3) RGB for three
+    (JFIF YCbCr conversion). Progressive files accumulate coefficients
+    across scans (spectral selection + successive approximation, the
+    full F.2.2/G.2 machinery) and reconstruct once at EOI. Refuses
+    corrupt structure with :class:`CodecError` and out-of-scope modes
+    (arithmetic coding / hierarchical / 12-bit) with
+    NotImplementedError."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise CodecError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict = {}
     dc_tables: dict = {}
     ac_tables: dict = {}
-    frame = None  # (height, width, comps) where comps = [(cid, h, v, tq)]
+    frame = None  # (height, width, comps, progressive)
+    state = None  # per-component coefficient buffers (zigzag order)
     restart_interval = 0
-    result = None
+    saw_scan = False
 
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
@@ -619,7 +807,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise CodecError("JPEG DHT: truncated table")
                 (dc_tables if tc == 0 else ac_tables)[th] = _build_decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext. sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential) / SOF2 (progressive)
             precision, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError(f"JPEG: {precision}-bit precision not supported")
@@ -634,10 +822,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, h_i, v_i, tq))
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"JPEG: {ncomp}-component images not supported")
-            frame = (height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = (height, width, comps, marker == 0xC2)
+            state = _alloc_coef_state(height, width, comps)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "JPEG: only baseline sequential Huffman (SOF0/SOF1) is supported"
+                "JPEG: only sequential (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman modes are supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
@@ -645,128 +835,272 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise CodecError("JPEG: SOS before SOF")
             ns = payload[0]
+            if len(payload) < 1 + 2 * ns + 3:
+                raise CodecError("JPEG: truncated SOS header")
             scan_sel = []
             for i in range(ns):
                 cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
                 scan_sel.append((cs, tt >> 4, tt & 0x0F))
-            result, pos = _decode_scan(
-                data, pos + length, frame, scan_sel, qtables, dc_tables, ac_tables,
-                restart_interval,
+            ss = payload[1 + 2 * ns]
+            se = payload[2 + 2 * ns]
+            ah = payload[3 + 2 * ns] >> 4
+            al = payload[3 + 2 * ns] & 0x0F
+            if not frame[3]:  # sequential: full band, no approximation
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_sos(
+                data, pos + length, frame, state, scan_sel,
+                dc_tables, ac_tables, restart_interval, ss, se, ah, al,
             )
+            saw_scan = True
             continue  # pos already advanced past entropy data
         pos += length
-    if result is None:
+    if not saw_scan:
         raise CodecError("JPEG: no scan decoded")
-    return result
+    return _reconstruct(frame, state, qtables)
 
 
-def _decode_scan(data, pos, frame, scan_sel, qtables, dc_tables, ac_tables, restart_interval):
-    height, width, comps = frame
-    if len(scan_sel) != len(comps):
-        raise NotImplementedError("JPEG: multi-scan (progressive-style) files not supported")
+def _alloc_coef_state(height, width, comps):
+    """Per-component zigzag coefficient buffers, MCU-grid sized (the
+    superset of both interleaved and non-interleaved scan geometries) —
+    plain lists of lists: progressive refinement is read-modify-write per
+    coefficient, where list indexing beats numpy scalar access ~10x."""
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_y = -(-height // (8 * vmax))
     mcus_x = -(-width // (8 * hmax))
-
-    # per component: tables + accumulators for the two-phase decode
-    order = []  # (ci, dc_lut, ac_lut, coeff_lists, block_idx_list, bx)
-    qs = []
-    geoms = []
-    for ci, (cid, h_i, v_i, tq) in enumerate(comps):
-        sel = next((s for s in scan_sel if s[0] == cid), None)
-        if sel is None:
-            raise CodecError(f"JPEG: scan does not cover component {cid}")
-        _, td, ta = sel
-        if td not in dc_tables or ta not in ac_tables or tq not in qtables:
-            raise CodecError("JPEG: scan references an undefined table")
+    state = []
+    for cid, h_i, v_i, tq in comps:
         by, bx = mcus_y * v_i, mcus_x * h_i
-        order.append((ci, dc_tables[td], ac_tables[ta], [], [], bx))
-        qs.append(qtables[tq].astype(np.float64))
-        geoms.append((by, bx, h_i, v_i))
+        # non-interleaved scans cover only the component's OWN block grid
+        bw = -(-(-(-width * h_i // hmax)) // 8)
+        bh = -(-(-(-height * v_i // vmax)) // 8)
+        state.append({
+            "coef": [[0] * 64 for _ in range(by * bx)],
+            "by": by, "bx": bx, "bw": bw, "bh": bh,
+        })
+    return state
 
-    # --- phase 1: entropy decode into plain Python lists (the hot loop
-    # touches no numpy; LUT symbol lookup + buffered bit reads only) ---
+
+def _decode_sos(data, pos, frame, state, scan_sel, dc_tables, ac_tables,
+                restart_interval, ss, se, ah, al):
+    height, width, comps, progressive = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_y = -(-height // (8 * vmax))
+    mcus_x = -(-width // (8 * hmax))
+    if not 0 <= ss <= se <= 63 or al > 13:
+        raise CodecError(f"JPEG: bad spectral range {ss}..{se}")
+    if ss > 0 and len(scan_sel) != 1:
+        raise CodecError("JPEG: AC scans must be single-component")
+
+    # resolve scan components -> (state_idx, dc_table, ac_table, h, v)
+    order = []
+    for cs, td, ta in scan_sel:
+        ci = next((i for i, c in enumerate(comps) if c[0] == cs), None)
+        if ci is None:
+            raise CodecError(f"JPEG: scan references unknown component {cs}")
+        dc_tab = dc_tables.get(td)
+        ac_tab = ac_tables.get(ta)
+        if ss == 0 and ah == 0 and dc_tab is None:
+            raise CodecError("JPEG: scan references an undefined DC table")
+        if se > 0 and ac_tab is None and not (ss == 0 and ah > 0):
+            if ss > 0 or not progressive:
+                raise CodecError("JPEG: scan references an undefined AC table")
+        order.append((ci, dc_tab, ac_tab, comps[ci][1], comps[ci][2]))
+
     clean, rst_offsets, rst_markers, end_pos = _destuff_scan(data, pos)
     reader = _BitReader(clean)
     rst_i = 0
-    preds = [0] * len(comps)
-    mcu_count = 0
     rst_n = 0
-    receive = reader.receive
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align()
-                if rst_i >= len(rst_offsets) or rst_offsets[rst_i] != reader.byte_offset():
-                    raise CodecError(f"JPEG: expected RST{rst_n} marker")
-                if rst_markers[rst_i] != rst_n:
-                    raise CodecError(
-                        f"JPEG: expected RST{rst_n}, found RST{rst_markers[rst_i]}"
-                    )
-                rst_i += 1
-                rst_n = (rst_n + 1) & 7
-                preds = [0] * len(comps)
-            for ci, dc_tab, ac_tab, coeffs, bidxs, bx in order:
-                h_i, v_i = geoms[ci][2], geoms[ci][3]
-                for dy in range(v_i):
-                    for dx in range(h_i):
-                        zz = [0] * 64
-                        size = _decode_symbol(reader, dc_tab)
-                        if size > 11:
-                            raise CodecError("JPEG: DC size out of range")
-                        preds[ci] += _extend(receive(size), size)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            entry = ac_tab[reader.peek16()]
-                            if entry == 0:
-                                raise CodecError("JPEG: invalid Huffman code")
-                            reader.consume(entry >> 8)
-                            rs = entry & 0xFF
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise CodecError("JPEG: AC run past block end")
-                            zz[k] = _extend(receive(size), size)
-                            k += 1
-                        coeffs.append(zz)
-                        bidxs.append((my * v_i + dy) * bx + mx * h_i + dx)
-            mcu_count += 1
+    preds = [0] * len(comps)
+    eobrun = 0
+    unit_count = 0
 
-    # --- phase 2: dequantize + IDCT, ONE batched tensor matmul per
-    # component ((n, 8, 8) @ — no per-block numpy) ---
-    planes = []
-    for ci, _dc, _ac, coeffs, bidxs, bx in order:
-        by, bx, h_i, v_i = geoms[ci]
-        blocks = np.asarray(coeffs, dtype=np.float64)[:, UNZIGZAG].reshape(-1, 8, 8) * qs[ci]
-        px = _snap(_C.T @ blocks @ _C)
-        arr = np.zeros((by * bx, 8, 8), dtype=np.float64)
-        arr[np.asarray(bidxs, dtype=np.int64)] = px
-        planes.append(
-            arr.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-        )
+    def maybe_restart():
+        nonlocal rst_i, rst_n, preds, eobrun
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            reader.align()
+            if rst_i >= len(rst_offsets) or rst_offsets[rst_i] != reader.byte_offset():
+                raise CodecError(f"JPEG: expected RST{rst_n} marker")
+            if rst_markers[rst_i] != rst_n:
+                raise CodecError(f"JPEG: expected RST{rst_n}, found RST{rst_markers[rst_i]}")
+            rst_i += 1
+            rst_n = (rst_n + 1) & 7
+            preds = [0] * len(comps)
+            eobrun = 0
 
-    # reassemble: upsample, level shift, color convert, crop
+    interleaved = len(scan_sel) > 1
+    if ss == 0:  # DC scan (or full sequential band)
+        full_band = se == 63  # sequential single-scan fast path
+        for my in range(mcus_y if interleaved else 1):
+            for mx in range(mcus_x if interleaved else 1):
+                if interleaved:
+                    maybe_restart()
+                    unit_count += 1
+                for oi, (ci, dc_tab, ac_tab, h_i, v_i) in enumerate(order):
+                    st = state[ci]
+                    coef = st["coef"]
+                    if interleaved:
+                        spans = [
+                            (my * v_i + dy) * st["bx"] + mx * h_i + dx
+                            for dy in range(v_i) for dx in range(h_i)
+                        ]
+                    else:
+                        spans = None  # iterate the component grid below
+                    for bidx in (spans if spans is not None else _ni_blocks(st)):
+                        if not interleaved:
+                            maybe_restart()
+                            unit_count += 1
+                        cof = coef[bidx]
+                        if ah == 0:  # DC first (or sequential)
+                            size = _decode_symbol(reader, dc_tab)
+                            if size > 11:
+                                raise CodecError("JPEG: DC size out of range")
+                            preds[ci] += _extend(reader.receive(size), size)
+                            cof[0] = preds[ci] << al
+                            if full_band:
+                                _seq_ac_block(reader, ac_tab, cof)
+                        else:  # DC refine: one appended bit per block
+                            if reader.receive(1):
+                                cof[0] |= 1 << al
+    else:  # AC scan: single component, its own block grid
+        ci, _dc, ac_tab, h_i, v_i = order[0]
+        st = state[ci]
+        coef = st["coef"]
+        for bidx in _ni_blocks(st):
+            maybe_restart()
+            unit_count += 1
+            cof = coef[bidx]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, ac_tab, cof, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, ac_tab, cof, ss, se, al, eobrun)
+    return end_pos
+
+
+def _ni_blocks(st):
+    """Row-major block indices of a component's OWN grid inside its
+    MCU-grid-strided buffer (non-interleaved scan geometry, B.2.3)."""
+    bx = st["bx"]
+    for r in range(st["bh"]):
+        base = r * bx
+        for c in range(st["bw"]):
+            yield base + c
+
+
+def _seq_ac_block(reader, ac_tab, cof):
+    """Sequential AC 1..63 for one block (the baseline hot loop)."""
+    k = 1
+    while k < 64:
+        entry = ac_tab[reader.peek16()]
+        if entry == 0:
+            raise CodecError("JPEG: invalid Huffman code")
+        reader.consume(entry >> 8)
+        rs = entry & 0xFF
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise CodecError("JPEG: AC run past block end")
+        cof[k] = _extend(reader.receive(size), size)
+        k += 1
+
+
+def _ac_first_block(reader, ac_tab, cof, ss, se, al, eobrun):
+    """Progressive AC first scan for one block (F.2.2.2 / jdphuff shape)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(reader, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) + (reader.receive(run) if run else 0) - 1
+            return eobrun
+        k += run
+        if k > se:
+            raise CodecError("JPEG: AC run past spectral band end")
+        cof[k] = _extend(reader.receive(size), size) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac_tab, cof, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (G.2 successive
+    approximation: correction bits for known coefficients, +-1<<Al for
+    newly nonzero ones, EOB runs covering trailing corrections)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(reader, ac_tab)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size != 0:
+                if size != 1:
+                    raise CodecError("JPEG: AC refine size must be 1")
+                newval = p1 if reader.receive(1) else m1
+            else:
+                if run != 15:
+                    eobrun = (1 << run) + (reader.receive(run) if run else 0)
+                    break  # fall through to the EOB correction sweep
+                # ZRL: skip 16 zero-history positions (with corrections)
+            while k <= se:
+                c = cof[k]
+                if c != 0:
+                    if reader.receive(1) and (c & p1) == 0:
+                        cof[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                cof[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = cof[k]
+            if c != 0 and reader.receive(1) and (c & p1) == 0:
+                cof[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, state, qtables):
+    """Dequantize + IDCT every component (ONE batched tensor matmul each),
+    upsample, level shift, color convert, crop."""
+    height, width, comps, _prog = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for ci, (cid, h_i, v_i, tq) in enumerate(comps):
-        p = planes[ci]
+        if tq not in qtables:
+            raise CodecError(f"JPEG: component references undefined quant table {tq}")
+        st = state[ci]
+        by, bx = st["by"], st["bx"]
+        q = qtables[tq].astype(np.float64)
+        blocks = np.asarray(st["coef"], dtype=np.float64)[:, UNZIGZAG].reshape(-1, 8, 8) * q
+        px = _snap(_C.T @ blocks @ _C)
+        p = px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         if h_i != hmax or v_i != vmax:
             p = np.repeat(np.repeat(p, vmax // v_i, axis=0), hmax // h_i, axis=1)
         full.append(p[:height, :width])
     if len(full) == 1:
-        out = np.clip(_round_half_up(full[0] + 128.0), 0, 255).astype(np.uint8)
-        return out, end_pos
+        return np.clip(_round_half_up(full[0] + 128.0), 0, 255).astype(np.uint8)
     y, cb, cr = full[0] + 128.0, full[1] + 128.0, full[2] + 128.0
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack(
+    return np.stack(
         [np.clip(_round_half_up(c), 0, 255).astype(np.uint8) for c in (r, g, b)], axis=2
     )
-    return rgb, end_pos

@@ -933,10 +933,16 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
     )
     value = value.persist()
-    # F.round (half-up, matching SQL ROUND) — not Python round (banker's)
-    threshold = value.agg(
-        F.round(F.avg("part_value") * 2, 2).alias("t")
-    ).collect()[0][0] or 0.0
+    try:
+        # F.round (half-up, matching SQL ROUND) — not Python round (banker's)
+        threshold = value.agg(
+            F.round(F.avg("part_value") * 2, 2).alias("t")
+        ).collect()[0][0] or 0.0
+    finally:
+        # release the cache (hygiene: catalog entries must not accumulate
+        # executor storage); the returned plan recomputes the aggregate
+        # once when consumed — the q22 two-pass shape
+        value.unpersist()
     return value.where(F.col("part_value") > F.lit(threshold)).select(
         "l_partkey", "part_value"
     )

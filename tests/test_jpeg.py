@@ -107,11 +107,11 @@ def test_refusals():
         decode_jpeg(b"nope")
     a = np.zeros((8, 8), np.uint8)
     good = bytearray(encode_jpeg(a))
-    # flip the SOF0 marker to SOF2 (progressive) -> loud NotImplementedError
+    # flip the SOF0 marker to SOF3 (lossless) -> loud NotImplementedError
     i = bytes(good).find(b"\xff\xc0")
     prog = good.copy()
-    prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    prog[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF0/SOF1.*SOF2|progressive"):
         decode_jpeg(bytes(prog))
     with pytest.raises(CodecError):
         decode_jpeg(bytes(good[:-4]))  # truncated entropy data / no EOI scan end
@@ -136,3 +136,74 @@ def test_decode_image_dispatches_jpeg_natively(spark):
     out = decode_image(encode_jpeg(a, quality=50))
     assert out.shape == (16, 16)
     assert (out == _expected_constant(a.astype(np.uint8), 16)).all()
+
+
+@pytest.mark.parametrize("kind", ["gray", "rgb444", "rgb420"])
+def test_progressive_equals_baseline(kind):
+    """The progressive transmission carries the same quantized
+    coefficients as the sequential one — decoded outputs must be
+    IDENTICAL. This pins all four scan kinds (DC first/refine, AC
+    first/refine) against the sequential path across random content,
+    quality tiers, and partial-edge-block geometries."""
+    rng = np.random.RandomState(7)
+    for q in (35, 50, 75, 92, 99):
+        h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        shape = (h, w) if kind == "gray" else (h, w, 3)
+        sub = "4:2:0" if kind == "rgb420" else "4:4:4"
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(a, quality=q, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg(a, quality=q, subsampling=sub, progressive=True))
+        assert (base == prog).all(), (kind, q, shape)
+
+
+def test_progressive_constant_blocks_exact():
+    # the closed-form oracle family holds for the progressive file too
+    v = np.arange(32, 127, dtype=np.uint8)
+    img = np.repeat(np.repeat(v.reshape(-1, 1), 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg(img, quality=50, progressive=True))
+    assert (out[::8, 0] == _expected_constant(v, 16)).all()
+
+
+def test_progressive_marker_and_scan_count():
+    a = RNG.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    data = encode_jpeg(a, quality=75, progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    # DC first + 3x AC first + DC refine + 3x AC refine = 8 SOS segments
+    assert data.count(b"\xff\xda") >= 8
+    with pytest.raises(ValueError, match="sequential"):
+        encode_jpeg(a, progressive=True, restart_interval=2)
+
+
+def test_foreign_eobn_symbols_decode():
+    """Our encoder only emits EOB0 (the standard tables carry no EOBn),
+    but foreign progressive files use multi-block EOB runs — drive the
+    block decoders directly with a custom table containing EOB1."""
+    from fsql_spark.operators.jpeg import (
+        _ac_first_block,
+        _BitReader,
+        _BitWriter,
+        _build_decode_table,
+        _build_encode_table,
+    )
+
+    bits = [0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    vals = [0x00, 0x10, 0x01, 0xF0]
+    enc = _build_encode_table(bits, vals)
+    dec = _build_decode_table(bits, vals)
+    w = _BitWriter()
+    # block 1: coefficient 1 at k=1 (run 0, size 1, bit=1 -> +1), then EOB1
+    code, length = enc[0x01]
+    w.write(code, length)
+    w.write(1, 1)
+    code, length = enc[0x10]  # EOB1: eobrun = 2 + appended bit
+    w.write(code, length)
+    w.write(1, 1)  # eobrun = 3 -> this block + skip 2 more
+    w.flush()
+    reader = _BitReader(bytes(w.out))
+    blocks = [[0] * 64 for _ in range(3)]
+    eobrun = 0
+    eobrun = _ac_first_block(reader, dec, blocks[0], 1, 63, 1, eobrun)
+    assert blocks[0][1] == 1 << 1 and eobrun == 2
+    eobrun = _ac_first_block(reader, dec, blocks[1], 1, 63, 1, eobrun)
+    eobrun = _ac_first_block(reader, dec, blocks[2], 1, 63, 1, eobrun)
+    assert eobrun == 0 and not any(any(b[1:]) for b in blocks[1:])
