@@ -1,12 +1,13 @@
-"""Pure stdlib+numpy baseline JPEG (ITU-T T.81) codec.
+"""Pure stdlib+numpy JPEG (ITU-T T.81) codec — sequential AND progressive.
 
 Closes the "JPEG second after PNG" gap with zero external dependencies:
 ``encode_jpeg`` / ``decode_jpeg`` implement the real pipeline — level
 shift, 8x8 DCT, quantization (Annex K tables, libjpeg-convention quality
 scaling), zigzag, differential DC + run-length AC Huffman coding with the
-spec's standard code tables, byte stuffing, and the whole thing in
-reverse. No counterpart in the reference (fsql has no multimodal
-surface); the driver brief mandates multimodal decode.
+spec's standard code tables, byte stuffing, progressive multi-scan
+transmission, and the whole thing in reverse. No counterpart in the
+reference (fsql has no multimodal surface); the driver brief mandates
+multimodal decode.
 
 Scope (loud refusal outside it):
 

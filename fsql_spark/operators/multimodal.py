@@ -947,13 +947,18 @@ GROUP BY doc_id
 """
 
 
-def documents_as_jpeg(spark: SparkSession, sf: str, chars_per_row: int = 16) -> DataFrame:
-    """Synthesize a REAL baseline-JPEG media table: each text byte becomes
-    one CONSTANT 8x8 block ('.'-padded to fill the last block row),
-    encoded at quality 50 grayscale. Constant blocks make the lossy
-    DCT round trip exactly predictable (see ``jpeg.py``'s determinism
-    contract): decoded = clamp(2*floor((byte-128)/2 + 0.5) + 128), so a
-    SQL oracle verifies the full Huffman+DCT pipeline per character."""
+def documents_as_jpeg(
+    spark: SparkSession, sf: str, chars_per_row: int = 16, progressive: bool = False
+) -> DataFrame:
+    """Synthesize a REAL JPEG media table: each text byte becomes one
+    CONSTANT 8x8 block ('.'-padded to fill the last block row), encoded
+    at quality 50 grayscale — sequential, or SOF2 multi-scan when
+    ``progressive``. Constant blocks make the lossy DCT round trip
+    exactly predictable (see ``jpeg.py``'s determinism contract):
+    decoded = clamp(2*floor((byte-128)/2 + 0.5) + 128), so a SQL oracle
+    verifies the full Huffman+DCT pipeline per character — for the
+    progressive table, every scan kind of the successive-approximation
+    machinery."""
     import math
 
     import numpy as np
@@ -981,7 +986,7 @@ def documents_as_jpeg(spark: SparkSession, sf: str, chars_per_row: int = 16) -> 
                 padded = b.ljust(n * chars_per_row, b".")
                 mat = np.frombuffer(padded, dtype=np.uint8).reshape(n, chars_per_row)
                 arr = np.repeat(np.repeat(mat, 8, axis=0), 8, axis=1)
-                contents.append(encode_jpeg(arr, quality=50))
+                contents.append(encode_jpeg(arr, quality=50, progressive=progressive))
                 heights.append(n * 8)
             yield pd.DataFrame(
                 {
@@ -1060,6 +1065,17 @@ SELECT sized.doc_id                   AS media_id,
        CAST(px.px_sum AS BIGINT)      AS px_sum
 FROM sized JOIN px ON sized.doc_id = px.doc_id
 """
+
+
+def q_image_decode_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
+    """The progressive twin of q_image_decode_jpeg: the SAME pixels ride
+    an SOF2 multi-scan transmission (DC first/refine + AC first/refine),
+    and the SAME closed-form oracle must still hold — a wrong bit in any
+    of the four scan kinds breaks px_sum."""
+    media = documents_as_jpeg(spark, sf, chars_per_row=16, progressive=True)
+    return decode_image_stats(media).select(
+        "media_id", "width", "height", "n_pixels", "px_sum"
+    )
 
 
 def q_image_decode_palette(spark: SparkSession, sf: str) -> DataFrame:
@@ -1159,6 +1175,7 @@ MULTIMODAL_QUERIES = {
     "q_image_decode_palette": q_image_decode_palette,
     "q_image_decode_gif": q_image_decode_gif,
     "q_image_decode_jpeg": q_image_decode_jpeg,
+    "q_image_decode_jpeg_progressive": q_image_decode_jpeg_progressive,
     "q_video_frame_sample_y4m": q_video_frame_sample_y4m,
     "q_audio_decode_wav": q_audio_decode_wav,
 }
@@ -1171,6 +1188,7 @@ MULTIMODAL_ORACLES = {
     "q_image_decode_palette": Q_IMAGE_PALETTE_SQL,
     "q_image_decode_gif": Q_IMAGE_PALETTE_SQL,  # same pixels, different container
     "q_image_decode_jpeg": Q_IMAGE_JPEG_SQL,
+    "q_image_decode_jpeg_progressive": Q_IMAGE_JPEG_SQL,  # same pixels, same closed form
     "q_video_frame_sample_y4m": Q_Y4M_FRAME_SQL,
     "q_audio_decode_wav": Q_WAV_ENERGY_SQL,
 }
