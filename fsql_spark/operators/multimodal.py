@@ -61,10 +61,11 @@ FEATURE_SCHEMA = StructType(
 
 def decode_image(content: bytes):
     """Real image decode. PNG (stdlib zlib + numpy unfilter, ``codecs.py``),
-    baseline JPEG (pure-numpy Huffman+DCT, ``jpeg.py``) and GIF (LZW,
-    ``gif.py``) decode natively and return a numpy array — (H, W) gray or
-    (H, W, C). Other formats (WebP, ...) fall back to Pillow when
-    installed, else raise NotImplementedError naming the format."""
+    JPEG (sequential AND progressive, pure-numpy Huffman+DCT,
+    ``jpeg.py``), GIF (LZW, ``gif.py``) and BMP (``bmp.py``) decode
+    natively and return a numpy array — (H, W) gray or (H, W, C). Other
+    formats (WebP, ...) fall back to Pillow when installed, else raise
+    NotImplementedError naming the format."""
     from .codecs import PNG_SIGNATURE, decode_png
 
     content = bytes(content)
