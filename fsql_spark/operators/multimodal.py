@@ -83,6 +83,10 @@ def decode_image(content: bytes):
         from .bmp import decode_bmp
 
         return decode_bmp(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(content)
     try:  # pragma: no cover - no external codec in container
         from PIL import Image  # type: ignore
         import io

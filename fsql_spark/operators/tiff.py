@@ -1,0 +1,257 @@
+"""Pure stdlib+numpy baseline TIFF codec.
+
+The scanned-document format a crawl meets after the web-image trio:
+``decode_tiff`` walks the IFD tag structure (both byte orders), supports
+8-bit grayscale / RGB / RGBA in strips, uncompressed (1) and PackBits
+(32773) compression, and min-is-black/white photometric interpretations.
+Tiled files, other bit depths, palettes, and LZW/JPEG-in-TIFF raise
+NotImplementedError naming the feature. ``encode_tiff`` writes canonical
+little-endian uncompressed single-strip files for exact round trips.
+
+Like the other codecs these run INSIDE Arrow-batched mapInPandas
+kernels; PackBits expansion is a bounded per-strip loop, everything else
+numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import CodecError
+
+#: tag ids (TIFF 6.0 baseline)
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SPP = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_TILE_WIDTH = 322
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9): n in [0,127] -> copy n+1 literal
+    bytes; n in [-127,-1] -> repeat next byte 1-n times; -128 is a noop."""
+    out = bytearray()
+    pos = 0
+    n_in = len(data)
+    while pos < n_in and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run
+            end = pos + n + 1
+            if end > n_in:
+                raise CodecError("TIFF PackBits: truncated literal run")
+            out += data[pos:end]
+            pos = end
+        elif n > 128:  # replicate run of 257-n
+            if pos >= n_in:
+                raise CodecError("TIFF PackBits: truncated replicate run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: noop
+    if len(out) < expected:
+        raise CodecError(f"TIFF PackBits: decoded {len(out)} of {expected} bytes")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Canonical PackBits: replicate runs of >=3, literals otherwise."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), row[i]])
+            i = j
+            continue
+        # literal: extend until a >=3 run starts (or 128 cap)
+        lit = i
+        while j < n and j - lit < 128:
+            k = j + 1
+            while k < n and k - j < 3 and row[k] == row[j]:
+                k += 1
+            if k - j >= 3:
+                break
+            j = k
+        j = min(j, lit + 128, n)
+        out += bytes([j - lit - 1]) + row[lit:j]
+        i = j
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Decode a baseline TIFF byte string (first IFD) to a uint8 array —
+    (H, W) gray or (H, W, C). Refuses corrupt structure with
+    :class:`CodecError` and out-of-scope features (tiles, LZW/JPEG
+    compression, sub-byte or 16-bit samples, palettes) with
+    NotImplementedError."""
+    if len(data) < 8:
+        raise CodecError("TIFF: truncated header")
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise CodecError("not a TIFF (bad byte-order mark)")
+    (magic,) = struct.unpack(bo + "H", data[2:4])
+    if magic != 42:
+        raise CodecError(f"TIFF: bad magic {magic} (BigTIFF not supported)" if magic == 43 else f"TIFF: bad magic {magic}")
+    (ifd,) = struct.unpack(bo + "I", data[4:8])
+    if ifd + 2 > len(data):
+        raise CodecError("TIFF: IFD offset out of range")
+    (n_tags,) = struct.unpack(bo + "H", data[ifd : ifd + 2])
+    tags = {}
+    for i in range(n_tags):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(data):
+            raise CodecError("TIFF: truncated IFD")
+        tid, ttype, count = struct.unpack(bo + "HHI", data[e : e + 8])
+        size = _TYPE_SIZES.get(ttype, 1) * count
+        if size <= 4:
+            raw = data[e + 8 : e + 8 + size]
+        else:
+            (off,) = struct.unpack(bo + "I", data[e + 8 : e + 12])
+            raw = data[off : off + size]
+            if len(raw) != size:
+                raise CodecError(f"TIFF: tag {tid} payload out of range")
+        if ttype == 3:
+            vals = list(struct.unpack(bo + "H" * count, raw))
+        elif ttype == 4:
+            vals = list(struct.unpack(bo + "I" * count, raw))
+        elif ttype == 1:
+            vals = list(raw)
+        else:
+            vals = [raw]
+        tags[tid] = vals
+
+    if _T_TILE_WIDTH in tags:
+        raise NotImplementedError("TIFF: tiled files not supported (strips only)")
+    try:
+        width = tags[_T_WIDTH][0]
+        height = tags[_T_HEIGHT][0]
+        offsets = tags[_T_STRIP_OFFSETS]
+        counts = tags[_T_STRIP_COUNTS]
+    except KeyError as exc:
+        raise CodecError(f"TIFF: missing required tag {exc}") from exc
+    spp = tags.get(_T_SPP, [1])[0]
+    bits = tags.get(_T_BITS, [8])
+    compression = tags.get(_T_COMPRESSION, [1])[0]
+    photometric = tags.get(_T_PHOTOMETRIC, [1])[0]
+    planar = tags.get(_T_PLANAR, [1])[0]
+    rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [height])[0]
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF: bits per sample {bits} not supported (8 only)")
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(f"TIFF: {spp} samples per pixel not supported")
+    if planar != 1:
+        raise NotImplementedError("TIFF: planar configuration 2 not supported")
+    if compression not in (1, 32773):
+        name = {5: "LZW", 6: "old-JPEG", 7: "JPEG", 8: "deflate"}.get(compression, compression)
+        raise NotImplementedError(f"TIFF: compression {name} not supported")
+    if photometric == 3:
+        raise NotImplementedError("TIFF: palette-color not supported")
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF: photometric {photometric} not supported")
+    if width == 0 or height == 0:
+        raise CodecError("TIFF: zero-sized image")
+    if len(offsets) != len(counts):
+        raise CodecError("TIFF: strip offset/count mismatch")
+
+    row_bytes = width * spp
+    out = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        raw = data[off : off + cnt]
+        if len(raw) != cnt:
+            raise CodecError(f"TIFF: strip {si} out of range")
+        strip_rows = min(rows_per_strip, height - si * rows_per_strip)
+        if strip_rows <= 0:
+            raise CodecError("TIFF: more strips than rows")
+        if compression == 32773:
+            out += _packbits_decode(raw, strip_rows * row_bytes)
+        else:
+            if len(raw) < strip_rows * row_bytes:
+                raise CodecError(f"TIFF: strip {si} shorter than its rows")
+            out += raw[: strip_rows * row_bytes]
+    if len(out) != height * row_bytes:
+        raise CodecError("TIFF: assembled pixel data has the wrong size")
+    arr = np.frombuffer(bytes(out), dtype=np.uint8)
+    arr = arr.reshape(height, width) if spp == 1 else arr.reshape(height, width, spp)
+    if photometric == 0:  # min-is-white: invert to the conventional scale
+        arr = 255 - arr
+    return arr.copy()
+
+
+def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
+    """Encode a uint8 array — (H, W) gray / (H, W, 3) RGB / (H, W, 4)
+    RGBA — as a canonical little-endian single-strip baseline TIFF
+    (uncompressed, or PackBits when ``packbits``). Deterministic."""
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ValueError("encode_tiff needs a uint8 (H, W[, C]) array")
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    if arr.ndim == 3 and spp not in (3, 4):
+        raise ValueError(f"unsupported channel count {spp}")
+    height, width = arr.shape[0], arr.shape[1]
+    if height == 0 or width == 0:
+        raise ValueError("cannot encode a zero-sized image")
+    flat = arr.reshape(height, width * spp)
+    if packbits:
+        # PackBits restarts per row (TIFF requirement)
+        pixel_data = b"".join(_packbits_encode(flat[r].tobytes()) for r in range(height))
+        compression = 32773
+    else:
+        pixel_data = flat.tobytes()
+        compression = 1
+
+    photometric = 1 if spp == 1 else 2
+    entries = [
+        (_T_WIDTH, 3, 1, width),
+        (_T_HEIGHT, 3, 1, height),
+        (_T_BITS, 3, spp, None),  # payload below when spp > 2
+        (_T_COMPRESSION, 3, 1, compression),
+        (_T_PHOTOMETRIC, 3, 1, photometric),
+        (_T_STRIP_OFFSETS, 4, 1, None),  # filled once layout is known
+        (_T_SPP, 3, 1, spp),
+        (_T_ROWS_PER_STRIP, 3, 1, height),
+        (_T_STRIP_COUNTS, 4, 1, len(pixel_data)),
+    ]
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    extra_off = ifd_off + ifd_size
+    extra = b""
+    bits_off = None
+    if spp > 2:  # BitsPerSample payload doesn't fit inline
+        bits_off = extra_off + len(extra)
+        extra += struct.pack("<" + "H" * spp, *([8] * spp))
+    data_off = extra_off + len(extra)
+
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tid, ttype, count, val in entries:
+        if tid == _T_BITS and spp > 2:
+            out += struct.pack("<HHII", tid, ttype, count, bits_off)
+            continue
+        if tid == _T_BITS:
+            val = 8
+        if tid == _T_STRIP_OFFSETS:
+            val = data_off
+        if ttype == 3:
+            out += struct.pack("<HHIHH", tid, ttype, count, val, 0)
+        else:
+            out += struct.pack("<HHII", tid, ttype, count, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += extra
+    out += pixel_data
+    return bytes(out)

@@ -1,0 +1,111 @@
+"""Baseline TIFF codec tests: exact round trips (gray/RGB/RGBA,
+uncompressed + PackBits), both byte orders, photometric inversion,
+multi-strip files, refusals, decode_image dispatch."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from fsql_spark.operators.codecs import CodecError
+from fsql_spark.operators.tiff import decode_tiff, encode_tiff
+
+RNG = np.random.RandomState(20260814)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 5), (9, 17), (23, 31, 3), (6, 4, 4)])
+@pytest.mark.parametrize("packbits", [False, True])
+def test_round_trip_exact(shape, packbits):
+    a = RNG.randint(0, 256, size=shape).astype(np.uint8)
+    got = decode_tiff(encode_tiff(a, packbits=packbits))
+    assert got.shape == a.shape and (got == a).all()
+
+
+def test_packbits_run_heavy():
+    runs = np.repeat(RNG.randint(0, 256, 40), RNG.randint(1, 200, size=40))[:2992]
+    img = runs.astype(np.uint8).reshape(44, 68)
+    assert (decode_tiff(encode_tiff(img, packbits=True)) == img).all()
+
+
+def _mm_file(a, photometric=1, extra_tag=None):
+    def tag(tid, tt, cnt, val):
+        if tt == 3:
+            return struct.pack(">HHIHH", tid, tt, cnt, val, 0)
+        return struct.pack(">HHII", tid, tt, cnt, val)
+
+    h, w = a.shape
+    tags = [
+        tag(256, 3, 1, w), tag(257, 3, 1, h), tag(259, 3, 1, 1),
+        tag(262, 3, 1, photometric),
+    ]
+    if extra_tag is not None:
+        tags.append(extra_tag(tag))
+    n = len(tags) + 2
+    data_off = 8 + 2 + n * 12 + 4
+    tags.append(tag(273, 4, 1, data_off))
+    tags.append(tag(279, 4, 1, h * w))
+    body = struct.pack(">H", len(tags)) + b"".join(tags) + struct.pack(">I", 0)
+    return b"MM\x00\x2a" + struct.pack(">I", 8) + body + a.tobytes()
+
+
+def test_big_endian_and_photometric():
+    a = RNG.randint(0, 256, size=(3, 5)).astype(np.uint8)
+    assert (decode_tiff(_mm_file(a, photometric=1)) == a).all()
+    assert (decode_tiff(_mm_file(a, photometric=0)) == 255 - a).all()
+
+
+def test_multi_strip():
+    # two strips of 2 rows each (little-endian writer only emits one, so
+    # patch RowsPerStrip + strips by hand through the MM path)
+    a = RNG.randint(0, 256, size=(4, 6)).astype(np.uint8)
+
+    def tag(tid, tt, cnt, val):
+        if tt == 3:
+            return struct.pack(">HHIHH", tid, tt, cnt, val, 0)
+        return struct.pack(">HHII", tid, tt, cnt, val)
+
+    n = 8
+    hdr = 8 + 2 + n * 12 + 4
+    off_tbl = hdr
+    cnt_tbl = hdr + 8
+    data = cnt_tbl + 8
+    tags = [
+        tag(256, 3, 1, 6), tag(257, 3, 1, 4), tag(259, 3, 1, 1),
+        tag(262, 3, 1, 1), tag(273, 4, 2, off_tbl), tag(277, 3, 1, 1),
+        tag(278, 3, 1, 2), tag(279, 4, 2, cnt_tbl),
+    ]
+    body = struct.pack(">H", n) + b"".join(tags) + struct.pack(">I", 0)
+    body += struct.pack(">II", data, data + 12)
+    body += struct.pack(">II", 12, 12)
+    out = b"MM\x00\x2a" + struct.pack(">I", 8) + body + a.tobytes()
+    assert (decode_tiff(out) == a).all()
+
+
+def test_refusals():
+    with pytest.raises(CodecError, match="byte-order"):
+        decode_tiff(b"XXnothing")
+    a = RNG.randint(0, 256, size=(4, 4)).astype(np.uint8)
+    good = bytearray(encode_tiff(a))
+    with pytest.raises(CodecError):
+        decode_tiff(bytes(good[:-5]))
+    lzw = bytes(good).replace(struct.pack("<HHIHH", 259, 3, 1, 1, 0),
+                              struct.pack("<HHIHH", 259, 3, 1, 5, 0))
+    with pytest.raises(NotImplementedError, match="LZW"):
+        decode_tiff(lzw)
+    tiled = _mm_file(a, extra_tag=lambda tag: tag(322, 3, 1, 16))
+    with pytest.raises(NotImplementedError, match="tiled"):
+        decode_tiff(tiled)
+    pal = _mm_file(a, photometric=3)
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_tiff(pal)
+    with pytest.raises(ValueError, match="uint8"):
+        encode_tiff(a.astype(np.float32))
+
+
+def test_decode_image_dispatch():
+    from fsql_spark.operators.multimodal import decode_image
+
+    a = RNG.randint(0, 256, size=(11, 13, 3)).astype(np.uint8)
+    assert (decode_image(encode_tiff(a, packbits=True)) == a).all()
