@@ -92,6 +92,109 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (6.0 §13): MSB-first variable-width codes with
+    EarlyChange (the width bumps one code EARLY, unlike GIF's LSB-first
+    scheme); ClearCode 256, EOI 257."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev = None
+    pos = 0
+    n = len(data)
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                raise CodecError("TIFF LZW: stream ran out")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise CodecError("TIFF LZW: first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise CodecError("TIFF LZW: code out of range")
+        out += entry
+        prev = entry
+        # EarlyChange: the encoder's next assignable code is ONE AHEAD of
+        # this table (its entry for the code we just read was added before
+        # it emitted), so widen one entry early: len+2, not len+1
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise CodecError(f"TIFF LZW: decoded {len(out)} of {expected} bytes")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (MSB-first, EarlyChange), the decoder's
+    mirror: ClearCode resets when the table approaches 12 bits."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def reset():
+        return {bytes([i]): i for i in range(256)}, 258
+
+    emit(CLEAR)
+    table, next_code = reset()
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        # EarlyChange: the width of the NEXT emitted code grows as soon as
+        # next_code would no longer fit one early
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # reset before 12 bits overflow
+            emit(CLEAR)
+            table, next_code = reset()
+            width = 9
+        prev = bytes([b])
+    if prev:
+        emit(table[prev])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """Decode a baseline TIFF byte string (first IFD) to a uint8 array —
     (H, W) gray or (H, W, C). Refuses corrupt structure with
@@ -158,8 +261,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF: {spp} samples per pixel not supported")
     if planar != 1:
         raise NotImplementedError("TIFF: planar configuration 2 not supported")
-    if compression not in (1, 32773):
-        name = {5: "LZW", 6: "old-JPEG", 7: "JPEG", 8: "deflate"}.get(compression, compression)
+    if compression not in (1, 5, 8, 32773, 32946):
+        name = {6: "old-JPEG", 7: "JPEG", 2: "CCITT-RLE", 3: "CCITT-G3", 4: "CCITT-G4"}.get(
+            compression, compression
+        )
         raise NotImplementedError(f"TIFF: compression {name} not supported")
     if photometric == 3:
         raise NotImplementedError("TIFF: palette-color not supported")
@@ -181,6 +286,18 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise CodecError("TIFF: more strips than rows")
         if compression == 32773:
             out += _packbits_decode(raw, strip_rows * row_bytes)
+        elif compression == 5:
+            out += _tiff_lzw_decode(raw, strip_rows * row_bytes)
+        elif compression in (8, 32946):  # Adobe/old deflate: plain zlib
+            import zlib
+
+            try:
+                inflated = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise CodecError(f"TIFF: strip {si} deflate error: {exc}") from exc
+            if len(inflated) < strip_rows * row_bytes:
+                raise CodecError(f"TIFF: strip {si} inflated short")
+            out += inflated[: strip_rows * row_bytes]
         else:
             if len(raw) < strip_rows * row_bytes:
                 raise CodecError(f"TIFF: strip {si} shorter than its rows")
@@ -194,10 +311,20 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return arr.copy()
 
 
-def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
+def encode_tiff(
+    arr: np.ndarray, packbits: bool = False, compression: str | None = None
+) -> bytes:
     """Encode a uint8 array — (H, W) gray / (H, W, 3) RGB / (H, W, 4)
-    RGBA — as a canonical little-endian single-strip baseline TIFF
-    (uncompressed, or PackBits when ``packbits``). Deterministic."""
+    RGBA — as a canonical little-endian single-strip baseline TIFF.
+    ``compression``: 'none' (default), 'packbits', 'lzw' (TIFF-variant
+    MSB-first EarlyChange), or 'deflate'; ``packbits=True`` is a
+    shorthand kept for symmetry. Deterministic."""
+    if packbits and compression not in (None, "packbits"):
+        raise ValueError("pass either packbits=True or compression=, not both")
+    if compression is None:
+        compression = "packbits" if packbits else "none"
+    if compression not in ("none", "packbits", "lzw", "deflate"):
+        raise ValueError(f"unsupported compression {compression!r}")
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("encode_tiff needs a uint8 (H, W[, C]) array")
     spp = 1 if arr.ndim == 2 else arr.shape[2]
@@ -207,20 +334,28 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
     if height == 0 or width == 0:
         raise ValueError("cannot encode a zero-sized image")
     flat = arr.reshape(height, width * spp)
-    if packbits:
+    if compression == "packbits":
         # PackBits restarts per row (TIFF requirement)
         pixel_data = b"".join(_packbits_encode(flat[r].tobytes()) for r in range(height))
-        compression = 32773
+        comp_code = 32773
+    elif compression == "lzw":
+        pixel_data = _tiff_lzw_encode(flat.tobytes())
+        comp_code = 5
+    elif compression == "deflate":
+        import zlib
+
+        pixel_data = zlib.compress(flat.tobytes(), 6)
+        comp_code = 8
     else:
         pixel_data = flat.tobytes()
-        compression = 1
+        comp_code = 1
 
     photometric = 1 if spp == 1 else 2
     entries = [
         (_T_WIDTH, 3, 1, width),
         (_T_HEIGHT, 3, 1, height),
         (_T_BITS, 3, spp, None),  # payload below when spp > 2
-        (_T_COMPRESSION, 3, 1, compression),
+        (_T_COMPRESSION, 3, 1, comp_code),
         (_T_PHOTOMETRIC, 3, 1, photometric),
         (_T_STRIP_OFFSETS, 4, 1, None),  # filled once layout is known
         (_T_SPP, 3, 1, spp),

@@ -109,3 +109,27 @@ def test_decode_image_dispatch():
 
     a = RNG.randint(0, 256, size=(11, 13, 3)).astype(np.uint8)
     assert (decode_image(encode_tiff(a, packbits=True)) == a).all()
+
+
+@pytest.mark.parametrize("comp", ["lzw", "deflate"])
+def test_lzw_and_deflate_round_trips(comp):
+    for shape in [(1, 1), (9, 17), (23, 31, 3), (64, 64, 4)]:
+        a = RNG.randint(0, 256, size=shape).astype(np.uint8)
+        got = decode_tiff(encode_tiff(a, compression=comp))
+        assert got.shape == a.shape and (got == a).all(), (comp, shape)
+    # multiple LZW clear cycles (table fills past 12 bits on random data)
+    big = RNG.randint(0, 256, size=(200, 211)).astype(np.uint8)
+    assert (decode_tiff(encode_tiff(big, compression=comp)) == big).all()
+    # highly compressible text-like content (deep table chains, KwKwK)
+    text = (b"the quick brown fox " * 800)[:12000]
+    timg = np.frombuffer(text, np.uint8).reshape(100, 120)
+    assert (decode_tiff(encode_tiff(timg, compression=comp)) == timg).all()
+
+
+def test_encode_compression_args():
+    a = RNG.randint(0, 256, size=(4, 4)).astype(np.uint8)
+    assert decode_tiff(encode_tiff(a, packbits=True)).tolist() == a.tolist()
+    with pytest.raises(ValueError, match="not both"):
+        encode_tiff(a, packbits=True, compression="lzw")
+    with pytest.raises(ValueError, match="unsupported compression"):
+        encode_tiff(a, compression="ccitt")
