@@ -90,9 +90,14 @@ def test_refusals():
     good = bytearray(encode_tiff(a))
     with pytest.raises(CodecError):
         decode_tiff(bytes(good[:-5]))
+    jp = bytes(good).replace(struct.pack("<HHIHH", 259, 3, 1, 1, 0),
+                             struct.pack("<HHIHH", 259, 3, 1, 7, 0))
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_tiff(jp)
+    # LZW is in scope now: a corrupt LZW stream refuses with CodecError
     lzw = bytes(good).replace(struct.pack("<HHIHH", 259, 3, 1, 1, 0),
                               struct.pack("<HHIHH", 259, 3, 1, 5, 0))
-    with pytest.raises(NotImplementedError, match="LZW"):
+    with pytest.raises(CodecError):
         decode_tiff(lzw)
     tiled = _mm_file(a, extra_tag=lambda tag: tag(322, 3, 1, 16))
     with pytest.raises(NotImplementedError, match="tiled"):
