@@ -33,6 +33,7 @@ _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
 _T_TILE_WIDTH = 322
+_T_JPEG_TABLES = 347
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 
@@ -261,11 +262,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF: {spp} samples per pixel not supported")
     if planar != 1:
         raise NotImplementedError("TIFF: planar configuration 2 not supported")
-    if compression not in (1, 5, 8, 32773, 32946):
-        name = {6: "old-JPEG", 7: "JPEG", 2: "CCITT-RLE", 3: "CCITT-G3", 4: "CCITT-G4"}.get(
+    if compression not in (1, 5, 7, 8, 32773, 32946):
+        name = {6: "old-JPEG", 2: "CCITT-RLE", 3: "CCITT-G3", 4: "CCITT-G4"}.get(
             compression, compression
         )
         raise NotImplementedError(f"TIFF: compression {name} not supported")
+    if compression == 7:  # new-style JPEG-in-TIFF: strips are JPEG streams
+        return _decode_jpeg_strips(
+            data, tags, offsets, counts, width, height, rows_per_strip, spp
+        )
     if photometric == 3:
         raise NotImplementedError("TIFF: palette-color not supported")
     if photometric not in (0, 1, 2):
@@ -309,6 +314,41 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if photometric == 0:  # min-is-white: invert to the conventional scale
         arr = 255 - arr
     return arr.copy()
+
+
+def _decode_jpeg_strips(data, tags, offsets, counts, width, height, rows_per_strip, spp):
+    """New-style JPEG-in-TIFF (TechNote 2): each strip is a JPEG stream,
+    optionally sharing tables via the JPEGTables tag (an abbreviated
+    stream SOI..EOI whose DQT/DHT segments prefix every strip). Reuses
+    the engine's own JPEG decoder."""
+    from .jpeg import decode_jpeg
+
+    tables = tags.get(_T_JPEG_TABLES)
+    prefix = b""
+    if tables:
+        t = bytes(tables if isinstance(tables[0], int) else tables[0])
+        if len(t) < 4 or t[:2] != b"\xff\xd8" or t[-2:] != b"\xff\xd9":
+            raise CodecError("TIFF: malformed JPEGTables payload")
+        prefix = t[2:-2]  # the table segments, minus SOI/EOI
+    rows = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        raw = data[off : off + cnt]
+        if len(raw) != cnt:
+            raise CodecError(f"TIFF: strip {si} out of range")
+        if raw[:2] != b"\xff\xd8":
+            raise CodecError(f"TIFF: strip {si} is not a JPEG stream")
+        strip = b"\xff\xd8" + prefix + raw[2:]
+        px = decode_jpeg(strip)
+        strip_rows = min(rows_per_strip, height - si * rows_per_strip)
+        if px.shape[0] < strip_rows or px.shape[1] < width:
+            raise CodecError(f"TIFF: strip {si} decodes smaller than declared")
+        rows.append(px[:strip_rows, :width])
+    out = np.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    if out.shape[0] != height:
+        raise CodecError("TIFF: JPEG strips do not cover the image height")
+    if spp == 1 and out.ndim == 3:
+        raise CodecError("TIFF: JPEG strip channel count disagrees with SamplesPerPixel")
+    return out
 
 
 def encode_tiff(

@@ -90,15 +90,17 @@ def test_refusals():
     good = bytearray(encode_tiff(a))
     with pytest.raises(CodecError):
         decode_tiff(bytes(good[:-5]))
-    jp = bytes(good).replace(struct.pack("<HHIHH", 259, 3, 1, 1, 0),
-                             struct.pack("<HHIHH", 259, 3, 1, 7, 0))
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_tiff(jp)
-    # LZW is in scope now: a corrupt LZW stream refuses with CodecError
-    lzw = bytes(good).replace(struct.pack("<HHIHH", 259, 3, 1, 1, 0),
-                              struct.pack("<HHIHH", 259, 3, 1, 5, 0))
-    with pytest.raises(CodecError):
-        decode_tiff(lzw)
+    old_jp = bytes(good).replace(struct.pack("<HHIHH", 259, 3, 1, 1, 0),
+                                 struct.pack("<HHIHH", 259, 3, 1, 6, 0))
+    with pytest.raises(NotImplementedError, match="old-JPEG"):
+        decode_tiff(old_jp)
+    # LZW and JPEG-in-TIFF are in scope now: garbage streams under those
+    # codes refuse with CodecError, not NotImplementedError
+    for code in (5, 7):
+        bad = bytes(good).replace(struct.pack("<HHIHH", 259, 3, 1, 1, 0),
+                                  struct.pack("<HHIHH", 259, 3, 1, code, 0))
+        with pytest.raises(CodecError):
+            decode_tiff(bad)
     tiled = _mm_file(a, extra_tag=lambda tag: tag(322, 3, 1, 16))
     with pytest.raises(NotImplementedError, match="tiled"):
         decode_tiff(tiled)
@@ -138,3 +140,72 @@ def test_encode_compression_args():
         encode_tiff(a, packbits=True, compression="lzw")
     with pytest.raises(ValueError, match="unsupported compression"):
         encode_tiff(a, compression="ccitt")
+
+
+def _jpeg_tiff(strip_bytes, w, h, spp, tables=None):
+    def tag(t, tt, cnt, val):
+        if tt == 3:
+            return struct.pack("<HHIHH", t, tt, cnt, val, 0)
+        return struct.pack("<HHII", t, tt, cnt, val)
+
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, 7), (262, 3, 1, 6 if spp == 3 else 1),
+        (277, 3, 1, spp), (278, 3, 1, h),
+    ]
+    n = len(tags) + 2 + (1 if tables else 0)
+    hdr_end = 8 + 2 + n * 12 + 4
+    tbl_off = hdr_end
+    data_off = tbl_off + (len(tables) if tables else 0)
+    entries = [tag(*t) for t in tags]
+    entries.append(tag(273, 4, 1, data_off))
+    entries.append(tag(279, 4, 1, len(strip_bytes)))
+    if tables:
+        entries.append(tag(347, 7, len(tables), tbl_off))
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    body = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    out = b"II*\x00" + struct.pack("<I", 8) + body
+    if tables:
+        out += tables
+    return out + strip_bytes
+
+
+def test_jpeg_in_tiff():
+    from fsql_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    a = RNG.randint(0, 256, size=(24, 17)).astype(np.uint8)
+    jp = encode_jpeg(a, quality=85)
+    expect = decode_jpeg(jp)
+    got = decode_tiff(_jpeg_tiff(jp, 17, 24, 1))
+    assert (got == expect).all()
+    # color strip declared as YCbCr photometric
+    c = RNG.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    jpc = encode_jpeg(c, quality=85)
+    assert (decode_tiff(_jpeg_tiff(jpc, 16, 16, 3)) == decode_jpeg(jpc)).all()
+
+
+def test_jpeg_in_tiff_shared_tables():
+    from fsql_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    a = RNG.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    full = bytes(encode_jpeg(a, quality=85))
+    # split the stream: DQT/DHT into JPEGTables, the rest into the strip
+    pos, tables, strip = 2, b"", b"\xff\xd8"
+    while pos + 4 <= len(full):
+        marker = full[pos + 1]
+        if marker == 0xD9:
+            strip += full[pos:]
+            break
+        (ln,) = struct.unpack(">H", full[pos + 2 : pos + 4])
+        segment = full[pos : pos + 2 + ln]
+        if marker in (0xDB, 0xC4):
+            tables += segment
+        else:
+            strip += segment
+        if marker == 0xDA:  # entropy data follows the SOS header
+            end = full.rindex(b"\xff\xd9")
+            strip += full[pos + 2 + ln : end + 2]
+            break
+        pos += 2 + ln
+    tbl_stream = b"\xff\xd8" + tables + b"\xff\xd9"
+    got = decode_tiff(_jpeg_tiff(strip, 24, 16, 1, tables=tbl_stream))
+    assert (got == decode_jpeg(full)).all()
