@@ -1,0 +1,487 @@
+"""Pure stdlib+numpy FLAC codec (decode: full subframe set; encode:
+fixed predictors + Rice).
+
+The lossless audio format a crawl meets after WAV: ``decode_flac``
+parses the STREAMINFO metadata and every frame — constant, verbatim,
+fixed-predictor (orders 0-4) and LPC subframes with Rice/Rice2 residual
+coding, left/right/mid-side stereo decorrelation, wasted bits, and UTF-8
+frame numbering — verifying both the frame-header CRC-8 and the frame
+CRC-16. ``encode_flac`` writes real compressed streams (per-subframe
+best-of fixed predictors 0-2 with Rice residuals, falling back to
+verbatim) so round trips exercise genuine Rice decoding, not an echo.
+Lossless: decode(encode(x)) == x exactly.
+
+Scope (loud refusal outside it): 8/16/24-bit, 1-2 channels on encode
+(decode: any channel assignment the spec names), no seektables written.
+Like the other codecs these run inside Arrow-batched kernels; the Rice
+loops are plain Python per frame — FLAC's entropy layer has no
+vectorizable shape (like progressive JPEG's refinement bits).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import CodecError
+
+FLAC_MAGIC = b"fLaC"
+
+#: fixed-predictor residual formulas (order -> coefficient row), spec §
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _Bits:
+    """MSB-first bit reader over bytes, tracking position for CRC spans."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        while n > 0:
+            if self.byte >= len(self.data):
+                raise CodecError("FLAC: bitstream ran out")
+            avail = 8 - self.bit
+            take = min(n, avail)
+            cur = self.data[self.byte]
+            v = (v << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+            n -= take
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+class _BitsW:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+def _utf8_number(bits: _Bits) -> int:
+    """FLAC's extended-UTF-8 frame/sample number."""
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x80
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 2 or n > 7:
+        raise CodecError("FLAC: bad UTF-8 frame number")
+    v = b0 & (0xFF >> (n + 1))
+    for _ in range(n - 1):
+        c = bits.read(8)
+        if c & 0xC0 != 0x80:
+            raise CodecError("FLAC: bad UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _rice_read(bits: _Bits, n: int, partition_order_bits: int = 4) -> list:
+    """Read one subframe's residuals (coding method + partitioned Rice)."""
+    method = bits.read(2)
+    if method not in (0, 1):
+        raise CodecError(f"FLAC: reserved residual coding method {method}")
+    esc_param = 15 if method == 0 else 31
+    pbits = 4 if method == 0 else 5
+    order = bits.read(4)
+    residuals = []
+    nparts = 1 << order
+    if n % nparts:
+        raise CodecError("FLAC: partition order does not divide block size")
+    for p in range(nparts):
+        count = n // nparts
+        param = bits.read(pbits)
+        if param == esc_param:
+            raw_bits = bits.read(5)
+            for _ in range(count):
+                residuals.append(bits.read_signed(raw_bits) if raw_bits else 0)
+        else:
+            for _ in range(count):
+                q = bits.read_unary()
+                r = bits.read(param) if param else 0
+                zig = (q << param) | r
+                residuals.append((zig >> 1) ^ -(zig & 1))
+    return residuals
+
+
+def _restore_fixed(order: int, warmup: list, residuals: list) -> list:
+    out = list(warmup)
+    coefs = _FIXED_COEFS[order]
+    for r in residuals:
+        pred = sum(c * out[-i - 1] for i, c in enumerate(coefs))
+        out.append(r + pred)
+    return out
+
+
+def decode_flac(data: bytes) -> tuple:
+    """Decode a FLAC byte string -> (sample_rate, samples ndarray) —
+    int16 for <=16-bit streams, int32 for 24-bit; (n,) mono or
+    (n, channels). Verifies frame-header CRC-8 and frame CRC-16."""
+    if data[:4] != FLAC_MAGIC:
+        raise CodecError("not a FLAC stream (bad magic)")
+    pos = 4
+    streaminfo = None
+    while True:  # metadata blocks
+        if pos + 4 > len(data):
+            raise CodecError("FLAC: truncated metadata header")
+        hdr = data[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        (ln,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        body = data[pos + 4 : pos + 4 + ln]
+        if len(body) != ln:
+            raise CodecError("FLAC: truncated metadata block")
+        if btype == 0:
+            if ln < 34:
+                raise CodecError("FLAC: STREAMINFO too short")
+            streaminfo = body
+        elif btype == 127:
+            raise CodecError("FLAC: invalid metadata block type")
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None:
+        raise CodecError("FLAC: missing STREAMINFO")
+    b = _Bits(streaminfo)
+    b.read(16)  # min block
+    b.read(16)  # max block
+    b.read(24)
+    b.read(24)
+    sample_rate = b.read(20)
+    channels = b.read(3) + 1
+    bps = b.read(5) + 1
+    total_samples = b.read(36)
+    if bps not in (8, 16, 24, 32):
+        raise NotImplementedError(f"FLAC: {bps}-bit samples not supported")
+    if sample_rate == 0:
+        raise CodecError("FLAC: sample rate 0")
+
+    chans = [[] for _ in range(channels)]
+    while pos < len(data):
+        frame_start = pos
+        bits = _Bits(data, pos)
+        sync = bits.read(14)
+        if sync != 0x3FFE:
+            raise CodecError(f"FLAC: bad frame sync at byte {pos}")
+        bits.read(1)  # reserved
+        blocking = bits.read(1)
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        bps_code = bits.read(3)
+        bits.read(1)
+        _num = _utf8_number(bits)
+        if bs_code == 0:
+            raise CodecError("FLAC: reserved block size code")
+        elif bs_code == 1:
+            block = 192
+        elif bs_code <= 5:
+            block = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            block = bits.read(8) + 1
+        elif bs_code == 7:
+            block = bits.read(16) + 1
+        else:
+            block = 256 << (bs_code - 8)
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        # frame bps: code 0 = from streaminfo
+        # header CRC-8 covers everything up to here
+        bits.align()
+        hdr_crc = bits.read(8)
+        if _crc8(data[frame_start : bits.byte - 1]) != hdr_crc:
+            raise CodecError("FLAC: frame header CRC-8 mismatch")
+
+        if ch_code < 8:
+            n_ch = ch_code + 1
+            assignment = "independent"
+        elif ch_code == 8:
+            n_ch, assignment = 2, "left_side"
+        elif ch_code == 9:
+            n_ch, assignment = 2, "right_side"
+        elif ch_code == 10:
+            n_ch, assignment = 2, "mid_side"
+        else:
+            raise CodecError(f"FLAC: reserved channel assignment {ch_code}")
+        if n_ch != channels:
+            raise CodecError("FLAC: frame channel count disagrees with STREAMINFO")
+
+        sub = []
+        for ch in range(n_ch):
+            ch_bps = bps
+            if assignment == "left_side" and ch == 1:
+                ch_bps += 1
+            if assignment == "right_side" and ch == 0:
+                ch_bps += 1
+            if assignment == "mid_side" and ch == 1:
+                ch_bps += 1
+            if bits.read(1):
+                raise CodecError("FLAC: subframe sync bit set")
+            stype = bits.read(6)
+            wasted = 0
+            if bits.read(1):
+                wasted = bits.read_unary() + 1
+                ch_bps -= wasted
+            if stype == 0:  # CONSTANT
+                v = bits.read_signed(ch_bps)
+                samples = [v] * block
+            elif stype == 1:  # VERBATIM
+                samples = [bits.read_signed(ch_bps) for _ in range(block)]
+            elif 8 <= stype <= 12:  # FIXED order 0-4
+                order = stype - 8
+                warm = [bits.read_signed(ch_bps) for _ in range(order)]
+                res = _rice_read(bits, block - order)
+                samples = _restore_fixed(order, warm, res)
+            elif stype >= 32:  # LPC order 1-32
+                order = stype - 31
+                warm = [bits.read_signed(ch_bps) for _ in range(order)]
+                precision = bits.read(4) + 1
+                if precision == 16:
+                    raise CodecError("FLAC: invalid LPC precision")
+                shift = bits.read_signed(5)
+                if shift < 0:
+                    raise CodecError("FLAC: negative LPC shift")
+                coefs = [bits.read_signed(precision) for _ in range(order)]
+                res = _rice_read(bits, block - order)
+                samples = list(warm)
+                for r in res:
+                    pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs)) >> shift
+                    samples.append(r + pred)
+            else:
+                raise CodecError(f"FLAC: reserved subframe type {stype}")
+            if wasted:
+                samples = [s << wasted for s in samples]
+            sub.append(samples)
+        bits.align()
+        frame_crc = (data[bits.byte] << 8) | data[bits.byte + 1]
+        if _crc16(data[frame_start : bits.byte]) != frame_crc:
+            raise CodecError("FLAC: frame CRC-16 mismatch")
+        pos = bits.byte + 2
+
+        # undo stereo decorrelation
+        if assignment == "left_side":
+            left = sub[0]
+            side = sub[1]
+            sub = [left, [l - s for l, s in zip(left, side)]]
+        elif assignment == "right_side":
+            side, right = sub[0], sub[1]
+            sub = [[r + s for r, s in zip(right, side)], right]
+        elif assignment == "mid_side":
+            mid, side = sub[0], sub[1]
+            lr = []
+            rr = []
+            for m, s in zip(mid, side):
+                m = (m << 1) | (s & 1)
+                lr.append((m + s) >> 1)
+                rr.append((m - s) >> 1)
+            sub = [lr, rr]
+        for ch in range(channels):
+            chans[ch].extend(sub[ch])
+
+    dtype = np.int16 if bps <= 16 else np.int32
+    arrs = [np.asarray(c, dtype=dtype) for c in chans]
+    if total_samples:
+        arrs = [a[:total_samples] for a in arrs]
+    out = arrs[0] if channels == 1 else np.stack(arrs, axis=1)
+    return sample_rate, out
+
+
+# --------------------------------------------------------------------------
+# encoder (fixed predictors + Rice — real compression for round trips)
+# --------------------------------------------------------------------------
+
+def _rice_write(w: _BitsW, residuals: list) -> None:
+    """One partition (order 0), parameter chosen from the mean magnitude."""
+    w.write(0, 2)  # 4-bit Rice
+    w.write(0, 4)  # partition order 0
+    n = len(residuals)
+    mean = (sum(abs(r) for r in residuals) // max(1, n)) + 1
+    param = max(0, min(14, mean.bit_length()))
+    w.write(param, 4)
+    for r in residuals:
+        zig = ((-r) << 1) - 1 if r < 0 else (r << 1)
+        w.write_unary(zig >> param)
+        if param:
+            w.write(zig & ((1 << param) - 1), param)
+
+
+def _utf8_write(w: _BitsW, v: int) -> None:
+    if v < 0x80:
+        w.write(v, 8)
+        return
+    # choose the shortest extended-UTF-8 form
+    for n in range(2, 8):
+        if v < (1 << (5 * n + 1)) or n == 7:
+            break
+    lead = (0xFF << (8 - n)) & 0xFF
+    w.write(lead | (v >> (6 * (n - 1))), 8)
+    for i in range(n - 2, -1, -1):
+        w.write(0x80 | ((v >> (6 * i)) & 0x3F), 8)
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096) -> bytes:
+    """Encode int16 (16-bit) or int32-within-24-bit samples — (n,) mono or
+    (n, 2) stereo — as a REAL compressed FLAC stream: per subframe the
+    best of fixed predictors 0-2 (Rice residuals) or verbatim.
+    Deterministic; decode(encode(x)) == x exactly."""
+    if sample_rate < 1 or sample_rate >= (1 << 20):
+        raise ValueError(f"bad sample_rate {sample_rate}")
+    if samples.dtype == np.int16:
+        bps = 16
+    elif samples.dtype == np.int32:
+        bps = 24
+        flat = samples.reshape(-1)
+        if flat.size and (int(flat.max()) > 0x7FFFFF or int(flat.min()) < -0x800000):
+            raise ValueError("int32 input encodes as 24-bit; samples must fit")
+    else:
+        raise ValueError(f"encode_flac needs int16 or int32, got {samples.dtype}")
+    if samples.ndim == 1:
+        channels = 1
+    elif samples.ndim == 2 and samples.shape[1] in (1, 2):
+        channels = samples.shape[1]
+        if channels == 1:
+            samples = samples[:, 0]
+    else:
+        raise ValueError("encode_flac supports 1-2 channels")
+    n_total = samples.shape[0]
+
+    out = bytearray(FLAC_MAGIC)
+    si = _BitsW()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(channels - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n_total, 36)
+    si.out += b"\x00" * 16  # MD5 unset (all-zero = not computed)
+    out += bytes([0x80, 0, 0, 34]) + bytes(si.out)
+
+    def subframe(w: _BitsW, vals: list) -> None:
+        # pick the cheapest of fixed orders 0..2 by residual magnitude
+        best_order, best_res, best_cost = None, None, None
+        for order in range(0, 3):
+            if len(vals) <= order:
+                continue
+            res = []
+            coefs = _FIXED_COEFS[order]
+            for i in range(order, len(vals)):
+                pred = sum(c * vals[i - j - 1] for j, c in enumerate(coefs))
+                res.append(vals[i] - pred)
+            cost = sum(abs(r).bit_length() for r in res)
+            if best_cost is None or cost < best_cost:
+                best_order, best_res, best_cost = order, res, cost
+        if best_res is not None and best_cost < len(vals) * bps:
+            w.write(0, 1)
+            w.write(8 + best_order, 6)  # FIXED
+            w.write(0, 1)  # no wasted bits
+            for v in vals[:best_order]:
+                w.write(v, bps)
+            _rice_write(w, best_res)
+        else:
+            w.write(0, 1)
+            w.write(1, 6)  # VERBATIM
+            w.write(0, 1)
+            for v in vals:
+                w.write(v, bps)
+
+    frame_no = 0
+    for start in range(0, max(n_total, 1), block_size):
+        vals = samples[start : start + block_size]
+        block = vals.shape[0] if vals.ndim else 0
+        if block == 0:
+            break
+        w = _BitsW()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocksize stream
+        w.write(7, 4)  # block size: 16-bit at end of header
+        w.write(0, 4)  # sample rate: from STREAMINFO
+        w.write(channels - 1, 4)  # independent channels
+        w.write({16: 4, 24: 6}[bps], 3)
+        w.write(0, 1)
+        _utf8_write(w, frame_no)
+        w.write(block - 1, 16)
+        w.align()
+        hdr = bytes(w.out)
+        w.write(_crc8(hdr), 8)
+        if channels == 1:
+            subframe(w, [int(v) for v in vals])
+        else:
+            for ch in range(channels):
+                subframe(w, [int(v) for v in vals[:, ch]])
+        w.align()
+        frame = bytes(w.out)
+        w.write(_crc16(frame), 16)
+        out += bytes(w.out)
+        frame_no += 1
+    return bytes(out)

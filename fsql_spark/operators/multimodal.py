@@ -107,9 +107,9 @@ def decode_image(content: bytes):
 
 def decode_audio(content: bytes):
     """Real audio decode -> (sample_rate, samples ndarray). RIFF/WAVE
-    (integer PCM 8/16/24/32, IEEE float, G.711 mu-law/A-law) and Sun
-    ``.au`` parse natively (see ``codecs.py``); other formats (MP3, OGG,
-    FLAC, ...) raise NotImplementedError."""
+    (integer PCM 8/16/24/32, IEEE float, G.711 mu-law/A-law), Sun
+    ``.au``, and FLAC (full subframe set, ``flac.py``) parse natively;
+    other formats (MP3, OGG, AAC, ...) raise NotImplementedError."""
     from .codecs import decode_au, decode_wav
 
     content = bytes(content)
@@ -117,9 +117,13 @@ def decode_audio(content: bytes):
         return decode_wav(content)
     if content[:4] == b".snd":
         return decode_au(content)
+    if content[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(content)
     raise NotImplementedError(
-        "compressed audio needs an external codec; RIFF/WAVE and Sun .au "
-        "decode natively"
+        "lossy-compressed audio needs an external codec; RIFF/WAVE, Sun "
+        ".au, and FLAC decode natively"
     )
 
 
@@ -751,6 +755,45 @@ def pack_wav(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
     return docs.mapInPandas(synth, MEDIA_SCHEMA)
 
 
+def pack_flac(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Pack (doc_id, text) rows into REAL compressed FLAC streams carrying
+    the SAME samples as :func:`pack_wav` ((byte-128)*256) — so the same
+    SQL oracle verifies the whole fixed-predictor + Rice pipeline. A
+    STATELESS Arrow kernel; the byte*256 sample steps are only weakly
+    correlated so the size win over WAV is small here — real audio
+    compresses hard (see test_compression_is_real) — but every decode
+    exercises genuine Rice residual reconstruction."""
+    import numpy as np
+
+    from .flac import encode_flac
+
+    if sample_rate < 1:
+        raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    docs = docs.select("doc_id", "text")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, durs = [], []
+            for text in pdf["text"]:
+                b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                samples = ((b.astype(np.int32) - 128) * 256).astype(np.int16)
+                contents.append(encode_flac(samples, sample_rate))
+                durs.append(len(b) * 1000 // sample_rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "content": contents,
+                    "mime": "audio/flac",
+                    "width": pd.Series([-1] * len(contents), dtype="int32"),
+                    "height": pd.Series([-1] * len(contents), dtype="int32"),
+                    "duration_ms": pd.Series(durs, dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
 def documents_as_wav(spark: SparkSession, sf: str, sample_rate: int = 8000) -> DataFrame:
     """Synthesize the WAV media table from the sf-dir documents (see
     :func:`pack_wav` for the container)."""
@@ -1171,6 +1214,22 @@ GROUP BY doc_id, window_idx
 """
 
 
+def q_audio_decode_flac(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end REAL compressed-audio round trip: documents as FLAC
+    streams (same (byte-128)*256 samples as the WAV entry), decoded
+    distributedly through the full fixed-predictor + Rice pipeline,
+    64-sample windowed energy — verified by the SAME exact SQL oracle as
+    q_audio_decode_wav (only the container differs)."""
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        # FLAC's entropy layer is per-sample Python (like JPEG's): spread
+        # the single-file scan before the kernels
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    media = pack_flac(docs)
+    return decode_audio_energy(media, window=64)
+
+
 MULTIMODAL_QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1183,6 +1242,7 @@ MULTIMODAL_QUERIES = {
     "q_image_decode_jpeg_progressive": q_image_decode_jpeg_progressive,
     "q_video_frame_sample_y4m": q_video_frame_sample_y4m,
     "q_audio_decode_wav": q_audio_decode_wav,
+    "q_audio_decode_flac": q_audio_decode_flac,
 }
 MULTIMODAL_ORACLES = {
     "q_multimodal_features": Q_MULTIMODAL_SQL,
@@ -1196,4 +1256,5 @@ MULTIMODAL_ORACLES = {
     "q_image_decode_jpeg_progressive": Q_IMAGE_JPEG_SQL,  # same pixels, same closed form
     "q_video_frame_sample_y4m": Q_Y4M_FRAME_SQL,
     "q_audio_decode_wav": Q_WAV_ENERGY_SQL,
+    "q_audio_decode_flac": Q_WAV_ENERGY_SQL,  # same samples, different container
 }
