@@ -321,6 +321,8 @@ def decode_flac(data: bytes) -> tuple:
                 samples = [s << wasted for s in samples]
             sub.append(samples)
         bits.align()
+        if bits.byte + 2 > len(data):
+            raise CodecError("FLAC: truncated frame CRC")
         frame_crc = (data[bits.byte] << 8) | data[bits.byte + 1]
         if _crc16(data[frame_start : bits.byte]) != frame_crc:
             raise CodecError("FLAC: frame CRC-16 mismatch")

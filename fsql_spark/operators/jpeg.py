@@ -800,6 +800,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
+                if p + 17 > len(payload):
+                    raise CodecError("JPEG DHT: truncated table header")
                 tc, th = payload[p] >> 4, payload[p] & 0x0F
                 bits = list(payload[p + 1 : p + 17])
                 n = sum(bits)
@@ -809,9 +811,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 (dc_tables if tc == 0 else ac_tables)[th] = _build_decode_table(bits, vals)
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential) / SOF2 (progressive)
+            if len(payload) < 6:
+                raise CodecError("JPEG SOF: truncated header")
             precision, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError(f"JPEG: {precision}-bit precision not supported")
+            if width == 0 or height == 0:
+                raise CodecError("JPEG: zero-sized frame")
+            if len(payload) < 6 + 3 * ncomp:
+                raise CodecError("JPEG SOF: truncated component list")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack(">BBB", payload[6 + 3 * i : 9 + 3 * i])
@@ -831,6 +839,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 "Huffman modes are supported"
             )
         elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise CodecError("JPEG DRI: truncated")
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:

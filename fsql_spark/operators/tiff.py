@@ -243,19 +243,32 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
     if _T_TILE_WIDTH in tags:
         raise NotImplementedError("TIFF: tiled files not supported (strips only)")
-    try:
-        width = tags[_T_WIDTH][0]
-        height = tags[_T_HEIGHT][0]
-        offsets = tags[_T_STRIP_OFFSETS]
-        counts = tags[_T_STRIP_COUNTS]
-    except KeyError as exc:
-        raise CodecError(f"TIFF: missing required tag {exc}") from exc
-    spp = tags.get(_T_SPP, [1])[0]
-    bits = tags.get(_T_BITS, [8])
-    compression = tags.get(_T_COMPRESSION, [1])[0]
-    photometric = tags.get(_T_PHOTOMETRIC, [1])[0]
-    planar = tags.get(_T_PLANAR, [1])[0]
-    rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [height])[0]
+
+    def ints(tid, default=None, required=False):
+        """The tags this decoder consumes must carry INTEGER values — a
+        corrupted field type stores raw bytes, which would otherwise
+        surface as TypeErrors deep in the strip math (fuzz find)."""
+        if tid not in tags:
+            if required:
+                raise CodecError(f"TIFF: missing required tag {tid}")
+            return default
+        vals = tags[tid]
+        if not vals or not all(isinstance(v, int) for v in vals):
+            raise CodecError(f"TIFF: tag {tid} has a non-integer field type")
+        return vals
+
+    width = ints(_T_WIDTH, required=True)[0]
+    height = ints(_T_HEIGHT, required=True)[0]
+    offsets = ints(_T_STRIP_OFFSETS, required=True)
+    counts = ints(_T_STRIP_COUNTS, required=True)
+    spp = ints(_T_SPP, [1])[0]
+    bits = ints(_T_BITS, [8])
+    compression = ints(_T_COMPRESSION, [1])[0]
+    photometric = ints(_T_PHOTOMETRIC, [1])[0]
+    planar = ints(_T_PLANAR, [1])[0]
+    rows_per_strip = ints(_T_ROWS_PER_STRIP, [height])[0]
+    if rows_per_strip <= 0:
+        raise CodecError("TIFF: non-positive RowsPerStrip")
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF: bits per sample {bits} not supported (8 only)")
     if spp not in (1, 3, 4):
