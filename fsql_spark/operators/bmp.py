@@ -44,8 +44,25 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"BMP: compression {compression} not supported (BI_RGB only)")
     if bpp not in (1, 8, 24, 32):
         raise NotImplementedError(f"BMP: {bpp}-bit pixels not supported (1/8/24/32)")
-    if compression == 3 and bpp != 32:
-        raise NotImplementedError("BMP: BI_BITFIELDS only supported for 32-bit")
+    if compression == 3:
+        if bpp != 32:
+            raise NotImplementedError("BMP: BI_BITFIELDS only supported for 32-bit")
+        # the masks define the channel layout: decode assumes the standard
+        # BGRA 8888 order — any other layout must refuse, not swap channels
+        if hdr_size >= 56:  # V4/V5: masks live in the header
+            if len(data) < 70:
+                raise CodecError("BMP: truncated V4/V5 mask fields")
+            masks = struct.unpack("<IIII", data[54:70])
+        else:  # BITMAPINFOHEADER: three masks follow the header
+            if len(data) < 14 + hdr_size + 12:
+                raise CodecError("BMP: truncated BI_BITFIELDS masks")
+            masks = struct.unpack("<III", data[14 + hdr_size : 14 + hdr_size + 12]) + (0xFF000000,)
+        expect = (0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+        if tuple(masks[:3]) != expect[:3] or masks[3] not in (0, 0xFF000000):
+            raise NotImplementedError(
+                f"BMP: BI_BITFIELDS mask layout {[hex(m) for m in masks]} "
+                "not supported (standard 8888 BGRA only)"
+            )
 
     palette = None
     if bpp <= 8:

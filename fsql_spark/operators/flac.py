@@ -142,8 +142,11 @@ def _utf8_number(bits: _Bits) -> int:
     return v
 
 
-def _rice_read(bits: _Bits, n: int, partition_order_bits: int = 4) -> list:
-    """Read one subframe's residuals (coding method + partitioned Rice)."""
+def _rice_read(bits: _Bits, block: int, pred_order: int) -> list:
+    """Read one subframe's residuals (coding method + partitioned Rice).
+    Partition sizes follow RFC 9639 §9.2.7: every partition holds
+    block/2^order residuals EXCEPT the first, which is short by the
+    predictor order (the warmup samples are not residual-coded)."""
     method = bits.read(2)
     if method not in (0, 1):
         raise CodecError(f"FLAC: reserved residual coding method {method}")
@@ -152,10 +155,15 @@ def _rice_read(bits: _Bits, n: int, partition_order_bits: int = 4) -> list:
     order = bits.read(4)
     residuals = []
     nparts = 1 << order
-    if n % nparts:
+    if block % nparts:
         raise CodecError("FLAC: partition order does not divide block size")
+    part = block // nparts
+    if part <= pred_order and nparts > 1:
+        raise CodecError("FLAC: predictor order leaves the first partition empty")
     for p in range(nparts):
-        count = n // nparts
+        count = part - (pred_order if p == 0 else 0)
+        if count < 0:
+            raise CodecError("FLAC: predictor order exceeds partition size")
         param = bits.read(pbits)
         if param == esc_param:
             raw_bits = bits.read(5)
@@ -298,7 +306,7 @@ def decode_flac(data: bytes) -> tuple:
             elif 8 <= stype <= 12:  # FIXED order 0-4
                 order = stype - 8
                 warm = [bits.read_signed(ch_bps) for _ in range(order)]
-                res = _rice_read(bits, block - order)
+                res = _rice_read(bits, block, order)
                 samples = _restore_fixed(order, warm, res)
             elif stype >= 32:  # LPC order 1-32
                 order = stype - 31
@@ -310,7 +318,7 @@ def decode_flac(data: bytes) -> tuple:
                 if shift < 0:
                     raise CodecError("FLAC: negative LPC shift")
                 coefs = [bits.read_signed(precision) for _ in range(order)]
-                res = _rice_read(bits, block - order)
+                res = _rice_read(bits, block, order)
                 samples = list(warm)
                 for r in res:
                     pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs)) >> shift
@@ -396,6 +404,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096) -
     Deterministic; decode(encode(x)) == x exactly."""
     if sample_rate < 1 or sample_rate >= (1 << 20):
         raise ValueError(f"bad sample_rate {sample_rate}")
+    if not 16 <= block_size <= 65535:
+        raise ValueError(f"block_size must be 16..65535, got {block_size}")
     if samples.dtype == np.int16:
         bps = 16
     elif samples.dtype == np.int32:

@@ -52,6 +52,11 @@ import numpy as np
 
 from .codecs import CodecError
 
+#: upper bound on decodable image area: coefficient state is allocated
+#: from the SOF header alone, so untrusted dimensions must be capped
+#: (64 MP ~ 1M blocks ~ 600 MB of coefficient lists at the extreme)
+MAX_DECODE_PIXELS = 1 << 26
+
 # --------------------------------------------------------------------------
 # spec constants (ITU-T T.81 Annex K — public)
 # --------------------------------------------------------------------------
@@ -818,6 +823,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError(f"JPEG: {precision}-bit precision not supported")
             if width == 0 or height == 0:
                 raise CodecError("JPEG: zero-sized frame")
+            if width * height > MAX_DECODE_PIXELS:
+                # coefficient buffers allocate from these header fields
+                # BEFORE any entropy data arrives — a 30-byte crafted file
+                # must not OOM the executor (fuzz/review find)
+                raise CodecError(
+                    f"JPEG: {width}x{height} exceeds the decode cap of "
+                    f"{MAX_DECODE_PIXELS} pixels"
+                )
             if len(payload) < 6 + 3 * ncomp:
                 raise CodecError("JPEG SOF: truncated component list")
             comps = []
@@ -845,6 +858,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise CodecError("JPEG: SOS before SOF")
+            if not payload:
+                raise CodecError("JPEG: empty SOS header")
             ns = payload[0]
             if len(payload) < 1 + 2 * ns + 3:
                 raise CodecError("JPEG: truncated SOS header")
@@ -914,9 +929,10 @@ def _decode_sos(data, pos, frame, state, scan_sel, dc_tables, ac_tables,
         ac_tab = ac_tables.get(ta)
         if ss == 0 and ah == 0 and dc_tab is None:
             raise CodecError("JPEG: scan references an undefined DC table")
-        if se > 0 and ac_tab is None and not (ss == 0 and ah > 0):
-            if ss > 0 or not progressive:
-                raise CodecError("JPEG: scan references an undefined AC table")
+        if se > 0 and ac_tab is None:
+            # every scan that touches AC coefficients needs its table —
+            # including the (spec-dubious) full-band ss=0/se=63 case
+            raise CodecError("JPEG: scan references an undefined AC table")
         order.append((ci, dc_tab, ac_tab, comps[ci][1], comps[ci][2]))
 
     clean, rst_offsets, rst_markers, end_pos = _destuff_scan(data, pos)

@@ -932,17 +932,14 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
     )
-    value = value.persist()
-    try:
-        # F.round (half-up, matching SQL ROUND) — not Python round (banker's)
-        threshold = value.agg(
-            F.round(F.avg("part_value") * 2, 2).alias("t")
-        ).collect()[0][0] or 0.0
-    finally:
-        # release the cache (hygiene: catalog entries must not accumulate
-        # executor storage); the returned plan recomputes the aggregate
-        # once when consumed — the q22 two-pass shape
-        value.unpersist()
+    # two-pass shape (the q22 pattern): the grouped aggregate runs once for
+    # the driver-scalar threshold and once in the returned plan. A persist
+    # would have to outlive this function to help, and catalog entries must
+    # not leak executor storage (review find) — so none.
+    # F.round (half-up, matching SQL ROUND) — not Python round (banker's)
+    threshold = value.agg(
+        F.round(F.avg("part_value") * 2, 2).alias("t")
+    ).collect()[0][0] or 0.0
     return value.where(F.col("part_value") > F.lit(threshold)).select(
         "l_partkey", "part_value"
     )

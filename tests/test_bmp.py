@@ -84,3 +84,21 @@ def test_decode_image_dispatch():
 
     a = RNG.randint(0, 256, size=(11, 13, 3)).astype(np.uint8)
     assert (decode_image(encode_bmp(a)) == a).all()
+
+
+def test_bitfields_masks_checked():
+    import struct as _s
+
+    a = RNG.randint(0, 256, size=(4, 4, 4)).astype(np.uint8)
+    good = bytearray(encode_bmp(a))
+    # declare BI_BITFIELDS with a V4-size header and nonstandard masks
+    bf = good.copy()
+    bf[30:34] = _s.pack("<I", 3)
+    bf[14:18] = _s.pack("<I", 108)  # V4
+    # grow the header area with masks RGBA-order (nonstandard)
+    masks = _s.pack("<IIII", 0x000000FF, 0x0000FF00, 0x00FF0000, 0xFF000000)
+    body = bytes(bf[:54]) + masks + b"\x00" * (108 - 40 - 16) + bytes(bf[54:])
+    body = bytearray(body)
+    body[10:14] = _s.pack("<I", 14 + 108)
+    with pytest.raises(NotImplementedError, match="mask layout"):
+        decode_bmp(bytes(body))

@@ -210,3 +210,38 @@ def test_flac_payload_not_larger_than_wav(spark):
     flac_len = len(bytes(pack_flac(docs).collect()[0]["content"]))
     wav_len = len(bytes(pack_wav(docs).collect()[0]["content"]))
     assert flac_len < wav_len
+
+
+def test_partitioned_rice_first_partition_short():
+    """RFC 9639 §9.2.7: with partition order > 0 the FIRST partition is
+    short by the predictor order — the layout every real libflac file
+    uses (review find: the symmetric-split reading rejected them)."""
+    # fixed order 1, block 8, partition order 1: partitions of 3 and 4
+    x = [10, 11, 13, 16, 20, 25, 31, 38]  # residuals 1..7 under order-1
+    res = [x[i] - x[i - 1] for i in range(1, 8)]
+
+    def build(w):
+        _frame_header(w, 8, ch_code=0)
+        w.write(0, 1)
+        w.write(8 + 1, 6)  # FIXED order 1
+        w.write(0, 1)
+        w.write(x[0], 16)  # warmup
+        w.write(0, 2)  # 4-bit Rice
+        w.write(1, 4)  # partition order 1
+        for part in (res[:3], res[3:]):
+            w.write(2, 4)  # rice param 2
+            for r in part:
+                zig = ((-r) << 1) - 1 if r < 0 else (r << 1)
+                w.write_unary(zig >> 2)
+                w.write(zig & 3, 2)
+
+    rate, out = decode_flac(_stream(build, n_total=8))
+    assert out.tolist() == x
+
+
+def test_encode_block_size_validated():
+    s = RNG.randint(-100, 100, size=64).astype(np.int16)
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(s, 8000, block_size=70000)
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(s, 8000, block_size=8)

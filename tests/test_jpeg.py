@@ -207,3 +207,21 @@ def test_foreign_eobn_symbols_decode():
     eobrun = _ac_first_block(reader, dec, blocks[1], 1, 63, 1, eobrun)
     eobrun = _ac_first_block(reader, dec, blocks[2], 1, 63, 1, eobrun)
     assert eobrun == 0 and not any(any(b[1:]) for b in blocks[1:])
+
+
+def test_header_dimension_cap():
+    """A ~30-byte crafted stream declaring a 65535x65535 frame must refuse
+    at the header, not allocate gigabytes of coefficient state."""
+    import struct as _s
+
+    from fsql_spark.operators.jpeg import MAX_DECODE_PIXELS
+
+    sof = _s.pack(">BHHB", 8, 65535, 65535, 1) + _s.pack(">BBB", 1, 0x11, 0)
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + _s.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xd9"
+    )
+    with pytest.raises(CodecError, match="exceeds the decode cap"):
+        decode_jpeg(data)
+    assert 65535 * 65535 > MAX_DECODE_PIXELS
