@@ -61,6 +61,21 @@ from .lm import (  # noqa: F401
     unigram_model,
     write_unigram_model,
 )
+from .bmp import decode_bmp, encode_bmp  # noqa: F401
+from .codecs import (  # noqa: F401
+    CodecError,
+    decode_alaw,
+    decode_au,
+    decode_mulaw,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_png_palette,
+    encode_wav,
+)
+from .flac import decode_flac, encode_flac  # noqa: F401
+from .gif import decode_gif, encode_gif  # noqa: F401
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401
 from .multimodal import (  # noqa: F401
     MEDIA_SCHEMA,
     MULTIMODAL_ORACLES,
@@ -71,17 +86,25 @@ from .multimodal import (  # noqa: F401
     decode_image,
     decode_image_stats,
     documents_as_audio,
+    documents_as_gif,
+    documents_as_jpeg,
     documents_as_media,
+    documents_as_palette_png,
     documents_as_png,
     documents_as_video,
     documents_as_wav,
     extract_features,
     fake_decode_image,
+    pack_flac,
     pack_video,
     pack_wav,
+    pack_y4m,
     resize_images,
     sample_container_frames,
+    sample_video_frames,
 )
+from .tiff import decode_tiff, encode_tiff  # noqa: F401
+from .video import decode_y4m, encode_y4m  # noqa: F401
 from .passages import (  # noqa: F401
     PASSAGE_ORACLES,
     PASSAGE_QUERIES,
@@ -157,6 +180,7 @@ from .text import (  # noqa: F401
     quality_score,
     redact,
     token_count,
+    winnow_fingerprints,
     with_text_stats,
 )
 from .vocab import (  # noqa: F401
