@@ -447,7 +447,12 @@ ORDER BY lang
 
 
 def winnow_fingerprints(
-    df: DataFrame, k: int = 5, w: int = 4, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD'03 — the public algorithm): hash every character k-gram, then
@@ -464,17 +469,30 @@ def winnow_fingerprints(
     range) the t hashes left of q are all >= h[q] AND the w-1-t hashes
     right of q are all > h[q]. One shuffle (the per-document window sort);
     documents with fewer than w+k-1 characters contain no full window and
-    emit nothing, by construction."""
+    emit nothing, by construction.
+
+    ``hash_fn``: 'md5' (default — the engine-portable hash DuckDB can
+    recompute, so the catalog entry stays oracle-checked) or 'xxhash64'
+    (the production lever: ~4x cheaper per gram, same plan shape, long
+    fingerprints instead of hex strings; selection positions differ
+    between the two since the hash order differs, but the winnowing
+    guarantee and density are identical)."""
     from pyspark.sql import Window
 
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    if hash_fn == "md5":
+        hasher = lambda c: F.md5(c)  # noqa: E731
+    elif hash_fn == "xxhash64":
+        hasher = lambda c: F.xxhash64(c)  # noqa: E731
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     n = (F.length(text_col) - k + 1).alias("n")
     grams = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"), n)
         .where(F.col("n") >= w)
         .select("doc", "n", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("pos"), "t")
-        .select("doc", "n", "pos", F.md5(F.col("t").substr(F.col("pos"), F.lit(k))).alias("h"))
+        .select("doc", "n", "pos", hasher(F.col("t").substr(F.col("pos"), F.lit(k))).alias("h"))
     )
     win = Window.partitionBy("doc").orderBy("pos")
     conds = []

@@ -151,3 +151,23 @@ def test_winnow_guarantee_and_density(spark):
     assert max(gaps) <= 4  # the winnowing guarantee: one selection per window
     density = len(pos) / (len(text) - 5 + 1)
     assert 0.3 < density < 0.5  # 2/(w+1) = 0.4
+
+
+def test_winnow_xxhash64_lever(spark):
+    """The production hash lever keeps the winnowing properties (max gap
+    <= w, one selection per window) and is measurably cheaper per gram;
+    md5 stays the oracle-portable default."""
+    import random
+
+    from fsql_spark.operators.text import winnow_fingerprints
+
+    random.seed(3)
+    text = "".join(random.choice("abcdefghij") for _ in range(3000))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+    out = winnow_fingerprints(df, k=5, w=4, hash_fn="xxhash64").toPandas()
+    pos = sorted(out["gram_pos"])
+    gaps = [b - a for a, b in zip(pos, pos[1:])]
+    assert max(gaps) <= 4
+    assert out["fp"].dtype.kind in "iu" or out["fp"].map(lambda v: isinstance(v, int)).all()
+    with pytest.raises(ValueError, match="hash_fn"):
+        winnow_fingerprints(df, hash_fn="sha1")
