@@ -1,12 +1,14 @@
 """Pure stdlib+numpy image/audio codecs: PNG (zlib inflate + per-row
-unfilter) and WAV (RIFF PCM parse).
+unfilter), WAV (RIFF parse incl. G.711), and Sun .au.
 
 These make ``decode_image`` / ``decode_audio`` REAL with zero external
 dependencies — PNG is just zlib (stdlib) over filtered scanlines, WAV is
-a struct parse. Baseline JPEG decodes natively too (``jpeg.py``, a full
-pure-numpy Huffman+DCT implementation). The NotImplementedError path
-survives only for formats that genuinely need an external codec (GIF,
-WebP, video containers).
+a struct parse. The sibling modules complete the family: ``jpeg.py``
+(sequential + progressive Huffman+DCT), ``gif.py`` (LZW), ``bmp.py``,
+``tiff.py`` (strips: PackBits/LZW/Deflate/JPEG), ``flac.py`` (Rice/LPC),
+``video.py`` (YUV4MPEG2). The NotImplementedError path survives only for
+formats that genuinely need an external heavyweight codec (WebP, lossy
+audio, compressed video containers).
 
 Codec scope (loud refusal outside it):
 
