@@ -175,12 +175,13 @@ def extract_features(media: DataFrame, content_col: str = "content", id_col: str
 
 def resize_images(media: DataFrame, width: int, height: int,
                   content_col: str = "content", id_col: str = "media_id") -> DataFrame:
-    """REAL distributed resize for PNG payloads: decode (native codec),
+    """REAL distributed resize: decode ANY natively-decodable payload
+    (PNG/JPEG/GIF/BMP/TIFF — :func:`decode_image` dispatches on magic),
     nearest-neighbor sample to (height, width), re-encode as PNG. Returns
-    (media_id, content, width, height). Non-PNG payloads raise
-    NotImplementedError from :func:`decode_image` with the media id
-    attached. Nearest-neighbor is the deterministic, oracle-able kernel —
-    swap the sampler for area/bilinear in a quality-sensitive pipeline."""
+    (media_id, content, width, height). Undecodable payloads raise from
+    :func:`decode_image` with the media id attached. Nearest-neighbor is
+    the deterministic, oracle-able kernel — swap the sampler for
+    area/bilinear in a quality-sensitive pipeline."""
     import numpy as np
 
     from .codecs import encode_png

@@ -462,3 +462,49 @@ def test_decode_audio_dispatches_au():
     assert rate == 8000 and (s == decode_mulaw(codes)).all()
     with pytest.raises(NotImplementedError, match="compressed audio"):
         decode_audio(b"ID3\x04 mp3 frames here")
+
+
+def test_lossless_containers_agree_pixelwise():
+    """The same RGB array shipped through every lossless container must
+    decode to identical pixels — one dispatch test covering the whole
+    image-codec family."""
+    from fsql_spark.operators.bmp import encode_bmp
+    from fsql_spark.operators.gif import encode_gif
+    from fsql_spark.operators.multimodal import decode_image
+    from fsql_spark.operators.tiff import encode_tiff
+
+    idx = RNG.randint(0, 16, size=(13, 17)).astype(np.uint8)
+    pal = RNG.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    rgb = pal[idx]
+    payloads = [
+        encode_png(rgb),
+        encode_png_palette(idx, pal),
+        encode_gif(idx, pal, interlace=True),
+        encode_bmp(rgb),
+        encode_tiff(rgb, compression="lzw"),
+        encode_tiff(rgb, compression="packbits"),
+    ]
+    for p in payloads:
+        assert (decode_image(p) == rgb).all()
+
+
+def test_resize_dispatches_any_container(spark):
+    """resize_images consumes whatever decode_image can decode — a JPEG
+    or TIFF payload resizes exactly like the PNG twin."""
+    from fsql_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from fsql_spark.operators.multimodal import decode_image, resize_images
+    from fsql_spark.operators.tiff import encode_tiff
+
+    a = np.repeat(np.repeat(RNG.randint(0, 256, (4, 4)).astype(np.uint8), 8, 0), 8, 1)
+    jp = encode_jpeg(a, quality=50)
+    expect = decode_jpeg(jp)  # resize source = the decoded (lossy) pixels
+    media = spark.createDataFrame(
+        [(1, bytearray(jp)), (2, bytearray(encode_tiff(a)))],
+        "media_id: long, content: binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+    rows = np.minimum(np.arange(8) * 32 // 8, 31)
+    got1 = decode_image(bytes(out[1]["content"]))
+    assert (got1 == expect[np.ix_(rows, rows)]).all()
+    got2 = decode_image(bytes(out[2]["content"]))
+    assert (got2 == a[np.ix_(rows, rows)]).all()
