@@ -11,8 +11,10 @@ best-of fixed predictors 0-2 with Rice residuals, falling back to
 verbatim) so round trips exercise genuine Rice decoding, not an echo.
 Lossless: decode(encode(x)) == x exactly.
 
-Scope (loud refusal outside it): 8/16/24-bit, 1-2 channels on encode
-(decode: any channel assignment the spec names), no seektables written.
+Scope: encode takes int16 (16-bit) or int32-within-24-bit samples,
+1-2 channels, and writes no seektables; decode accepts 8/16/24/32-bit
+streams and every channel assignment the spec names. Out-of-scope
+inputs refuse loudly.
 Like the other codecs these run inside Arrow-batched kernels; the Rice
 loops are plain Python per frame — FLAC's entropy layer has no
 vectorizable shape (like progressive JPEG's refinement bits).
@@ -178,12 +180,25 @@ def _rice_read(bits: _Bits, block: int, pred_order: int) -> list:
     return residuals
 
 
+#: decoded-sample runaway bound: any legal FLAC sample fits 32 bits; a
+#: crafted predictor can otherwise grow Python bignums geometrically
+#: (OverflowError at numpy conversion — outside the taxonomy — or a
+#: multi-GB memory DoS before it)
+_SAMPLE_LIMIT = 1 << 34
+
+
+def _check_sample(v: int) -> int:
+    if v > _SAMPLE_LIMIT or v < -_SAMPLE_LIMIT:
+        raise CodecError("FLAC: predictor output out of range (corrupt stream)")
+    return v
+
+
 def _restore_fixed(order: int, warmup: list, residuals: list) -> list:
     out = list(warmup)
     coefs = _FIXED_COEFS[order]
     for r in residuals:
         pred = sum(c * out[-i - 1] for i, c in enumerate(coefs))
-        out.append(r + pred)
+        out.append(_check_sample(r + pred))
     return out
 
 
@@ -237,13 +252,19 @@ def decode_flac(data: bytes) -> tuple:
         sync = bits.read(14)
         if sync != 0x3FFE:
             raise CodecError(f"FLAC: bad frame sync at byte {pos}")
-        bits.read(1)  # reserved
+        if bits.read(1):  # reserved bit: must be 0
+            raise CodecError("FLAC: reserved frame-header bit set")
         blocking = bits.read(1)
         bs_code = bits.read(4)
         sr_code = bits.read(4)
         ch_code = bits.read(4)
         bps_code = bits.read(3)
-        bits.read(1)
+        if sr_code == 15:
+            raise CodecError("FLAC: invalid sample-rate code 15")
+        if bps_code == 3:
+            raise CodecError("FLAC: reserved bit-depth code 3")
+        if bits.read(1):  # reserved bit: must be 0
+            raise CodecError("FLAC: reserved frame-header bit set")
         _num = _utf8_number(bits)
         if bs_code == 0:
             raise CodecError("FLAC: reserved block size code")
@@ -297,6 +318,8 @@ def decode_flac(data: bytes) -> tuple:
             wasted = 0
             if bits.read(1):
                 wasted = bits.read_unary() + 1
+                if wasted >= ch_bps:
+                    raise CodecError("FLAC: wasted bits exceed the sample width")
                 ch_bps -= wasted
             if stype == 0:  # CONSTANT
                 v = bits.read_signed(ch_bps)
@@ -322,7 +345,7 @@ def decode_flac(data: bytes) -> tuple:
                 samples = list(warm)
                 for r in res:
                     pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs)) >> shift
-                    samples.append(r + pred)
+                    samples.append(_check_sample(r + pred))
             else:
                 raise CodecError(f"FLAC: reserved subframe type {stype}")
             if wasted:
@@ -357,6 +380,12 @@ def decode_flac(data: bytes) -> tuple:
             chans[ch].extend(sub[ch])
 
     dtype = np.int16 if bps <= 16 else np.int32
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    for c in chans:
+        if c and (min(c) < lo or max(c) > hi):
+            # a crafted stream can be CRC-valid yet decode outside the
+            # declared bit depth: refuse rather than silently wrap
+            raise CodecError(f"FLAC: decoded samples exceed the {bps}-bit range")
     arrs = [np.asarray(c, dtype=dtype) for c in chans]
     if total_samples:
         arrs = [a[:total_samples] for a in arrs]
@@ -438,8 +467,19 @@ def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096) -
     si.out += b"\x00" * 16  # MD5 unset (all-zero = not computed)
     out += bytes([0x80, 0, 0, 34]) + bytes(si.out)
 
+    def rice_cost(res: list) -> int:
+        """TRUE emitted size of _rice_write for these residuals: unary
+        quotients + terminators + param bits + the 10 coding-method/
+        order/param header bits (an optimistic bit_length proxy made the
+        verbatim fallback unreachable — review find)."""
+        n = len(res)
+        mean = (sum(abs(r) for r in res) // max(1, n)) + 1
+        param = max(0, min(14, mean.bit_length()))
+        zigs = ((((-r) << 1) - 1 if r < 0 else (r << 1)) for r in res)
+        return 10 + n * (1 + param) + sum(z >> param for z in zigs)
+
     def subframe(w: _BitsW, vals: list) -> None:
-        # pick the cheapest of fixed orders 0..2 by residual magnitude
+        # pick the cheapest of fixed orders 0..2 by the REAL Rice cost
         best_order, best_res, best_cost = None, None, None
         for order in range(0, 3):
             if len(vals) <= order:
@@ -449,7 +489,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096) -
             for i in range(order, len(vals)):
                 pred = sum(c * vals[i - j - 1] for j, c in enumerate(coefs))
                 res.append(vals[i] - pred)
-            cost = sum(abs(r).bit_length() for r in res)
+            cost = order * bps + rice_cost(res)
             if best_cost is None or cost < best_cost:
                 best_order, best_res, best_cost = order, res, cost
         if best_res is not None and best_cost < len(vals) * bps:
@@ -467,11 +507,9 @@ def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096) -
                 w.write(v, bps)
 
     frame_no = 0
-    for start in range(0, max(n_total, 1), block_size):
+    for start in range(0, n_total, block_size):
         vals = samples[start : start + block_size]
-        block = vals.shape[0] if vals.ndim else 0
-        if block == 0:
-            break
+        block = vals.shape[0]
         w = _BitsW()
         w.write(0x3FFE, 14)
         w.write(0, 1)
