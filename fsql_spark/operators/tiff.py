@@ -16,6 +16,7 @@ numpy.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -32,6 +33,7 @@ _T_SPP = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
+_T_PREDICTOR = 317
 _T_TILE_WIDTH = 322
 _T_JPEG_TABLES = 347
 
@@ -267,8 +269,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
     photometric = ints(_T_PHOTOMETRIC, [1])[0]
     planar = ints(_T_PLANAR, [1])[0]
     rows_per_strip = ints(_T_ROWS_PER_STRIP, [height])[0]
+    predictor = ints(_T_PREDICTOR, [1])[0]
     if rows_per_strip <= 0:
         raise CodecError("TIFF: non-positive RowsPerStrip")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF: predictor {predictor} not supported (1/2)")
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF: bits per sample {bits} not supported (8 only)")
     if spp not in (1, 3, 4):
@@ -280,18 +285,21 @@ def decode_tiff(data: bytes) -> np.ndarray:
             compression, compression
         )
         raise NotImplementedError(f"TIFF: compression {name} not supported")
-    if compression == 7:  # new-style JPEG-in-TIFF: strips are JPEG streams
-        return _decode_jpeg_strips(
-            data, tags, offsets, counts, width, height, rows_per_strip, spp
-        )
     if photometric == 3:
         raise NotImplementedError("TIFF: palette-color not supported")
-    if photometric not in (0, 1, 2):
+    if photometric not in (0, 1, 2, 6):
         raise NotImplementedError(f"TIFF: photometric {photometric} not supported")
+    if photometric == 6 and compression != 7:
+        raise NotImplementedError("TIFF: YCbCr is only supported inside JPEG strips")
     if width == 0 or height == 0:
         raise CodecError("TIFF: zero-sized image")
     if len(offsets) != len(counts):
         raise CodecError("TIFF: strip offset/count mismatch")
+    if compression == 7:  # new-style JPEG-in-TIFF: strips are JPEG streams
+        return _decode_jpeg_strips(
+            data, tags, offsets, counts, width, height, rows_per_strip, spp,
+            photometric,
+        )
 
     row_bytes = width * spp
     out = bytearray()
@@ -307,8 +315,6 @@ def decode_tiff(data: bytes) -> np.ndarray:
         elif compression == 5:
             out += _tiff_lzw_decode(raw, strip_rows * row_bytes)
         elif compression in (8, 32946):  # Adobe/old deflate: plain zlib
-            import zlib
-
             try:
                 inflated = zlib.decompress(raw)
             except zlib.error as exc:
@@ -324,22 +330,32 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise CodecError("TIFF: assembled pixel data has the wrong size")
     arr = np.frombuffer(bytes(out), dtype=np.uint8)
     arr = arr.reshape(height, width) if spp == 1 else arr.reshape(height, width, spp)
+    if predictor == 2:
+        # horizontal differencing (the libtiff LZW/deflate default): each
+        # sample is stored as the delta from its left neighbor — undo with
+        # a per-row, per-channel modular prefix sum
+        arr = (np.cumsum(arr.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
     if photometric == 0:  # min-is-white: invert to the conventional scale
         arr = 255 - arr
     return arr.copy()
 
 
-def _decode_jpeg_strips(data, tags, offsets, counts, width, height, rows_per_strip, spp):
+def _decode_jpeg_strips(data, tags, offsets, counts, width, height, rows_per_strip, spp,
+                        photometric):
     """New-style JPEG-in-TIFF (TechNote 2): each strip is a JPEG stream,
     optionally sharing tables via the JPEGTables tag (an abbreviated
     stream SOI..EOI whose DQT/DHT segments prefix every strip). Reuses
-    the engine's own JPEG decoder."""
+    the engine's own JPEG decoder; min-is-white files invert like the
+    baseline path."""
     from .jpeg import decode_jpeg
 
     tables = tags.get(_T_JPEG_TABLES)
     prefix = b""
     if tables:
-        t = bytes(tables if isinstance(tables[0], int) else tables[0])
+        try:
+            t = bytes(tables if isinstance(tables[0], int) else tables[0])
+        except (ValueError, TypeError) as exc:
+            raise CodecError(f"TIFF: JPEGTables has a non-byte field type: {exc}") from exc
         if len(t) < 4 or t[:2] != b"\xff\xd8" or t[-2:] != b"\xff\xd9":
             raise CodecError("TIFF: malformed JPEGTables payload")
         prefix = t[2:-2]  # the table segments, minus SOI/EOI
@@ -356,22 +372,32 @@ def _decode_jpeg_strips(data, tags, offsets, counts, width, height, rows_per_str
         if px.shape[0] < strip_rows or px.shape[1] < width:
             raise CodecError(f"TIFF: strip {si} decodes smaller than declared")
         rows.append(px[:strip_rows, :width])
-    out = np.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    try:
+        out = np.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    except ValueError as exc:
+        raise CodecError(f"TIFF: JPEG strips have inconsistent geometry: {exc}") from exc
     if out.shape[0] != height:
         raise CodecError("TIFF: JPEG strips do not cover the image height")
-    if spp == 1 and out.ndim == 3:
+    if (spp == 1) != (out.ndim == 2):
         raise CodecError("TIFF: JPEG strip channel count disagrees with SamplesPerPixel")
+    if photometric == 0:  # min-is-white, same inversion as the baseline path
+        out = 255 - out
     return out
 
 
 def encode_tiff(
-    arr: np.ndarray, packbits: bool = False, compression: str | None = None
+    arr: np.ndarray,
+    packbits: bool = False,
+    compression: str | None = None,
+    predictor: bool = False,
 ) -> bytes:
     """Encode a uint8 array — (H, W) gray / (H, W, 3) RGB / (H, W, 4)
     RGBA — as a canonical little-endian single-strip baseline TIFF.
     ``compression``: 'none' (default), 'packbits', 'lzw' (TIFF-variant
     MSB-first EarlyChange), or 'deflate'; ``packbits=True`` is a
-    shorthand kept for symmetry. Deterministic."""
+    shorthand kept for symmetry. ``predictor`` applies horizontal
+    differencing before lzw/deflate (tag 317=2, the libtiff default —
+    deltas compress far better on natural images). Deterministic."""
     if packbits and compression not in (None, "packbits"):
         raise ValueError("pass either packbits=True or compression=, not both")
     if compression is None:
@@ -386,6 +412,14 @@ def encode_tiff(
     height, width = arr.shape[0], arr.shape[1]
     if height == 0 or width == 0:
         raise ValueError("cannot encode a zero-sized image")
+    if predictor and compression not in ("lzw", "deflate"):
+        raise ValueError("predictor requires lzw or deflate compression")
+    if predictor:
+        # horizontal differencing per row/channel (mod 256)
+        px = arr.reshape(height, width, spp).astype(np.int16)
+        diff = px.copy()
+        diff[:, 1:, :] = (px[:, 1:, :] - px[:, :-1, :]) & 0xFF
+        arr = diff.astype(np.uint8).reshape(arr.shape)
     flat = arr.reshape(height, width * spp)
     if compression == "packbits":
         # PackBits restarts per row (TIFF requirement)
@@ -395,8 +429,6 @@ def encode_tiff(
         pixel_data = _tiff_lzw_encode(flat.tobytes())
         comp_code = 5
     elif compression == "deflate":
-        import zlib
-
         pixel_data = zlib.compress(flat.tobytes(), 6)
         comp_code = 8
     else:
@@ -405,16 +437,19 @@ def encode_tiff(
 
     photometric = 1 if spp == 1 else 2
     entries = [
-        (_T_WIDTH, 3, 1, width),
-        (_T_HEIGHT, 3, 1, height),
+        (_T_WIDTH, 4, 1, width),  # LONG: dims may exceed 65535
+        (_T_HEIGHT, 4, 1, height),
         (_T_BITS, 3, spp, None),  # payload below when spp > 2
         (_T_COMPRESSION, 3, 1, comp_code),
         (_T_PHOTOMETRIC, 3, 1, photometric),
         (_T_STRIP_OFFSETS, 4, 1, None),  # filled once layout is known
         (_T_SPP, 3, 1, spp),
-        (_T_ROWS_PER_STRIP, 3, 1, height),
+        (_T_ROWS_PER_STRIP, 4, 1, height),
         (_T_STRIP_COUNTS, 4, 1, len(pixel_data)),
     ]
+    if predictor:
+        entries.append((_T_PREDICTOR, 3, 1, 2))
+        entries.sort()
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
     extra_off = ifd_off + ifd_size

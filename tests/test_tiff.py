@@ -209,3 +209,46 @@ def test_jpeg_in_tiff_shared_tables():
     tbl_stream = b"\xff\xd8" + tables + b"\xff\xd9"
     got = decode_tiff(_jpeg_tiff(strip, 24, 16, 1, tables=tbl_stream))
     assert (got == decode_jpeg(full)).all()
+
+
+@pytest.mark.parametrize("comp", ["lzw", "deflate"])
+def test_predictor_2_round_trip_and_wins(comp):
+    """Horizontal differencing (tag 317=2, the libtiff default) round
+    trips exactly and genuinely improves compression on smooth content."""
+    grad = np.clip(np.add.outer(np.arange(40), np.arange(50)) * 2, 0, 255).astype(np.uint8)
+    plain = encode_tiff(grad, compression=comp)
+    pred = encode_tiff(grad, compression=comp, predictor=True)
+    assert (decode_tiff(pred) == grad).all()
+    assert len(pred) < len(plain)  # deltas compress better
+    rgb = np.dstack([grad, grad[::-1], grad]).astype(np.uint8)
+    assert (decode_tiff(encode_tiff(rgb, compression=comp, predictor=True)) == rgb).all()
+    with pytest.raises(ValueError, match="predictor requires"):
+        encode_tiff(grad, predictor=True)
+
+
+def test_large_dimensions_encode_as_long():
+    # dims > 65535 must not crash struct.pack (SHORT) — LONG fields now
+    tall = np.zeros((70000, 2), np.uint8)
+    out = decode_tiff(encode_tiff(tall, compression="deflate"))
+    assert out.shape == (70000, 2)
+
+
+def test_jpeg_in_tiff_min_is_white_inverts():
+    from fsql_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    a = np.full((8, 8), 200, np.uint8)
+    jp = encode_jpeg(a, quality=50)
+    f = bytearray(_jpeg_tiff(jp, 8, 8, 1))
+    # flip photometric 1 -> 0 (min-is-white)
+    i = bytes(f).find(struct.pack("<HHIHH", 262, 3, 1, 1, 0))
+    assert i > 0
+    f[i : i + 12] = struct.pack("<HHIHH", 262, 3, 1, 0, 0)
+    assert (decode_tiff(bytes(f)) == 255 - decode_jpeg(jp)).all()
+
+
+def test_jpeg_in_tiff_spp_mismatch_refused():
+    from fsql_spark.operators.jpeg import encode_jpeg
+
+    gray = encode_jpeg(np.full((8, 8), 90, np.uint8), quality=50)
+    with pytest.raises(CodecError, match="disagrees with SamplesPerPixel"):
+        decode_tiff(_jpeg_tiff(gray, 8, 8, 3))
