@@ -44,37 +44,51 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"BMP: compression {compression} not supported (BI_RGB only)")
     if bpp not in (1, 8, 24, 32):
         raise NotImplementedError(f"BMP: {bpp}-bit pixels not supported (1/8/24/32)")
+    has_alpha = False
     if compression == 3:
         if bpp != 32:
             raise NotImplementedError("BMP: BI_BITFIELDS only supported for 32-bit")
         # the masks define the channel layout: decode assumes the standard
-        # BGRA 8888 order — any other layout must refuse, not swap channels
-        if hdr_size >= 56:  # V4/V5: masks live in the header
+        # 8888 order — any other layout must refuse, not swap channels
+        if hdr_size >= 56:  # V3+/V4/V5: four masks inside the header
             if len(data) < 70:
                 raise CodecError("BMP: truncated V4/V5 mask fields")
             masks = struct.unpack("<IIII", data[54:70])
+        elif hdr_size >= 52:  # V2: three masks inside the header, no alpha
+            if len(data) < 66:
+                raise CodecError("BMP: truncated V2 mask fields")
+            masks = struct.unpack("<III", data[54:66]) + (0,)
         else:  # BITMAPINFOHEADER: three masks follow the header
             if len(data) < 14 + hdr_size + 12:
                 raise CodecError("BMP: truncated BI_BITFIELDS masks")
-            masks = struct.unpack("<III", data[14 + hdr_size : 14 + hdr_size + 12]) + (0xFF000000,)
-        expect = (0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
-        if tuple(masks[:3]) != expect[:3] or masks[3] not in (0, 0xFF000000):
+            masks = struct.unpack("<III", data[14 + hdr_size : 14 + hdr_size + 12]) + (0,)
+        expect = (0x00FF0000, 0x0000FF00, 0x000000FF)
+        if tuple(masks[:3]) != expect or masks[3] not in (0, 0xFF000000):
             raise NotImplementedError(
                 f"BMP: BI_BITFIELDS mask layout {[hex(m) for m in masks]} "
                 "not supported (standard 8888 BGRA only)"
             )
+        has_alpha = masks[3] == 0xFF000000
 
     palette = None
+    min_pix_offset = 14 + hdr_size
+    if compression == 3 and hdr_size < 52:
+        min_pix_offset += 12  # the three appended masks
     if bpp <= 8:
         (colors_used,) = struct.unpack("<I", data[46:50])
         n = colors_used or (1 << bpp)
-        pal_start = 14 + hdr_size + (12 if compression == 3 and hdr_size == 40 else 0)
+        pal_start = min_pix_offset
+        min_pix_offset += 4 * n
         raw_pal = data[pal_start : pal_start + 4 * n]
         if len(raw_pal) != 4 * n:
             raise CodecError("BMP: truncated color table")
         bgrx = np.frombuffer(raw_pal, dtype=np.uint8).reshape(n, 4)
         palette = bgrx[:, [2, 1, 0]]  # BGRX -> RGB
 
+    if pix_offset < min_pix_offset:
+        # an offset inside the header/palette would slice metadata bytes
+        # into the pixel array — refuse, never decode garbage
+        raise CodecError(f"BMP: pixel offset {pix_offset} overlaps the header")
     row_bytes = (width * bpp + 31) // 32 * 4  # rows pad to 4-byte boundaries
     body = data[pix_offset : pix_offset + row_bytes * height]
     if len(body) != row_bytes * height:
@@ -85,7 +99,12 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
     if bpp == 32:
         px = rows[:, : width * 4].reshape(height, width, 4)
-        return px[:, :, [2, 1, 0, 3]].copy()  # BGRA -> RGBA
+        if has_alpha:
+            return px[:, :, [2, 1, 0, 3]].copy()  # BGRA -> RGBA
+        # BI_RGB 32-bit (or BITFIELDS without an alpha mask): the fourth
+        # byte is spec-reserved padding, often 0 — returning it as alpha
+        # would render standard files fully transparent (review find)
+        return px[:, :, [2, 1, 0]].copy()  # BGRX -> RGB
     if bpp == 24:
         px = rows[:, : width * 3].reshape(height, width, 3)
         return px[:, :, ::-1].copy()  # BGR -> RGB
@@ -112,13 +131,26 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     body = np.zeros((height, row_bytes), dtype=np.uint8)
     if channels == 3:
         body[:, : width * 3] = arr[::-1, :, ::-1].reshape(height, width * 3)  # RGB->BGR, bottom-up
+        hdr_size, compression = 40, 0
+        extra = b""
     else:
         body[:, : width * 4] = arr[::-1][:, :, [2, 1, 0, 3]].reshape(height, width * 4)
-    pix_offset = 14 + 40
+        # RGBA needs an ALPHA-BEARING header: BI_RGB's fourth byte is
+        # reserved padding that conforming decoders ignore — write a V4
+        # header with BI_BITFIELDS and an explicit 0xFF000000 alpha mask
+        hdr_size, compression = 108, 3
+        extra = struct.pack(
+            "<IIII", 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000
+        ) + b"\x00" * (108 - 40 - 16)
+    pix_offset = 14 + hdr_size
     size = pix_offset + body.size
     header = (
         b"BM"
         + struct.pack("<IHHI", size, 0, 0, pix_offset)
-        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0, body.size, 2835, 2835, 0, 0)
+        + struct.pack(
+            "<IiiHHIIiiII", hdr_size, width, height, 1, bpp, compression,
+            body.size, 2835, 2835, 0, 0,
+        )
+        + extra
     )
     return header + body.tobytes()

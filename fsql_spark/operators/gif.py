@@ -159,6 +159,8 @@ def decode_gif(data: bytes) -> dict:
     if len(data) < 13:
         raise CodecError("GIF: truncated header")
     width, height, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if width == 0 or height == 0:
+        raise CodecError("GIF: zero-sized logical screen")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -273,6 +275,8 @@ def encode_gif(
     height, width = indices.shape
     if height == 0 or width == 0:
         raise ValueError("cannot encode a zero-sized image")
+    if height > 65535 or width > 65535:
+        raise ValueError("GIF dimensions are limited to 65535")
     # color table size: next power of two >= palette size (min 2)
     bits = max(1, int(palette.shape[0] - 1).bit_length())
     n_ct = 1 << bits

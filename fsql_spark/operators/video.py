@@ -56,22 +56,25 @@ def decode_y4m(data: bytes):
     width = height = None
     fps_num, fps_den = 0, 1
     colorspace = "420jpeg"  # the format's documented default
-    for tok in data[len(Y4M_MAGIC) + 1 : nl].decode("ascii", "replace").split():
-        tag, val = tok[0], tok[1:]
-        if tag == "W":
-            width = int(val)
-        elif tag == "H":
-            height = int(val)
-        elif tag == "F":
-            num, den = val.split(":")
-            fps_num, fps_den = int(num), int(den)
-        elif tag == "C":
-            colorspace = val
-        elif tag == "I" and val not in ("p", ""):
-            raise NotImplementedError(f"Y4M: interlacing 'I{val}' not supported")
-        # A (aspect) and X (extensions) are informational — ignored
-    if not width or not height:
-        raise CodecError("Y4M: missing W/H in stream header")
+    try:
+        for tok in data[len(Y4M_MAGIC) + 1 : nl].decode("ascii", "replace").split():
+            tag, val = tok[0], tok[1:]
+            if tag == "W":
+                width = int(val)
+            elif tag == "H":
+                height = int(val)
+            elif tag == "F":
+                num, den = val.split(":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == "C":
+                colorspace = val
+            elif tag == "I" and val not in ("p", ""):
+                raise NotImplementedError(f"Y4M: interlacing 'I{val}' not supported")
+            # A (aspect) and X (extensions) are informational — ignored
+    except (ValueError, IndexError) as exc:  # non-numeric W/H/F, bare F
+        raise CodecError(f"Y4M: malformed stream-header token: {exc}") from exc
+    if width is None or height is None or width <= 0 or height <= 0:
+        raise CodecError("Y4M: missing or non-positive W/H in stream header")
     if colorspace not in _COLORSPACES:
         raise NotImplementedError(f"Y4M: colorspace C{colorspace} not supported")
     chroma = _COLORSPACES[colorspace]
@@ -149,6 +152,10 @@ def encode_y4m(
         raise ValueError("cannot encode zero-sized frames")
     if (u is None) != (v is None):
         raise ValueError("provide both u and v chroma planes or neither")
+    if u is not None and (u.dtype != np.uint8 or v.dtype != np.uint8):
+        # luma dtype is validated above; silent astype truncation of float
+        # or wide-int chroma would corrupt the stream without an error
+        raise ValueError("encode_y4m needs uint8 chroma planes")
     cspace = "mono" if u is None else "420jpeg"
     header = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C{cspace}\n"
     if u is None:

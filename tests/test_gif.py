@@ -86,3 +86,11 @@ def test_decode_image_dispatch():
     out = decode_image(encode_gif(idx, pal, interlace=True))
     assert out.shape == (11, 13, 3)
     assert (out == pal[idx]).all()
+
+
+def test_zero_screen_and_dim_bounds():
+    with pytest.raises(CodecError, match="zero-sized"):
+        # 0x0 logical screen, no color table, immediate trailer
+        decode_gif(b"GIF89a" + b"\x00\x00\x00\x00\x00\x00\x00" + b"\x3b")
+    with pytest.raises(ValueError, match="65535"):
+        encode_gif(np.zeros((1, 70000), np.uint8), np.zeros((2, 3), np.uint8))

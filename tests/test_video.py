@@ -52,7 +52,7 @@ def test_refusals():
         decode_y4m(b"AVI nope")
     with pytest.raises(CodecError, match="unterminated"):
         decode_y4m(b"YUV4MPEG2 W4 H4")
-    with pytest.raises(CodecError, match="missing W/H"):
+    with pytest.raises(CodecError, match="W/H"):
         decode_y4m(b"YUV4MPEG2 F25:1\n")
     with pytest.raises(NotImplementedError, match="C422"):
         decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C422\n")
@@ -90,3 +90,18 @@ def test_sample_video_frames_dispatch(spark):
     )
     with pytest.raises(Exception, match="media 9"):
         sample_video_frames(bad).collect()
+
+
+def test_header_token_validation():
+    with pytest.raises(CodecError, match="malformed stream-header"):
+        decode_y4m(b"YUV4MPEG2 Wx H4 F25:1 Cmono\n")
+    with pytest.raises(CodecError, match="malformed stream-header"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25 Cmono\n")
+    with pytest.raises(CodecError, match="W/H"):
+        decode_y4m(b"YUV4MPEG2 W-4 H4 F25:1 Cmono\n")
+    with pytest.raises(ValueError, match="uint8 chroma"):
+        encode_y4m(
+            np.zeros((1, 4, 4), np.uint8),
+            u=np.full((1, 2, 2), 300.7),
+            v=np.full((1, 2, 2), 300.7),
+        )
