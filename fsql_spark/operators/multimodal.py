@@ -1067,6 +1067,64 @@ def documents_as_gif(spark: SparkSession, sf: str, width: int = 32) -> DataFrame
     )
 
 
+def documents_as_tiff(spark: SparkSession, sf: str, width: int = 32) -> DataFrame:
+    """Synthesize a REAL TIFF media table: the same '.'-padded grayscale
+    pixels as :func:`documents_as_png`, but through the TIFF container
+    with LZW compression AND horizontal-differencing predictor (tag
+    317=2, the libtiff default) — so decoding exercises the IFD walk,
+    the EarlyChange LZW coder, and the predictor undo. Lossless: the
+    PNG entry's SQL oracle verifies the same pixels."""
+    import math
+
+    import numpy as np
+
+    from .tiff import encode_tiff
+
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    # LZW coding is a per-byte Python loop (like JPEG entropy / FLAC Rice):
+    # spread the single-file scan before the kernel
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, heights = [], []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                n = max(1, math.ceil(len(b) / width))
+                padded = b.ljust(n * width, b".")
+                arr = np.frombuffer(padded, dtype=np.uint8).reshape(n, width)
+                contents.append(encode_tiff(arr, compression="lzw", predictor=True))
+                heights.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": contents,
+                    "mime": "image/tiff",
+                    "width": pd.Series([width] * len(contents), dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "duration_ms": pd.Series([-1] * len(contents), dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def q_image_decode_tiff(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end TIFF codec round trip: documents as LZW+predictor TIFFs
+    carrying the SAME pixels as the PNG entry, decoded distributedly,
+    pixel stats (incl. the full md5) verified by the SAME exact oracle —
+    a wrong LZW code, width bump, or predictor delta anywhere breaks the
+    hash."""
+    media = documents_as_tiff(spark, sf, width=32)
+    return decode_image_stats(media)
+
+
 def q_image_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end GIF codec round trip: documents as INTERLACED GIF89a
     (byte %64 indices through the deterministic palette), decoded
@@ -1239,6 +1297,7 @@ MULTIMODAL_QUERIES = {
     "q_image_resize_png": q_image_resize_png,
     "q_image_decode_palette": q_image_decode_palette,
     "q_image_decode_gif": q_image_decode_gif,
+    "q_image_decode_tiff": q_image_decode_tiff,
     "q_image_decode_jpeg": q_image_decode_jpeg,
     "q_image_decode_jpeg_progressive": q_image_decode_jpeg_progressive,
     "q_video_frame_sample_y4m": q_video_frame_sample_y4m,
@@ -1253,6 +1312,7 @@ MULTIMODAL_ORACLES = {
     "q_image_resize_png": Q_IMAGE_RESIZE_SQL,
     "q_image_decode_palette": Q_IMAGE_PALETTE_SQL,
     "q_image_decode_gif": Q_IMAGE_PALETTE_SQL,  # same pixels, different container
+    "q_image_decode_tiff": Q_IMAGE_DECODE_SQL,  # same pixels as the PNG entry
     "q_image_decode_jpeg": Q_IMAGE_JPEG_SQL,
     "q_image_decode_jpeg_progressive": Q_IMAGE_JPEG_SQL,  # same pixels, same closed form
     "q_video_frame_sample_y4m": Q_Y4M_FRAME_SQL,
