@@ -35,6 +35,9 @@ _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
 _T_PREDICTOR = 317
 _T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 _T_JPEG_TABLES = 347
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
@@ -198,11 +201,31 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _decompress_block(raw: bytes, expected: int, compression: int, what: str) -> bytes:
+    """Expand one strip/tile to exactly ``expected`` bytes (shared by the
+    strip and tile assembly paths)."""
+    if compression == 32773:
+        return _packbits_decode(raw, expected)
+    if compression == 5:
+        return _tiff_lzw_decode(raw, expected)
+    if compression in (8, 32946):  # Adobe/old deflate: plain zlib
+        try:
+            inflated = zlib.decompress(raw)
+        except zlib.error as exc:
+            raise CodecError(f"TIFF: {what} deflate error: {exc}") from exc
+        if len(inflated) < expected:
+            raise CodecError(f"TIFF: {what} inflated short")
+        return inflated[:expected]
+    if len(raw) < expected:
+        raise CodecError(f"TIFF: {what} shorter than its pixel data")
+    return raw[:expected]
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """Decode a baseline TIFF byte string (first IFD) to a uint8 array —
     (H, W) gray or (H, W, C). Refuses corrupt structure with
-    :class:`CodecError` and out-of-scope features (tiles, LZW/JPEG
-    compression, sub-byte or 16-bit samples, palettes) with
+    :class:`CodecError` and out-of-scope features (sub-byte or
+    16-bit samples, palettes, CCITT fax, old-JPEG) with
     NotImplementedError."""
     if len(data) < 8:
         raise CodecError("TIFF: truncated header")
@@ -243,8 +266,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
             vals = [raw]
         tags[tid] = vals
 
-    if _T_TILE_WIDTH in tags:
-        raise NotImplementedError("TIFF: tiled files not supported (strips only)")
+    tiled = _T_TILE_WIDTH in tags or _T_TILE_OFFSETS in tags
 
     def ints(tid, default=None, required=False):
         """The tags this decoder consumes must carry INTEGER values — a
@@ -261,8 +283,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
     width = ints(_T_WIDTH, required=True)[0]
     height = ints(_T_HEIGHT, required=True)[0]
-    offsets = ints(_T_STRIP_OFFSETS, required=True)
-    counts = ints(_T_STRIP_COUNTS, required=True)
+    if tiled:
+        tile_w = ints(_T_TILE_WIDTH, required=True)[0]
+        tile_h = ints(_T_TILE_LENGTH, required=True)[0]
+        offsets = ints(_T_TILE_OFFSETS, required=True)
+        counts = ints(_T_TILE_COUNTS, required=True)
+        if tile_w <= 0 or tile_h <= 0:
+            raise CodecError("TIFF: non-positive tile dimensions")
+    else:
+        offsets = ints(_T_STRIP_OFFSETS, required=True)
+        counts = ints(_T_STRIP_COUNTS, required=True)
     spp = ints(_T_SPP, [1])[0]
     bits = ints(_T_BITS, [8])
     compression = ints(_T_COMPRESSION, [1])[0]
@@ -296,10 +326,40 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if len(offsets) != len(counts):
         raise CodecError("TIFF: strip offset/count mismatch")
     if compression == 7:  # new-style JPEG-in-TIFF: strips are JPEG streams
+        if tiled:
+            raise NotImplementedError("TIFF: tiled JPEG-in-TIFF not supported")
         return _decode_jpeg_strips(
             data, tags, offsets, counts, width, height, rows_per_strip, spp,
             photometric,
         )
+
+    if tiled:
+        # tiles cover a padded canvas in row-major grid order; each tile
+        # is ALWAYS tile_w x tile_h (edge tiles carry padding the crop
+        # discards), and the predictor restarts per tile row
+        tiles_x = -(-width // tile_w)
+        tiles_y = -(-height // tile_h)
+        if len(offsets) != tiles_x * tiles_y:
+            raise CodecError(
+                f"TIFF: {len(offsets)} tiles for a {tiles_x}x{tiles_y} grid"
+            )
+        tile_bytes = tile_w * tile_h * spp
+        canvas = np.zeros((tiles_y * tile_h, tiles_x * tile_w, spp), dtype=np.uint8)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = data[off : off + cnt]
+            if len(raw) != cnt:
+                raise CodecError(f"TIFF: tile {ti} out of range")
+            block = _decompress_block(raw, tile_bytes, compression, f"tile {ti}")
+            t = np.frombuffer(block, dtype=np.uint8).reshape(tile_h, tile_w, spp)
+            if predictor == 2:
+                t = (np.cumsum(t.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
+            ty, tx = divmod(ti, tiles_x)
+            canvas[ty * tile_h : (ty + 1) * tile_h, tx * tile_w : (tx + 1) * tile_w] = t
+        arr = canvas[:height, :width]
+        arr = arr[:, :, 0] if spp == 1 else arr
+        if photometric == 0:
+            arr = 255 - arr
+        return arr.copy()
 
     row_bytes = width * spp
     out = bytearray()
@@ -310,22 +370,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
         strip_rows = min(rows_per_strip, height - si * rows_per_strip)
         if strip_rows <= 0:
             raise CodecError("TIFF: more strips than rows")
-        if compression == 32773:
-            out += _packbits_decode(raw, strip_rows * row_bytes)
-        elif compression == 5:
-            out += _tiff_lzw_decode(raw, strip_rows * row_bytes)
-        elif compression in (8, 32946):  # Adobe/old deflate: plain zlib
-            try:
-                inflated = zlib.decompress(raw)
-            except zlib.error as exc:
-                raise CodecError(f"TIFF: strip {si} deflate error: {exc}") from exc
-            if len(inflated) < strip_rows * row_bytes:
-                raise CodecError(f"TIFF: strip {si} inflated short")
-            out += inflated[: strip_rows * row_bytes]
-        else:
-            if len(raw) < strip_rows * row_bytes:
-                raise CodecError(f"TIFF: strip {si} shorter than its rows")
-            out += raw[: strip_rows * row_bytes]
+        out += _decompress_block(raw, strip_rows * row_bytes, compression, f"strip {si}")
     if len(out) != height * row_bytes:
         raise CodecError("TIFF: assembled pixel data has the wrong size")
     arr = np.frombuffer(bytes(out), dtype=np.uint8)

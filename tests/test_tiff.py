@@ -101,8 +101,9 @@ def test_refusals():
                                   struct.pack("<HHIHH", 259, 3, 1, code, 0))
         with pytest.raises(CodecError):
             decode_tiff(bad)
+    # tiles are in scope now — but an incomplete tile tag set refuses
     tiled = _mm_file(a, extra_tag=lambda tag: tag(322, 3, 1, 16))
-    with pytest.raises(NotImplementedError, match="tiled"):
+    with pytest.raises(CodecError, match="missing required tag"):
         decode_tiff(tiled)
     pal = _mm_file(a, photometric=3)
     with pytest.raises(NotImplementedError, match="palette"):
@@ -252,3 +253,74 @@ def test_jpeg_in_tiff_spp_mismatch_refused():
     gray = encode_jpeg(np.full((8, 8), 90, np.uint8), quality=50)
     with pytest.raises(CodecError, match="disagrees with SamplesPerPixel"):
         decode_tiff(_jpeg_tiff(gray, 8, 8, 3))
+
+
+
+def _tile_tiff(w, h, tw, th, tiles, compression=1, spp=1, predictor=False):
+    """Hand-build a little-endian tiled TIFF from per-tile payload bytes."""
+    def tag(t, tt, cnt, val):
+        if tt == 3:
+            return struct.pack("<HHIHH", t, tt, cnt, val, 0)
+        return struct.pack("<HHII", t, tt, cnt, val)
+
+    n_tags = 9 + (1 if spp > 1 else 0) + (1 if predictor else 0)
+    hdr_end = 8 + 2 + n_tags * 12 + 4
+    off_tbl = hdr_end
+    cnt_tbl = off_tbl + 4 * len(tiles)
+    data_start = cnt_tbl + 4 * len(tiles)
+    offs, poss = [], data_start
+    for t in tiles:
+        offs.append(poss)
+        poss += len(t)
+    entries = [
+        tag(256, 4, 1, w), tag(257, 4, 1, h), tag(258, 3, 1, 8),
+        tag(259, 3, 1, compression), tag(262, 3, 1, 1 if spp == 1 else 2),
+        tag(322, 3, 1, tw), tag(323, 3, 1, th),
+        tag(324, 4, len(tiles), off_tbl), tag(325, 4, len(tiles), cnt_tbl),
+    ]
+    if spp > 1:
+        entries.append(tag(277, 3, 1, spp))
+    if predictor:
+        entries.append(tag(317, 3, 1, 2))
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    body = struct.pack("<H", n_tags) + b"".join(entries) + struct.pack("<I", 0)
+    body += b"".join(struct.pack("<I", o) for o in offs)
+    body += b"".join(struct.pack("<I", len(t)) for t in tiles)
+    return b"II*\x00" + struct.pack("<I", 8) + body + b"".join(tiles)
+
+
+def test_tiled_round_trip():
+    from fsql_spark.operators.tiff import _tiff_lzw_encode
+
+    a = RNG.randint(0, 256, size=(10, 13)).astype(np.uint8)
+    tw, th = 8, 4
+    tiles = []
+    for ty in range(3):
+        for tx in range(2):
+            pad = np.zeros((th, tw), np.uint8)
+            sub = a[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+            pad[: sub.shape[0], : sub.shape[1]] = sub
+            tiles.append(pad.tobytes())
+    assert (decode_tiff(_tile_tiff(13, 10, tw, th, tiles)) == a).all()
+    # LZW-compressed tiles with per-tile predictor
+    tiles_lzw = []
+    for ty in range(3):
+        for tx in range(2):
+            pad = np.zeros((th, tw), np.uint8)
+            sub = a[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+            pad[: sub.shape[0], : sub.shape[1]] = sub
+            diff = pad.astype(np.int16)
+            diff[:, 1:] = (pad[:, 1:].astype(np.int16) - pad[:, :-1]) & 0xFF
+            tiles_lzw.append(_tiff_lzw_encode(diff.astype(np.uint8).tobytes()))
+    got = decode_tiff(_tile_tiff(13, 10, tw, th, tiles_lzw, compression=5, predictor=True))
+    assert (got == a).all()
+
+
+def test_tiled_refusals():
+    from fsql_spark.operators.jpeg import encode_jpeg
+
+    with pytest.raises(CodecError, match="tiles for a"):
+        decode_tiff(_tile_tiff(13, 10, 8, 4, [bytes(32)]))  # wrong tile count
+    jp = encode_jpeg(np.zeros((8, 8), np.uint8))
+    with pytest.raises(NotImplementedError, match="tiled JPEG"):
+        decode_tiff(_tile_tiff(8, 8, 8, 8, [jp], compression=7))
