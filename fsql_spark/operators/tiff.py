@@ -1,16 +1,19 @@
 """Pure stdlib+numpy baseline TIFF codec.
 
 The scanned-document format a crawl meets after the web-image trio:
-``decode_tiff`` walks the IFD tag structure (both byte orders), supports
-8-bit grayscale / RGB / RGBA in strips, uncompressed (1) and PackBits
-(32773) compression, and min-is-black/white photometric interpretations.
-Tiled files, other bit depths, palettes, and LZW/JPEG-in-TIFF raise
+``decode_tiff`` walks the IFD tag structure (both byte orders) and
+supports 8-bit grayscale / RGB / RGBA in STRIPS and TILES; compressions
+uncompressed (1), PackBits (32773), TIFF-LZW (5, EarlyChange), Deflate
+(8/32946), and new-style JPEG-in-TIFF (7, incl. shared JPEGTables);
+horizontal-differencing predictor (317=2); min-is-black/white
+photometrics. Other bit depths, palettes, CCITT fax, and old-JPEG raise
 NotImplementedError naming the feature. ``encode_tiff`` writes canonical
-little-endian uncompressed single-strip files for exact round trips.
+little-endian single-strip files (none/packbits/lzw/deflate, optional
+predictor) for exact round trips.
 
 Like the other codecs these run INSIDE Arrow-batched mapInPandas
-kernels; PackBits expansion is a bounded per-strip loop, everything else
-numpy.
+kernels; the LZW/PackBits loops are bounded per strip/tile, everything
+else numpy.
 """
 
 from __future__ import annotations
