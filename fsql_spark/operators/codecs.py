@@ -19,8 +19,9 @@ Codec scope (loud refusal outside it):
   are verified. Sub-byte gray decodes to RAW 0..2^depth-1 values
   (unscaled, documented).
 - WAV: RIFF/WAVE (incl. WAVE_FORMAT_EXTENSIBLE dispatch), integer PCM
-  8/16/24/32-bit and IEEE float 32/64-bit, any channel count. ADPCM /
-  mu-law raise NotImplementedError.
+  8/16/24/32-bit, IEEE float 32/64-bit, and G.711 A-law/mu-law (formats
+  6/7, exact ITU integer expansion), any channel count. ADPCM raises
+  NotImplementedError.
 
 Performance shape: these run INSIDE Arrow-batched mapInPandas kernels
 (one image/clip per row), so the per-image work is small and the
@@ -458,8 +459,9 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """Decode a RIFF/WAVE byte string -> (sample_rate, samples).
     ``samples`` is (n,) for mono, (n, channels) otherwise — uint8 for
     8-bit PCM, int16 for 16-bit, int32 for 24-bit (sign-extended),
-    float32/float64 for IEEE-float (format 3). Other formats (ADPCM,
-    mu-law, ...) raise NotImplementedError."""
+    float32/float64 for IEEE-float (format 3), int16 for G.711
+    A-law/mu-law (formats 6/7, expanded by the exact ITU formulas).
+    Other formats (ADPCM, ...) raise NotImplementedError."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise CodecError("not a RIFF/WAVE file")
     fmt = None
@@ -484,6 +486,16 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         if len(fmt_body) < 26:
             raise CodecError("WAV: EXTENSIBLE fmt chunk too short for SubFormat")
         audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        # wValidBitsPerSample (ext offset 0): a stream packing e.g. 20
+        # valid bits in a 24-bit container would decode here as raw
+        # unshifted integers — refuse rather than return mis-scaled
+        # samples (0 means "unset", treated as container width)
+        valid_bits = struct.unpack("<H", fmt_body[18:20])[0]
+        if valid_bits not in (0, bits):
+            raise NotImplementedError(
+                f"WAV: EXTENSIBLE with {valid_bits} valid bits in a "
+                f"{bits}-bit container not supported (valid == container only)"
+            )
     if audio_format == 3:  # IEEE float
         if bits == 32:
             dtype, width = "<f4", 4

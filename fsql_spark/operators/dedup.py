@@ -888,6 +888,12 @@ def simhash_pairs(
     3.23s plain). The probe is one extra eager scan of ``df``'s lineage;
     prefer ``True`` when the input pipeline is expensive and dup classes
     are expected."""
+    if collapse_exact not in (False, True, "auto"):
+        # a typo like "Auto"/"always" must not silently flip semantics via
+        # plain truthiness — the three settings change what the output MEANS
+        raise ValueError(
+            f"collapse_exact must be False, True, or 'auto', got {collapse_exact!r}"
+        )
     if collapse_exact == "auto":
         # exactness of the skip: equal texts always share a hash, so zero
         # duplicated hashes PROVES zero duplicated texts (a hash collision

@@ -282,7 +282,17 @@ def decode_flac(data: bytes) -> tuple:
             bits.read(8)
         elif sr_code in (13, 14):
             bits.read(16)
-        # frame bps: code 0 = from streaminfo
+        # frame bps: code 0 = "from streaminfo"; a nonzero code legally
+        # declares the frame's own depth — this decoder keeps one dtype for
+        # the whole stream, so a disagreeing frame must be refused, not
+        # silently mis-parsed (RFC 9639 table: 1=8, 2=12, 4=16, 5=20,
+        # 6=24, 7=32; 3 already rejected as reserved above)
+        frame_bps = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}[bps_code]
+        if frame_bps != bps:
+            raise CodecError(
+                f"FLAC: frame declares {frame_bps}-bit samples but "
+                f"STREAMINFO says {bps}-bit"
+            )
         # header CRC-8 covers everything up to here
         bits.align()
         hdr_crc = bits.read(8)
@@ -456,7 +466,12 @@ def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096) -
 
     out = bytearray(FLAC_MAGIC)
     si = _BitsW()
-    si.write(block_size, 16)
+    # STREAMINFO min/max blocksize: the final frame is usually shorter than
+    # block_size, and spec-strict validators (flac -t) flag a frame below
+    # the declared minimum — write the TRUE minimum (the tail frame's size)
+    tail = n_total % block_size
+    min_block = tail if (tail and n_total > block_size) else min(n_total or 1, block_size)
+    si.write(min_block, 16)
     si.write(block_size, 16)
     si.write(0, 24)
     si.write(0, 24)

@@ -632,7 +632,15 @@ def documents_as_png(spark: SparkSession, sf: str, width: int = 32) -> DataFrame
 
     if width < 1:
         raise ValueError(f"width must be >= 1, got {width}")
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    # PNG filter+deflate is a per-byte kernel: spread the rows so a
+    # single-file scan doesn't serialize it onto one task (same lesson as
+    # the JPEG synth — at cluster scale many input files parallelize this
+    # for free; locally the repartition buys 32x).
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -829,7 +837,14 @@ def _documents_as_indexed_image(
 
     if width < 1:
         raise ValueError(f"width must be >= 1, got {width}")
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    # GIF's LZW encode (and palette-PNG's filter+deflate) are per-byte
+    # Python loops: spread the rows so a single-file scan doesn't serialize
+    # the whole kernel onto one task (the JPEG synth's documented lesson).
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     palette = doc_palette()
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

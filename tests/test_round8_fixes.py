@@ -1,0 +1,115 @@
+"""Regression tests for the round-8 ADVICE/verdict fixes:
+
+- FLAC STREAMINFO min-blocksize: the TRUE minimum (short tail frame), not
+  a copy of max — spec-strict validators flag frames below the declared min
+- FLAC frame-header bps code: a frame legally declaring a different depth
+  than STREAMINFO is refused (CodecError), not silently mis-parsed
+- WAV EXTENSIBLE wValidBitsPerSample: valid != container bits is refused
+- simhash_pairs collapse_exact: a typo ("Auto", "always") raises ValueError
+  instead of silently flipping to True
+- GIF / palette-PNG / gray-PNG synths: repartitioned before the kernel so a
+  single-file scan does not serialize the per-byte encode onto one task
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fsql_spark.operators.codecs import CodecError, decode_wav
+from fsql_spark.operators.dedup import simhash_pairs
+from fsql_spark.operators.flac import decode_flac, encode_flac
+
+
+def test_flac_streaminfo_min_blocksize_is_true_minimum():
+    # 10 frames of 4096 + one tail of 100 -> min=100, max=4096
+    samples = np.zeros(4096 * 2 + 100, dtype=np.int16)
+    data = encode_flac(samples, sample_rate=8000, block_size=4096)
+    # STREAMINFO: 4-byte magic, 4-byte block header, then min(16) max(16)
+    min_bs, max_bs = struct.unpack(">HH", data[8:12])
+    assert (min_bs, max_bs) == (100, 4096)
+    rate, decoded = decode_flac(data)
+    assert rate == 8000 and decoded.shape[0] == samples.shape[0]
+
+
+def test_flac_streaminfo_min_blocksize_exact_multiple():
+    samples = np.zeros(4096 * 2, dtype=np.int16)
+    data = encode_flac(samples, sample_rate=8000, block_size=4096)
+    assert struct.unpack(">HH", data[8:12]) == (4096, 4096)
+
+
+def test_flac_streaminfo_min_blocksize_single_short_frame():
+    samples = np.arange(50, dtype=np.int16)
+    data = encode_flac(samples, sample_rate=8000, block_size=4096)
+    min_bs, _max_bs = struct.unpack(">HH", data[8:12])
+    assert min_bs == 50
+    _rate, decoded = decode_flac(data)
+    assert decoded.tolist() == samples.tolist()
+
+
+def test_flac_frame_bps_disagreeing_with_streaminfo_refused():
+    samples = np.zeros(64, dtype=np.int16)  # 16-bit -> frame bps code 4
+    data = bytearray(encode_flac(samples, sample_rate=8000, block_size=64))
+    # frame header: first 0xFFF8 sync after the metadata blocks. Layout:
+    # sync(14) rsv(1) blocking(1) | bs(4) sr(4) | ch(4) bps(3) rsv(1) ->
+    # bps code sits in byte hdr+3 bits 3..1. Flip code 4 (16-bit) to 1
+    # (8-bit) and re-sign the header CRC-8.
+    hdr = bytes(data).index(b"\xff\xf8")
+    data[hdr + 3] = (data[hdr + 3] & ~0x0E) | (1 << 1)
+    from fsql_spark.operators.flac import _crc8
+
+    # header CRC-8 is the byte right before subframe data; re-sign so the
+    # new refusal (not a CRC mismatch) is what fires
+    crc_pos = hdr + 4 + 1  # sync..rsv 4 bytes, 1-byte UTF-8 frame number
+    data[crc_pos] = _crc8(bytes(data[hdr:crc_pos]))
+    with pytest.raises(CodecError, match="frame declares 8-bit"):
+        decode_flac(bytes(data))
+
+
+def _wav_extensible(valid_bits: int) -> bytes:
+    """Minimal WAVE_FORMAT_EXTENSIBLE file: 16-bit PCM SubFormat, 1 ch."""
+    # PCM SubFormat GUID 00000001-0000-0010-8000-00AA00389B71 (16 bytes)
+    sub = struct.pack("<IHH", 1, 0, 0x10) + bytes.fromhex("800000aa00389b71")
+    ext = struct.pack("<HI", valid_bits, 0x4) + sub
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    fmt_body = fmt + struct.pack("<H", len(ext)) + ext
+    frames = struct.pack("<4h", 1, -2, 3, -4)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_extensible_full_valid_bits_decodes():
+    for vb in (16, 0):  # 0 = unset, treated as container width
+        rate, samples = decode_wav(_wav_extensible(vb))
+        assert rate == 8000 and samples.tolist() == [1, -2, 3, -4]
+
+
+def test_wav_extensible_partial_valid_bits_refused():
+    with pytest.raises(NotImplementedError, match="20 valid bits"):
+        decode_wav(_wav_extensible(20))
+
+
+def test_simhash_collapse_exact_typo_rejected(spark):
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "t": ["a", "a"]}))
+    for bad in ("Auto", "always", "yes", 2):
+        with pytest.raises(ValueError, match="collapse_exact"):
+            simhash_pairs(df, "k", "t", collapse_exact=bad)
+
+
+@pytest.mark.parametrize("synth_name", [
+    "documents_as_png", "documents_as_palette_png", "documents_as_gif",
+])
+def test_image_synths_spread_single_file_scans(spark, synth_name):
+    # the per-byte encode kernels must not run as ONE task on a single-file
+    # scan (PERF.md: 33.7s -> 1.8s lesson); assert the plan repartitions
+    from fsql_spark.operators import multimodal
+
+    df = getattr(multimodal, synth_name)(spark, "/root/testdata/sf0.001")
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
