@@ -49,6 +49,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
             _bucketed_pair,
             _nation_by_region_tree,
             _orders_compacted_tree,
+            _orders_manyfile_tree,
             _orders_drift_tree,
             _orders_restated_tree,
             _orders_retention_tree,
@@ -64,6 +65,7 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
         _nation_by_region_tree(spark, sf_dir)
         _orders_ym_orc_tree(spark, sf_dir)
         _orders_compacted_tree(spark, sf_dir)
+        _orders_manyfile_tree(spark, sf_dir)
         _orders_restated_tree(spark, sf_dir)
         _orders_drift_tree(spark, sf_dir)
         _orders_retention_tree(spark, sf_dir)

@@ -32,6 +32,7 @@ Paths exercised per entry:
 from __future__ import annotations
 
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -320,7 +321,9 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import shutil
     import time
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # sanitize EVERY non-identifier char (a dir like "sf0.1-tree" would
+    # otherwise produce a hyphenated table name -> ParseException)
+    sf_tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
     stats = []
     for t in ("orders", "customer"):
         try:
@@ -899,6 +902,63 @@ WHERE r_name IN ('ASIA', 'MIDDLE EAST')
 """
 
 
+def _orders_manyfile_tree(spark: SparkSession, sf_dir: str) -> str:
+    """orders as a REALISTICALLY FRAGMENTED tree: Hive (year, month) dirs
+    with ~4 files per partition (~330 leaf files at any SF — the month
+    count, not the row count, bounds the layout). The other fsql trees are
+    compact (one file per partition); this one exists because listing,
+    pruning, and scan-task packing behave differently at production file
+    counts, and a single-file bench hides all three (round-7 verdict)."""
+
+    def build(staging: str) -> None:
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = (
+            df.withColumn("year", F.year("o_orderdate").cast("string"))
+            .withColumn("month", F.month("o_orderdate").cast("string"))
+            # deterministic 4-way intra-partition split (no rand(): trees
+            # must be byte-stable across rebuilds for the oracle)
+            .withColumn("__salt", (F.col("o_orderkey") % 4).cast("int"))
+        )
+        # explicit partition count: a column-only repartition lets AQE
+        # coalesce the tiny shuffle to ~1 task, which writes ONE file per
+        # dir and defeats the fragmentation this tree exists to model
+        write_table(
+            out.repartition(128, "year", "month", "__salt").drop("__salt"),
+            staging,
+            partition_by=["year", "month"],
+        )
+        n_files = sum(
+            1 for _r, _d, files in os.walk(staging) for f in files if f.endswith(".parquet")
+        )
+        if n_files < 100:  # the point of this tree IS the file count
+            raise RuntimeError(f"manyfile tree built only {n_files} files")
+
+    return _build_once(_tree_dir(sf_dir, "orders_manyfile", "orders"), build)
+
+
+def q_fsql_manyfile_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """MANY-FILE layout under the oracle: partition-prune one year out of a
+    ~330-file (year, month) tree through the engine's own read path, then
+    aggregate per month — listing and pruning at a realistic file count
+    must answer identically to the flat single-file source."""
+    url = _orders_manyfile_tree(spark, sf)
+    df = read_partitioned_table(url, Q_EQ("year", "1995"), spark=spark)
+    return df.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q_FSQL_MANYFILE_SQL = """
+SELECT CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR) AS month,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1995
+GROUP BY 1
+"""
+
+
 FSQL_QUERIES = {
     "q_fsql_daterange_revenue": q_fsql_daterange_revenue,
     "q_fsql_lexrange_revenue": q_fsql_lexrange_revenue,
@@ -916,6 +976,7 @@ FSQL_QUERIES = {
     "q_fsql_sorted_scan": q_fsql_sorted_scan,
     "q_fsql_zorder_scan": q_fsql_zorder_scan,
     "q_fsql_bucketed_join": q_fsql_bucketed_join,
+    "q_fsql_manyfile_scan": q_fsql_manyfile_scan,
 }
 
 FSQL_ORACLES = {
@@ -935,4 +996,5 @@ FSQL_ORACLES = {
     "q_fsql_sorted_scan": Q_FSQL_SORTED_SQL,
     "q_fsql_zorder_scan": Q_FSQL_ZORDER_SQL,
     "q_fsql_bucketed_join": Q_FSQL_BUCKETED_SQL,
+    "q_fsql_manyfile_scan": Q_FSQL_MANYFILE_SQL,
 }

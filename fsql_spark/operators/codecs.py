@@ -22,6 +22,10 @@ Codec scope (loud refusal outside it):
   8/16/24/32-bit, IEEE float 32/64-bit, and G.711 A-law/mu-law (formats
   6/7, exact ITU integer expansion), any channel count. ADPCM raises
   NotImplementedError.
+- AIFF/AIFF-C: big-endian integer PCM 8/16/24/32-bit (AIFC 'NONE') plus
+  the little-endian 'sowt' variant; COMM's 80-bit extended-float sample
+  rate decoded exactly for integer rates. Compressed AIFC types (ima4,
+  ulaw, fl32) raise NotImplementedError.
 
 Performance shape: these run INSIDE Arrow-batched mapInPandas kernels
 (one image/clip per row), so the per-image work is small and the
@@ -673,3 +677,140 @@ def encode_wav(samples: np.ndarray, sample_rate: int, bits: int | None = None) -
 def _chunk_le(cid: bytes, payload: bytes) -> bytes:
     pad = b"\x00" if len(payload) & 1 else b""
     return cid + struct.pack("<I", len(payload)) + payload + pad
+
+
+# --------------------------------------------------------------------------
+# AIFF / AIFF-C (IFF FORM container, big-endian PCM)
+# --------------------------------------------------------------------------
+
+def _f80_encode(rate: int) -> bytes:
+    """Pack a positive integer sample rate as the 80-bit IEEE 754
+    extended-precision float AIFF's COMM chunk requires (2-byte biased
+    exponent + 8-byte mantissa with EXPLICIT integer bit) — exact for every
+    integer rate below 2^63."""
+    if rate < 1 or rate >= (1 << 63):
+        raise ValueError(f"sample rate out of AIFF range: {rate}")
+    e = rate.bit_length() - 1
+    mantissa = rate << (63 - e)
+    return struct.pack(">HQ", 16383 + e, mantissa)
+
+
+def _f80_decode(raw: bytes) -> int:
+    """Decode the COMM 80-bit extended float back to an integer rate —
+    refuses the non-integer/denormal/NaN corners a sample rate never uses."""
+    if len(raw) != 10:
+        raise CodecError("AIFF: sample rate field must be 10 bytes")
+    se, mantissa = struct.unpack(">HQ", raw)
+    if se & 0x8000:
+        raise CodecError("AIFF: negative sample rate")
+    e = se - 16383
+    if se == 0 and mantissa == 0:
+        raise CodecError("AIFF: sample rate 0")
+    if e < 0 or e > 62 or not (mantissa >> 63):
+        raise CodecError("AIFF: unsupported sample-rate exponent")
+    shift = 63 - e
+    if mantissa & ((1 << shift) - 1):
+        raise CodecError("AIFF: non-integer sample rate")
+    return mantissa >> shift
+
+
+def decode_aiff(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode an AIFF / AIFF-C byte string -> (sample_rate, samples).
+    Big-endian integer PCM 8/16/24/32-bit (AIFF, or AIFC with compression
+    'NONE'); AIFC 'sowt' (little-endian 16-bit, the classic Mac variant)
+    also decodes. int8/int16/int32 out, (n,) mono or (n, channels).
+    Compressed AIFC types (ima4, ulaw, fl32, ...) raise
+    NotImplementedError."""
+    if len(data) < 12 or data[:4] != b"FORM":
+        raise CodecError("not an IFF FORM file")
+    (form_size,) = struct.unpack(">I", data[4:8])
+    kind = data[8:12]
+    if kind not in (b"AIFF", b"AIFC"):
+        raise CodecError(f"IFF FORM of type {kind!r} is not AIFF/AIFC")
+    if form_size + 8 > len(data):
+        raise CodecError("AIFF: truncated FORM payload")
+    comm = ssnd = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise CodecError(f"AIFF: truncated chunk {cid!r}")
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise CodecError("AIFF: missing COMM/SSND chunk")
+    if len(comm) < 18:
+        raise CodecError("AIFF: COMM chunk too short")
+    channels, n_frames, bits = struct.unpack(">HIH", comm[:8])
+    rate = _f80_decode(comm[8:18])
+    little = False
+    if kind == b"AIFC":
+        if len(comm) < 22:
+            raise CodecError("AIFC: COMM missing compression type")
+        ctype = comm[18:22]
+        if ctype == b"sowt":
+            little = True
+        elif ctype != b"NONE":
+            raise NotImplementedError(
+                f"AIFC compression {ctype!r} not supported (NONE/sowt only)"
+            )
+    if channels < 1:
+        raise CodecError("AIFF: zero channels")
+    if bits not in (8, 16, 24, 32):
+        raise NotImplementedError(f"AIFF: {bits}-bit samples not supported (8/16/24/32)")
+    if len(ssnd) < 8:
+        raise CodecError("AIFF: SSND chunk too short")
+    offset, _block = struct.unpack(">II", ssnd[:8])
+    body = ssnd[8 + offset :]
+    width = bits // 8
+    need = n_frames * channels * width
+    if len(body) < need:
+        raise CodecError(
+            f"AIFF: SSND holds {len(body)} bytes but COMM declares "
+            f"{n_frames} frames x {channels} ch x {width} B = {need}"
+        )
+    body = body[:need]
+    if bits == 8:
+        samples = np.frombuffer(body, dtype=np.int8)
+    elif bits == 16:
+        samples = np.frombuffer(body, dtype="<i2" if little else ">i2").astype(np.int16)
+    elif bits == 24:  # sign-extend 3-byte big-endian into int32
+        b = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        samples = (b[:, 2] | (b[:, 1] << 8) | (b[:, 0] << 16)) - ((b[:, 0] & 0x80) << 17)
+    else:
+        samples = np.frombuffer(body, dtype=">i4").astype(np.int32)
+    return rate, (samples if channels == 1 else samples.reshape(-1, channels))
+
+
+def _chunk_be(cid: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""
+    return cid + struct.pack(">I", len(payload)) + payload + pad
+
+
+def encode_aiff(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode samples — (n,) mono or (n, channels) — as a canonical AIFF
+    byte string. Bit width follows dtype: int8 -> 8-bit, int16 -> 16-bit,
+    int32 -> 32-bit, all big-endian PCM."""
+    if sample_rate < 1:
+        raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    samples = np.asarray(samples)
+    widths = {np.dtype(np.int8): 8, np.dtype(np.int16): 16, np.dtype(np.int32): 32}
+    if samples.dtype not in widths:
+        raise ValueError(f"encode_aiff needs int8/int16/int32, got {samples.dtype}")
+    bits = widths[samples.dtype]
+    if samples.ndim == 1:
+        channels, n_frames = 1, samples.shape[0]
+    elif samples.ndim == 2:
+        n_frames, channels = samples.shape
+    else:
+        raise ValueError("encode_aiff needs a 1-D or 2-D sample array")
+    comm = struct.pack(">HIH", channels, n_frames, bits) + _f80_encode(sample_rate)
+    payload = samples.astype(f">i{bits // 8}").tobytes()
+    ssnd = struct.pack(">II", 0, 0) + payload
+    body = b"AIFF" + _chunk_be(b"COMM", comm) + _chunk_be(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body

@@ -108,22 +108,25 @@ def decode_image(content: bytes):
 def decode_audio(content: bytes):
     """Real audio decode -> (sample_rate, samples ndarray). RIFF/WAVE
     (integer PCM 8/16/24/32, IEEE float, G.711 mu-law/A-law), Sun
-    ``.au``, and FLAC (full subframe set, ``flac.py``) parse natively;
-    other formats (MP3, OGG, AAC, ...) raise NotImplementedError."""
-    from .codecs import decode_au, decode_wav
+    ``.au``, AIFF/AIFF-C (big-endian PCM + 'sowt'), and FLAC (full
+    subframe set, ``flac.py``) parse natively; other formats (MP3, OGG,
+    AAC, ...) raise NotImplementedError."""
+    from .codecs import decode_aiff, decode_au, decode_wav
 
     content = bytes(content)
     if content[:4] == b"RIFF":
         return decode_wav(content)
     if content[:4] == b".snd":
         return decode_au(content)
+    if content[:4] == b"FORM":
+        return decode_aiff(content)
     if content[:4] == b"fLaC":
         from .flac import decode_flac
 
         return decode_flac(content)
     raise NotImplementedError(
         "lossy-compressed audio needs an external codec; RIFF/WAVE, Sun "
-        ".au, and FLAC decode natively"
+        ".au, AIFF, and FLAC decode natively"
     )
 
 
@@ -1288,6 +1291,53 @@ GROUP BY doc_id, window_idx
 """
 
 
+def pack_aiff(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Pack (doc_id, text) rows into REAL AIFF containers carrying the SAME
+    samples as :func:`pack_wav` ((byte-128)*256, big-endian int16) — so the
+    same exact SQL oracle verifies the IFF COMM/SSND parse and the 80-bit
+    extended-float sample-rate decode end-to-end. A STATELESS Arrow
+    kernel, like its WAV/FLAC siblings."""
+    import numpy as np
+
+    from .codecs import encode_aiff
+
+    if sample_rate < 1:
+        raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    docs = docs.select("doc_id", "text")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, durs = [], []
+            for text in pdf["text"]:
+                b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                samples = ((b.astype(np.int32) - 128) * 256).astype(np.int16)
+                contents.append(encode_aiff(samples, sample_rate))
+                durs.append(len(b) * 1000 // sample_rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "content": contents,
+                    "mime": "audio/aiff",
+                    "width": pd.Series([-1] * len(contents), dtype="int32"),
+                    "height": pd.Series([-1] * len(contents), dtype="int32"),
+                    "duration_ms": pd.Series(durs, dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def q_audio_decode_aiff(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end REAL AIFF round trip: documents as big-endian 16-bit PCM
+    AIFF ((byte-128)*256 samples), decoded distributedly (IFF chunk walk,
+    COMM 80-bit extended-float rate, SSND offset), 64-sample windowed
+    energy — verified by the SAME exact SQL oracle as q_audio_decode_wav
+    (only the container differs)."""
+    media = pack_aiff(spark.read.parquet(f"{sf}/documents.parquet"))
+    return decode_audio_energy(media, window=64)
+
+
 def q_audio_decode_flac(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end REAL compressed-audio round trip: documents as FLAC
     streams (same (byte-128)*256 samples as the WAV entry), decoded
@@ -1318,6 +1368,7 @@ MULTIMODAL_QUERIES = {
     "q_video_frame_sample_y4m": q_video_frame_sample_y4m,
     "q_audio_decode_wav": q_audio_decode_wav,
     "q_audio_decode_flac": q_audio_decode_flac,
+    "q_audio_decode_aiff": q_audio_decode_aiff,
 }
 MULTIMODAL_ORACLES = {
     "q_multimodal_features": Q_MULTIMODAL_SQL,
@@ -1333,4 +1384,5 @@ MULTIMODAL_ORACLES = {
     "q_video_frame_sample_y4m": Q_Y4M_FRAME_SQL,
     "q_audio_decode_wav": Q_WAV_ENERGY_SQL,
     "q_audio_decode_flac": Q_WAV_ENERGY_SQL,  # same samples, different container
+    "q_audio_decode_aiff": Q_WAV_ENERGY_SQL,  # same samples, different container
 }

@@ -144,6 +144,71 @@ def sampled_quantiles(
     return (ranked.groupBy(*gcols) if gcols else ranked.groupBy()).agg(*aggs)
 
 
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    p: int = 10,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group (Flajolet et al. 2007):
+    (group..., n_distinct_exact, hll_estimate).
+
+    Deterministic + oracle-able by the same construction as
+    :func:`kmv_distinct`: the 60-bit md5-derived hash splits into a p-bit
+    register index and a (60-p)-bit tail whose leading-zero count is the
+    register update, so any SQL engine replays the identical registers.
+    Two deliberate exactness choices:
+
+    - the harmonic sum is computed in INTEGER arithmetic — each register
+      contributes ``2^(51 - M_j)`` (M_j <= 51, so nonnegative shifts), and
+      empty registers ``2^51`` — summing exactly in a BIGINT (max
+      2^p * 2^51 < 2^63). A float ``sum(2^-M)`` would round in an
+      ORDER-DEPENDENT way, and no two engines sum in the same order. The
+      single float division happens once, after the integers agree.
+    - small-range correction (linear counting ``m * ln(m/V)`` when
+      E <= 2.5m and V empty registers exist) uses one ``ln`` — IEEE-double
+      cross-engine agreement to well under the 4dp rounding.
+
+    ``n_distinct_exact`` rides along for free (sum of per-register distinct
+    counts), as in :func:`kmv_distinct`. Scale shape: ONE shuffle on
+    (group, register) — 2^p rows per group after the combine, register
+    maxes merged map-side; this is exactly the mergeability that lets a
+    1000-executor scan sketch a 100 TB column."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    w = 60 - p  # tail width; rho in [1, w+1] and w+1 <= 51 for p >= 10
+    if w + 1 > 51:
+        raise ValueError(f"p={p} leaves a {w}-bit tail; need p >= 10 so 2^(51-rho) fits")
+    alpha = 0.7213 / (1 + 1.079 / m)
+    numerator = alpha * m * m * float(1 << 51)
+    gcols = list(group_cols)
+    vals = df.select(*gcols, value_col).distinct()
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    bucket = F.shiftright(h, w)
+    tail = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(tail == 0, F.lit(w + 1)).otherwise(w + 1 - F.length(F.bin(tail)))
+    regs = vals.select(*gcols, bucket.alias("__b"), rho.alias("__rho")).groupBy(
+        *gcols, "__b"
+    ).agg(F.max("__rho").alias("__M"), F.count(F.lit(1)).alias("__n"))
+    agg = (regs.groupBy(*gcols) if gcols else regs.groupBy()).agg(
+        F.sum("__n").alias("n_distinct_exact"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - __M)")).alias("__s"),
+        F.count(F.lit(1)).alias("__nz"),
+    )
+    sum_scaled = F.col("__s") + (m - F.col("__nz")) * F.lit(1 << 51).cast("long")
+    e_raw = F.lit(numerator) / sum_scaled.cast("double")
+    v = (m - F.col("__nz")).cast("double")
+    est = F.when((e_raw <= 2.5 * m) & (v > 0), m * F.log(m / v)).otherwise(e_raw)
+    return agg.select(
+        *gcols,
+        "n_distinct_exact",
+        F.round(est, 4).alias("hll_estimate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog entries + oracles
 # --------------------------------------------------------------------------
@@ -187,6 +252,62 @@ FROM agg
 """
 
 
+def q_hll_distinct_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language distinct whitespace-token cardinality: HLL estimate
+    (p=10, 1024 registers) next to the exact count — the constant-memory
+    mergeable sketch a 100 TB vocabulary audit runs instead of
+    COUNT(DISTINCT); complements q_kmv_distinct_shingles (KMV holds k
+    hashes, HLL holds 2^p register maxes)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return hll_distinct(toks, "token", p=10, group_cols=["lang"])
+
+
+#: the Spark plan replayed in SQL: same md5-derived 60-bit hash, same
+#: p=10 register split, same EXACT integer harmonic sum (s + empty*2^51),
+#: same alpha_m * m^2 * 2^51 numerator (float literal equal by repr), same
+#: linear-counting branch. 1125899906842623 = 2^50 - 1 (tail mask),
+#: 2251799813685248 = 2^51, 1.7013287633207432e21 = 0.7213/(1+1.079/1024)
+#: * 1024^2 * 2^51, 2560 = 2.5 * m.
+Q_HLL_SQL = """
+WITH toks AS (
+  SELECT DISTINCT lang, t AS token
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+hashed AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(token), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM toks
+),
+regs AS (
+  SELECT lang, h >> 50 AS b,
+         MAX(CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                  ELSE 51 - length(bin(h & 1125899906842623)) END) AS m_j,
+         COUNT(*) AS n
+  FROM hashed GROUP BY lang, h >> 50
+),
+agg AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_distinct_exact,
+         SUM(CAST(1 AS BIGINT) << (51 - m_j))
+           + (1024 - COUNT(*)) * 2251799813685248 AS s,
+         CAST(1024 - COUNT(*) AS DOUBLE) AS v
+  FROM regs GROUP BY lang
+),
+est AS (
+  SELECT lang, n_distinct_exact, v,
+         1.7013287633207432e21 / CAST(s AS DOUBLE) AS e_raw
+  FROM agg
+)
+SELECT lang, n_distinct_exact,
+       ROUND(CASE WHEN e_raw <= 2560.0 AND v > 0
+                  THEN 1024 * ln(1024.0 / v) ELSE e_raw END, 4) AS hll_estimate
+FROM est
+"""
+
+
 def q_sampled_quantiles_prices(spark: SparkSession, sf: str) -> DataFrame:
     """Median/p90 order price per priority from a deterministic 20%
     hash-sample — the scan-bound profiling estimate (the exact counterpart
@@ -226,10 +347,12 @@ GROUP BY o_orderpriority
 
 SKETCH_QUERIES = {
     "q_kmv_distinct_shingles": q_kmv_distinct_shingles,
+    "q_hll_distinct_tokens": q_hll_distinct_tokens,
     "q_sampled_quantiles_prices": q_sampled_quantiles_prices,
 }
 
 SKETCH_ORACLES = {
     "q_kmv_distinct_shingles": Q_KMV_SQL,
+    "q_hll_distinct_tokens": Q_HLL_SQL,
     "q_sampled_quantiles_prices": Q_SAMPLED_QUANTILES_SQL,
 }

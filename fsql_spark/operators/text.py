@@ -557,8 +557,69 @@ FROM flagged WHERE sel
 Q_WINNOW_SQL = _winnow_sql(5, 4)
 
 
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum
+#: non-space marks — the split GPT-style byte-pair tokenizers apply BEFORE
+#: merges, so its counts approximate "token cost" far better than
+#: whitespace counts (punctuation and numbers tokenize separately). The
+#: class syntax is identical in Java regex (Spark) and RE2 (DuckDB).
+BPE_SPLIT_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language pre-tokenizer accounting: how many BPE-style pieces the
+    corpus costs, split by piece class — the budgeting question every
+    training-data pipeline asks before paying for real tokenization.
+    All-JVM expressions (regexp_extract_all + size + filter), map-side
+    combinable aggregate: one shuffle of 4 longs per language."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_REGEX), 0)
+    alpha = F.filter(pieces, lambda x: x.rlike("^[A-Za-z]+$"))
+    num = F.filter(pieces, lambda x: x.rlike("^[0-9]+$"))
+    per_doc = df.select(
+        "lang",
+        F.size(pieces).alias("__n"),
+        F.size(alpha).alias("__a"),
+        F.size(num).alias("__d"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("total_pieces"),
+        F.sum("__a").alias("alpha_pieces"),
+        F.sum("__d").alias("numeric_pieces"),
+        (F.sum("__n") - F.sum("__a") - F.sum("__d")).alias("punct_pieces"),
+        F.round(F.sum("__n") / F.count(F.lit(1)), 4).alias("avg_pieces_per_doc"),
+    )
+
+
+def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bpe_token_stats(docs)
+
+
+Q_BPE_TOKEN_COUNTS_SQL = r"""
+WITH per_doc AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n,
+         len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                         x -> regexp_matches(x, '^[A-Za-z]+$'))) AS a,
+         len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                         x -> regexp_matches(x, '^[0-9]+$'))) AS d
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)   AS n_docs,
+       CAST(SUM(n) AS BIGINT)     AS total_pieces,
+       CAST(SUM(a) AS BIGINT)     AS alpha_pieces,
+       CAST(SUM(d) AS BIGINT)     AS numeric_pieces,
+       CAST(SUM(n) - SUM(a) - SUM(d) AS BIGINT) AS punct_pieces,
+       ROUND(SUM(n) * 1.0 / COUNT(*), 4) AS avg_pieces_per_doc
+FROM per_doc
+GROUP BY lang
+"""
+
+
 TEXT_QUERIES = {
     "q_doc_text_stats": q_doc_text_stats,
+    "q_bpe_token_counts": q_bpe_token_counts,
     "q_doc_lang_id": q_doc_lang_id,
     "q_docs_by_lang_source": q_docs_by_lang_source,
     "q_doc_redact_normalize": q_doc_redact_normalize,
@@ -569,6 +630,7 @@ TEXT_QUERIES = {
 
 TEXT_ORACLES = {
     "q_doc_winnow_fingerprints": Q_WINNOW_SQL,
+    "q_bpe_token_counts": Q_BPE_TOKEN_COUNTS_SQL,
     "q_doc_text_stats": Q_TEXT_STATS_SQL,
     "q_doc_lang_id": Q_LANG_ID_SQL,
     "q_docs_by_lang_source": Q_DOCS_BY_LANG_SQL,

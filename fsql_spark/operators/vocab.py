@@ -126,6 +126,60 @@ def tf_idf(
     )
 
 
+def vocab_edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_distance: int = 1,
+) -> DataFrame:
+    """Token pairs from the corpus VOCABULARY within Levenshtein distance
+    ``max_distance`` — the spell-correction / OCR-noise join:
+    (token_a, token_b, dist), canonically ordered (shorter first; lex on
+    ties), each unordered pair exactly once.
+
+    Blocking is the length pigeonhole (edit distance <= d implies
+    |len(a) - len(b)| <= d): the A-side explodes each token to the d+1
+    length bands it can match, the B-side keys on its own length, and the
+    band join is a plain EQUI-join (a BETWEEN condition would compile to a
+    BroadcastNestedLoopJoin — forbidden by the plan lint). Exact
+    ``levenshtein`` verifies after.
+
+    Scale shape: this runs over the DISTINCT vocabulary (zipf-bounded
+    metadata, not corpus data), so the within-band candidate set is
+    quadratic only in same-length vocabulary slices. A 100 TB corpus with
+    a 100M-token vocabulary would add a second blocking key (for d=1 a
+    single edit preserves the first OR the last character, so
+    (band, first_char) UNION (band, last_char) is sound); at catalog scale
+    the length band alone keeps candidates trivially small."""
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    toks = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    a = toks.select("token", F.length("token").alias("l"))
+    banded = a.select(
+        "token",
+        "l",
+        F.explode(F.array(*[F.col("l") + k for k in range(max_distance + 1)])).alias(
+            "band"
+        ),
+    )
+    b = a.select(F.col("token").alias("token_b"), F.col("l").alias("lb"))
+    pairs = banded.join(b, F.col("band") == F.col("lb")).where(
+        (F.col("l") < F.col("lb"))
+        | ((F.col("l") == F.col("lb")) & (F.col("token") < F.col("token_b")))
+    )
+    return (
+        pairs.select(
+            F.col("token").alias("token_a"),
+            "token_b",
+            F.levenshtein("token", "token_b").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_distance)
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog entries + oracles
 # --------------------------------------------------------------------------
@@ -205,12 +259,43 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def q_vocab_edit_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary tokens within edit distance 2 of each other — the
+    spell-correction/OCR-noise audit over the corpus vocabulary (length-
+    banded equi-join blocking + exact levenshtein verify). d=2 because the
+    driver corpus's vocabulary is clean by construction (d=1 matches
+    nothing — a real OCR corpus would use 1)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return vocab_edit_distance_pairs(docs, "text", max_distance=2)
+
+
+Q_VOCAB_EDIT_PAIRS_SQL = """
+WITH vocab AS (
+  SELECT DISTINCT t AS token
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+a AS (SELECT token, LENGTH(token) AS l FROM vocab),
+banded AS (SELECT token, l, l + u.k AS band FROM a, unnest([0, 1, 2]) AS u(k)),
+pairs AS (
+  SELECT ab.token AS token_a, b.token AS token_b,
+         levenshtein(ab.token, b.token) AS dist
+  FROM banded ab JOIN a b ON ab.band = b.l
+  WHERE ab.l < b.l OR (ab.l = b.l AND ab.token < b.token)
+)
+SELECT token_a, token_b, CAST(dist AS INTEGER) AS dist
+FROM pairs WHERE dist <= 2
+"""
+
+
 VOCAB_QUERIES = {
     "q_vocab_top_tokens": q_vocab_top_tokens,
     "q_tfidf_terms": q_tfidf_terms,
+    "q_vocab_edit_pairs": q_vocab_edit_pairs,
 }
 
 VOCAB_ORACLES = {
     "q_vocab_top_tokens": Q_VOCAB_TOP_TOKENS_SQL,
     "q_tfidf_terms": Q_TFIDF_TERMS_SQL,
+    "q_vocab_edit_pairs": Q_VOCAB_EDIT_PAIRS_SQL,
 }

@@ -17,9 +17,11 @@ import pytest
 
 from fsql_spark.operators.bmp import decode_bmp, encode_bmp
 from fsql_spark.operators.codecs import (
+    decode_aiff,
     decode_au,
     decode_png,
     decode_wav,
+    encode_aiff,
     encode_png,
     encode_wav,
 )
@@ -44,6 +46,7 @@ CASES = {
     "bmp": (lambda: encode_bmp(_RGB), decode_bmp),
     "tiff": (lambda: encode_tiff(_RGB, compression="lzw"), decode_tiff),
     "wav": (lambda: encode_wav(_S16, 8000), decode_wav),
+    "aiff": (lambda: encode_aiff(_S16, 8000), decode_aiff),
     "flac": (lambda: encode_flac(_S16, 8000), decode_flac),
     "y4m": (lambda: encode_y4m(np.stack([_A8] * 3)), decode_y4m),
     "au": (

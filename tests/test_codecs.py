@@ -508,3 +508,74 @@ def test_resize_dispatches_any_container(spark):
     assert (got1 == expect[np.ix_(rows, rows)]).all()
     got2 = decode_image(bytes(out[2]["content"]))
     assert (got2 == a[np.ix_(rows, rows)]).all()
+
+
+# --------------------------------------------------------------------------
+# AIFF / AIFF-C
+# --------------------------------------------------------------------------
+
+def test_aiff_round_trip_dtypes_and_channels():
+    from fsql_spark.operators.codecs import decode_aiff, encode_aiff
+
+    rng = np.random.default_rng(8)
+    for dtype, lo, hi in ((np.int8, -128, 128), (np.int16, -(1 << 15), 1 << 15),
+                          (np.int32, -(1 << 31), 1 << 31)):
+        mono = rng.integers(lo, hi, 257).astype(dtype)
+        rate, out = decode_aiff(encode_aiff(mono, 44100))
+        assert rate == 44100 and out.dtype == dtype and out.tolist() == mono.tolist()
+        stereo = rng.integers(lo, hi, (64, 2)).astype(dtype)
+        _rate, out2 = decode_aiff(encode_aiff(stereo, 8000))
+        assert out2.shape == (64, 2) and out2.tolist() == stereo.tolist()
+
+
+def test_aiff_extended_float_rate_exact():
+    from fsql_spark.operators.codecs import _f80_decode, _f80_encode
+
+    for rate in (1, 7, 8000, 11025, 22050, 44100, 48000, 192000, (1 << 62)):
+        assert _f80_decode(_f80_encode(rate)) == rate
+
+
+def test_aifc_sowt_little_endian_decodes():
+    import struct
+
+    from fsql_spark.operators.codecs import CodecError, decode_aiff, encode_aiff
+
+    samples = np.array([1, -2, 300, -400], dtype=np.int16)
+    data = bytearray(encode_aiff(samples, 8000))
+    # rewrite as AIFC/sowt: FORM type + COMM gains a compression field, and
+    # the payload flips to little-endian
+    comm = struct.pack(">HIH", 1, 4, 16) + data[20:30] + b"sowt"
+    ssnd = struct.pack(">II", 0, 0) + samples.astype("<i2").tobytes()
+    def chunk(cid, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return cid + struct.pack(">I", len(payload)) + payload + pad
+    body = b"AIFC" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    out = b"FORM" + struct.pack(">I", len(body)) + body
+    rate, dec = decode_aiff(out)
+    assert rate == 8000 and dec.tolist() == samples.tolist()
+    # compressed AIFC types refuse loudly
+    body2 = body.replace(b"sowt", b"ima4")
+    with pytest.raises(NotImplementedError, match="ima4"):
+        decode_aiff(b"FORM" + struct.pack(">I", len(body2)) + body2)
+
+
+def test_aiff_refusals():
+    from fsql_spark.operators.codecs import CodecError, decode_aiff, encode_aiff
+
+    samples = np.arange(16, dtype=np.int16)
+    good = encode_aiff(samples, 8000)
+    with pytest.raises(CodecError, match="IFF FORM"):
+        decode_aiff(b"FORM" + good[4:8] + b"WAVE" + good[12:])
+    with pytest.raises(CodecError, match="truncated"):
+        decode_aiff(good[:-3])
+    with pytest.raises(CodecError):
+        decode_aiff(good[:11])
+
+
+def test_decode_audio_dispatches_aiff():
+    from fsql_spark.operators.codecs import encode_aiff
+    from fsql_spark.operators.multimodal import decode_audio
+
+    samples = np.array([5, -6, 7], dtype=np.int16)
+    rate, out = decode_audio(encode_aiff(samples, 8000))
+    assert rate == 8000 and out.tolist() == samples.tolist()
