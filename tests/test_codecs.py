@@ -579,3 +579,24 @@ def test_decode_audio_dispatches_aiff():
     samples = np.array([5, -6, 7], dtype=np.int16)
     rate, out = decode_audio(encode_aiff(samples, 8000))
     assert rate == 8000 and out.tolist() == samples.tolist()
+
+
+def test_webp_decodes_via_pillow_when_installed():
+    """The OTHER half of the decided WebP position: refusal without Pillow
+    is pinned in test_operators.py; HERE, when Pillow IS installed, a real
+    lossless WebP must decode through decode_image's fallback to the same
+    ndarray contract the native codecs honor (pixel-exact, uint8, (H,W,C)).
+    Skipped in the bare container — executable wherever a user adds
+    Pillow."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from fsql_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(88)
+    arr = rng.integers(0, 256, (9, 13, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    PIL.fromarray(arr).save(buf, format="WEBP", lossless=True)
+    out = decode_image(buf.getvalue())
+    assert out.dtype == np.uint8 and out.shape == (9, 13, 3)
+    assert np.array_equal(out, arr)
