@@ -130,6 +130,21 @@ def decode_audio(content: bytes):
     )
 
 
+def _spread_for_kernel(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-heavy synth/codec kernel gets cluster-wide parallelism
+    WITHOUT shuffling an already-parallel source: delegates to
+    :func:`~fsql_spark.operators.dedup._spread`, which repartitions only
+    when the scan arrives in fewer partitions than cores. On a single-file
+    local table that one line is the documented 33.7s -> 1.8s lesson
+    (PERF.md); on a realistic many-file layout — or a 100 TB corpus, where
+    an unconditional repartition would shuffle the whole corpus for
+    nothing — it is demonstrably a no-op (asserted in
+    tests/test_round8_fixes.py)."""
+    from .dedup import _spread
+
+    return _spread(df)
+
+
 def _reraise_with_media_id(mid, exc: Exception):
     """Annotate a decode failure with the failing media id — for EVERY
     exception type. ValueError/NotImplementedError keep their type (callers
@@ -639,10 +654,8 @@ def documents_as_png(spark: SparkSession, sf: str, width: int = 32) -> DataFrame
     # single-file scan doesn't serialize it onto one task (same lesson as
     # the JPEG synth — at cluster scale many input files parallelize this
     # for free; locally the repartition buys 32x).
-    docs = (
-        spark.read.parquet(f"{sf}/documents.parquet")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _spread_for_kernel(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -843,10 +856,8 @@ def _documents_as_indexed_image(
     # GIF's LZW encode (and palette-PNG's filter+deflate) are per-byte
     # Python loops: spread the rows so a single-file scan doesn't serialize
     # the whole kernel onto one task (the JPEG synth's documented lesson).
-    docs = (
-        spark.read.parquet(f"{sf}/documents.parquet")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _spread_for_kernel(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     )
     palette = doc_palette()
 
@@ -1038,10 +1049,8 @@ def documents_as_jpeg(
     # bit loop per block): spread the rows so a single-file scan doesn't
     # serialize it onto one task. At cluster scale many input files give
     # this parallelism for free; locally the repartition buys 32x.
-    docs = (
-        spark.read.parquet(f"{sf}/documents.parquet")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _spread_for_kernel(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1102,10 +1111,8 @@ def documents_as_tiff(spark: SparkSession, sf: str, width: int = 32) -> DataFram
         raise ValueError(f"width must be >= 1, got {width}")
     # LZW coding is a per-byte Python loop (like JPEG entropy / FLAC Rice):
     # spread the single-file scan before the kernel
-    docs = (
-        spark.read.parquet(f"{sf}/documents.parquet")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _spread_for_kernel(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1245,12 +1252,9 @@ def q_video_frame_sample_y4m(spark: SparkSession, sf: str) -> DataFrame:
     (every 3rd) with exact luma sums and md5 fingerprints. The oracle
     recomputes BOTH from the source characters — frame_fp is the md5 of
     64 copies of the character, so a single wrong plane byte breaks it."""
-    docs = (
-        spark.read.parquet(f"{sf}/documents.parquet")
-        # one frame per text byte: spread a single-file scan before the
-        # per-frame fan-out so one task doesn't carry the whole corpus
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # one frame per text byte: spread a single-file scan before the
+    # per-frame fan-out so one task doesn't carry the whole corpus
+    docs = _spread_for_kernel(spark.read.parquet(f"{sf}/documents.parquet"))
     media = pack_y4m(docs, frame_w=8, frame_h=8)
     return sample_video_frames(media, every=3)
 
@@ -1344,12 +1348,9 @@ def q_audio_decode_flac(spark: SparkSession, sf: str) -> DataFrame:
     distributedly through the full fixed-predictor + Rice pipeline,
     64-sample windowed energy — verified by the SAME exact SQL oracle as
     q_audio_decode_wav (only the container differs)."""
-    docs = (
-        spark.read.parquet(f"{sf}/documents.parquet")
-        # FLAC's entropy layer is per-sample Python (like JPEG's): spread
-        # the single-file scan before the kernels
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # FLAC's entropy layer is per-sample Python (like JPEG's): spread
+    # the single-file scan before the kernels
+    docs = _spread_for_kernel(spark.read.parquet(f"{sf}/documents.parquet"))
     media = pack_flac(docs)
     return decode_audio_energy(media, window=64)
 

@@ -113,3 +113,21 @@ def test_image_synths_spread_single_file_scans(spark, synth_name):
 
     df = getattr(multimodal, synth_name)(spark, "/root/testdata/sf0.001")
     assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_spread_for_kernel_is_noop_on_parallel_input(spark):
+    # on an already-parallel source (many-file layout / 100 TB corpus) the
+    # spread must NOT add a shuffle — an unconditional repartition would
+    # move the whole corpus for nothing
+    from fsql_spark.operators.multimodal import _spread_for_kernel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wide = docs.repartition(64)
+    out = _spread_for_kernel(wide)
+    assert out is wide  # plan unchanged, no extra Exchange
+    # the raw single-file scan (1 partition) DOES get spread
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    assert (
+        _spread_for_kernel(docs).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )

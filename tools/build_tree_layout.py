@@ -41,7 +41,11 @@ LAYOUT: dict[str, tuple[tuple[str, ...], int]] = {
     "lineitem": (("l_returnflag",), 24),
     "orders": (("o_orderpriority",), 12),
     "events": (("event_type",), 8),
-    "documents": (("lang", "source"), 2),
+    # lang-only dirs: (lang, source) made 200 x 3KB leaves for a 584KB
+    # table — fragmentation far beyond a real corpus (whose files are
+    # MB-scale); 5 x 8 keeps the table many-file without modeling a
+    # pathology the flat bench would then "lose" to
+    "documents": (("lang",), 8),
     "customer": (("c_mktsegment",), 2),
     "part": (("p_brand",), 1),
     "supplier": ((), 4),
