@@ -1792,3 +1792,30 @@ def test_faud_audio_energy_matches_python(spark, tmp_path):
     bad = media.withColumn("content", F.lit(b"NOTFAUD"))
     with pytest.raises(Exception, match="FAUD"):
         audio_window_energy(bad).collect()
+
+
+def test_vocab_edit_distance_pairs_exact_and_complete(spark):
+    import pandas as pd
+
+    from fsql_spark.operators.vocab import vocab_edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [
+            "cat cut cart chart dog dig dogs",
+            "cat banana bananas",
+        ]})
+    )
+    out = {
+        (r["token_a"], r["token_b"]): r["dist"]
+        for r in vocab_edit_distance_pairs(docs, "text", max_distance=1).collect()
+    }
+    # d=1 ground truth over the 9-token vocab, each unordered pair once,
+    # shorter-first (lex on equal length)
+    assert out == {
+        ("cat", "cut"): 1,
+        ("cat", "cart"): 1,   # len-diff-1: shorter token first
+        ("cart", "chart"): 1,
+        ("dig", "dog"): 1,
+        ("dog", "dogs"): 1,
+        ("banana", "bananas"): 1,
+    }

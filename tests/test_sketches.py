@@ -88,3 +88,39 @@ def test_sampled_quantiles_deterministic_and_ordered(spark):
     assert abs(a["q90_x"] - 9000) < 500
     assert a["q50_x"] < a["q90_x"]
     assert 1600 < a["n_sampled"] < 2400
+
+
+def test_hll_accuracy_and_layout_invariance(spark):
+    from fsql_spark.operators.sketches import hll_distinct
+
+    df = spark.range(20_000).select((F.col("id") % 12_345).cast("string").alias("v"))
+    a = hll_distinct(df, "v", p=10).collect()[0]
+    assert a["n_distinct_exact"] == 12_345
+    # p=10 -> ~1.04/sqrt(1024) ~ 3.3% std err; 12% is a 3.5-sigma bound
+    assert abs(a["hll_estimate"] - 12_345) / 12_345 < 0.12
+    # partitioning must not change a content-hash sketch
+    b = hll_distinct(df.repartition(17), "v", p=10).collect()[0]
+    assert (a["n_distinct_exact"], a["hll_estimate"]) == (
+        b["n_distinct_exact"], b["hll_estimate"]
+    )
+
+
+def test_hll_small_range_linear_counting(spark):
+    from fsql_spark.operators.sketches import hll_distinct
+
+    df = spark.range(50).select(F.col("id").cast("string").alias("v"))
+    row = hll_distinct(df, "v", p=10).collect()[0]
+    # 50 distinct <= 2.5m with empty registers -> linear counting, near-exact
+    assert row["n_distinct_exact"] == 50
+    assert abs(row["hll_estimate"] - 50) < 5
+
+
+def test_hll_p_bounds(spark):
+    import pytest as _pytest
+
+    from fsql_spark.operators.sketches import hll_distinct
+
+    df = spark.range(5).select(F.col("id").cast("string").alias("v"))
+    for bad in (3, 17, 9):  # 9 leaves a 52-bit tail: 2^(51-rho) underflows
+        with _pytest.raises(ValueError):
+            hll_distinct(df, "v", p=bad)
