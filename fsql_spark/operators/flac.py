@@ -466,12 +466,15 @@ def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096) -
 
     out = bytearray(FLAC_MAGIC)
     si = _BitsW()
-    # STREAMINFO min/max blocksize: the final frame is usually shorter than
-    # block_size, and spec-strict validators (flac -t) flag a frame below
-    # the declared minimum — write the TRUE minimum (the tail frame's size)
-    tail = n_total % block_size
-    min_block = tail if (tail and n_total > block_size) else min(n_total or 1, block_size)
-    si.write(min_block, 16)
+    # STREAMINFO min == max == block_size is CORRECT for this encoder even
+    # though the final frame is usually shorter: equal fields are the
+    # spec's signal for a fixed-blocksize stream (matching the frames'
+    # blocking-strategy bit), the last block is explicitly exempt from the
+    # declared minimum, and blocksize fields MUST be >= 16 — writing the
+    # tail's true size would both mis-declare the stream as variable-
+    # blocksize and go out of range for tails under 16 samples
+    # (RFC 9639 streaminfo rules; libFLAC writes the same).
+    si.write(block_size, 16)
     si.write(block_size, 16)
     si.write(0, 24)
     si.write(0, 24)

@@ -24,30 +24,21 @@ from fsql_spark.operators.dedup import simhash_pairs
 from fsql_spark.operators.flac import decode_flac, encode_flac
 
 
-def test_flac_streaminfo_min_blocksize_is_true_minimum():
-    # 10 frames of 4096 + one tail of 100 -> min=100, max=4096
-    samples = np.zeros(4096 * 2 + 100, dtype=np.int16)
+@pytest.mark.parametrize("n", [4096 * 2 + 100, 4096 * 2, 50])
+def test_flac_streaminfo_declares_fixed_blocksize(n):
+    # min == max == block_size even with a short tail frame: equal fields
+    # signal a FIXED-blocksize stream (matching the frames' blocking-
+    # strategy bit), the last block is exempt from the declared minimum,
+    # and blocksize fields must be >= 16 — so the tail's true size (100,
+    # or 50 for a single short frame) must NOT be written (RFC 9639;
+    # the round-7 ADVICE item suggesting otherwise was investigated and
+    # is wrong — see encode_flac's comment)
+    samples = np.arange(n, dtype=np.int16) % 1000
     data = encode_flac(samples, sample_rate=8000, block_size=4096)
     # STREAMINFO: 4-byte magic, 4-byte block header, then min(16) max(16)
-    min_bs, max_bs = struct.unpack(">HH", data[8:12])
-    assert (min_bs, max_bs) == (100, 4096)
-    rate, decoded = decode_flac(data)
-    assert rate == 8000 and decoded.shape[0] == samples.shape[0]
-
-
-def test_flac_streaminfo_min_blocksize_exact_multiple():
-    samples = np.zeros(4096 * 2, dtype=np.int16)
-    data = encode_flac(samples, sample_rate=8000, block_size=4096)
     assert struct.unpack(">HH", data[8:12]) == (4096, 4096)
-
-
-def test_flac_streaminfo_min_blocksize_single_short_frame():
-    samples = np.arange(50, dtype=np.int16)
-    data = encode_flac(samples, sample_rate=8000, block_size=4096)
-    min_bs, _max_bs = struct.unpack(">HH", data[8:12])
-    assert min_bs == 50
-    _rate, decoded = decode_flac(data)
-    assert decoded.tolist() == samples.tolist()
+    rate, decoded = decode_flac(data)
+    assert rate == 8000 and decoded.tolist() == samples.tolist()
 
 
 def test_flac_frame_bps_disagreeing_with_streaminfo_refused():

@@ -104,12 +104,14 @@ def build_sf10(spark) -> None:
 
 
 def _timed(spark, fn, sf: str) -> tuple[float, int]:
+    # no persist: at sf10 the biggest outputs (78M frame rows) overflow
+    # even a large local heap when pinned; the untimed count re-runs the
+    # pipeline instead — costs tool wall time, never correctness
     start = time.perf_counter()
-    df = fn(spark, sf).persist()
+    df = fn(spark, sf)
     df.write.format("noop").mode("overwrite").save()
     wall = round(time.perf_counter() - start, 2)
     rows = df.count()
-    df.unpersist()
     spark.catalog.clearCache()
     return wall, rows
 
@@ -137,6 +139,21 @@ def main() -> None:
             print(f"warmup {name} failed: {exc!r}", file=sys.stderr)
         spark.catalog.clearCache()
 
+    def revive(spark):
+        """Restart the session if the JVM died (one entry's OOM must not
+        void the rest of the sweep, bench.py's lesson)."""
+        try:
+            spark.sql("SELECT 1").collect()
+            return spark
+        except Exception:
+            from pyspark.sql import SparkSession
+
+            SparkSession._instantiatedSession = None
+            SparkSession._activeSession = None
+            fresh = get_spark(app_name="fsql-sf10-spotbench")
+            fresh.sparkContext.setLogLevel("ERROR")
+            return fresh
+
     for family, name in FAMILIES.items():
         row = {"family": family, "query": name}
         try:
@@ -145,6 +162,7 @@ def main() -> None:
             row["ratio_10x_data"] = round(row["sf10"] / row["sf1"], 2)
         except Exception as exc:
             row["error"] = repr(exc)
+            spark = revive(spark)
         print(json.dumps(row), flush=True)
 
     # the xxhash64 winnowing lever, same k/w as the catalog entry — pins
@@ -164,6 +182,7 @@ def main() -> None:
             row["ratio_10x_data"] = round(row["sf10"] / row["sf1"], 2)
         except Exception as exc:
             row["error"] = repr(exc)
+            spark = revive(spark)
         print(json.dumps(row), flush=True)
 
 
