@@ -488,9 +488,26 @@ def winnow_fingerprints(
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     n = (F.length(text_col) - k + 1).alias("n")
+    docs = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"), n).where(
+        F.col("n") >= w
+    )
+    # Repartition by doc BEFORE exploding — two wins over letting the
+    # window insert the exchange itself (the round-8 sf10 sweep finding:
+    # a one-row-group corpus file ran the whole explode+hash map stage in
+    # ONE task, 822s vs 35ms siblings):
+    #  1. the k-gram explosion + per-gram hash parallelize regardless of
+    #     the source's file/row-group layout;
+    #  2. the shuffle moves COMPACT doc texts, not the exploded gram rows
+    #     (~100x more bytes), and the window's required
+    #     hashpartitioning(doc) is already satisfied — still ONE exchange
+    #     in the plan (asserted in tests/test_scale_plans.py).
+    # Explicit count: AQE would coalesce a column-only repartition of
+    # compact texts far below the cores the exploded work needs.
+    sc = df.sparkSession.sparkContext
+    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    docs = docs.repartition(max(sc.defaultParallelism, shuffle_n), "doc")
     grams = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"), n)
-        .where(F.col("n") >= w)
+        docs
         .select("doc", "n", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("pos"), "t")
         .select("doc", "n", "pos", hasher(F.col("t").substr(F.col("pos"), F.lit(k))).alias("h"))
     )

@@ -782,3 +782,20 @@ def test_csv_scan_prunes_partitions_fast_path(spark):
     plan = plan_of(df)
     assert re.search(r"PartitionFilters: \[[^\]]*p_brand", plan), plan[:1500]
     assert plan.count("FileScan csv") == 1
+
+
+def test_winnow_single_exchange_and_parallel_explode(spark):
+    """Winnowing: exactly ONE Exchange — the explicit pre-explode
+    repartition by doc, which the window's required distribution reuses.
+    The round-8 sf10 sweep caught the alternative (window-inserted
+    exchange AFTER the explosion): a one-row-group corpus file ran the
+    whole explode+hash map stage in one 822s task, and the shuffle moved
+    exploded gram rows (~100x the bytes of the compact texts)."""
+    from fsql_spark.operators.text import q_doc_winnow_fingerprints
+
+    df = q_doc_winnow_fingerprints(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1, plan[:2000]
+    # the exchange is BELOW the generate (explode): repartition moves
+    # compact docs, the exploded grams never shuffle
+    assert plan.index("Exchange") > plan.index("Generate"), plan[:2000]
