@@ -143,9 +143,15 @@ from .sampling import (  # noqa: F401
     shuffle_deterministic,
     split_by_hash,
 )
+from .retrieval import (  # noqa: F401
+    RETRIEVAL_ORACLES,
+    RETRIEVAL_QUERIES,
+    bm25_scores,
+)
 from .sketches import (  # noqa: F401
     SKETCH_ORACLES,
     SKETCH_QUERIES,
+    count_min_cells,
     kmv_distinct,
     sampled_quantiles,
 )
@@ -209,6 +215,7 @@ EXTENSION_QUERIES = {
     **PIPELINE_QUERIES,
     **LM_QUERIES,
     **ROLLUP_QUERIES,
+    **RETRIEVAL_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -229,4 +236,5 @@ EXTENSION_ORACLES = {
     **PIPELINE_ORACLES,
     **LM_ORACLES,
     **ROLLUP_ORACLES,
+    **RETRIEVAL_ORACLES,
 }

@@ -1269,6 +1269,121 @@ WHERE LENGTH(text) > 0
 """
 
 
+def select_keyframes(
+    media: DataFrame,
+    min_diff: int = 1,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Scene-change keyframe selection over Y4M video: frame 0 plus every
+    frame whose summed per-pixel absolute luma difference from the
+    PREVIOUS frame is >= ``min_diff``. This is the shot-boundary primitive
+    a video training pipeline runs before captioning/embedding — decoding
+    everything but KEEPING only frames that changed. The diff is one
+    vectorized int16 subtraction over the whole frame tensor; state never
+    crosses videos, so the kernel is embarrassingly parallel per file and
+    the plan has zero shuffles."""
+    import hashlib
+
+    import numpy as np
+
+    from .video import Y4M_MAGIC, decode_y4m
+
+    if min_diff < 1:
+        raise ValueError(f"min_diff must be >= 1, got {min_diff}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, diffs, fps = [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(raw)
+                try:
+                    if not b.startswith(Y4M_MAGIC):
+                        head = b[:4].hex() if b else "<empty>"
+                        raise NotImplementedError(
+                            f"video with head bytes {head} needs an external "
+                            "codec; YUV4MPEG2 decodes natively"
+                        )
+                    frames = decode_y4m(b)["y"]
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
+                n = frames.shape[0]
+                if n == 0:
+                    continue
+                d = (
+                    np.abs(
+                        frames[1:].astype(np.int16) - frames[:-1].astype(np.int16)
+                    )
+                    .reshape(n - 1, -1)
+                    .sum(axis=1, dtype=np.int64)
+                    if n > 1
+                    else np.empty(0, dtype=np.int64)
+                )
+                keep = np.flatnonzero(np.concatenate(([min_diff], d)) >= min_diff)
+                keep[0] = 0  # frame 0 is always a keyframe, with diff 0
+                for i in keep:
+                    ids.append(mid)
+                    idxs.append(int(i))
+                    diffs.append(0 if i == 0 else int(d[i - 1]))
+                    fps.append(hashlib.md5(frames[i].tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "diff_energy": pd.Series(diffs, dtype="int64"),
+                    "frame_fp": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("diff_energy", LongType()),
+            StructField("frame_fp", StringType()),
+        ]
+    )
+    return media.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
+def q_video_keyframes(spark: SparkSession, sf: str) -> DataFrame:
+    """Shot-boundary detection end to end through a REAL video container:
+    documents packed as Y4M (one constant 8x8 frame per text byte), then
+    keyframes = frame 0 + every frame whose summed luma diff is >= 1280
+    (|char delta| >= 20 — word boundaries cut, within-word letter drift
+    does not, keeping ~1/3 of frames). The oracle replays the diff
+    arithmetic from the source characters: diff_energy is exactly
+    64 * |byte_i - byte_{i-1}|, the fingerprint the md5 of 64 copies of
+    the character — one wrong decoded pixel breaks the hash."""
+    docs = _spread_for_kernel(spark.read.parquet(f"{sf}/documents.parquet"))
+    media = pack_y4m(docs, frame_w=8, frame_h=8)
+    return select_keyframes(media, min_diff=1280)
+
+
+Q_VIDEO_KEYFRAMES_SQL = """
+WITH chars AS (
+  SELECT doc_id,
+         CAST(s.p - 1 AS INTEGER)                       AS frame_idx,
+         ascii(substr(text, CAST(s.p AS INTEGER), 1))   AS v,
+         substr(text, CAST(s.p AS INTEGER), 1)          AS ch
+  FROM documents, unnest(generate_series(1, LENGTH(text))) AS s(p)
+  WHERE LENGTH(text) > 0
+),
+diffed AS (
+  SELECT doc_id, frame_idx, ch,
+         CAST(64 * ABS(v - lag(v) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS BIGINT)
+           AS diff_energy
+  FROM chars
+)
+SELECT doc_id                                   AS media_id,
+       frame_idx,
+       COALESCE(diff_energy, 0)                 AS diff_energy,
+       md5(repeat(ch, 64))                      AS frame_fp
+FROM diffed
+WHERE diff_energy IS NULL OR diff_energy >= 1280
+"""
+
+
 def q_audio_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end REAL audio codec round trip: documents as 16-bit PCM WAV
     ((byte-128)*256 samples), decoded distributedly, 64-sample windowed
@@ -1367,6 +1482,7 @@ MULTIMODAL_QUERIES = {
     "q_image_decode_jpeg": q_image_decode_jpeg,
     "q_image_decode_jpeg_progressive": q_image_decode_jpeg_progressive,
     "q_video_frame_sample_y4m": q_video_frame_sample_y4m,
+    "q_video_keyframes": q_video_keyframes,
     "q_audio_decode_wav": q_audio_decode_wav,
     "q_audio_decode_flac": q_audio_decode_flac,
     "q_audio_decode_aiff": q_audio_decode_aiff,
@@ -1383,6 +1499,7 @@ MULTIMODAL_ORACLES = {
     "q_image_decode_jpeg": Q_IMAGE_JPEG_SQL,
     "q_image_decode_jpeg_progressive": Q_IMAGE_JPEG_SQL,  # same pixels, same closed form
     "q_video_frame_sample_y4m": Q_Y4M_FRAME_SQL,
+    "q_video_keyframes": Q_VIDEO_KEYFRAMES_SQL,
     "q_audio_decode_wav": Q_WAV_ENERGY_SQL,
     "q_audio_decode_flac": Q_WAV_ENERGY_SQL,  # same samples, different container
     "q_audio_decode_aiff": Q_WAV_ENERGY_SQL,  # same samples, different container

@@ -345,14 +345,127 @@ GROUP BY o_orderpriority
 """
 
 
+def count_min_cells(counts: DataFrame, value_col: str, count_col: str,
+                    depth: int = 4, width: int = 512) -> DataFrame:
+    """Count-min sketch cells from PRE-AGGREGATED (value, count) rows:
+    ``depth`` independent md5-derived hash rows, each value adding its
+    count to cell ``H(row, value) % width``. Feeding the sketch from the
+    compressed per-value counts instead of raw occurrences is the scale
+    lever — the heavy explode happens on the distinct-value frame (and the
+    cell table is a fixed depth x width grid regardless of corpus size,
+    the whole point of the sketch). Counter sums are associative integers,
+    so the grid is deterministic under any partitioning."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}x{width}")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("cms_row")
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cms_row").cast("string"), F.lit(":"),
+                               F.col(value_col).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % width
+    ).alias("cms_cell")
+    return (
+        counts.select(value_col, count_col, rows)
+        .select("cms_row", cell, count_col)
+        .groupBy("cms_row", "cms_cell")
+        .agg(F.sum(count_col).cast("long").alias("cell_count"))
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch (depth 4 x width 512): the
+    top-20 whitespace tokens by exact count next to their CMS estimate
+    (min over the 4 hashed cells — always >= exact, the CMS guarantee a
+    pytest property pins). The cell grid is 2048 rows whatever the corpus
+    size, so the estimate join is a broadcast; exact counts exist here only
+    because the entry VERIFIES the sketch — a 100 TB run keeps just the
+    grid."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    cells = count_min_cells(exact, "token", "exact_n", depth=4, width=512)
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("exact_n"), F.asc("token"))),
+        )
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    probes = top.select(
+        "token",
+        "exact_n",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("cms_row"),
+    ).withColumn(
+        "cms_cell",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cms_row").cast("string"), F.lit(":"), F.col("token"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 512,
+    )
+    return (
+        probes.join(F.broadcast(cells), ["cms_row", "cms_cell"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell_count").alias("cms_n"))
+    )
+
+
+#: same md5-derived row:value hash, same 4x512 grid, same min-over-rows
+#: estimate — integer arithmetic end to end, so the sketch is replayable
+#: exactly in SQL.
+Q_CMS_HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT t AS token
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY token
+),
+hashed AS (
+  SELECT e.token, e.exact_n, d.i AS cms_row,
+         CAST(('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || e.token), 1, 15))::UBIGINT AS BIGINT)
+           % 512 AS cms_cell
+  FROM exact e, unnest([0, 1, 2, 3]) AS d(i)
+),
+cells AS (
+  SELECT cms_row, cms_cell, CAST(SUM(exact_n) AS BIGINT) AS cell_count
+  FROM hashed GROUP BY cms_row, cms_cell
+),
+top AS (
+  SELECT token, exact_n,
+         ROW_NUMBER() OVER (ORDER BY exact_n DESC, token ASC) AS rn
+  FROM exact
+)
+SELECT t.token, t.exact_n, MIN(c.cell_count) AS cms_n
+FROM top t
+JOIN hashed h ON h.token = t.token
+JOIN cells c ON c.cms_row = h.cms_row AND c.cms_cell = h.cms_cell
+WHERE t.rn <= 20
+GROUP BY t.token, t.exact_n
+"""
+
+
 SKETCH_QUERIES = {
     "q_kmv_distinct_shingles": q_kmv_distinct_shingles,
     "q_hll_distinct_tokens": q_hll_distinct_tokens,
     "q_sampled_quantiles_prices": q_sampled_quantiles_prices,
+    "q_cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 SKETCH_ORACLES = {
     "q_kmv_distinct_shingles": Q_KMV_SQL,
     "q_hll_distinct_tokens": Q_HLL_SQL,
     "q_sampled_quantiles_prices": Q_SAMPLED_QUANTILES_SQL,
+    "q_cms_heavy_hitters": Q_CMS_HEAVY_HITTERS_SQL,
 }

@@ -1422,6 +1422,155 @@ ORDER BY event_id
 """
 
 
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase) without a
+    single join: per user, running window flags mark whether an earlier
+    stage already happened STRICTLY BEFORE the current event (frame ends at
+    1 PRECEDING, ties broken on event_id), so each user's deepest reached
+    stage falls out of one shuffle on user_id reused by both windows.
+    The join-free shape is the 100 TB lever: the naive per-stage min-ts
+    formulation re-joins the event log once per stage."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    stage2 = F.when(
+        (F.col("event_type") == "click") & (F.max(is_view).over(prior) == 1), 1
+    ).otherwise(0)
+    flagged = ev.select("user_id", "ts", "event_id", "event_type", is_view.alias("s1"),
+                        stage2.alias("s2"))
+    stage3 = F.when(
+        (F.col("event_type") == "purchase") & (F.max("s2").over(prior) == 1), 1
+    ).otherwise(0)
+    per_user = (
+        flagged.withColumn("s3", stage3)
+        .groupBy("user_id")
+        .agg(F.max("s1").alias("r1"), F.max("s2").alias("r2"), F.max("s3").alias("r3"))
+    )
+    return per_user.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_view").alias("stage"), F.col("r1").alias("reached")),
+                F.struct(F.lit("2_click_after_view").alias("stage"), F.col("r2").alias("reached")),
+                F.struct(F.lit("3_purchase_after_click").alias("stage"), F.col("r3").alias("reached")),
+            )
+        ).alias("s")
+    ).groupBy(F.col("s.stage").alias("stage")).agg(
+        F.sum("s.reached").cast("long").alias("n_users")
+    )
+
+
+Q_EVENTS_FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s1,
+         CASE WHEN event_type = 'click'
+               AND MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) = 1
+              THEN 1 ELSE 0 END AS s2,
+         event_type
+  FROM events
+),
+staged AS (
+  SELECT user_id, s1, s2,
+         CASE WHEN event_type = 'purchase'
+               AND MAX(s2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) = 1
+              THEN 1 ELSE 0 END AS s3
+  FROM flagged
+),
+per_user AS (
+  SELECT user_id, MAX(s1) AS r1, MAX(s2) AS r2, MAX(s3) AS r3
+  FROM staged GROUP BY user_id
+)
+SELECT '1_view' AS stage, CAST(SUM(r1) AS BIGINT) AS n_users FROM per_user
+UNION ALL
+SELECT '2_click_after_view', CAST(SUM(r2) AS BIGINT) FROM per_user
+UNION ALL
+SELECT '3_purchase_after_click', CAST(SUM(r3) AS BIGINT) FROM per_user
+"""
+
+
+def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort = ISO week of each user's
+    first event (a window MIN — no self-join), activity bucketed by week
+    offset, COUNT(DISTINCT user) per (cohort, offset). Two shuffles total
+    (user_id window, then the small cohort x offset agg); the fact table is
+    scanned once. Week arithmetic stays on integer day diffs / 7 — Spark's
+    and DuckDB's 'week' datediff units count boundary crossings
+    differently, day diffs do not."""
+    ev = _t(spark, sf, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    per_event = ev.select(
+        "user_id",
+        wk.cast("date").alias("week"),
+        F.min(wk.cast("date")).over(Window.partitionBy("user_id")).alias("cohort_week"),
+    )
+    return (
+        per_event.groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+Q_EVENTS_COHORT_SQL = """
+WITH per_event AS (
+  SELECT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS week,
+         MIN(CAST(date_trunc('week', ts) AS DATE)) OVER (PARTITION BY user_id) AS cohort_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST((week - cohort_week) // 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT)    AS n_active_users
+FROM per_event
+GROUP BY 1, 2
+"""
+
+
+def q_basket_brand_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: brand pairs bought in the same order.
+    The dim (part -> brand) is broadcast; the fact self-join is keyed on
+    l_orderkey so both sides hash to the SAME exchange (AQE reuses it) —
+    and pairs are formed per order AFTER a distinct that caps each side at
+    |brands per order|, so the blow-up is bounded by basket width, never by
+    table size. Brand-level (not part-level) keeps the output a dense
+    ~25x25 triangle whose counts move at every sf."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.p_brand") < F.col("b.p_brand")))
+        .groupBy(F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+Q_BASKET_BRAND_PAIRS_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1459,6 +1608,9 @@ RELATIONAL_QUERIES = {
     "q_events_sessionize": q_events_sessionize,
     "q_events_json": q_events_json,
     "q_events_anomaly": q_events_anomaly,
+    "q_events_funnel": q_events_funnel,
+    "q_events_cohort_retention": q_events_cohort_retention,
+    "q_basket_brand_pairs": q_basket_brand_pairs,
 }
 
 RELATIONAL_ORACLES = {
@@ -1498,4 +1650,7 @@ RELATIONAL_ORACLES = {
     "q_events_sessionize": Q_EVENTS_SESSIONS_SQL,
     "q_events_json": Q_EVENTS_JSON_SQL,
     "q_events_anomaly": Q_EVENTS_ANOMALY_SQL,
+    "q_events_funnel": Q_EVENTS_FUNNEL_SQL,
+    "q_events_cohort_retention": Q_EVENTS_COHORT_SQL,
+    "q_basket_brand_pairs": Q_BASKET_BRAND_PAIRS_SQL,
 }

@@ -544,7 +544,7 @@ def test_aifc_sowt_little_endian_decodes():
     data = bytearray(encode_aiff(samples, 8000))
     # rewrite as AIFC/sowt: FORM type + COMM gains a compression field, and
     # the payload flips to little-endian
-    comm = struct.pack(">HIH", 1, 4, 16) + data[20:30] + b"sowt"
+    comm = struct.pack(">HIH", 1, 4, 16) + data[28:38] + b"sowt"
     ssnd = struct.pack(">II", 0, 0) + samples.astype("<i2").tobytes()
     def chunk(cid, payload):
         pad = b"\x00" if len(payload) & 1 else b""
