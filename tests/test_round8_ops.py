@@ -197,3 +197,72 @@ def test_keyframes_refuses_foreign_container(spark):
     )
     with pytest.raises(Exception, match="media_id=9|media 9|9"):
         select_keyframes(media, min_diff=1).collect()
+
+
+# --------------------------------------------- cohort retention (real entry)
+
+def test_cohort_retention_triangle_exact(spark, tmp_path):
+    """Drive the ACTUAL catalog entry against a handcrafted events table:
+    cohort = ISO week (Monday-start) of a user's first event; same-week
+    repeat activity counts the user once per (cohort, offset) cell."""
+    from fsql_spark.relational import q_events_cohort_retention
+
+    # 2024-01-01 is a Monday, so week boundaries are exactly 01-01 / 01-08 / 01-15
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # u1 cohort 01-01
+        (1, "2024-01-17 09:00:00"),  # u1 active at offset 2
+        (2, "2024-01-09 12:00:00"),  # u2 cohort 01-08
+        (3, "2024-01-02 08:00:00"),  # u3 cohort 01-01
+        (3, "2024-01-08 23:00:00"),  # u3 offset 1
+        (3, "2024-01-10 01:00:00"),  # u3 offset 1 AGAIN -> still one user
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["event_type"] = "view"
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = {
+        (str(r.cohort_week), r.week_offset): r.n_active_users
+        for r in q_events_cohort_retention(spark, sf).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+# ------------------------------------------------ basket pairs (real entry)
+
+def test_basket_pairs_dedup_order_and_threshold(spark, tmp_path):
+    """Drive the ACTUAL catalog entry: duplicate parts in one order count the
+    brand once, pairs come out lexicographically (brand_a < brand_b), and
+    pairs under the n_orders >= 3 support threshold are dropped."""
+    from fsql_spark.relational import q_basket_brand_pairs
+
+    li = pd.DataFrame(
+        [  # o1 holds p1 TWICE -> {B1,B2} once; o4 is a single-brand basket
+            (1, 101), (1, 102), (1, 101),
+            (2, 101), (2, 102),
+            (3, 101), (3, 102), (3, 103),
+            (4, 101),
+        ],
+        columns=["l_orderkey", "l_partkey"],
+    )
+    part = pd.DataFrame(
+        [(101, "Brand#1"), (102, "Brand#2"), (103, "Brand#3")],
+        columns=["p_partkey", "p_brand"],
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(li).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(part).coalesce(1).write.parquet(f"{sf}/part.parquet")
+
+    got = [(r.brand_a, r.brand_b, r.n_orders)
+           for r in q_basket_brand_pairs(spark, sf).collect()]
+    # (B1,B3) and (B2,B3) appear in only one order each -> filtered
+    assert got == [("Brand#1", "Brand#2", 3)]
