@@ -145,6 +145,39 @@ def _spread_for_kernel(df: DataFrame) -> DataFrame:
     return _spread(df)
 
 
+#: Per-yield output payload budget for fan-out synth kernels. Each yielded
+#: pandas frame becomes (at least) one Arrow record batch held in direct
+#: memory on the JVM side — with 32 concurrent tasks, a 32 MB cap keeps the
+#: whole pipeline ~1 GB of direct memory no matter how wide media rows get.
+_KERNEL_OUT_BYTES = 32 << 20
+
+
+def _bounded_slices(pdf: pd.DataFrame, est_bytes, budget: int = _KERNEL_OUT_BYTES):
+    """Split an input batch into row-ranges whose ESTIMATED output payload
+    stays under ``budget`` bytes (always at least one row per slice).
+
+    Why Python-side and not only the ``arrow.maxBytesPerBatch`` session
+    conf: that conf bounds JVM->Python batches, but what a kernel *yields*
+    is serialized as one Arrow batch regardless of the session it runs
+    under — and catalog entries must stay memory-bounded on the driver
+    harness's own SparkSession, which does not carry our defaults. A
+    70x fan-out kernel (``pack_y4m``: ~70 output bytes per input text
+    byte) turns a 10k-row text batch into ~500 MB without this."""
+    import numpy as np
+
+    est = np.asarray(est_bytes, dtype=np.int64)
+    n = len(pdf)
+    start = 0
+    while start < n:
+        acc = 0
+        stop = start
+        while stop < n and (stop == start or acc + est[stop] <= budget):
+            acc += est[stop]
+            stop += 1
+        yield pdf.iloc[start:stop]
+        start = stop
+
+
 def _reraise_with_media_id(mid, exc: Exception):
     """Annotate a decode failure with the failing media id — for EVERY
     exception type. ValueError/NotImplementedError keep their type (callers
@@ -315,26 +348,31 @@ def pack_y4m(docs: DataFrame, frame_w: int = 8, frame_h: int = 8) -> DataFrame:
     docs = docs.select("doc_id", "text")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one frame (frame_h*frame_w luma bytes + "FRAME\n") PER TEXT BYTE:
+        # a ~70x fan-out, so yield in output-byte-bounded slices
+        per_byte = frame_h * frame_w + 6
         for pdf in batches:
-            contents, durs = [], []
-            for text in pdf["text"]:
-                b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
-                frames = np.broadcast_to(
-                    b[:, None, None], (len(b), frame_h, frame_w)
-                ).copy()
-                contents.append(encode_y4m(frames, fps=(25, 1)))
-                durs.append(len(b) * 1000 // 25)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "kind": "video",
-                    "content": contents,
-                    "mime": "video/x-yuv4mpeg",
-                    "width": pd.Series([frame_w] * len(contents), dtype="int32"),
-                    "height": pd.Series([frame_h] * len(contents), dtype="int32"),
-                    "duration_ms": pd.Series(durs, dtype="int32"),
-                }
-            )
+            est = pdf["text"].fillna("").str.len() * per_byte + 128
+            for sub in _bounded_slices(pdf, est):
+                contents, durs = [], []
+                for text in sub["text"]:
+                    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                    frames = np.broadcast_to(
+                        b[:, None, None], (len(b), frame_h, frame_w)
+                    ).copy()
+                    contents.append(encode_y4m(frames, fps=(25, 1)))
+                    durs.append(len(b) * 1000 // 25)
+                yield pd.DataFrame(
+                    {
+                        "media_id": sub["doc_id"],
+                        "kind": "video",
+                        "content": contents,
+                        "mime": "video/x-yuv4mpeg",
+                        "width": pd.Series([frame_w] * len(contents), dtype="int32"),
+                        "height": pd.Series([frame_h] * len(contents), dtype="int32"),
+                        "duration_ms": pd.Series(durs, dtype="int32"),
+                    }
+                )
 
     return docs.mapInPandas(synth, MEDIA_SCHEMA)
 

@@ -36,6 +36,13 @@ SPARK_DEFAULTS: dict[str, str] = {
     # unaffected (files are tiny).
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Arrow batches to Python workers close on BYTES as well as rows: a
+    # 10k-row default batch of wide binary media rows (a ~50 KB video blob
+    # per row at corpus scale) is ~500 MB of direct memory PER TASK — 32
+    # concurrent tasks blew the JVM's 8 GiB direct-memory cap in the sf10
+    # sweep. 64 MB keeps per-task buffers bounded no matter how wide rows
+    # get; small text rows still close on the 10k-record default first.
+    "spark.sql.execution.arrow.maxBytesPerBatch": "67108864",
 }
 
 

@@ -122,3 +122,47 @@ def test_spread_for_kernel_is_noop_on_parallel_input(spark):
         _spread_for_kernel(docs).rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+# --------------------------------------- bounded kernel output batches
+
+def test_bounded_slices_respects_budget_and_covers_all_rows():
+    import pandas as pd
+
+    from fsql_spark.operators.multimodal import _bounded_slices
+
+    pdf = pd.DataFrame({"x": range(10)})
+    est = [40, 40, 40, 5, 100, 1, 1, 1, 200, 1]
+    slices = list(_bounded_slices(pdf, est, budget=100))
+    # every slice's estimate fits the budget unless it is a single row
+    for s in slices:
+        tot = sum(est[i] for i in s.index)
+        assert tot <= 100 or len(s) == 1
+    # partition: concatenation reproduces the input exactly, in order
+    assert pd.concat(slices).x.tolist() == list(range(10))
+    # an oversized single row still comes through (never an infinite loop)
+    assert any(len(s) == 1 and est[s.index[0]] == 200 for s in slices)
+
+
+def test_pack_y4m_yields_bounded_batches(spark):
+    """A fan-out synth must never emit one giant Arrow batch: with a tiny
+    budget patched in, a wide-text corpus comes back in MANY batches whose
+    payloads each respect the cap — and the content is unchanged."""
+    import pandas as pd
+
+    from fsql_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(20)), "text": ["a" * 1000] * 20})
+    )
+    media = mm.pack_y4m(docs, frame_w=8, frame_h=8).collect()
+    assert len(media) == 20
+    # each blob: 1000 frames x (64 luma + 6 header) + stream header
+    assert all(len(r.content) > 1000 * 70 for r in media)
+    # per-row estimate ~70 KB against the default 32 MB budget -> one slice
+    # locally; force the budget down to prove slicing kicks in
+    pdf = pd.DataFrame({"doc_id": list(range(20)), "text": ["a" * 1000] * 20})
+    est = pdf["text"].str.len() * 70 + 128
+    slices = list(mm._bounded_slices(pdf, est, budget=150_000))
+    assert len(slices) >= 10  # ~2 rows per 150 KB budget
+    assert pd.concat(slices).doc_id.tolist() == list(range(20))

@@ -146,8 +146,22 @@ def main() -> None:
             spark.sql("SELECT 1").collect()
             return spark
         except Exception:
+            # a DEAD local JVM (uncaught executor OOM -> System.exit) needs
+            # the full gateway torn down, not just the session singletons —
+            # otherwise get_spark reuses the half-dead SparkContext and every
+            # py4j call raises ConnectionRefused (the r8 sweep died here)
+            from pyspark import SparkContext
             from pyspark.sql import SparkSession
 
+            try:
+                if SparkContext._gateway is not None:
+                    SparkContext._gateway.shutdown()
+            except Exception:
+                pass
+            with SparkContext._lock:
+                SparkContext._active_spark_context = None
+                SparkContext._gateway = None
+                SparkContext._jvm = None
             SparkSession._instantiatedSession = None
             SparkSession._activeSession = None
             fresh = get_spark(app_name="fsql-sf10-spotbench")
