@@ -362,9 +362,13 @@ def pack_y4m(docs: DataFrame, frame_w: int = 8, frame_h: int = 8) -> DataFrame:
                     ).copy()
                     contents.append(encode_y4m(frames, fps=(25, 1)))
                     durs.append(len(b) * 1000 // 25)
+                # .to_numpy(): a non-first slice's Series keeps the parent
+                # batch's index (e.g. 555..1109); mixing it with the fresh-
+                # RangeIndex Series below would union both indexes and
+                # misalign every column (the r8 sf10 sweep crashed here)
                 yield pd.DataFrame(
                     {
-                        "media_id": sub["doc_id"],
+                        "media_id": sub["doc_id"].to_numpy(),
                         "kind": "video",
                         "content": contents,
                         "mime": "video/x-yuv4mpeg",

@@ -166,3 +166,32 @@ def test_pack_y4m_yields_bounded_batches(spark):
     slices = list(mm._bounded_slices(pdf, est, budget=150_000))
     assert len(slices) >= 10  # ~2 rows per 150 KB budget
     assert pd.concat(slices).doc_id.tolist() == list(range(20))
+
+
+def test_pack_y4m_multi_slice_batch_stays_aligned(spark):
+    """REGRESSION (caught by the sf10 sweep): a non-first _bounded_slices
+    slice keeps the parent batch's pandas index; building the output frame
+    from that Series plus fresh-RangeIndex Series unioned both indexes and
+    misaligned every column, crashing the worker. Texts big enough to split
+    one input batch under the REAL 32 MB budget (a monkeypatched budget
+    never reaches executor-side re-imports of the module) exercise the
+    second slice; ids and content must stay paired."""
+    import pandas as pd
+
+    from fsql_spark.operators import multimodal as mm
+    from fsql_spark.operators.video import decode_y4m
+
+    # 12 docs x 47k chars: ~3.3 MB estimated output each, ~40 MB total ->
+    # at least two slices inside the single coalesced input batch
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(range(12)), "text": [chr(97 + i) * 47_000 for i in range(12)]}
+        )
+    ).coalesce(1)
+    out = mm.pack_y4m(docs, frame_w=8, frame_h=8).select("media_id", "content").collect()
+    rows = {r.media_id: r for r in out}
+    assert sorted(rows) == list(range(12))
+    for i in (0, 11):  # first slice and last slice
+        y = decode_y4m(bytes(rows[i].content))["y"]
+        assert y.shape == (47_000, 8, 8)
+        assert int(y[0, 0, 0]) == 97 + i  # frame bytes match THIS doc's text
