@@ -473,7 +473,8 @@ def winnow_fingerprints(
 
     ``hash_fn``: 'md5' (default — the engine-portable hash DuckDB can
     recompute, so the catalog entry stays oracle-checked) or 'xxhash64'
-    (the production lever: ~4x cheaper per gram, same plan shape, long
+    (the production lever: measured 2.0x at sf1 / 2.1x at sf10 — see
+    PERF.md "Third decade" — same plan shape, long
     fingerprints instead of hex strings; selection positions differ
     between the two since the hash order differs, but the winnowing
     guarantee and density are identical)."""
