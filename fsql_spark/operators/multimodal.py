@@ -302,6 +302,22 @@ def sample_video_frames(
         raise ValueError(f"every must be >= 1, got {every}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ~120 B per output row (8+4+8 ints + 32-hex string + Arrow
+        # overhead): flush at the kernel byte budget so a high-fan-out
+        # batch (hundreds of sampled frames per media row) never buffers
+        # one giant output frame. Flush lands on media-row boundaries.
+        max_rows = max(1, _KERNEL_OUT_BYTES // 120)
+
+        def flush(ids, idxs, sums, fps):
+            return pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "luma_sum": pd.Series(sums, dtype="int64"),
+                    "frame_fp": pd.Series(fps, dtype="object"),
+                }
+            )
+
         for pdf in batches:
             ids, idxs, sums, fps = [], [], [], []
             for mid, raw in zip(pdf[id_col], pdf[content_col]):
@@ -321,14 +337,11 @@ def sample_video_frames(
                     idxs.append(i)
                     sums.append(int(frames[i].astype(np.int64).sum()))
                     fps.append(hashlib.md5(frames[i].tobytes()).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "luma_sum": pd.Series(sums, dtype="int64"),
-                    "frame_fp": pd.Series(fps, dtype="object"),
-                }
-            )
+                if len(ids) >= max_rows:
+                    yield flush(ids, idxs, sums, fps)
+                    ids, idxs, sums, fps = [], [], [], []
+            if ids:
+                yield flush(ids, idxs, sums, fps)
 
     return media.select(id_col, content_col).mapInPandas(kernel, Y4M_FRAME_SCHEMA)
 
@@ -461,6 +474,17 @@ def sample_container_frames(
         raise ValueError(f"every must be >= 1, got {every}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # flush at the kernel byte budget (see sample_video_frames): the
+        # per-frame fan-out must never buffer one giant output frame
+        max_rows = max(1, _KERNEL_OUT_BYTES // 110)
+
+        def flush(ids, idxs, fps):
+            return pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame_fp": pd.Series(fps, dtype="object")}
+            )
+
         for pdf in batches:
             ids, idxs, fps = [], [], []
             for mid, raw in zip(pdf[id_col], pdf[content_col]):
@@ -477,11 +501,11 @@ def sample_container_frames(
                     ids.append(mid)
                     idxs.append(i)
                     fps.append(hashlib.md5(frame).hexdigest())
-            yield pd.DataFrame(
-                {"media_id": pd.Series(ids, dtype="int64"),
-                 "frame_idx": pd.Series(idxs, dtype="int32"),
-                 "frame_fp": pd.Series(fps, dtype="object")}
-            )
+                if len(ids) >= max_rows:
+                    yield flush(ids, idxs, fps)
+                    ids, idxs, fps = [], [], []
+            if ids:
+                yield flush(ids, idxs, fps)
 
     return media.select(id_col, content_col).mapInPandas(kernel, FRAME_SCHEMA)
 

@@ -195,3 +195,28 @@ def test_pack_y4m_multi_slice_batch_stays_aligned(spark):
         y = decode_y4m(bytes(rows[i].content))["y"]
         assert y.shape == (47_000, 8, 8)
         assert int(y[0, 0, 0]) == 97 + i  # frame bytes match THIS doc's text
+
+
+def test_frame_samplers_flush_bounded_output(spark):
+    """The per-frame fan-out kernels flush output at the byte budget
+    (~280k rows) instead of buffering a whole input batch's frames. A
+    single 300k-frame video crosses the mid-loop flush threshold through
+    the REAL executor path; every frame must come back exactly once and
+    in order across the flush boundary."""
+    import pandas as pd
+
+    from fsql_spark.operators import multimodal as mm
+    from fsql_spark.operators.video import decode_y4m  # noqa: F401 — import check
+
+    n = 300_000
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["ab" * (n // 2)]})
+    )
+    media = mm.pack_y4m(docs, frame_w=2, frame_h=2)
+    got = mm.sample_video_frames(media, every=1).orderBy("frame_idx").collect()
+    assert len(got) == n
+    assert got[0].frame_idx == 0 and got[-1].frame_idx == n - 1
+    # luma of frame i is 4 * byte(i): 'a'=97 alternating 'b'=98
+    assert got[0].luma_sum == 4 * 97 and got[1].luma_sum == 4 * 98
+    assert got[279_999].luma_sum in (4 * 97, 4 * 98)  # spans the flush edge
+    assert len({r.frame_idx for r in got}) == n  # no duplicated rows
