@@ -214,7 +214,10 @@ def main() -> None:
 
     # median-of-3 for sub-2 s entries (primary leg only: the sf2 leg feeds
     # informational scaling ratios, not round-over-round comparisons)
-    spark, timings, spread = _run_all(spark, queries, sf_dir, cpus, repeat_under=2.0)
+    # 3.0 (was 2.0): a host-variance window observed in r8 (PERF.md) showed
+    # 2-3 s entries swinging 2x run-over-run; the median costs ~40 s more
+    # bench wall and keeps round-over-round comparisons meaningful
+    spark, timings, spread = _run_all(spark, queries, sf_dir, cpus, repeat_under=3.0)
     total = round(sum(v for v in timings.values() if v == v), 4)
     out = {
         "metric": "total_query_wall_time",
