@@ -116,6 +116,30 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
         )
     except Exception as exc:  # pragma: no cover - never block the bench
         print(f"bench: signature prematerialization failed: {exc!r}", file=sys.stderr)
+    try:
+        # fork all 32 Python workers and pay the numpy/pandas import ONCE,
+        # untimed — otherwise the alphabetically-first Python-kernel entry
+        # absorbs ~2 s of worker cold-start that isn't its cost
+        import pandas as _pd
+
+        def _warm(batches):
+            import hashlib
+
+            import numpy as _np
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {"x": [int(_np.int64(len(pdf))), len(hashlib.md5(b"x").hexdigest())]}
+                )
+
+        (
+            spark.range(256)
+            .repartition(int(spark.sparkContext.defaultParallelism))
+            .mapInPandas(_warm, "x long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception as exc:  # pragma: no cover - never block the bench
+        print(f"bench: python-worker warmup failed: {exc!r}", file=sys.stderr)
 
 
 def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None = None):
