@@ -799,3 +799,86 @@ def test_winnow_single_exchange_and_parallel_explode(spark):
     # the exchange is BELOW the generate (explode): repartition moves
     # compact docs, the exploded grams never shuffle
     assert plan.index("Exchange") > plan.index("Generate"), plan[:2000]
+
+
+# ----------------------------------------------------- round-8 entries
+
+def test_funnel_single_user_exchange_reused_by_both_windows(spark):
+    """The join-free funnel's 100 TB claim: both window passes and the
+    per-user aggregate ride ONE hashpartitioning(user_id) exchange — the
+    naive per-stage formulation re-joins the event log once per stage."""
+    from fsql_spark.relational import q_events_funnel
+
+    plan = plan_of(q_events_funnel(spark, SF))
+    assert plan.count("SortMergeJoin") == 0 and plan.count("BroadcastHashJoin") == 0
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_cohort_retention_two_exchanges_no_join(spark):
+    """Cohort = window MIN per user (one exchange), then the small
+    (cohort, offset) aggregate (one more) — the fact table is scanned once
+    and never self-joined."""
+    from fsql_spark.relational import q_events_cohort_retention
+
+    plan = plan_of(q_events_cohort_retention(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan parquet") == 1
+
+
+def test_basket_pairs_broadcasts_dim_and_colocates_self_join(spark):
+    """part->brand is broadcast (never shuffled); the per-order pair join
+    keys on l_orderkey so both sides reuse the same exchange layout."""
+    from fsql_spark.relational import q_basket_brand_pairs
+
+    plan = plan_of(q_basket_brand_pairs(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the self-join side must be partitioned by orderkey, not by pair keys
+    assert "hashpartitioning(l_orderkey" in plan
+
+
+def test_bm25_corpus_never_shuffles(spark):
+    """BM25's corpus side is map-only: tf from per-row array filters, df as
+    a tiny broadcast, corpus scalars inlined as literals. The ONLY exchange
+    allowed is the |terms|-row df aggregate."""
+    from fsql_spark.operators.retrieval import bm25_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(bm25_scores(docs, ["hash", "vector"]))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("SortMergeJoin") == 0
+    # exchanges: only the df-per-term aggregate (rows = |query terms|)
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_cms_and_hll_single_aggregation_shuffle(spark):
+    """Sketch builders are one map-side-combinable aggregation: registers /
+    cells merge before the (group, register)-sized exchange — the
+    mergeability that sketches exist for."""
+    from fsql_spark.operators.sketches import count_min_cells, hll_distinct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").count()
+    plan = plan_of(count_min_cells(counts, "token", "count", depth=4, width=64))
+    assert "Join" not in plan
+    plan = plan_of(hll_distinct(toks, "token", p=10, group_cols=["lang"]))
+    assert "Join" not in plan
+
+
+def test_keyframes_zero_shuffle(spark):
+    """Keyframe selection is embarrassingly parallel per media row: the
+    whole decode+diff plan has no exchange except the synth's conditional
+    input spread."""
+    from fsql_spark.operators import multimodal as mm
+    from fsql_spark.operators.multimodal import select_keyframes
+
+    media = mm.pack_y4m(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    )
+    plan = plan_of(select_keyframes(media, min_diff=64))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
