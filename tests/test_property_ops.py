@@ -274,3 +274,92 @@ def test_rollup_merge_matches_python_model(spark, tmp_path_factory, assign, data
     for k, (n, s) in want.items():
         assert got[k][0] == n
         assert abs(got[k][1] - s) < 1e-9
+
+
+@PROP
+@given(corpus=corpus_strategy)
+def test_bm25_matches_python_model(spark, corpus):
+    """bm25_scores == the textbook Okapi formula computed in pure Python on
+    arbitrary corpora (empty docs, all-query-term docs, dup classes)."""
+    import math
+
+    from fsql_spark.operators.retrieval import bm25_scores
+
+    terms, k1, b = ["a", "ccc"], 1.2, 0.75
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    dls = {i: len([t for t in text.split(" ") if t != ""]) for i, text in docs}
+    n, total = len(docs), sum(dls.values())
+    tf = {(i, t): [x for x in text.split(" ") if x != ""].count(t)
+          for i, text in docs for t in terms}
+    dfs = {t: sum(1 for i, _ in docs if tf[(i, t)] > 0) for t in terms}
+    avgdl = total / n
+    want = {}
+    for (i, t), f in tf.items():
+        if f == 0:
+            continue
+        idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+        want[(i, t)] = (f, round(idf * (f * (k1 + 1.0)) / (f + k1 * (1.0 - b + b * dls[i] / avgdl)), 4))
+    got = {
+        (r.doc_id, r.term): (r.tf, r.score_bm25)
+        for r in bm25_scores(
+            spark.createDataFrame(docs, "doc_id long, text string"), terms, k1=k1, b=b
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for key, (f, s) in want.items():
+        assert got[key][0] == f
+        assert abs(got[key][1] - s) < 1e-9, (key, got[key], (f, s))
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # user
+            st.integers(min_value=0, max_value=20),  # seconds
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_funnel_matches_python_simulation(spark, events, tmp_path_factory):
+    """q_events_funnel == a per-user forward simulation: a stage counts
+    iff an event of its type occurs STRICTLY AFTER some event that
+    completed the previous stage (ties broken by insertion order)."""
+    import pandas as pd
+
+    from fsql_spark.relational import q_events_funnel
+
+    want = {"1_view": 0, "2_click_after_view": 0, "3_purchase_after_click": 0}
+    by_user = {}
+    for eid, (u, s, et) in enumerate(events):
+        by_user.setdefault(u, []).append((s, eid, et))
+    for u, evs in by_user.items():
+        evs.sort()
+        r1 = r2 = r3 = False
+        seen_view = seen_click_after = False
+        for _, _, et in evs:
+            if et == "purchase" and seen_click_after:
+                r3 = True
+            if et == "click" and seen_view:
+                r2 = True
+                seen_click_after = True
+            if et == "view":
+                r1 = True
+                seen_view = True
+        want["1_view"] += r1
+        want["2_click_after_view"] += r2
+        want["3_purchase_after_click"] += r3
+
+    pdf = pd.DataFrame(
+        [(u, s, eid, et) for eid, (u, s, et) in enumerate(events)],
+        columns=["user_id", "s", "event_id", "event_type"],
+    )
+    pdf["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(pdf.pop("s"), unit="s")
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    sf = str(tmp_path_factory.mktemp("funnel"))
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {r.stage: r.n_users for r in q_events_funnel(spark, sf).collect()}
+    assert got == want
