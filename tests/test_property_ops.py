@@ -363,3 +363,84 @@ def test_funnel_matches_python_simulation(spark, events, tmp_path_factory):
     spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{sf}/events.parquet")
     got = {r.stage: r.n_users for r in q_events_funnel(spark, sf).collect()}
     assert got == want
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # user
+            st.integers(min_value=0, max_value=35),  # day offset (~5 ISO weeks)
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_cohort_retention_matches_python_model(spark, events, tmp_path_factory):
+    """q_events_cohort_retention == a Python model over Monday-start ISO
+    weeks: cohort = week of the user's first event; one distinct user per
+    (cohort, week offset) cell."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from fsql_spark.relational import q_events_cohort_retention
+
+    base = dt.date(2024, 1, 1)  # a Monday: day offsets map cleanly to weeks
+    week_of = lambda d: d - dt.timedelta(days=d.weekday())  # noqa: E731
+    first = {}
+    for u, off in events:
+        d = base + dt.timedelta(days=off)
+        first[u] = min(first.get(u, d), d)
+    cells = set()
+    for u, off in events:
+        d = base + dt.timedelta(days=off)
+        cw = week_of(first[u])
+        cells.add((u, cw, (week_of(d) - cw).days // 7))
+    want = {}
+    for _, cw, woff in cells:
+        want[(str(cw), woff)] = want.get((str(cw), woff), 0) + 1
+
+    pdf = pd.DataFrame(
+        [(u, off) for u, off in events], columns=["user_id", "off"]
+    )
+    pdf["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(pdf.pop("off"), unit="D")
+    pdf["event_id"] = range(len(pdf))
+    pdf["event_type"] = "view"
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    sf = str(tmp_path_factory.mktemp("cohort"))
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        (str(r.cohort_week), r.week_offset): r.n_active_users
+        for r in q_events_cohort_retention(spark, sf).collect()
+    }
+    assert got == want
+
+
+@PROP
+@given(
+    frames=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=40),
+    min_diff=st.integers(min_value=1, max_value=600),
+)
+def test_keyframes_match_numpy_model(spark, frames, min_diff):
+    """select_keyframes == the definition: frame 0 plus every frame whose
+    summed |luma diff| from the previous frame >= min_diff — on arbitrary
+    constant-frame videos (2x2, so diff = 4*|delta|)."""
+    import numpy as np
+    import pandas as pd
+
+    from fsql_spark.operators.multimodal import select_keyframes
+    from fsql_spark.operators.video import encode_y4m
+
+    arr = np.stack([np.full((2, 2), v, dtype=np.uint8) for v in frames])
+    want = {0: 0}
+    for i in range(1, len(frames)):
+        d = 4 * abs(frames[i] - frames[i - 1])
+        if d >= min_diff:
+            want[i] = d
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "content": [bytearray(encode_y4m(arr, fps=(25, 1)))]})
+    )
+    got = {r.frame_idx: r.diff_energy for r in select_keyframes(media, min_diff=min_diff).collect()}
+    assert got == want
