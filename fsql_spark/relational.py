@@ -1531,16 +1531,17 @@ GROUP BY 1, 2
 """
 
 
-def q_basket_brand_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Market-basket co-occurrence: brand pairs bought in the same order.
-    The dim (part -> brand) is broadcast; the fact self-join is keyed on
-    l_orderkey so both sides hash to the SAME exchange (AQE reuses it) —
-    and pairs are formed per order AFTER a distinct that caps each side at
-    |brands per order|, so the blow-up is bounded by basket width, never by
-    table size. Brand-level (not part-level) keeps the output a dense
-    ~25x25 triangle whose counts move at every sf."""
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    part = _t(spark, sf, "part").select("p_partkey", "p_brand")
+def basket_brand_pairs(li: DataFrame, part: DataFrame, support: int = 3) -> DataFrame:
+    """Market-basket co-occurrence: brand pairs bought in the same order,
+    kept at >= ``support`` orders. The dim (part -> brand) is broadcast;
+    the fact self-join is keyed on l_orderkey so both sides hash to the
+    SAME exchange (AQE reuses it) — and pairs are formed per order AFTER a
+    distinct that caps each side at |brands per order|, so the blow-up is
+    bounded by basket width, never by table size."""
+    if support < 1:
+        raise ValueError(f"support must be >= 1, got {support}")
+    li = li.select("l_orderkey", "l_partkey")
+    part = part.select("p_partkey", "p_brand")
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
@@ -1553,7 +1554,16 @@ def q_basket_brand_pairs(spark: SparkSession, sf: str) -> DataFrame:
                & (F.col("a.p_brand") < F.col("b.p_brand")))
         .groupBy(F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 3)
+        .filter(F.col("n_orders") >= support)
+    )
+
+
+def q_basket_brand_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Catalog entry: brand-level pairs (not part-level) keep the output a
+    dense ~25x25 triangle whose counts move at every sf; support=3 pins a
+    selective-but-nonempty threshold for the oracle."""
+    return basket_brand_pairs(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part"), support=3
     )
 
 

@@ -444,3 +444,50 @@ def test_keyframes_match_numpy_model(spark, frames, min_diff):
     )
     got = {r.frame_idx: r.diff_energy for r in select_keyframes(media, min_diff=min_diff).collect()}
     assert got == want
+
+
+@PROP
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # orderkey
+            st.integers(min_value=101, max_value=106),  # partkey -> brand 1:1
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    support=st.integers(min_value=1, max_value=3),
+)
+def test_basket_pairs_match_python_model(spark, lines, support, tmp_path_factory):
+    """basket_brand_pairs == itertools over per-order DISTINCT brand sets
+    with the sampled support threshold — on arbitrary line sets (dup parts
+    per order, single-brand baskets). The catalog entry is the same
+    function pinned at support=3."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pandas as pd
+
+    from fsql_spark.relational import basket_brand_pairs
+
+    brands = {p: f"B{p - 100}" for p in range(101, 107)}
+    per_order = {}
+    for o, p in lines:
+        per_order.setdefault(o, set()).add(brands[p])
+    cnt = Counter()
+    for bs in per_order.values():
+        for a, b in combinations(sorted(bs), 2):
+            cnt[(a, b)] += 1
+    want = {k: v for k, v in cnt.items() if v >= support}
+
+    li = spark.createDataFrame(
+        pd.DataFrame(lines, columns=["l_orderkey", "l_partkey"])
+    )
+    part = spark.createDataFrame(
+        pd.DataFrame(sorted(brands.items()), columns=["p_partkey", "p_brand"])
+    )
+    got = {
+        (r.brand_a, r.brand_b): r.n_orders
+        for r in basket_brand_pairs(li, part, support=support).collect()
+    }
+    assert got == want
