@@ -491,3 +491,41 @@ def test_basket_pairs_match_python_model(spark, lines, support, tmp_path_factory
         for r in basket_brand_pairs(li, part, support=support).collect()
     }
     assert got == want
+
+
+@PROP
+@given(
+    stream=st.lists(st.sampled_from(TOKENS + ["zz", "q9"]), min_size=1, max_size=60),
+    depth=st.integers(min_value=1, max_value=4),
+    width=st.integers(min_value=2, max_value=16),
+)
+def test_count_min_matches_python_model(spark, stream, depth, width):
+    """count_min_cells == the Python CMS on arbitrary streams and grid
+    shapes: identical cells, per-row mass conservation, and the
+    estimate >= exact guarantee even at width 2 (heavy collisions)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from fsql_spark.operators.sketches import count_min_cells
+
+    exact = Counter(stream)
+
+    def cell(row, tok):
+        return int(hashlib.md5(f"{row}:{tok}".encode()).hexdigest()[:15], 16) % width
+
+    want = Counter()
+    for tok, n in exact.items():
+        for r in range(depth):
+            want[(r, cell(r, tok))] += n
+
+    counts = spark.createDataFrame(
+        pd.DataFrame({"token": list(exact), "n": [exact[t] for t in exact]})
+    )
+    got = {
+        (r.cms_row, r.cms_cell): r.cell_count
+        for r in count_min_cells(counts, "token", "n", depth=depth, width=width).collect()
+    }
+    assert got == dict(want)
+    for tok, n in exact.items():
+        assert min(got[(r, cell(r, tok))] for r in range(depth)) >= n
