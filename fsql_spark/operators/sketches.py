@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -345,6 +345,25 @@ GROUP BY o_orderpriority
 """
 
 
+def cms_cell_expr(row_col: Column, value_col: Column, width: int) -> Column:
+    """The count-min cell index for one (hash-row, value) pair: the first
+    60 bits of md5("<row>:<value>") mod ``width``. Shared by the sketch
+    builder (count_min_cells) and every probe side — if the hash recipe or
+    the grid shape ever changes, it changes HERE, in one place, or probes
+    would silently join against the wrong cells and the min-estimate
+    becomes garbage."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(row_col.cast("string"), F.lit(":"),
+                               value_col.cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % width
+    )
+
+
 def count_min_cells(counts: DataFrame, value_col: str, count_col: str,
                     depth: int = 4, width: int = 512) -> DataFrame:
     """Count-min sketch cells from PRE-AGGREGATED (value, count) rows:
@@ -358,16 +377,7 @@ def count_min_cells(counts: DataFrame, value_col: str, count_col: str,
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1, got {depth}x{width}")
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("cms_row")
-    cell = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("cms_row").cast("string"), F.lit(":"),
-                               F.col(value_col).cast("string"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long") % width
-    ).alias("cms_cell")
+    cell = cms_cell_expr(F.col("cms_row"), F.col(value_col), width).alias("cms_cell")
     return (
         counts.select(value_col, count_col, rows)
         .select("cms_row", cell, count_col)
@@ -388,30 +398,20 @@ def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token")).where(
         F.col("token") != ""
     )
+    depth, width = 4, 512
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
-    cells = count_min_cells(exact, "token", "exact_n", depth=4, width=512)
-    top = (
-        exact.withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.desc("exact_n"), F.asc("token"))),
-        )
-        .where(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    cells = count_min_cells(exact, "token", "exact_n", depth=depth, width=width)
+    # top-20 via orderBy+limit (TakeOrderedAndProject: per-partition heaps
+    # merged on the driver) — not a global row_number window, which would
+    # sort the whole vocabulary through ONE task. The (exact_n desc, token)
+    # sort is total, so limit picks the same deterministic 20 rows.
+    top = exact.orderBy(F.desc("exact_n"), F.asc("token")).limit(20)
     probes = top.select(
         "token",
         "exact_n",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("cms_row"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("cms_row"),
     ).withColumn(
-        "cms_cell",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("cms_row").cast("string"), F.lit(":"), F.col("token"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long")
-        % 512,
+        "cms_cell", cms_cell_expr(F.col("cms_row"), F.col("token"), width)
     )
     return (
         probes.join(F.broadcast(cells), ["cms_row", "cms_cell"])
