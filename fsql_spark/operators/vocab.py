@@ -126,6 +126,31 @@ def tf_idf(
     )
 
 
+def _deletion_signatures_expr(token_col: str, max_distance: int) -> str:
+    """SQL expression (array<string>) for the <=d-deletion neighborhood of
+    ``token_col``: every string reachable by deleting up to ``max_distance``
+    characters, the token itself included. Built by applying a one-deletion
+    higher-order transform d times and concatenating the layers — pure
+    Catalyst expressions, no Python in the hot path."""
+
+    def del1(arr: str) -> str:
+        # each string in `arr` -> all strings with exactly one char removed
+        # (greatest(.,1) guards length-0 strings: sequence(1,0) in Spark
+        # would DESCEND to [1,0], not return empty)
+        return (
+            f"flatten(transform({arr}, s -> transform("
+            f"sequence(1, greatest(length(s), 1)), "
+            f"i -> concat(substring(s, 1, i-1), substring(s, i+1)))))"
+        )
+
+    layers = f"array({token_col})"
+    cur = f"array({token_col})"
+    for _ in range(max_distance):
+        cur = f"array_distinct({del1(cur)})"
+        layers = f"concat({layers}, {cur})"
+    return f"array_distinct({layers})"
+
+
 def vocab_edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -136,20 +161,24 @@ def vocab_edit_distance_pairs(
     (token_a, token_b, dist), canonically ordered (shorter first; lex on
     ties), each unordered pair exactly once.
 
-    Blocking is the length pigeonhole (edit distance <= d implies
-    |len(a) - len(b)| <= d): the A-side explodes each token to the d+1
-    length bands it can match, the B-side keys on its own length, and the
-    band join is a plain EQUI-join (a BETWEEN condition would compile to a
-    BroadcastNestedLoopJoin — forbidden by the plan lint). Exact
-    ``levenshtein`` verifies after.
+    Blocking is the DELETION NEIGHBORHOOD (FastSS, Bocek et al. 2007):
+    every token emits each string reachable by deleting up to d characters
+    as a join key. Sound for ARBITRARY d — an edit script of length <= d
+    deletes <= d characters from each side to reach a common string, so
+    lev(a,b) <= d guarantees the two neighborhoods intersect. Candidates
+    equi-join on the shared variant (no BETWEEN, so no nested-loop join),
+    dedupe to distinct pairs, and exact ``levenshtein`` verifies — the
+    signature join is a complete-but-not-exact candidate generator.
 
     Scale shape: this runs over the DISTINCT vocabulary (zipf-bounded
-    metadata, not corpus data), so the within-band candidate set is
-    quadratic only in same-length vocabulary slices. A 100 TB corpus with
-    a 100M-token vocabulary would add a second blocking key (for d=1 a
-    single edit preserves the first OR the last character, so
-    (band, first_char) UNION (band, last_char) is sound); at catalog scale
-    the length band alone keeps candidates trivially small."""
+    metadata, not corpus data). Each length-L token emits O(L^d) variants
+    — for d=2 a 20-char token emits ~200 — but candidates are pairs that
+    genuinely share a variant, NOT the quadratic same-length-band blowup
+    the previous length-pigeonhole blocking paid: a 100M-token vocabulary
+    with a million 8-char tokens would band-join 10^12 candidate pairs,
+    while deletion signatures only collide tokens that are actually close
+    (plus hash-bounded accidents). A cheap length pigeonhole
+    (|len(a)-len(b)| <= d) prunes before the pair-dedup shuffle."""
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance}")
     toks = (
@@ -157,27 +186,30 @@ def vocab_edit_distance_pairs(
         .where(F.col("token") != "")
         .distinct()
     )
-    a = toks.select("token", F.length("token").alias("l"))
-    banded = a.select(
+    sig = _deletion_signatures_expr("token", max_distance)
+    a = toks.select(
         "token",
-        "l",
-        F.explode(F.array(*[F.col("l") + k for k in range(max_distance + 1)])).alias(
-            "band"
-        ),
+        F.length("token").alias("l"),
+        F.explode(F.expr(sig)).alias("sig"),
     )
-    b = a.select(F.col("token").alias("token_b"), F.col("l").alias("lb"))
-    pairs = banded.join(b, F.col("band") == F.col("lb")).where(
-        (F.col("l") < F.col("lb"))
-        | ((F.col("l") == F.col("lb")) & (F.col("token") < F.col("token_b")))
+    b = a.select(
+        F.col("token").alias("token_b"), F.col("l").alias("lb"), "sig"
     )
-    return (
-        pairs.select(
-            F.col("token").alias("token_a"),
-            "token_b",
-            F.levenshtein("token", "token_b").cast("int").alias("dist"),
+    cand = (
+        a.join(b, "sig")
+        .where(
+            (F.col("l") < F.col("lb"))
+            | ((F.col("l") == F.col("lb")) & (F.col("token") < F.col("token_b")))
         )
-        .where(F.col("dist") <= max_distance)
+        .where(F.col("lb") - F.col("l") <= max_distance)
+        .select(F.col("token").alias("token_a"), "token_b")
+        .distinct()
     )
+    return cand.select(
+        "token_a",
+        "token_b",
+        F.levenshtein("token_a", "token_b").cast("int").alias("dist"),
+    ).where(F.col("dist") <= max_distance)
 
 
 # --------------------------------------------------------------------------
@@ -261,8 +293,8 @@ FROM ranked WHERE rnk <= 3
 
 def q_vocab_edit_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary tokens within edit distance 2 of each other — the
-    spell-correction/OCR-noise audit over the corpus vocabulary (length-
-    banded equi-join blocking + exact levenshtein verify). d=2 because the
+    spell-correction/OCR-noise audit over the corpus vocabulary (FastSS
+    deletion-neighborhood blocking + exact levenshtein verify). d=2 because the
     driver corpus's vocabulary is clean by construction (d=1 matches
     nothing — a real OCR corpus would use 1)."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")

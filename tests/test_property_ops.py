@@ -529,3 +529,46 @@ def test_count_min_matches_python_model(spark, stream, depth, width):
     assert got == dict(want)
     for tok, n in exact.items():
         assert min(got[(r, cell(r, tok))] for r in range(depth)) >= n
+
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+@PROP
+@given(
+    vocab=st.lists(
+        st.text(alphabet="abcx", min_size=1, max_size=6), min_size=1, max_size=14
+    ),
+    d=st.integers(min_value=1, max_value=2),
+)
+def test_edit_pairs_match_bruteforce_levenshtein(spark, vocab, d):
+    """FastSS deletion-neighborhood blocking is COMPLETE: on arbitrary
+    vocabularies the operator returns exactly the brute-force all-pairs
+    Levenshtein result for d in {1, 2} — no pair within distance d escapes
+    the signature join (soundness of the blocking), and none outside
+    survives the exact verify."""
+    import itertools
+
+    from fsql_spark.operators.vocab import vocab_edit_distance_pairs
+
+    docs = spark.createDataFrame([(" ".join(vocab),)], "text string")
+    got = sorted(
+        (r["token_a"], r["token_b"], r["dist"])
+        for r in vocab_edit_distance_pairs(docs, "text", max_distance=d).collect()
+    )
+    canon = sorted(set(vocab), key=lambda t: (len(t), t))
+    want = sorted(
+        (a, b, _lev(a, b))
+        for a, b in itertools.combinations(canon, 2)
+        if _lev(a, b) <= d
+    )
+    assert got == want

@@ -894,3 +894,37 @@ def test_keyframes_zero_shuffle(spark):
     plan = plan_of(select_keyframes(media, min_diff=64))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_edit_pairs_blocking_beats_band_quadratic(spark):
+    """On a heavy-band vocabulary (every token the same length, so the old
+    length-pigeonhole blocking degenerates to all-pairs) the FastSS
+    deletion-signature join generates FAR fewer candidates than the
+    band-quadratic count — the 100M-token-vocabulary scale story."""
+    import hashlib
+
+    from fsql_spark.operators.vocab import _deletion_signatures_expr
+
+    n = 400
+    vocab = [
+        "".join(
+            "abcdefghijklmnopqrstuvwxyz"[b % 26]
+            for b in hashlib.md5(str(i).encode()).digest()[:8]
+        )
+        for i in range(n)
+    ]
+    vocab = sorted(set(vocab))
+    toks = spark.createDataFrame([(t,) for t in vocab], "token string")
+    sig = _deletion_signatures_expr("token", 2)
+    a = toks.selectExpr("token", f"explode({sig}) AS sig")
+    b = a.select(F.col("token").alias("token_b"), "sig")
+    candidates = (
+        a.join(b, "sig")
+        .where(F.col("token") < F.col("token_b"))
+        .select("token", "token_b")
+        .distinct()
+        .count()
+    )
+    band_quadratic = len(vocab) * (len(vocab) - 1) // 2
+    # random same-length tokens almost never share a 2-deletion variant
+    assert candidates < band_quadratic / 100, (candidates, band_quadratic)
