@@ -142,15 +142,59 @@ def _premateralize_trees(spark, sf_dir: str) -> None:
         print(f"bench: python-worker warmup failed: {exc!r}", file=sys.stderr)
 
 
+def _calibrate(spark) -> dict:
+    """Fixed-size host-speed probes, run FIRST and LAST around the timed
+    catalog so any consumer can normalize round-over-round comparisons:
+    the r8 driver bench measured 2.4x on UNCHANGED code because the host
+    itself was degraded, and without a pinned workload in the artifact
+    that was indistinguishable from a real regression. Two kernels, both
+    data-independent: a pure-JVM whole-stage-codegen aggregate (2B-row
+    range -> xxhash64 -> bit_count -> sum; exercises the task scheduler +
+    all executor threads) and a pinned numpy matmul (the BLAS path every
+    Pandas-UDF kernel rides). Each is warmed untimed once, then timed 3x;
+    the MEDIAN is reported. Values are seconds — bigger = slower host."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    out: dict = {}
+    try:
+        jvm_runs = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            spark.range(2_000_000_000).select(
+                F.bit_count(F.xxhash64(F.col("id"))).alias("b")
+            ).agg(F.sum("b")).collect()
+            jvm_runs.append(time.perf_counter() - t0)
+        out["jvm_sec"] = round(sorted(jvm_runs[1:])[1], 4)
+    except Exception as exc:  # pragma: no cover - never block the bench
+        print(f"bench: jvm calibration failed: {exc!r}", file=sys.stderr)
+    try:
+        rng = np.random.default_rng(42)
+        a = rng.standard_normal((3000, 3000))
+        b = rng.standard_normal((3000, 3000))
+        np_runs = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                a @ b
+            np_runs.append(time.perf_counter() - t0)
+        out["numpy_sec"] = round(sorted(np_runs[1:])[1], 4)
+    except Exception as exc:  # pragma: no cover - never block the bench
+        print(f"bench: numpy calibration failed: {exc!r}", file=sys.stderr)
+    return out
+
+
 def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None = None):
     """Time every query. ``repeat_under``: entries whose first run lands
     under this many seconds re-run twice more and report the MEDIAN (min/
     max recorded in the spread dict) — sub-2 s entries are dominated by
     scheduler/JIT jitter on this machine (±0.5 s run-over-run, PERF.md),
     and single samples made round-over-round comparisons flag noise as
-    regressions. Entries above the threshold are workload-dominated; one
-    sample is representative and re-running them would double bench wall
-    time for nothing."""
+    regressions. Entries at or above the threshold are workload-dominated
+    but still re-run ONCE (two samples, lower reported) so EVERY entry
+    carries a run-to-run spread in the artifact — the r8 driver bench
+    showed that exactly the big entries are where host noise hides, and
+    without spread on them a 2x host artifact reads as a regression."""
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
     for name in sorted(queries):
@@ -184,7 +228,9 @@ def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None 
                 spark.catalog.clearCache()
             except Exception:
                 pass
-            if len(runs) >= 3 or repeat_under is None or runs[0] >= repeat_under:
+            if repeat_under is None:
+                break
+            if len(runs) >= (3 if runs[0] < repeat_under else 2):
                 break
         if failed:
             timings[name] = float("nan")
@@ -236,11 +282,17 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         print(f"bench: udf warmup failed: {exc!r}", file=sys.stderr)
 
-    # median-of-3 for sub-2 s entries (primary leg only: the sf2 leg feeds
-    # informational scaling ratios, not round-over-round comparisons)
-    # 3.0 (was 2.0): a host-variance window observed in r8 (PERF.md) showed
-    # 2-3 s entries swinging 2x run-over-run; the median costs ~40 s more
-    # bench wall and keeps round-over-round comparisons meaningful
+    # host-speed probe BEFORE the timed region (and again after): pinned
+    # data-independent kernels whose times let any consumer divide out host
+    # slowdowns (the r8 driver bench was 2.4x on unchanged code — host, not
+    # engine, but the artifact alone couldn't prove it)
+    calibration_first = _calibrate(spark)
+
+    # median-of-3 for sub-3 s entries, min-of-2 above (primary leg only: the
+    # sf2 leg feeds informational scaling ratios, not round-over-round
+    # comparisons). 3.0 (was 2.0): a host-variance window observed in r8
+    # (PERF.md) showed 2-3 s entries swinging 2x run-over-run; the median
+    # costs ~40 s more bench wall and keeps comparisons meaningful
     spark, timings, spread = _run_all(spark, queries, sf_dir, cpus, repeat_under=3.0)
     total = round(sum(v for v in timings.values() if v == v), 4)
     out = {
@@ -263,6 +315,9 @@ def main() -> None:
         out["sf2"] = _sf_tag(sf2_dir)
         out["queries_sf2"] = timings2
         out["scaling_ratio"] = ratios
+
+    calibration = {"first": calibration_first, "last": _calibrate(spark)}
+    out["calibration"] = calibration
 
     # The driver keeps only a short TAIL of stdout, so a single giant line
     # loses the headline fields (BENCH_r01..r03 all recorded parsed:null).
@@ -290,6 +345,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t != t),
         "slowest": slowest,
+        "calibration": calibration,
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(compact))
