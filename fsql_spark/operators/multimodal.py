@@ -365,7 +365,13 @@ def pack_y4m(docs: DataFrame, frame_w: int = 8, frame_h: int = 8) -> DataFrame:
         # a ~70x fan-out, so yield in output-byte-bounded slices
         per_byte = frame_h * frame_w + 6
         for pdf in batches:
-            est = pdf["text"].fillna("").str.len() * per_byte + 128
+            # UTF-8 BYTE length, not character count: the kernel emits one
+            # frame per encoded byte, so multibyte-heavy text would
+            # undershoot a char-based estimate by up to 4x
+            est = (
+                pdf["text"].fillna("").str.encode("utf-8").str.len() * per_byte
+                + 128
+            )
             for sub in _bounded_slices(pdf, est):
                 contents, durs = [], []
                 for text in sub["text"]:
@@ -1385,8 +1391,9 @@ def select_keyframes(
                     if n > 1
                     else np.empty(0, dtype=np.int64)
                 )
+                # the min_diff sentinel at position 0 always passes the >=
+                # test, so frame 0 is always kept and keep[0] == 0
                 keep = np.flatnonzero(np.concatenate(([min_diff], d)) >= min_diff)
-                keep[0] = 0  # frame 0 is always a keyframe, with diff 0
                 for i in keep:
                     ids.append(mid)
                     idxs.append(int(i))

@@ -44,8 +44,17 @@ def bm25_scores(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-(doc, term) Okapi BM25 scores for a fixed bag of query terms.
+
+    EAGER, unlike the rest of this package: unless ``corpus_stats`` is
+    given, construction runs one Spark job over ``docs`` to collect the
+    two corpus scalars (N docs, total tokens) that inline as literals —
+    so calling this on an expensive upstream triggers a full corpus scan
+    NOW and a second at action time. Pass ``corpus_stats=(n_docs,
+    total_tokens)`` (computed once, reused across queries — the shape a
+    100 TB retrieval service uses anyway) to keep construction lazy.
 
     Returns (id_col, term, tf, score_bm25) for every document containing
     the term. ``idf`` uses the standard +1 smoothing
@@ -85,11 +94,14 @@ def bm25_scores(
     # is a BroadcastNestedLoopJoin (lint-forbidden), and a constant-key
     # equi-join folds back into one; a global window would single-reduce
     # the corpus.
-    n_docs, total_tokens = (
-        docs.select(F.size(toks).alias("dl"))
-        .agg(F.count(F.lit(1)), F.sum("dl").cast("long"))
-        .first()
-    )
+    if corpus_stats is not None:
+        n_docs, total_tokens = corpus_stats
+    else:
+        n_docs, total_tokens = (
+            docs.select(F.size(toks).alias("dl"))
+            .agg(F.count(F.lit(1)), F.sum("dl").cast("long"))
+            .first()
+        )
     df_per_term = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     avgdl = F.lit(total_tokens).cast("double") / F.lit(n_docs)

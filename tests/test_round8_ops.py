@@ -140,6 +140,27 @@ def test_bm25_matches_hand_computation(spark):
     assert all(s > 0 for (_, s) in out.values())
 
 
+def test_bm25_corpus_stats_param_is_lazy_and_equivalent(spark):
+    """Passing precomputed (n_docs, total_tokens) skips the eager corpus
+    scan at construction time (no job runs) and yields identical scores."""
+    from fsql_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["cat dog cat", "dog dog dog fish", "bird"],
+    }))
+    eager = {(r.doc_id, r.term): (r.tf, r.score_bm25)
+             for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    lazy_df = bm25_scores(docs, ["cat", "dog"], corpus_stats=(3, 8))
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "corpus_stats construction must not run a job"
+    lazy = {(r.doc_id, r.term): (r.tf, r.score_bm25) for r in lazy_df.collect()}
+    assert lazy == eager
+
+
 def test_bm25_rejects_bad_query(spark):
     from fsql_spark.operators.retrieval import bm25_scores
 

@@ -153,17 +153,27 @@ def main() -> None:
             from pyspark import SparkContext
             from pyspark.sql import SparkSession
 
+            # the whole reset touches pyspark PRIVATE internals — wrap it
+            # all, so a pyspark upgrade renaming any of them degrades to
+            # the plain-singleton reset instead of killing the sweep this
+            # code exists to save
             try:
                 if SparkContext._gateway is not None:
                     SparkContext._gateway.shutdown()
             except Exception:
                 pass
-            with SparkContext._lock:
-                SparkContext._active_spark_context = None
-                SparkContext._gateway = None
-                SparkContext._jvm = None
-            SparkSession._instantiatedSession = None
-            SparkSession._activeSession = None
+            try:
+                with SparkContext._lock:
+                    SparkContext._active_spark_context = None
+                    SparkContext._gateway = None
+                    SparkContext._jvm = None
+            except Exception:
+                pass
+            try:
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+            except Exception:
+                pass
             fresh = get_spark(app_name="fsql-sf10-spotbench")
             fresh.sparkContext.setLogLevel("ERROR")
             return fresh
