@@ -142,6 +142,11 @@ def _spread_for_kernel(df: DataFrame) -> DataFrame:
     tests/test_round8_fixes.py)."""
     from .dedup import _spread
 
+    # streaming relations: no .rdd probe possible (and no need — source
+    # parallelism is the trigger/shuffle's job, micro-batches are small);
+    # the guard lets the stateless pack_* kernels stay stream-reusable
+    if df.isStreaming:
+        return df
     return _spread(df)
 
 
@@ -358,7 +363,10 @@ def pack_y4m(docs: DataFrame, frame_w: int = 8, frame_h: int = 8) -> DataFrame:
 
     if frame_w < 1 or frame_h < 1:
         raise ValueError(f"frame size must be >= 1x1, got {frame_w}x{frame_h}")
-    docs = docs.select("doc_id", "text")
+    # conditional cluster-wide spread INSIDE the producer (no-op on
+    # already-parallel or streaming input): every consumer of this
+    # kernel gets the single-file-scan protection without opting in
+    docs = _spread_for_kernel(docs.select("doc_id", "text"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one frame (frame_h*frame_w luma bytes + "FRAME\n") PER TEXT BYTE:
@@ -421,7 +429,10 @@ def pack_video(docs: DataFrame, frame_size: int = 32) -> DataFrame:
     # struct.error (review find; mirrors every/window guards)
     if frame_size < 1:
         raise ValueError(f"frame_size must be >= 1, got {frame_size}")
-    docs = docs.select("doc_id", "text")
+    # conditional cluster-wide spread INSIDE the producer (no-op on
+    # already-parallel or streaming input): every consumer of this
+    # kernel gets the single-file-scan protection without opting in
+    docs = _spread_for_kernel(docs.select("doc_id", "text"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -531,7 +542,9 @@ def documents_as_audio(spark: SparkSession, sf: str, sample_rate: int = 8000) ->
 
     if sample_rate < 1:
         raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    docs = _spread_for_kernel(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -618,7 +631,11 @@ def audio_window_energy(
 def documents_as_media(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize a media table from documents (text bytes as payload) so the
     binary plumbing is exercised on real distributed data."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # the projection itself is pure JVM, but this table exists to FEED
+    # Python kernels (extract_features etc.) — spread here so a
+    # single-file scan doesn't serialize the downstream kernel onto one
+    # task (no-op on parallel input)
+    docs = _spread_for_kernel(spark.read.parquet(f"{sf}/documents.parquet"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -827,7 +844,10 @@ def pack_wav(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
 
     if sample_rate < 1:
         raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
-    docs = docs.select("doc_id", "text")
+    # conditional cluster-wide spread INSIDE the producer (no-op on
+    # already-parallel or streaming input): every consumer of this
+    # kernel gets the single-file-scan protection without opting in
+    docs = _spread_for_kernel(docs.select("doc_id", "text"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -866,7 +886,10 @@ def pack_flac(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
 
     if sample_rate < 1:
         raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
-    docs = docs.select("doc_id", "text")
+    # conditional cluster-wide spread INSIDE the producer (no-op on
+    # already-parallel or streaming input): every consumer of this
+    # kernel gets the single-file-scan protection without opting in
+    docs = _spread_for_kernel(docs.select("doc_id", "text"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1495,7 +1518,10 @@ def pack_aiff(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
 
     if sample_rate < 1:
         raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
-    docs = docs.select("doc_id", "text")
+    # conditional cluster-wide spread INSIDE the producer (no-op on
+    # already-parallel or streaming input): every consumer of this
+    # kernel gets the single-file-scan protection without opting in
+    docs = _spread_for_kernel(docs.select("doc_id", "text"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -95,14 +95,32 @@ def test_simhash_collapse_exact_typo_rejected(spark):
 
 
 @pytest.mark.parametrize("synth_name", [
+    # EVERY MEDIA_SCHEMA producer taking (spark, sf) — a new synth that
+    # forgets the spread fails here, not at the sf10 sweep
     "documents_as_png", "documents_as_palette_png", "documents_as_gif",
+    "documents_as_jpeg", "documents_as_tiff", "documents_as_wav",
+    "documents_as_audio", "documents_as_video", "documents_as_media",
 ])
-def test_image_synths_spread_single_file_scans(spark, synth_name):
+def test_media_synths_spread_single_file_scans(spark, synth_name):
     # the per-byte encode kernels must not run as ONE task on a single-file
     # scan (PERF.md: 33.7s -> 1.8s lesson); assert the plan repartitions
     from fsql_spark.operators import multimodal
 
     df = getattr(multimodal, synth_name)(spark, "/root/testdata/sf0.001")
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+@pytest.mark.parametrize("pack_name", [
+    "pack_y4m", "pack_video", "pack_wav", "pack_flac", "pack_aiff",
+])
+def test_pack_kernels_spread_single_file_scans(spark, pack_name):
+    # the pack_* family spreads INSIDE the producer, so callers (batch
+    # entries AND ad-hoc users) get the protection without opting in
+    from fsql_spark.operators import multimodal
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    df = getattr(multimodal, pack_name)(docs)
     assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
 
 
