@@ -337,11 +337,25 @@ def sample_video_frames(
                     frames = decode_y4m(b)["y"]
                 except Exception as exc:
                     _reraise_with_media_id(mid, exc)
-                for i in range(0, frames.shape[0], every):
-                    ids.append(mid)
-                    idxs.append(i)
-                    sums.append(int(frames[i].astype(np.int64).sum()))
-                    fps.append(hashlib.md5(frames[i].tobytes()).hexdigest())
+                # vectorize per MEDIA ROW, not per frame: the per-frame
+                # loop (astype + sum + tobytes per 64-byte frame) was 3
+                # numpy calls of ~us overhead each x 100M frames at sf10 —
+                # the third-decade residual PERF.md chased. One strided
+                # copy + one axis-sum leave only the md5 loop, which
+                # hashes memoryview slices of a single contiguous buffer.
+                sampled = np.ascontiguousarray(frames[::every])
+                k = sampled.shape[0]
+                if k:
+                    flat = sampled.reshape(k, -1)
+                    ids.extend([mid] * k)
+                    idxs.extend(range(0, frames.shape[0], every))
+                    sums.extend(flat.sum(axis=1, dtype=np.int64).tolist())
+                    mv = memoryview(flat.tobytes())
+                    fs = flat.shape[1]
+                    fps.extend(
+                        hashlib.md5(mv[j * fs : (j + 1) * fs]).hexdigest()
+                        for j in range(k)
+                    )
                 if len(ids) >= max_rows:
                     yield flush(ids, idxs, sums, fps)
                     ids, idxs, sums, fps = [], [], [], []
