@@ -527,11 +527,15 @@ def sample_container_frames(
                 # and fabricate up to 2^32 empty-frame rows (review find)
                 if fs_ == 0 or len(b) != 12 + fs_ * n:
                     raise ValueError(f"media {mid}: corrupt FVID header")
+                # memoryview slices hash without copying each frame out of
+                # the payload (same buffer trick as sample_video_frames)
+                mv = memoryview(b)
                 for i in range(0, n, every):
-                    frame = b[12 + i * fs_ : 12 + (i + 1) * fs_]
                     ids.append(mid)
                     idxs.append(i)
-                    fps.append(hashlib.md5(frame).hexdigest())
+                    fps.append(
+                        hashlib.md5(mv[12 + i * fs_ : 12 + (i + 1) * fs_]).hexdigest()
+                    )
                 if len(ids) >= max_rows:
                     yield flush(ids, idxs, fps)
                     ids, idxs, fps = [], [], []
@@ -1431,11 +1435,27 @@ def select_keyframes(
                 # the min_diff sentinel at position 0 always passes the >=
                 # test, so frame 0 is always kept and keep[0] == 0
                 keep = np.flatnonzero(np.concatenate(([min_diff], d)) >= min_diff)
-                for i in keep:
-                    ids.append(mid)
-                    idxs.append(int(i))
-                    diffs.append(0 if i == 0 else int(d[i - 1]))
-                    fps.append(hashlib.md5(frames[i].tobytes()).hexdigest())
+                # vectorized per media row (see sample_video_frames): one
+                # fancy-index copy of the kept frames, one diff gather; the
+                # md5 loop hashes memoryview slices of a single buffer
+                k = keep.shape[0]
+                ids.extend([mid] * k)
+                idxs.extend(keep.tolist())
+                # d is empty when n == 1 (keep == [0]); guard the gather —
+                # d[keep - 1] would index d[-1] of an empty array
+                kept_d = (
+                    np.where(keep > 0, d[np.maximum(keep - 1, 0)], 0)
+                    if d.size
+                    else np.zeros(k, dtype=np.int64)
+                )
+                diffs.extend(kept_d.tolist())
+                sel = np.ascontiguousarray(frames[keep]).reshape(k, -1)
+                mv = memoryview(sel.tobytes())
+                fs = sel.shape[1]
+                fps.extend(
+                    hashlib.md5(mv[j * fs : (j + 1) * fs]).hexdigest()
+                    for j in range(k)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
