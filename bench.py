@@ -191,10 +191,11 @@ def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None 
     scheduler/JIT jitter on this machine (±0.5 s run-over-run, PERF.md),
     and single samples made round-over-round comparisons flag noise as
     regressions. Entries at or above the threshold are workload-dominated
-    but still re-run ONCE (two samples, lower reported) so EVERY entry
-    carries a run-to-run spread in the artifact — the r8 driver bench
-    showed that exactly the big entries are where host noise hides, and
-    without spread on them a 2x host artifact reads as a regression."""
+    but still re-run ONCE (two samples, lower reported; a third run breaks
+    the tie when the two disagree >1.5x) so EVERY entry carries a
+    run-to-run spread in the artifact — the r8 driver bench showed that
+    exactly the big entries are where host noise hides, and without
+    spread on them a 2x host artifact reads as a regression."""
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
     for name in sorted(queries):
@@ -230,8 +231,15 @@ def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None 
                 pass
             if repeat_under is None:
                 break
-            if len(runs) >= (3 if runs[0] < repeat_under else 2):
+            if len(runs) >= 3:
                 break
+            if runs[0] >= repeat_under and len(runs) == 2:
+                # heavy entries normally stop at 2 samples — but if the two
+                # disagree >1.5x a noise window may cover both or neither,
+                # so buy a third and let the median decide (the r9 run saw
+                # GIF measure 9.4/10.4 s in one window vs 1.2 s warm)
+                if max(runs) / max(min(runs), 1e-9) <= 1.5:
+                    break
         if failed:
             timings[name] = float("nan")
             continue
