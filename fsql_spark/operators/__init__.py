@@ -91,8 +91,10 @@ from .multimodal import (  # noqa: F401
     documents_as_media,
     documents_as_palette_png,
     documents_as_png,
+    documents_as_tiff,
     documents_as_video,
     documents_as_wav,
+    documents_as_webp,
     extract_features,
     fake_decode_image,
     pack_flac,
@@ -104,6 +106,7 @@ from .multimodal import (  # noqa: F401
     sample_video_frames,
 )
 from .tiff import decode_tiff, encode_tiff  # noqa: F401
+from .webp import decode_webp, encode_webp_lossless  # noqa: F401
 from .video import decode_y4m, encode_y4m  # noqa: F401
 from .passages import (  # noqa: F401
     PASSAGE_ORACLES,

@@ -62,9 +62,10 @@ FEATURE_SCHEMA = StructType(
 def decode_image(content: bytes):
     """Real image decode. PNG (stdlib zlib + numpy unfilter, ``codecs.py``),
     JPEG (sequential AND progressive, pure-numpy Huffman+DCT,
-    ``jpeg.py``), GIF (LZW, ``gif.py``) and BMP (``bmp.py``) decode
-    natively and return a numpy array — (H, W) gray or (H, W, C). Other
-    formats (WebP, ...) fall back to Pillow when installed, else raise
+    ``jpeg.py``), GIF (LZW, ``gif.py``), BMP (``bmp.py``), TIFF
+    (``tiff.py``) and lossless WebP (VP8L, ``webp.py``) decode natively
+    and return a numpy array — (H, W) gray or (H, W, C). Other formats
+    (lossy WebP, ...) fall back to Pillow when installed, else raise
     NotImplementedError naming the format."""
     from .codecs import PNG_SIGNATURE, decode_png
 
@@ -87,6 +88,10 @@ def decode_image(content: bytes):
         from .tiff import decode_tiff
 
         return decode_tiff(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP" and content[12:16] == b"VP8L":
+        from .webp import decode_webp
+
+        return decode_webp(content)
     try:  # pragma: no cover - no external codec in container
         from PIL import Image  # type: ignore
         import io
@@ -1263,6 +1268,63 @@ def q_image_decode_tiff(spark: SparkSession, sf: str) -> DataFrame:
     return decode_image_stats(media)
 
 
+def documents_as_webp(spark: SparkSession, sf: str, width: int = 32) -> DataFrame:
+    """Synthesize a REAL lossless-WebP (VP8L) media table: the same
+    '.'-padded grayscale pixels as :func:`documents_as_png`, written with
+    the subtract-green transform, LZ77 runs over the padding, a 256-entry
+    color cache, and frequency-built canonical prefix codes — so decoding
+    exercises the whole VP8L entropy layer. Lossless: the PNG entry's SQL
+    oracle verifies the same pixels."""
+    import math
+
+    import numpy as np
+
+    from .webp import encode_webp_lossless
+
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    # prefix-code build + bit packing is a per-symbol Python loop (like
+    # GIF LZW): spread the single-file scan before the kernel
+    docs = _spread_for_kernel(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, heights = [], []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                n = max(1, math.ceil(len(b) / width))
+                padded = b.ljust(n * width, b".")
+                arr = np.frombuffer(padded, dtype=np.uint8).reshape(n, width)
+                contents.append(encode_webp_lossless(arr, cache_bits=8))
+                heights.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": contents,
+                    "mime": "image/webp",
+                    "width": pd.Series([width] * len(contents), dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "duration_ms": pd.Series([-1] * len(contents), dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def q_image_decode_webp(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end lossless-WebP codec round trip: documents as VP8L
+    streams carrying the SAME pixels as the PNG entry (subtract-green +
+    LZ77 + color cache + canonical prefix codes), decoded distributedly,
+    pixel stats (incl. the full md5) verified by the SAME exact oracle —
+    a wrong prefix code, cache slot, or reference copy anywhere breaks
+    the hash."""
+    media = documents_as_webp(spark, sf, width=32)
+    return decode_image_stats(media)
+
+
 def q_image_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end GIF codec round trip: documents as INTERLACED GIF89a
     (byte %64 indices through the deterministic palette), decoded
@@ -1612,6 +1674,7 @@ MULTIMODAL_QUERIES = {
     "q_image_decode_palette": q_image_decode_palette,
     "q_image_decode_gif": q_image_decode_gif,
     "q_image_decode_tiff": q_image_decode_tiff,
+    "q_image_decode_webp": q_image_decode_webp,
     "q_image_decode_jpeg": q_image_decode_jpeg,
     "q_image_decode_jpeg_progressive": q_image_decode_jpeg_progressive,
     "q_video_frame_sample_y4m": q_video_frame_sample_y4m,
@@ -1629,6 +1692,7 @@ MULTIMODAL_ORACLES = {
     "q_image_decode_palette": Q_IMAGE_PALETTE_SQL,
     "q_image_decode_gif": Q_IMAGE_PALETTE_SQL,  # same pixels, different container
     "q_image_decode_tiff": Q_IMAGE_DECODE_SQL,  # same pixels as the PNG entry
+    "q_image_decode_webp": Q_IMAGE_DECODE_SQL,  # same pixels as the PNG entry
     "q_image_decode_jpeg": Q_IMAGE_JPEG_SQL,
     "q_image_decode_jpeg_progressive": Q_IMAGE_JPEG_SQL,  # same pixels, same closed form
     "q_video_frame_sample_y4m": Q_Y4M_FRAME_SQL,

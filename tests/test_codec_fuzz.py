@@ -30,6 +30,7 @@ from fsql_spark.operators.gif import decode_gif, encode_gif
 from fsql_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from fsql_spark.operators.tiff import decode_tiff, encode_tiff
 from fsql_spark.operators.video import decode_y4m, encode_y4m
+from fsql_spark.operators.webp import decode_webp, encode_webp_lossless
 
 _RNG = np.random.default_rng(20260814)
 _A8 = _RNG.integers(0, 256, (9, 13)).astype(np.uint8)
@@ -49,6 +50,7 @@ CASES = {
     "aiff": (lambda: encode_aiff(_S16, 8000), decode_aiff),
     "flac": (lambda: encode_flac(_S16, 8000), decode_flac),
     "y4m": (lambda: encode_y4m(np.stack([_A8] * 3)), decode_y4m),
+    "webp": (lambda: encode_webp_lossless(_A8, cache_bits=4), decode_webp),
     "au": (
         lambda: b".snd"
         + bytes.fromhex("00000018000001f40000000100001f4000000001")

@@ -98,7 +98,8 @@ def test_simhash_collapse_exact_typo_rejected(spark):
     # EVERY MEDIA_SCHEMA producer taking (spark, sf) — a new synth that
     # forgets the spread fails here, not at the sf10 sweep
     "documents_as_png", "documents_as_palette_png", "documents_as_gif",
-    "documents_as_jpeg", "documents_as_tiff", "documents_as_wav",
+    "documents_as_jpeg", "documents_as_tiff", "documents_as_webp",
+    "documents_as_wav",
     "documents_as_audio", "documents_as_video", "documents_as_media",
 ])
 def test_media_synths_spread_single_file_scans(spark, synth_name):

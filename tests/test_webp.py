@@ -1,0 +1,215 @@
+"""WebP-lossless (VP8L) codec: exact round trips through every encoder
+path (simple/normal prefix codes, LZ77 runs, color cache, subtract-green),
+refusal taxonomy for out-of-scope features, and the 2D distance-table
+invariants."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from fsql_spark.operators.codecs import CodecError
+from fsql_spark.operators.webp import (
+    _CODE_TO_PLANE,
+    _prefix_value_parts,
+    decode_webp,
+    encode_webp_lossless,
+)
+
+_RNG = np.random.default_rng(20260815)
+
+
+def _roundtrip(arr, **kw):
+    out = decode_webp(encode_webp_lossless(arr, **kw))
+    exp = np.asarray(arr)
+    # decoder returns the native channel count: collapse fully-opaque
+    # alpha, then fully-gray RGB, exactly like the encoder's input classes
+    if exp.ndim == 3 and exp.shape[2] == 4 and (exp[..., 3] == 255).all():
+        exp = exp[..., :3]
+    if exp.ndim == 3 and (exp[..., 0] == exp[..., 1]).all() and (
+        exp[..., 1] == exp[..., 2]
+    ).all():
+        exp = exp[..., 0]
+    assert out.shape == exp.shape
+    assert (out == exp).all()
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 5), (9, 13), (32, 32), (7, 1), (1, 17)])
+@pytest.mark.parametrize(
+    "kw",
+    [{}, {"use_lz77": False}, {"cache_bits": 6}, {"use_lz77": False, "cache_bits": 4}],
+)
+def test_gray_roundtrip(shape, kw):
+    _roundtrip(_RNG.integers(0, 256, shape).astype(np.uint8), **kw)
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+@pytest.mark.parametrize("kw", [{}, {"cache_bits": 5}])
+def test_color_roundtrip(channels, kw):
+    _roundtrip(_RNG.integers(0, 256, (6, 7, channels)).astype(np.uint8), **kw)
+
+
+def test_opaque_rgba_collapses_to_rgb_and_gray_rgb_to_gray():
+    rgb = _RNG.integers(0, 256, (4, 5, 3)).astype(np.uint8)
+    rgba = np.dstack([rgb, np.full((4, 5), 255, np.uint8)])
+    assert decode_webp(encode_webp_lossless(rgba)).shape == (4, 5, 3)
+    g = _RNG.integers(0, 256, (4, 5)).astype(np.uint8)
+    gray_rgb = np.stack([g, g, g], axis=-1)
+    assert decode_webp(encode_webp_lossless(gray_rgb)).shape == (4, 5)
+
+
+def test_text_shaped_padding_runs_roundtrip():
+    # the catalog entry's exact shape: text bytes + '.' padding (LZ77 runs)
+    padded = b"the quick brown fox jumps over it".ljust(96, b".")
+    arr = np.frombuffer(padded, dtype=np.uint8).reshape(3, 32)
+    for kw in ({}, {"cache_bits": 8}, {"use_lz77": False}):
+        _roundtrip(arr, **kw)
+
+
+def test_constant_image_all_paths():
+    c = np.full((8, 8), 42, dtype=np.uint8)
+    _roundtrip(c)                      # literal + one long run
+    _roundtrip(c, use_lz77=False)      # single-symbol simple codes
+    _roundtrip(c, cache_bits=3)        # cache inserts along the run
+
+
+def test_long_run_crosses_max_lz77_len():
+    # > 4096 identical pixels forces multiple capped references
+    arr = np.full((70, 70), 9, dtype=np.uint8)
+    _roundtrip(arr)
+
+
+def test_encode_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="expected"):
+        encode_webp_lossless(np.zeros((2, 2, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="cache_bits"):
+        encode_webp_lossless(np.zeros((2, 2), dtype=np.uint8), cache_bits=12)
+
+
+def test_decode_refuses_bad_container():
+    with pytest.raises(CodecError, match="RIFF"):
+        decode_webp(b"NOPE")
+    with pytest.raises(NotImplementedError, match="lossy WebP"):
+        decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError, match="extended WebP"):
+        decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8X\x00\x00\x00\x00")
+    with pytest.raises(CodecError, match="unknown chunk"):
+        decode_webp(b"RIFF\x10\x00\x00\x00WEBPXXXX\x00\x00\x00\x00")
+    good = bytearray(encode_webp_lossless(np.zeros((2, 2), dtype=np.uint8)))
+    bad_sig = bytearray(good)
+    bad_sig[20] = 0x30  # not 0x2F
+    with pytest.raises(CodecError, match="signature"):
+        decode_webp(bytes(bad_sig))
+
+
+def test_decode_refuses_out_of_scope_features():
+    # hand-build VP8L headers exercising each refusal: 0x2F sig, then
+    # 14+14+1+3 header bits, then the feature bits
+    def vp8l(payload_bits):
+        from fsql_spark.operators.webp import _BitWriter
+
+        bw = _BitWriter()
+        bw.write(1, 14)  # width-1 = 1 -> 2
+        bw.write(1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        for v, n in payload_bits:
+            bw.write(v, n)
+        payload = b"\x2f" + bw.getvalue()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        riff = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    with pytest.raises(NotImplementedError, match="PREDICTOR"):
+        decode_webp(vp8l([(1, 1), (0, 2)]))
+    with pytest.raises(NotImplementedError, match="COLOR transform"):
+        decode_webp(vp8l([(1, 1), (1, 2)]))
+    with pytest.raises(NotImplementedError, match="COLOR_INDEXING"):
+        decode_webp(vp8l([(1, 1), (3, 2)]))
+    with pytest.raises(CodecError, match="twice"):
+        decode_webp(vp8l([(1, 1), (2, 2), (1, 1), (2, 2)]))
+    with pytest.raises(NotImplementedError, match="meta prefix"):
+        # no transforms, no cache, meta-prefix bit set
+        decode_webp(vp8l([(0, 1), (0, 1), (1, 1)]))
+
+
+def test_decode_refuses_oversize_pixel_budget():
+    # a 16384x16384 header exceeds the documented 2^24-pixel budget
+    from fsql_spark.operators.webp import _BitWriter
+
+    bw = _BitWriter()
+    bw.write(16383, 14)
+    bw.write(16383, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    payload = b"\x2f" + bw.getvalue() + b"\x00" * 8
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    riff = b"WEBP" + chunk + (b"\x00" if len(payload) % 2 else b"")
+    with pytest.raises((NotImplementedError, CodecError)):
+        decode_webp(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+def test_code_to_plane_table_invariants():
+    """The 120-entry 2D distance table must be a permutation of exactly
+    the causal neighborhood {y in 0..7 with x in 1..8} u {y in 1..7, x in
+    -7..8}, sorted by non-decreasing euclidean pixel distance."""
+    seen = set()
+    dists = []
+    for b in _CODE_TO_PLANE:
+        y = b >> 4
+        x = 8 - (b & 0xF)
+        assert (y, x) not in seen
+        seen.add((y, x))
+        assert 0 <= y <= 7
+        assert -7 <= x <= 8
+        if y == 0:
+            assert x >= 1  # strictly-before pixels only
+        dists.append(x * x + y * y)
+    assert len(seen) == 120
+    # near-ordering: the table walks outward (allow ties to interleave)
+    for a, b in zip(dists, dists[1:]):
+        assert b >= a - 16, "table order strays from the outward walk"
+
+
+def test_prefix_value_parts_inverts_reader():
+    from fsql_spark.operators.webp import _BitReader, _BitWriter, _read_prefix_value
+
+    for v in list(range(1, 70)) + [120, 121, 1000, 4096, 100000]:
+        sym, ebits, evalue = _prefix_value_parts(v)
+        assert 0 <= sym < 40
+        bw = _BitWriter()
+        bw.write(evalue, ebits)
+        br = _BitReader(bw.getvalue() or b"\x00")
+        assert _read_prefix_value(br, sym) == v
+
+
+def test_decode_image_dispatches_vp8l():
+    from fsql_spark.operators.multimodal import decode_image
+
+    g = _RNG.integers(0, 256, (5, 9)).astype(np.uint8)
+    out = decode_image(encode_webp_lossless(g))
+    assert (out == g).all()
+
+
+def test_pillow_interop_if_available():
+    """Cross-codec check: Pillow (when built with WebP) must decode our
+    encoder's output to the same pixels. Skips where Pillow is absent —
+    the refusal-path tests above run unconditionally."""
+    pil = pytest.importorskip("PIL.Image")
+    import io
+
+    g = _RNG.integers(0, 256, (9, 13)).astype(np.uint8)
+    data = encode_webp_lossless(g, cache_bits=4)
+    try:
+        img = pil.open(io.BytesIO(data))
+        px = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    except Exception as exc:  # Pillow without WebP support
+        pytest.skip(f"Pillow cannot read WebP here: {exc!r}")
+    assert (px[..., 0] == g).all() and (px[..., 1] == g).all() and (px[..., 2] == g).all()
