@@ -95,6 +95,7 @@ from .multimodal import (  # noqa: F401
     documents_as_video,
     documents_as_wav,
     documents_as_webp,
+    documents_as_webp_palette,
     extract_features,
     fake_decode_image,
     pack_flac,

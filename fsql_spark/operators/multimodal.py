@@ -1314,6 +1314,35 @@ def documents_as_webp(spark: SparkSession, sf: str, width: int = 32) -> DataFram
     return docs.mapInPandas(synth, MEDIA_SCHEMA)
 
 
+def documents_as_webp_palette(spark: SparkSession, sf: str, width: int = 32) -> DataFrame:
+    """Synthesize a palette (COLOR_INDEXING) lossless-WebP media table:
+    the same byte%64 palette mapping as :func:`documents_as_palette_png`
+    and :func:`documents_as_gif`, but through VP8L's color-indexing
+    transform (64 colors — delta-coded palette row, index image in the
+    green channel). Lossless: the palette-PNG SQL oracle verifies the
+    same RGB pixels."""
+    from .webp import encode_webp_lossless
+
+    return _documents_as_indexed_image(
+        spark, sf, width,
+        lambda idx, pal: encode_webp_lossless(pal[idx], palette=True),
+        "image/webp",
+    )
+
+
+def q_image_decode_webp_palette(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end palette-WebP codec round trip: documents as VP8L
+    COLOR_INDEXING streams (byte %64 indices through the deterministic
+    palette), decoded distributedly (delta-coded palette row + index
+    lookup), RGB pixel stats. Same oracle family as the palette-PNG and
+    GIF entries — lossless, so a wrong palette delta or index anywhere
+    breaks px_sum."""
+    media = documents_as_webp_palette(spark, sf, width=32)
+    return decode_image_stats(media).select(
+        "media_id", "width", "height", "n_pixels", "px_sum"
+    )
+
+
 def q_image_decode_webp(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end lossless-WebP codec round trip: documents as VP8L
     streams carrying the SAME pixels as the PNG entry (subtract-green +
@@ -1675,6 +1704,7 @@ MULTIMODAL_QUERIES = {
     "q_image_decode_gif": q_image_decode_gif,
     "q_image_decode_tiff": q_image_decode_tiff,
     "q_image_decode_webp": q_image_decode_webp,
+    "q_image_decode_webp_palette": q_image_decode_webp_palette,
     "q_image_decode_jpeg": q_image_decode_jpeg,
     "q_image_decode_jpeg_progressive": q_image_decode_jpeg_progressive,
     "q_video_frame_sample_y4m": q_video_frame_sample_y4m,
@@ -1693,6 +1723,7 @@ MULTIMODAL_ORACLES = {
     "q_image_decode_gif": Q_IMAGE_PALETTE_SQL,  # same pixels, different container
     "q_image_decode_tiff": Q_IMAGE_DECODE_SQL,  # same pixels as the PNG entry
     "q_image_decode_webp": Q_IMAGE_DECODE_SQL,  # same pixels as the PNG entry
+    "q_image_decode_webp_palette": Q_IMAGE_PALETTE_SQL,  # same pixels as palette-PNG/GIF
     "q_image_decode_jpeg": Q_IMAGE_JPEG_SQL,
     "q_image_decode_jpeg_progressive": Q_IMAGE_JPEG_SQL,  # same pixels, same closed form
     "q_video_frame_sample_y4m": Q_Y4M_FRAME_SQL,

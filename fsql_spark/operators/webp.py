@@ -12,20 +12,23 @@ counterpart in the reference (fsql has no multimodal surface,
 
 Scope (loud refusal outside it):
 
-- Decode: any VP8L stream using literals, LZ77 references (2D and plain
-  distances), color cache, simple or normal prefix codes, and the
-  SUBTRACT_GREEN transform. The PREDICTOR / COLOR / COLOR_INDEXING
-  transforms and meta prefix codes (entropy image) raise
-  NotImplementedError naming the feature — a training pipeline treats
-  those as quarantine cases, not silently-wrong pixels. Lossy "VP8 " and
-  extended "VP8X" containers refuse at dispatch (external codec).
-- Encode: any gray / RGB / RGBA uint8 array, written with the
-  subtract-green transform, run-length LZ77 over identical pixels (plain
-  distance 1 — arithmetic-only mapping), an optional color cache, and
-  frequency-built canonical codes (simple codes when <= 2 symbols). The
-  encoder exists so decode is value-checked end-to-end without an
-  external codec; interop is additionally covered by a Pillow-gated test
-  that skips where Pillow is absent.
+- Decode: the FULL VP8L feature set — literals, LZ77 references (2D and
+  plain distances), color cache, simple and normal prefix codes, meta
+  prefix codes (entropy image), and all four transforms (PREDICTOR with
+  every mode 0..13, COLOR, SUBTRACT_GREEN, COLOR_INDEXING with pixel
+  bundling). Refused by name: lossy "VP8 " and extended "VP8X"
+  containers (external codec), images past a 2^24-pixel budget, and the
+  COLOR_INDEXING + PREDICTOR/COLOR combination no reference encoder
+  produces — a training pipeline treats refusals as quarantine cases,
+  not silently-wrong pixels.
+- Encode: any gray / RGB / RGBA uint8 array; options exist to route the
+  stream through each decode path (palette incl. bundling, a uniform
+  predictor mode, a uniform color-transform element, two meta groups,
+  LZ77 runs via plain distance 1, a color cache) with frequency-built
+  canonical codes (simple codes when <= 2 symbols). The encoder exists
+  so decode is value-checked end-to-end without an external codec;
+  interop is additionally covered by a Pillow-gated test that skips
+  where Pillow is absent.
 
 Error taxonomy: corrupt structure raises :class:`~fsql_spark.operators.
 codecs.CodecError` (a ValueError), out-of-scope features raise
@@ -353,7 +356,7 @@ def decode_webp(data: bytes) -> np.ndarray:
     br.read(1)  # alpha hint — informational
     if br.read(3) != 0:
         raise CodecError("VP8L: unknown bitstream version")
-    argb = _decode_image_stream(br, w, h)
+    argb = _decode_image_stream(br, w, h, True)
     a = (argb >> 24).astype(np.uint8).reshape(h, w)
     r = ((argb >> 16) & 0xFF).astype(np.uint8).reshape(h, w)
     g = ((argb >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
@@ -365,41 +368,104 @@ def decode_webp(data: bytes) -> np.ndarray:
     return np.stack([r, g, b, a], axis=-1)
 
 
-def _decode_image_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
-    subtract_green = False
-    seen = set()
-    while br.read(1):
-        t = br.read(2)
-        if t in seen:
-            raise CodecError(f"VP8L: transform {t} appears twice")
-        seen.add(t)
-        if t == 2:
-            subtract_green = True
-        else:
-            name = {0: "PREDICTOR", 1: "COLOR", 3: "COLOR_INDEXING"}[t]
-            raise NotImplementedError(
-                f"VP8L {name} transform is not supported; SUBTRACT_GREEN "
-                "decodes natively"
-            )
+def _bundle_bits(palette_size: int) -> int:
+    """Pixel-bundling width bits: <=2 colors pack 8 px/byte, <=4 pack 4,
+    <=16 pack 2, else 1 (spec table)."""
+    if palette_size <= 2:
+        return 3
+    if palette_size <= 4:
+        return 2
+    if palette_size <= 16:
+        return 1
+    return 0
+
+
+def _subsample_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _decode_image_stream(br: _BitReader, w: int, h: int, level0: bool) -> np.ndarray:
+    """One VP8L image stream -> flat uint32 ARGB array of w*h pixels.
+    ``level0`` streams carry the transform list and may use meta prefix
+    codes; sub-images (entropy / predictor / color / palette data) don't."""
+    transforms = []  # applied inverse, in reverse read order
+    coded_w = w
+    if level0:
+        seen = set()
+        while br.read(1):
+            t = br.read(2)
+            if t in seen:
+                raise CodecError(f"VP8L: transform {t} appears twice")
+            seen.add(t)
+            if 3 in seen and seen & {0, 1}:
+                # bundling changes the coded width under the tile maths;
+                # no reference encoder produces this combination
+                raise NotImplementedError(
+                    "VP8L: COLOR_INDEXING combined with PREDICTOR/COLOR "
+                    "transforms is not supported"
+                )
+            if t == 2:
+                transforms.append(("subtract_green",))
+            elif t in (0, 1):
+                size_bits = br.read(3) + 2
+                tw = _subsample_size(coded_w, size_bits)
+                th = _subsample_size(h, size_bits)
+                tiles = _decode_image_stream(br, tw, th, False)
+                kind = "predictor" if t == 0 else "color"
+                transforms.append((kind, size_bits, tw, tiles))
+            else:  # 3: COLOR_INDEXING
+                psize = br.read(8) + 1
+                deltas = _decode_image_stream(br, psize, 1, False)
+                # palette entries are component-wise deltas off the
+                # previous entry
+                pal = np.cumsum(
+                    np.stack(
+                        [
+                            (deltas >> 24) & 0xFF,
+                            (deltas >> 16) & 0xFF,
+                            (deltas >> 8) & 0xFF,
+                            deltas & 0xFF,
+                        ],
+                        axis=1,
+                    ).astype(np.uint32),
+                    axis=0,
+                ) & 0xFF
+                pal_argb = (
+                    (pal[:, 0] << 24) | (pal[:, 1] << 16) | (pal[:, 2] << 8) | pal[:, 3]
+                ).astype(np.uint32)
+                bits = _bundle_bits(psize)
+                transforms.append(("palette", pal_argb, bits, coded_w))
+                coded_w = _subsample_size(coded_w, bits)
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise CodecError(f"VP8L: color cache bits {cache_bits} out of range")
-    if br.read(1):
-        raise NotImplementedError(
-            "VP8L meta prefix codes (entropy image) are not supported; "
-            "single-group streams decode natively"
-        )
+    meta = None  # (prefix_bits, tiles_w, tile_index_array)
+    n_groups = 1
+    if level0 and br.read(1):
+        prefix_bits = br.read(3) + 2
+        ew = _subsample_size(coded_w, prefix_bits)
+        eh = _subsample_size(h, prefix_bits)
+        entropy = _decode_image_stream(br, ew, eh, False)
+        # meta group index = (red << 8) | green
+        idx = (((entropy >> 16) & 0xFF) << 8) | ((entropy >> 8) & 0xFF)
+        n_groups = int(idx.max()) + 1 if idx.size else 1
+        meta = (prefix_bits, ew, idx.astype(np.int64))
     cache_size = (1 << cache_bits) if cache_bits else 0
-    g_code = _read_prefix_code(br, 256 + 24 + cache_size)
-    r_code = _read_prefix_code(br, 256)
-    b_code = _read_prefix_code(br, 256)
-    a_code = _read_prefix_code(br, 256)
-    d_code = _read_prefix_code(br, 40)
+    groups = [
+        (
+            _read_prefix_code(br, 256 + 24 + cache_size),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 40),
+        )
+        for _ in range(n_groups)
+    ]
 
-    n = w * h
-    if n > 1 << 24:
+    n = coded_w * h
+    if n > 1 << 24 or w * h > 1 << 24:
         # a pure-Python entropy loop over >16.7M pixels is out of this
         # codec's practical envelope (and an adversarial header could
         # otherwise demand gigabytes); a real pipeline shards such assets
@@ -409,9 +475,24 @@ def _decode_image_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
     out = [0] * n
     cache = [0] * cache_size
     shift = 32 - cache_bits if cache_bits else 0
+    g_code, r_code, b_code, a_code, d_code = groups[0]
+    if meta is not None:
+        prefix_bits, ew, meta_idx = meta
+        row_groups = None
+        meta_row = -1
     i = 0
+    x = 0
     while i < n:
         br.check_truncation()
+        if meta is not None:
+            y = i // coded_w
+            if y >> prefix_bits != meta_row:
+                meta_row = y >> prefix_bits
+                row_groups = meta_idx[meta_row * ew : (meta_row + 1) * ew]
+            gi = int(row_groups[x >> prefix_bits])
+            if gi >= n_groups:
+                raise CodecError("VP8L: meta prefix index out of range")
+            g_code, r_code, b_code, a_code, d_code = groups[gi]
         s = g_code.read(br)
         if s < 256:
             red = r_code.read(br)
@@ -422,6 +503,7 @@ def _decode_image_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
             if cache_bits:
                 cache[((_HASH_MUL * px) & 0xFFFFFFFF) >> shift] = px
             i += 1
+            x += 1
         elif s < 280:
             length = _read_prefix_value(br, s - 256)
             dist_value = _read_prefix_value(br, d_code.read(br))
@@ -429,7 +511,7 @@ def _decode_image_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
                 dist = dist_value - 120
             else:
                 plane = _CODE_TO_PLANE[dist_value - 1]
-                dist = (plane >> 4) * w + (8 - (plane & 0xF))
+                dist = (plane >> 4) * coded_w + (8 - (plane & 0xF))
                 if dist < 1:
                     dist = 1
             if dist > i:
@@ -446,20 +528,190 @@ def _decode_image_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
                 for _ in range(length):
                     out[i] = out[i - dist]
                     i += 1
+            x = i % coded_w
         else:
             if s - 280 >= cache_size:
                 raise CodecError("VP8L: color cache index out of range")
             out[i] = cache[s - 280]
             i += 1
+            x += 1
+        if x >= coded_w:
+            x = 0
     br.check_truncation()
 
     argb = np.asarray(out, dtype=np.uint32)
-    if subtract_green:
-        g = (argb >> 8) & 0xFF
-        r = (((argb >> 16) & 0xFF) + g) & 0xFF
-        b = ((argb & 0xFF) + g) & 0xFF
-        argb = (argb & 0xFF00FF00) | (r << 16) | b
+    for t in reversed(transforms):
+        if t[0] == "subtract_green":
+            g = (argb >> 8) & 0xFF
+            r = (((argb >> 16) & 0xFF) + g) & 0xFF
+            b = ((argb & 0xFF) + g) & 0xFF
+            argb = (argb & 0xFF00FF00) | (r << 16) | b
+        elif t[0] == "palette":
+            _, pal_argb, bits, full_w = t
+            argb = _inverse_palette(argb, pal_argb, bits, full_w, h)
+        elif t[0] == "predictor":
+            _, size_bits, tw, tiles = t
+            argb = _inverse_predictor(argb, w, h, size_bits, tw, tiles)
+        else:  # color
+            _, size_bits, tw, tiles = t
+            argb = _inverse_color_transform(argb, w, h, size_bits, tw, tiles)
     return argb
+
+
+def _inverse_palette(
+    coded: np.ndarray, pal: np.ndarray, bits: int, w: int, h: int
+) -> np.ndarray:
+    """Undo COLOR_INDEXING: green bytes carry (possibly bundled) palette
+    indices; out-of-range indices resolve to 0 (transparent black), the
+    reference decoder's effective behavior on padded bundle bits."""
+    coded_w = _subsample_size(w, bits)
+    green = ((coded.reshape(h, coded_w) >> 8) & 0xFF).astype(np.uint32)
+    if bits:
+        per = 1 << bits  # pixels per packed byte
+        width_bits = 8 >> bits
+        mask = (1 << width_bits) - 1
+        xs = np.arange(w)
+        idx = (green[:, xs >> bits] >> ((xs % per) * width_bits).astype(np.uint32)) & mask
+    else:
+        idx = green[:, :w]
+    safe = np.minimum(idx, len(pal) - 1)
+    looked = pal[safe]
+    return np.where(idx < len(pal), looked, 0).astype(np.uint32).ravel()
+
+
+def _inverse_predictor(
+    coded: np.ndarray, w: int, h: int, size_bits: int, tw: int, tiles: np.ndarray
+) -> np.ndarray:
+    """Undo the PREDICTOR transform: per-tile mode (green channel of the
+    predictor image), residuals add the prediction per channel mod 256.
+    Sequential per pixel in scan order (each prediction reads already-
+    restored neighbors); top-right of the last column wraps to the start
+    of the current row, matching the reference decoder's flat-buffer
+    arithmetic."""
+    modes = ((tiles >> 8) & 0xFF).astype(np.int64)
+    out = coded.astype(np.int64).copy()
+
+    def split(p):
+        return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+    def combine(a, r, g, b):
+        return (a << 24) | (r << 16) | (g << 8) | b
+
+    def avg2(p, q):
+        pa, pr, pg, pb = split(p)
+        qa, qr, qg, qb = split(q)
+        return combine((pa + qa) >> 1, (pr + qr) >> 1, (pg + qg) >> 1, (pb + qb) >> 1)
+
+    for i in range(w * h):
+        y, x = divmod(i, w)
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif x == 0:
+            pred = out[i - w]  # top
+        elif y == 0:
+            pred = out[i - 1]  # left
+        else:
+            mode = int(modes[(y >> size_bits) * tw + (x >> size_bits)])
+            L = out[i - 1]
+            T = out[i - w]
+            TL = out[i - w - 1]
+            TR = out[i - w + 1]  # wraps to row start at the last column
+            if mode == 0:
+                pred = 0xFF000000
+            elif mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 3:
+                pred = TR
+            elif mode == 4:
+                pred = TL
+            elif mode == 5:
+                pred = avg2(avg2(L, TR), T)
+            elif mode == 6:
+                pred = avg2(L, TL)
+            elif mode == 7:
+                pred = avg2(L, T)
+            elif mode == 8:
+                pred = avg2(TL, T)
+            elif mode == 9:
+                pred = avg2(T, TR)
+            elif mode == 10:
+                pred = avg2(avg2(L, TL), avg2(T, TR))
+            elif mode == 11:
+                la, lr, lg, lb = split(L)
+                ta, tr_, tg, tb = split(T)
+                ca, cr, cg, cb = split(TL)
+                pa, pr, pg, pb = la + ta - ca, lr + tr_ - cr, lg + tg - cg, lb + tb - cb
+                pL = abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb)
+                pT = abs(pa - ta) + abs(pr - tr_) + abs(pg - tg) + abs(pb - tb)
+                pred = L if pL < pT else T
+            elif mode == 12:
+                la, lr, lg, lb = split(L)
+                ta, tr_, tg, tb = split(T)
+                ca, cr, cg, cb = split(TL)
+
+                def cl(v):
+                    return 0 if v < 0 else (255 if v > 255 else v)
+
+                pred = combine(
+                    cl(la + ta - ca), cl(lr + tr_ - cr), cl(lg + tg - cg), cl(lb + tb - cb)
+                )
+            elif mode == 13:
+                ave = avg2(L, T)
+                aa, ar, ag, ab = split(ave)
+                ca, cr, cg, cb = split(TL)
+
+                def half(a_, b_):
+                    d = a_ - b_
+                    d = d // 2 if d >= 0 else -((-d) // 2)  # trunc toward 0
+                    v = a_ + d
+                    return 0 if v < 0 else (255 if v > 255 else v)
+
+                pred = combine(half(aa, ca), half(ar, cr), half(ag, cg), half(ab, cb))
+            else:
+                raise CodecError(f"VP8L: predictor mode {mode} out of range")
+        p = int(pred)
+        c = int(out[i])
+        out[i] = (
+            ((((c >> 24) + (p >> 24)) & 0xFF) << 24)
+            | (((((c >> 16) & 0xFF) + ((p >> 16) & 0xFF)) & 0xFF) << 16)
+            | (((((c >> 8) & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF) << 8)
+            | (((c & 0xFF) + (p & 0xFF)) & 0xFF)
+        )
+    return out.astype(np.uint32)
+
+
+def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """ColorTransformDelta: (int8)t * (int8)c >> 5, arithmetic shift."""
+    ts = t.astype(np.int64)
+    ts = np.where(ts > 127, ts - 256, ts)
+    cs = c.astype(np.int64)
+    cs = np.where(cs > 127, cs - 256, cs)
+    return (ts * cs) >> 5
+
+
+def _inverse_color_transform(
+    coded: np.ndarray, w: int, h: int, size_bits: int, tw: int, tiles: np.ndarray
+) -> np.ndarray:
+    """Undo the COLOR transform: per-tile (green_to_red, green_to_blue,
+    red_to_blue) deltas; red restores before blue (blue's delta uses the
+    restored red). Fully vectorized — per-pixel tile elements gather from
+    the tile image."""
+    g2r_t = (tiles & 0xFF).astype(np.uint32)
+    g2b_t = ((tiles >> 8) & 0xFF).astype(np.uint32)
+    r2b_t = ((tiles >> 16) & 0xFF).astype(np.uint32)
+    ys = np.arange(h) >> size_bits
+    xs = np.arange(w) >> size_bits
+    tidx = (ys[:, None] * tw + xs[None, :]).ravel()
+    g2r, g2b, r2b = g2r_t[tidx], g2b_t[tidx], r2b_t[tidx]
+    a = (coded >> 24) & 0xFF
+    r = (coded >> 16) & 0xFF
+    g = (coded >> 8) & 0xFF
+    b = coded & 0xFF
+    r = (r + _ct_delta(g2r, g)) & 0xFF
+    b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+    return ((a << 24) | (r << 16) | (g << 8) | b).astype(np.uint32)
 
 
 # --------------------------------------------------------------------------
@@ -575,46 +827,44 @@ def _write_prefix_code(bw: _BitWriter, lengths_by_sym: dict, alphabet_size: int)
     return _canonical_codes(lengths)
 
 
-def encode_webp_lossless(
-    arr: np.ndarray, use_lz77: bool = True, cache_bits: int = 0
-) -> bytes:
-    """Encode a uint8 array — (H, W) gray, (H, W, 3) RGB or (H, W, 4)
-    RGBA — as a lossless WebP (VP8L). Always applies the SUBTRACT_GREEN
-    transform (gray images then spend bits on the green channel only);
-    ``use_lz77`` run-length-codes runs of identical pixels via plain
-    distance-1 references; ``cache_bits`` > 0 additionally routes repeats
-    through a color cache of 2^bits entries (decode-path coverage).
-    Deterministic: same array + options => identical bytes."""
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        r = g = b = a
-        al = np.full(a.shape, 255, dtype=np.uint8)
-    elif a.ndim == 3 and a.shape[2] == 3:
-        r, g, b = a[..., 0], a[..., 1], a[..., 2]
-        al = np.full(a.shape[:2], 255, dtype=np.uint8)
-    elif a.ndim == 3 and a.shape[2] == 4:
-        r, g, b, al = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
-    else:
-        raise ValueError(f"expected (H,W)/(H,W,3)/(H,W,4) uint8, got {a.shape}")
-    h, w = g.shape[0], g.shape[1]
-    if h < 1 or w < 1 or h > 16384 or w > 16384:
-        raise ValueError(f"image size {w}x{h} outside VP8L's 14-bit range")
-    if not 0 <= cache_bits <= 11:
-        raise ValueError(f"cache_bits must be 0..11, got {cache_bits}")
-    # subtract-green, then flatten scan-order ARGB words
-    rr = (r.astype(np.int16) - g).astype(np.uint8).ravel()
-    bb = (b.astype(np.int16) - g).astype(np.uint8).ravel()
-    gg = g.ravel()
-    aa = al.ravel()
-    argb = (
-        (aa.astype(np.uint32) << 24)
-        | (rr.astype(np.uint32) << 16)
-        | (gg.astype(np.uint32) << 8)
-        | bb.astype(np.uint32)
-    )
+def _encode_stream(
+    bw: _BitWriter,
+    argb: np.ndarray,
+    use_lz77: bool,
+    cache_bits: int,
+    level0: bool,
+    meta: tuple | None = None,
+) -> None:
+    """Write one VP8L image stream (cache info, optional meta prefix
+    codes, the 5 prefix codes per group, entropy-coded pixels) for a flat
+    scan-order uint32 ARGB array. ``meta`` = (prefix_bits, tiles_w,
+    group_index_per_pixel array, n_groups) — level0 only; LZ77 and the
+    cache are disabled under meta grouping (group boundaries would need
+    per-token bookkeeping for no coverage gain)."""
     n = argb.shape[0]
+    gg = ((argb >> 8) & 0xFF).astype(np.int64)
+    rr = ((argb >> 16) & 0xFF).astype(np.int64)
+    bb = (argb & 0xFF).astype(np.int64)
+    aa = ((argb >> 24) & 0xFF).astype(np.int64)
 
-    # tokenize: literals / (length, dist=1) runs / color-cache hits
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    n_groups = 1
+    group_of = None
+    if level0:
+        if meta is not None:
+            prefix_bits, ew, group_idx, n_groups, group_of_coded_w = meta
+            bw.write(1, 1)
+            bw.write(prefix_bits - 2, 3)
+            entropy = group_idx.astype(np.uint32) << 8  # index in green
+            _encode_stream(bw, entropy.ravel(), True, 0, False)
+            group_of = (prefix_bits, ew, group_idx)
+        else:
+            bw.write(0, 1)
+
     cache_size = (1 << cache_bits) if cache_bits else 0
     shift = 32 - cache_bits if cache_bits else 0
     cache = [0] * cache_size
@@ -625,11 +875,7 @@ def encode_webp_lossless(
         px = int(argb[i])
         if use_lz77 and i > 0 and px == int(argb[i - 1]):
             run = 1
-            while (
-                i + run < n
-                and int(argb[i + run]) == px
-                and run < _MAX_LZ77_LEN
-            ):
+            while i + run < n and int(argb[i + run]) == px and run < _MAX_LZ77_LEN:
                 run += 1
             if run >= 3:
                 tokens.append(("run", run))
@@ -650,51 +896,58 @@ def encode_webp_lossless(
         tokens.append(("lit", i))
         i += 1
 
-    g_freq: dict = {}
-    r_freq: dict = {}
-    b_freq: dict = {}
-    a_freq: dict = {}
-    d_freq: dict = {}
+    def _group_for(pixel_index: int) -> int:
+        if group_of is None:
+            return 0
+        prefix_bits, ew, group_idx = group_of
+        y, x = divmod(pixel_index, group_of_coded_w)
+        return int(group_idx[(y >> prefix_bits) * ew + (x >> prefix_bits)])
+
+    freqs = [
+        {"g": {}, "r": {}, "b": {}, "a": {}, "d": {}} for _ in range(n_groups)
+    ]
+    pos = 0
+    token_groups = []
     for kind, v in tokens:
+        gi = _group_for(pos)
+        token_groups.append(gi)
+        fr = freqs[gi]
         if kind == "lit":
-            g_freq[int(gg[v])] = g_freq.get(int(gg[v]), 0) + 1
-            r_freq[int(rr[v])] = r_freq.get(int(rr[v]), 0) + 1
-            b_freq[int(bb[v])] = b_freq.get(int(bb[v]), 0) + 1
-            a_freq[int(aa[v])] = a_freq.get(int(aa[v]), 0) + 1
+            fr["g"][int(gg[v])] = fr["g"].get(int(gg[v]), 0) + 1
+            fr["r"][int(rr[v])] = fr["r"].get(int(rr[v]), 0) + 1
+            fr["b"][int(bb[v])] = fr["b"].get(int(bb[v]), 0) + 1
+            fr["a"][int(aa[v])] = fr["a"].get(int(aa[v]), 0) + 1
+            pos += 1
         elif kind == "run":
             sym, _, _ = _prefix_value_parts(v)
-            g_freq[256 + sym] = g_freq.get(256 + sym, 0) + 1
-            dsym, _, _ = _prefix_value_parts(121)  # plain distance 1
-            d_freq[dsym] = d_freq.get(dsym, 0) + 1
+            fr["g"][256 + sym] = fr["g"].get(256 + sym, 0) + 1
+            dsym, _, _ = _prefix_value_parts(121)
+            fr["d"][dsym] = fr["d"].get(dsym, 0) + 1
+            pos += v
         else:
-            g_freq[280 + v] = g_freq.get(280 + v, 0) + 1
-    # every prefix code must exist even when unused (the decoder reads 5)
-    for fr in (r_freq, b_freq, a_freq, d_freq):
-        if not fr:
-            fr[0] = 1
+            fr["g"][280 + v] = fr["g"].get(280 + v, 0) + 1
+            pos += 1
 
-    bw = _BitWriter()
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(0, 1)  # alpha hint
-    bw.write(0, 3)  # version
-    bw.write(1, 1)  # a transform follows
-    bw.write(2, 2)  # SUBTRACT_GREEN
-    bw.write(0, 1)  # no more transforms
-    if cache_bits:
-        bw.write(1, 1)
-        bw.write(cache_bits, 4)
-    else:
-        bw.write(0, 1)
-    bw.write(0, 1)  # no meta prefix codes
     g_alpha = 256 + 24 + cache_size
-    g_codes = _write_prefix_code(bw, _huffman_lengths(g_freq, 15), g_alpha)
-    r_codes = _write_prefix_code(bw, _huffman_lengths(r_freq, 15), 256)
-    b_codes = _write_prefix_code(bw, _huffman_lengths(b_freq, 15), 256)
-    a_codes = _write_prefix_code(bw, _huffman_lengths(a_freq, 15), 256)
-    d_codes = _write_prefix_code(bw, _huffman_lengths(d_freq, 15), 40)
+    group_codes = []
+    for fr in freqs:
+        # every prefix code must exist even when unused (the decoder reads
+        # 5 per group)
+        for key in ("g", "r", "b", "a", "d"):
+            if not fr[key]:
+                fr[key][0] = 1
+        group_codes.append(
+            (
+                _write_prefix_code(bw, _huffman_lengths(fr["g"], 15), g_alpha),
+                _write_prefix_code(bw, _huffman_lengths(fr["r"], 15), 256),
+                _write_prefix_code(bw, _huffman_lengths(fr["b"], 15), 256),
+                _write_prefix_code(bw, _huffman_lengths(fr["a"], 15), 256),
+                _write_prefix_code(bw, _huffman_lengths(fr["d"], 15), 40),
+            )
+        )
 
-    for kind, v in tokens:
+    for (kind, v), gi in zip(tokens, token_groups):
+        g_codes, r_codes, b_codes, a_codes, d_codes = group_codes[gi]
         if kind == "lit":
             c, l = g_codes[int(gg[v])]
             bw.write_code(c, l)
@@ -718,6 +971,277 @@ def encode_webp_lossless(
         else:
             c, l = g_codes[280 + v]
             bw.write_code(c, l)
+
+
+def _forward_predictor(
+    argb: np.ndarray, w: int, h: int, size_bits: int, mode: int
+) -> np.ndarray:
+    """Residuals for a uniform predictor ``mode``: coded = px - pred
+    (channel-wise mod 256), where pred reads the ORIGINAL neighbors —
+    exactly what the sequential inverse restores."""
+    tw = _subsample_size(w, size_bits)
+    th = _subsample_size(h, size_bits)
+    tiles = np.full(tw * th, mode << 8, dtype=np.uint32)
+    # reuse the inverse's prediction arithmetic by computing pred per
+    # pixel over the original image
+    src = argb.astype(np.int64)
+    out = np.empty_like(src)
+    for i in range(w * h):
+        y, x = divmod(i, w)
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif x == 0:
+            pred = src[i - w]
+        elif y == 0:
+            pred = src[i - 1]
+        else:
+            pred = _predict_one(src, i, w, mode)
+        c = int(src[i])
+        p = int(pred)
+        out[i] = (
+            ((((c >> 24) - (p >> 24)) & 0xFF) << 24)
+            | (((((c >> 16) & 0xFF) - ((p >> 16) & 0xFF)) & 0xFF) << 16)
+            | (((((c >> 8) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 8)
+            | (((c & 0xFF) - (p & 0xFF)) & 0xFF)
+        )
+    return out.astype(np.uint32), tiles, tw
+
+
+def _predict_one(buf, i: int, w: int, mode: int) -> int:
+    """One predictor evaluation over an int64 flat buffer (shared by the
+    encoder forward pass; the decoder inlines the same arithmetic)."""
+
+    def split(p):
+        return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+    def combine(a, r, g, b):
+        return (a << 24) | (r << 16) | (g << 8) | b
+
+    def avg2(p, q):
+        pa, pr, pg, pb = split(p)
+        qa, qr, qg, qb = split(q)
+        return combine((pa + qa) >> 1, (pr + qr) >> 1, (pg + qg) >> 1, (pb + qb) >> 1)
+
+    L = int(buf[i - 1])
+    T = int(buf[i - w])
+    TL = int(buf[i - w - 1])
+    TR = int(buf[i - w + 1])
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return avg2(avg2(L, TR), T)
+    if mode == 6:
+        return avg2(L, TL)
+    if mode == 7:
+        return avg2(L, T)
+    if mode == 8:
+        return avg2(TL, T)
+    if mode == 9:
+        return avg2(T, TR)
+    if mode == 10:
+        return avg2(avg2(L, TL), avg2(T, TR))
+    if mode == 11:
+        la, lr, lg, lb = split(L)
+        ta, tr_, tg, tb = split(T)
+        ca, cr, cg, cb = split(TL)
+        pa, pr, pg, pb = la + ta - ca, lr + tr_ - cr, lg + tg - cg, lb + tb - cb
+        pL = abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb)
+        pT = abs(pa - ta) + abs(pr - tr_) + abs(pg - tg) + abs(pb - tb)
+        return L if pL < pT else T
+    if mode == 12:
+        la, lr, lg, lb = split(L)
+        ta, tr_, tg, tb = split(T)
+        ca, cr, cg, cb = split(TL)
+
+        def cl(v):
+            return 0 if v < 0 else (255 if v > 255 else v)
+
+        return combine(
+            cl(la + ta - ca), cl(lr + tr_ - cr), cl(lg + tg - cg), cl(lb + tb - cb)
+        )
+    if mode == 13:
+        ave = avg2(L, T)
+        aa_, ar, ag, ab = split(ave)
+        ca, cr, cg, cb = split(TL)
+
+        def half(a_, b_):
+            d = a_ - b_
+            d = d // 2 if d >= 0 else -((-d) // 2)
+            v = a_ + d
+            return 0 if v < 0 else (255 if v > 255 else v)
+
+        return combine(half(aa_, ca), half(ar, cr), half(ag, cg), half(ab, cb))
+    raise ValueError(f"predictor mode {mode} out of range")
+
+
+def encode_webp_lossless(
+    arr: np.ndarray,
+    use_lz77: bool = True,
+    cache_bits: int = 0,
+    palette: bool = False,
+    predictor_mode: int | None = None,
+    color_spec: tuple | None = None,
+    meta_groups: int = 1,
+) -> bytes:
+    """Encode a uint8 array — (H, W) gray, (H, W, 3) RGB or (H, W, 4)
+    RGBA — as a lossless WebP (VP8L). Deterministic: same array + options
+    => identical bytes.
+
+    Transform options (each exercises the matching decode path):
+
+    - default: SUBTRACT_GREEN (gray images then spend bits on green only)
+    - ``palette=True``: COLOR_INDEXING — distinct colors (<= 256, first-
+      appearance order) become a delta-coded palette row; <= 16 colors
+      bundle multiple pixels per green byte. Exclusive with the others.
+    - ``predictor_mode``: PREDICTOR transform with one uniform mode 0..13
+      (16x16 tiles); residuals restore against already-decoded neighbors.
+    - ``color_spec=(g2r, g2b, r2b)``: COLOR transform with one uniform
+      cross-channel element (16x16 tiles).
+    - ``meta_groups=2``: meta prefix codes — an entropy image splits 8x8
+      tiles into two alternating code groups (literal-only stream).
+
+    ``use_lz77`` run-length-codes runs of identical pixels via plain
+    distance-1 references; ``cache_bits`` > 0 additionally routes repeats
+    through a color cache of 2^bits entries."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        r = g = b = a
+        al = np.full(a.shape, 255, dtype=np.uint8)
+    elif a.ndim == 3 and a.shape[2] == 3:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        al = np.full(a.shape[:2], 255, dtype=np.uint8)
+    elif a.ndim == 3 and a.shape[2] == 4:
+        r, g, b, al = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    else:
+        raise ValueError(f"expected (H,W)/(H,W,3)/(H,W,4) uint8, got {a.shape}")
+    h, w = g.shape[0], g.shape[1]
+    if h < 1 or w < 1 or h > 16384 or w > 16384:
+        raise ValueError(f"image size {w}x{h} outside VP8L's 14-bit range")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError(f"cache_bits must be 0..11, got {cache_bits}")
+    if meta_groups not in (1, 2):
+        raise ValueError(f"meta_groups must be 1 or 2, got {meta_groups}")
+    if palette and (predictor_mode is not None or color_spec is not None):
+        raise ValueError("palette is exclusive with predictor_mode/color_spec")
+    if predictor_mode is not None and not 0 <= predictor_mode <= 13:
+        raise ValueError(f"predictor_mode must be 0..13, got {predictor_mode}")
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+    argb = (
+        (al.astype(np.uint32) << 24)
+        | (r.astype(np.uint32) << 16)
+        | (g.astype(np.uint32) << 8)
+        | b.astype(np.uint32)
+    ).ravel()
+    coded_w = w
+
+    if palette:
+        # first-appearance color order (deterministic)
+        seen_px = {}
+        order = []
+        for px in argb.tolist():
+            if px not in seen_px:
+                seen_px[px] = len(order)
+                order.append(px)
+        if len(order) > 256:
+            raise ValueError(f"palette mode needs <= 256 colors, got {len(order)}")
+        pal = np.asarray(order, dtype=np.uint32)
+        idx = np.asarray([seen_px[px] for px in argb.tolist()], dtype=np.uint32)
+        bits = _bundle_bits(len(pal))
+        bw.write(1, 1)  # a transform follows
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(len(pal) - 1, 8)
+        comp = np.stack(
+            [(pal >> 24) & 0xFF, (pal >> 16) & 0xFF, (pal >> 8) & 0xFF, pal & 0xFF],
+            axis=1,
+        ).astype(np.int64)
+        deltas = np.empty_like(comp)
+        deltas[0] = comp[0]
+        deltas[1:] = (comp[1:] - comp[:-1]) % 256
+        delta_px = (
+            (deltas[:, 0].astype(np.uint32) << 24)
+            | (deltas[:, 1].astype(np.uint32) << 16)
+            | (deltas[:, 2].astype(np.uint32) << 8)
+            | deltas[:, 3].astype(np.uint32)
+        )
+        _encode_stream(bw, delta_px, True, 0, False)
+        bw.write(0, 1)  # no more transforms
+        if bits:
+            per = 1 << bits
+            width_bits = 8 >> bits
+            coded_w = _subsample_size(w, bits)
+            mat = idx.reshape(h, w)
+            packed = np.zeros((h, coded_w), dtype=np.uint32)
+            for sub in range(per):
+                xs = np.arange(sub, w, per)
+                packed[:, (xs // per)] |= mat[:, xs] << np.uint32(sub * width_bits)
+            argb = (packed.astype(np.uint32) << 8).ravel()
+        else:
+            argb = (idx << 8).astype(np.uint32)
+    else:
+        gg = (argb >> 8) & 0xFF
+        if color_spec is not None:
+            g2r, g2b, r2b = (int(v) & 0xFF for v in color_spec)
+            size_bits = 4
+            tw = _subsample_size(w, size_bits)
+            th = _subsample_size(h, size_bits)
+            rr0 = (argb >> 16) & 0xFF
+            bb0 = argb & 0xFF
+            g2r_a = np.full_like(gg, g2r)
+            g2b_a = np.full_like(gg, g2b)
+            r2b_a = np.full_like(gg, r2b)
+            new_r = (rr0 - _ct_delta(g2r_a, gg)) & 0xFF
+            new_b = (bb0 - _ct_delta(g2b_a, gg) - _ct_delta(r2b_a, rr0)) & 0xFF
+            argb = (argb & 0xFF00FF00) | (new_r.astype(np.uint32) << 16) | new_b.astype(np.uint32)
+            bw.write(1, 1)
+            bw.write(1, 2)  # COLOR
+            bw.write(size_bits - 2, 3)
+            tiles = np.full(
+                tw * th,
+                (np.uint32(r2b) << 16) | (np.uint32(g2b) << 8) | np.uint32(g2r),
+                dtype=np.uint32,
+            )
+            _encode_stream(bw, tiles, True, 0, False)
+        # SUBTRACT_GREEN (always, in non-palette mode)
+        gg = (argb >> 8) & 0xFF
+        new_r = (((argb >> 16) & 0xFF) - gg) & 0xFF
+        new_b = ((argb & 0xFF) - gg) & 0xFF
+        argb = (argb & 0xFF00FF00) | (new_r << 16) | new_b
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+        if predictor_mode is not None:
+            size_bits = 4
+            argb, tiles, tw = _forward_predictor(argb, w, h, size_bits, predictor_mode)
+            bw.write(1, 1)
+            bw.write(0, 2)  # PREDICTOR
+            bw.write(size_bits - 2, 3)
+            _encode_stream(bw, tiles, True, 0, False)
+        bw.write(0, 1)  # no more transforms
+
+    meta = None
+    if meta_groups == 2:
+        prefix_bits = 3
+        ew = _subsample_size(coded_w, prefix_bits)
+        eh = _subsample_size(h, prefix_bits)
+        tiles_y, tiles_x = np.mgrid[0:eh, 0:ew]
+        group_idx = ((tiles_x + tiles_y) % 2).astype(np.int64).ravel()
+        meta = (prefix_bits, ew, group_idx, 2, coded_w)
+        use_lz77 = False
+        cache_bits = 0
+    _encode_stream(bw, argb, use_lz77, cache_bits, True, meta)
 
     payload = b"\x2f" + bw.getvalue()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

@@ -51,6 +51,8 @@ CASES = {
     "flac": (lambda: encode_flac(_S16, 8000), decode_flac),
     "y4m": (lambda: encode_y4m(np.stack([_A8] * 3)), decode_y4m),
     "webp": (lambda: encode_webp_lossless(_A8, cache_bits=4), decode_webp),
+    "webp_pal": (lambda: encode_webp_lossless(_PAL[_IDX], palette=True), decode_webp),
+    "webp_pred": (lambda: encode_webp_lossless(_RGB, predictor_mode=11, meta_groups=2), decode_webp),
     "au": (
         lambda: b".snd"
         + bytes.fromhex("00000018000001f40000000100001f4000000001")

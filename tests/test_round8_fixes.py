@@ -99,6 +99,7 @@ def test_simhash_collapse_exact_typo_rejected(spark):
     # forgets the spread fails here, not at the sf10 sweep
     "documents_as_png", "documents_as_palette_png", "documents_as_gif",
     "documents_as_jpeg", "documents_as_tiff", "documents_as_webp",
+    "documents_as_webp_palette",
     "documents_as_wav",
     "documents_as_audio", "documents_as_video", "documents_as_media",
 ])

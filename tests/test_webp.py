@@ -104,37 +104,87 @@ def test_decode_refuses_bad_container():
         decode_webp(bytes(bad_sig))
 
 
+def _vp8l(payload_bits):
+    """Hand-build a VP8L container: 0x2F sig, 2x2 header, then raw bits."""
+    from fsql_spark.operators.webp import _BitWriter
+
+    bw = _BitWriter()
+    bw.write(1, 14)  # width-1 = 1 -> 2
+    bw.write(1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    for v, n in payload_bits:
+        bw.write(v, n)
+    payload = b"\x2f" + bw.getvalue()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def test_decode_refuses_out_of_scope_features():
-    # hand-build VP8L headers exercising each refusal: 0x2F sig, then
-    # 14+14+1+3 header bits, then the feature bits
-    def vp8l(payload_bits):
-        from fsql_spark.operators.webp import _BitWriter
-
-        bw = _BitWriter()
-        bw.write(1, 14)  # width-1 = 1 -> 2
-        bw.write(1, 14)
-        bw.write(0, 1)
-        bw.write(0, 3)
-        for v, n in payload_bits:
-            bw.write(v, n)
-        payload = b"\x2f" + bw.getvalue()
-        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-        if len(payload) % 2:
-            chunk += b"\x00"
-        riff = b"WEBP" + chunk
-        return b"RIFF" + struct.pack("<I", len(riff)) + riff
-
-    with pytest.raises(NotImplementedError, match="PREDICTOR"):
-        decode_webp(vp8l([(1, 1), (0, 2)]))
-    with pytest.raises(NotImplementedError, match="COLOR transform"):
-        decode_webp(vp8l([(1, 1), (1, 2)]))
-    with pytest.raises(NotImplementedError, match="COLOR_INDEXING"):
-        decode_webp(vp8l([(1, 1), (3, 2)]))
     with pytest.raises(CodecError, match="twice"):
-        decode_webp(vp8l([(1, 1), (2, 2), (1, 1), (2, 2)]))
-    with pytest.raises(NotImplementedError, match="meta prefix"):
-        # no transforms, no cache, meta-prefix bit set
-        decode_webp(vp8l([(0, 1), (0, 1), (1, 1)]))
+        decode_webp(_vp8l([(1, 1), (2, 2), (1, 1), (2, 2)]))
+    # palette combined with predictor: read palette (type 3) then
+    # predictor (type 0) — refused before any sub-image parse
+    with pytest.raises((NotImplementedError, CodecError)):
+        decode_webp(
+            _vp8l([(1, 1), (3, 2), (0, 8)] + [(0, 1)] * 40 + [(1, 1), (0, 2)])
+        )
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_predictor_modes_roundtrip(mode):
+    for arr in (
+        _RNG.integers(0, 256, (9, 13)).astype(np.uint8),
+        _RNG.integers(0, 256, (6, 7, 3)).astype(np.uint8),
+        _RNG.integers(0, 256, (5, 5, 4)).astype(np.uint8),
+    ):
+        _roundtrip(arr, predictor_mode=mode)
+
+
+@pytest.mark.parametrize("spec", [(0, 0, 0), (10, 200, 77), (255, 1, 128)])
+def test_color_transform_roundtrip(spec):
+    _roundtrip(_RNG.integers(0, 256, (9, 13, 3)).astype(np.uint8), color_spec=spec)
+    _roundtrip(
+        _RNG.integers(0, 256, (4, 9, 3)).astype(np.uint8),
+        color_spec=spec,
+        predictor_mode=11,
+    )
+
+
+@pytest.mark.parametrize("ncolors", [1, 2, 3, 4, 12, 16, 17, 64, 200])
+def test_palette_roundtrip_every_bundling_level(ncolors):
+    idx = _RNG.integers(0, ncolors, (7, 19)).astype(np.uint8)
+    img = np.stack(
+        [(idx * 31) % 256, (idx * 7 + 3) % 256, (idx * 11 + 5) % 256], axis=-1
+    ).astype(np.uint8)
+    _roundtrip(img, palette=True)
+
+
+def test_palette_rgba_and_limits():
+    idx = _RNG.integers(0, 4, (6, 10)).astype(np.uint8)
+    img4 = np.stack(
+        [(idx * 50) % 256, (idx * 20) % 256, (idx * 80) % 256, (idx * 60 + 7) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    _roundtrip(img4, palette=True)
+    toomany = np.arange(300, dtype=np.int32).reshape(15, 20)
+    rgb = np.stack([toomany % 256, toomany // 2 % 256, toomany // 3 % 256], axis=-1)
+    with pytest.raises(ValueError, match="palette mode"):
+        encode_webp_lossless(rgb.astype(np.uint8), palette=True)
+    with pytest.raises(ValueError, match="exclusive"):
+        encode_webp_lossless(idx, palette=True, predictor_mode=2)
+
+
+def test_meta_prefix_groups_roundtrip():
+    _roundtrip(_RNG.integers(0, 256, (17, 23)).astype(np.uint8), meta_groups=2)
+    _roundtrip(
+        _RNG.integers(0, 256, (9, 13, 3)).astype(np.uint8),
+        meta_groups=2,
+        predictor_mode=7,
+    )
 
 
 def test_decode_refuses_oversize_pixel_budget():
