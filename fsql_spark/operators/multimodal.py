@@ -88,10 +88,18 @@ def decode_image(content: bytes):
         from .tiff import decode_tiff
 
         return decode_tiff(content)
-    if content[:4] == b"RIFF" and content[8:12] == b"WEBP" and content[12:16] == b"VP8L":
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP" and content[12:16] in (
+        b"VP8L",
+        b"VP8X",
+    ):
         from .webp import decode_webp
 
-        return decode_webp(content)
+        try:
+            return decode_webp(content)
+        except NotImplementedError:
+            if content[12:16] == b"VP8L":
+                raise
+            # VP8X wrapping lossy/animated data: fall through to Pillow
     try:  # pragma: no cover - no external codec in container
         from PIL import Image  # type: ignore
         import io

@@ -324,8 +324,10 @@ def decode_webp(data: bytes) -> np.ndarray:
     """Decode a WebP byte string. VP8L (lossless) decodes natively to a
     uint8 array — (H, W) gray when the image is exactly gray and opaque,
     else (H, W, 3) when opaque, else (H, W, 4) RGBA (native channel count,
-    like the TIFF/BMP decoders). Lossy "VP8 " and extended "VP8X" payloads
-    raise NotImplementedError (external codec); corrupt structure raises
+    like the TIFF/BMP decoders). VP8X extended containers unwrap when the
+    image data is a VP8L chunk (metadata chunks — EXIF/ICCP/XMP — are
+    skipped); lossy "VP8 " and animated/alpha-chunked VP8X payloads raise
+    NotImplementedError (external codec); corrupt structure raises
     :class:`CodecError`."""
     data = bytes(data)
     if data[:4] != WEBP_RIFF or len(data) < 16 or data[8:12] != WEBP_FOURCC:
@@ -335,17 +337,43 @@ def decode_webp(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             "lossy WebP (VP8) needs an external codec; VP8L lossless decodes natively"
         )
+    pos = 12
     if fourcc == b"VP8X":
-        raise NotImplementedError(
-            "extended WebP (VP8X: animation/EXIF/alpha-chunk) is not supported; "
-            "plain VP8L lossless decodes natively"
-        )
-    if fourcc != b"VP8L":
-        raise CodecError(f"WebP: unknown chunk {fourcc!r} where VP8L expected")
-    if len(data) < 20:
-        raise CodecError("WebP: truncated VP8L chunk header")
-    (chunk_len,) = struct.unpack("<I", data[16:20])
-    payload = data[20 : 20 + chunk_len]
+        # libwebp wraps lossless-with-metadata as RIFF/VP8X[EXIF|ICCP|XMP
+        # ...]VP8L; walk the chunk list to the image chunk, refusing the
+        # genuinely-out-of-scope feature chunks by name
+        pos = 12
+        payload = None
+        while pos + 8 <= len(data):
+            cc = data[pos : pos + 4]
+            (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + clen]
+            if len(body) < clen:
+                raise CodecError("WebP: truncated chunk inside VP8X")
+            if cc == b"VP8L":
+                payload = body
+                break
+            if cc == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy WebP (VP8) inside VP8X needs an external codec"
+                )
+            if cc in (b"ANIM", b"ANMF", b"ALPH"):
+                raise NotImplementedError(
+                    f"extended WebP feature chunk {cc.decode('ascii')} is not "
+                    "supported; still VP8L-in-VP8X decodes natively"
+                )
+            # VP8X header / EXIF / ICCP / XMP: metadata, skipped
+            pos += 8 + clen + (clen & 1)
+        if payload is None:
+            raise CodecError("WebP: VP8X container holds no VP8L image chunk")
+        chunk_len = len(payload)
+    else:
+        if fourcc != b"VP8L":
+            raise CodecError(f"WebP: unknown chunk {fourcc!r} where VP8L expected")
+        if len(data) < 20:
+            raise CodecError("WebP: truncated VP8L chunk header")
+        (chunk_len,) = struct.unpack("<I", data[16:20])
+        payload = data[20 : 20 + chunk_len]
     if len(payload) < chunk_len or chunk_len < 5:
         raise CodecError("WebP: truncated VP8L chunk")
     if payload[0] != 0x2F:

@@ -93,7 +93,8 @@ def test_decode_refuses_bad_container():
         decode_webp(b"NOPE")
     with pytest.raises(NotImplementedError, match="lossy WebP"):
         decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
-    with pytest.raises(NotImplementedError, match="extended WebP"):
+    # a VP8X container with no image chunk inside is structurally corrupt
+    with pytest.raises(CodecError, match="no VP8L"):
         decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8X\x00\x00\x00\x00")
     with pytest.raises(CodecError, match="unknown chunk"):
         decode_webp(b"RIFF\x10\x00\x00\x00WEBPXXXX\x00\x00\x00\x00")
@@ -263,3 +264,40 @@ def test_pillow_interop_if_available():
     except Exception as exc:  # Pillow without WebP support
         pytest.skip(f"Pillow cannot read WebP here: {exc!r}")
     assert (px[..., 0] == g).all() and (px[..., 1] == g).all() and (px[..., 2] == g).all()
+
+
+def _wrap_vp8x(vp8l_container: bytes, pre_chunks=()) -> bytes:
+    """Rewrap a bare RIFF/VP8L file as RIFF/VP8X + metadata + VP8L."""
+    (clen,) = struct.unpack("<I", vp8l_container[16:20])
+    vp8l_chunk = vp8l_container[12 : 20 + clen + (clen & 1)]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    body = vp8x
+    for cc, payload in pre_chunks:
+        body += cc + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"
+    body += vp8l_chunk
+    riff = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_vp8x_unwraps_to_vp8l():
+    g = _RNG.integers(0, 256, (6, 9)).astype(np.uint8)
+    bare = encode_webp_lossless(g, cache_bits=4)
+    wrapped = _wrap_vp8x(bare, pre_chunks=[(b"EXIF", b"fake-exif-bytes"),
+                                           (b"ICCP", b"icc")])
+    out = decode_webp(wrapped)
+    assert (out == g).all()
+
+
+def test_vp8x_feature_chunks_refused_by_name():
+    g = np.zeros((2, 2), dtype=np.uint8)
+    bare = encode_webp_lossless(g)
+    with pytest.raises(NotImplementedError, match="ANIM"):
+        decode_webp(_wrap_vp8x(bare, pre_chunks=[(b"ANIM", b"\x00" * 6)]))
+    with pytest.raises(NotImplementedError, match="ALPH"):
+        decode_webp(_wrap_vp8x(bare, pre_chunks=[(b"ALPH", b"\x00")]))
+    # VP8X with no image chunk at all
+    vp8x_only = b"WEBP" + b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    with pytest.raises(CodecError, match="no VP8L"):
+        decode_webp(b"RIFF" + struct.pack("<I", len(vp8x_only)) + vp8x_only)
