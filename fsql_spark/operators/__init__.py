@@ -193,6 +193,13 @@ from .text import (  # noqa: F401
     winnow_fingerprints,
     with_text_stats,
 )
+from .bpe import (  # noqa: F401
+    BPE_ORACLES,
+    BPE_QUERIES,
+    bpe_learn_merges,
+    bpe_pair_stats,
+    word_frequencies,
+)
 from .vocab import (  # noqa: F401
     VOCAB_ORACLES,
     VOCAB_QUERIES,
@@ -220,6 +227,7 @@ EXTENSION_QUERIES = {
     **LM_QUERIES,
     **ROLLUP_QUERIES,
     **RETRIEVAL_QUERIES,
+    **BPE_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -241,4 +249,5 @@ EXTENSION_ORACLES = {
     **LM_ORACLES,
     **ROLLUP_ORACLES,
     **RETRIEVAL_ORACLES,
+    **BPE_ORACLES,
 }

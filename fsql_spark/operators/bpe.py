@@ -1,0 +1,203 @@
+"""BPE tokenizer training on the corpus: pair statistics + merge learning.
+
+A training-data engine that scores, dedups, and packs a corpus should
+also be able to LEARN the tokenizer from it. Classic byte-pair-encoding
+training (Sennrich et al. 2016; the HF-tokenizers/SentencePiece-BPE
+shape) is two very different problems glued together:
+
+1. **Word-frequency compression** — corpus-sized, embarrassingly
+   distributable: one explode + one hash aggregate collapses N tokens of
+   text into the DISTINCT-word frequency table. This is the only part
+   that ever touches corpus-scale data, and it is one shuffle.
+2. **The merge loop** — iterative argmax over pair counts derived from
+   that zipf-bounded word table. Every merge depends on the previous
+   one, so the loop is inherently sequential; the industry-standard
+   design (HF tokenizers, SentencePiece, fastBPE) runs it single-node
+   over the compressed word counts. :func:`bpe_learn_merges` does the
+   same on the driver, guarded by an explicit ``max_words`` budget —
+   the same bounded-driver compromise :mod:`~fsql_spark.operators.
+   clustering` documents for dedup graphs (a 100 TB corpus's distinct-
+   word table is 10-100M rows, ~GBs — driver-sized; the CORPUS never
+   moves).
+
+Determinism contract (what makes this testable): the winning pair each
+round is max by (count, then lexicographically smallest (left, right)),
+and merges apply left-to-right non-overlapping — so the merge table is a
+pure function of the word-frequency table, reproducible by any
+implementation. :func:`bpe_pair_stats` (merge round 1's candidate
+statistics) is fully SQL-expressible and carries the exact DuckDB
+oracle; the merge LOOP is the catalog's one documented rows-only entry
+(iterative algorithms are the driver contract's named exception) and is
+instead property-tested against an independent pure-Python reference.
+
+No reference counterpart (fsql delegates all row-level compute,
+`/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension
+surface (SURVEY §2.6, text analysis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: refuse to collect a word table bigger than this (see module docstring)
+MAX_DRIVER_WORDS = 2_000_000
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over whitespace words — the distributed compression step
+    every BPE trainer starts with. One explode + one map-side-combinable
+    aggregate; output is zipf-bounded vocabulary metadata, not corpus."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_pair_stats(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Merge-round-1 candidate statistics: adjacent CHARACTER pairs inside
+    words, weighted by word frequency — (left, right, pair_n), the top-k
+    by count (ties broken lexicographically). The pair a BPE trainer
+    would merge first is row 1.
+
+    Plan shape: the pair explosion runs on the DISTINCT word table (zipf-
+    bounded), pairs come from arrays_zip of two shifted char slices (pure
+    codegen — the higher-order ``transform`` lambda is the documented
+    interpreted-eval cliff, PERF.md inflection #6), and top-k is
+    TakeOrderedAndProject, never a global sort."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    words = word_frequencies(df, text_col)
+    chars = F.split(F.col("word"), "")
+    pairs = F.arrays_zip(
+        F.slice(chars, 1, F.size(chars) - 1).alias("l"),
+        F.slice(chars, 2, F.size(chars) - 1).alias("r"),
+    )
+    return (
+        words.where(F.length("word") >= 2)
+        .select("n", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("n").alias("pair_n"))
+        .orderBy(F.desc("pair_n"), "left", "right")
+        .limit(top_k)
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 20,
+    max_words: int = MAX_DRIVER_WORDS,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus: (rank, left,
+    right, merged, pair_n), rank 1 first. Distributed word-frequency
+    compression, then the exact sequential merge loop on the driver (see
+    the module docstring for why that split is the standard design).
+    Raises when the distinct-word table exceeds ``max_words`` instead of
+    silently attempting a driver OOM."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    spark = df.sparkSession
+    rows = word_frequencies(df, text_col).limit(max_words + 1).collect()
+    if len(rows) > max_words:
+        raise ValueError(
+            f"distinct-word table exceeds max_words={max_words}; raise the "
+            "budget or pre-filter the corpus (the merge loop is sequential "
+            "by definition — see bpe.py's module docstring)"
+        )
+    words = {tuple(r["word"]): int(r["n"]) for r in rows}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        counts: dict = {}
+        for toks, n in words.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        # deterministic winner: max count, then lexicographically smallest
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merged = best[0] + best[1]
+        new_words: dict = {}
+        for toks, n in words.items():
+            out = []
+            i = 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == best[0]
+                    and toks[i + 1] == best[1]
+                ):
+                    out.append(merged)  # left-to-right, non-overlapping
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + n
+        words = new_words
+        merges.append((rank, best[0], best[1], merged, counts[best]))
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_n long"
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entries + oracle
+# --------------------------------------------------------------------------
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 first-round BPE merge candidates over the corpus vocabulary
+    (adjacent char pairs weighted by word frequency, deterministic
+    tie-break)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bpe_pair_stats(docs, "text", top_k=20)
+
+
+Q_BPE_PAIR_STATS_SQL = """
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+pairs AS (
+  SELECT substr(word, CAST(s.i AS INTEGER), 1)     AS "left",
+         substr(word, CAST(s.i AS INTEGER) + 1, 1) AS "right",
+         n
+  FROM words, unnest(generate_series(1, LENGTH(word) - 1)) AS s(i)
+  WHERE LENGTH(word) >= 2
+)
+SELECT "left", "right", CAST(SUM(n) AS BIGINT) AS pair_n
+FROM pairs
+GROUP BY "left", "right"
+ORDER BY pair_n DESC, "left", "right"
+LIMIT 20
+"""
+
+
+def q_bpe_learned_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """The first 15 learned BPE merges over the corpus — the catalog's one
+    deliberately ORACLE-LESS entry: the merge loop is iterative (each
+    round's argmax feeds the next round's counts), the driver contract's
+    named rows-only exception. Correctness rests on the hypothesis
+    property test against an independent pure-Python BPE
+    (tests/test_property_ops.py) and on q_bpe_pair_stats, whose exact SQL
+    oracle pins round 1 of the identical arithmetic."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bpe_learn_merges(docs, "text", num_merges=15)
+
+
+BPE_QUERIES = {
+    "q_bpe_pair_stats": q_bpe_pair_stats,
+    "q_bpe_learned_merges": q_bpe_learned_merges,
+}
+
+BPE_ORACLES = {
+    "q_bpe_pair_stats": Q_BPE_PAIR_STATS_SQL,
+    # q_bpe_learned_merges: intentionally absent — rows-only (iterative)
+}

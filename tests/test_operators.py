@@ -1819,3 +1819,22 @@ def test_vocab_edit_distance_pairs_exact_and_complete(spark):
         ("dog", "dogs"): 1,
         ("banana", "bananas"): 1,
     }
+
+
+def test_bpe_learn_merges_guards(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from fsql_spark.operators.bpe import bpe_learn_merges, bpe_pair_stats
+
+    docs = spark.createDataFrame(pd.DataFrame({"text": ["aa ab aa", "ab aa"]}))
+    with _pytest.raises(ValueError, match="num_merges"):
+        bpe_learn_merges(docs, num_merges=0)
+    with _pytest.raises(ValueError, match="max_words"):
+        bpe_learn_merges(docs, num_merges=1, max_words=1)
+    with _pytest.raises(ValueError, match="top_k"):
+        bpe_pair_stats(docs, top_k=0)
+    # 'aa' x3, 'ab' x2 -> pair (a,a)=3 beats (a,b)=2
+    m = bpe_learn_merges(docs, num_merges=2).orderBy("rank").collect()
+    assert (m[0]["left"], m[0]["right"], m[0]["pair_n"]) == ("a", "a", 3)
+    assert m[1]["merged"] in ("ab", "aab", "aaa") or m[1]["pair_n"] <= 3

@@ -572,3 +572,61 @@ def test_edit_pairs_match_bruteforce_levenshtein(spark, vocab, d):
         if _lev(a, b) <= d
     )
     assert got == want
+
+
+@PROP
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=7), min_size=0, max_size=10
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_bpe_merges_match_python_reference(spark, corpus, k):
+    """bpe_learn_merges == an independent pure-Python BPE trainer on
+    arbitrary corpora: same winning pair each round (max count, lex
+    tie-break), same left-to-right non-overlapping application, same
+    early stop when no pairs remain."""
+    from collections import Counter
+
+    from fsql_spark.operators.bpe import bpe_learn_merges
+
+    words = Counter()
+    for doc in corpus:
+        for w in " ".join(doc).split(" "):
+            if w:
+                words[tuple(w)] += 1
+    want = []
+    vocab = dict(words)
+    for rank in range(1, k + 1):
+        counts = Counter()
+        for toks, n in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += n
+        if not counts:
+            break
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        nxt = Counter()
+        for toks, n in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and (toks[i], toks[i + 1]) == best:
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            nxt[tuple(out)] += n
+        vocab = dict(nxt)
+        want.append((rank, best[0], best[1], best[0] + best[1], top))
+
+    docs = _mk_docs(spark, corpus)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_n"])
+        for r in bpe_learn_merges(docs, "text", num_merges=k).orderBy("rank").collect()
+    ]
+    assert got == want
