@@ -26,6 +26,10 @@ class InputFormat(Enum):
     # ORC is a first-class columnar Spark source (vectorized reader,
     # predicate pushdown, partition pruning), one enum entry here.
     ORC = "orc"
+    # EXTENSION: Arrow IPC / Feather V2 — the interchange file pipelines
+    # hand around between Arrow-native tools. No distributed Spark source
+    # (like xlsx); reads via pandas/pyarrow on the driver thread pool.
+    FEATHER = "feather"
 
     @classmethod
     def from_url(cls, url: str) -> "InputFormat":
@@ -47,8 +51,10 @@ class InputFormat(Enum):
     def spark_format(self) -> str:
         if self is InputFormat.AUTO:
             raise ValueError("AUTO format must be resolved before reading")
-        if self is InputFormat.XLSX:
-            raise ValueError("xlsx has no distributed source; use the pandas reader")
+        if self in (InputFormat.XLSX, InputFormat.FEATHER):
+            raise ValueError(
+                f"{self.value} has no distributed source; use the pandas reader"
+            )
         return self.value
 
     def spark_options(self) -> dict[str, str]:
@@ -67,6 +73,8 @@ _SUFFIXES = {
     "jsonl": InputFormat.JSON,  # JSON-lines IS the tabular json semantics
     "xlsx": InputFormat.XLSX,
     "orc": InputFormat.ORC,
+    "feather": InputFormat.FEATHER,
+    "arrow": InputFormat.FEATHER,  # Arrow IPC file == Feather V2
 }
 
 #: codecs Spark's text sources (csv/json) decompress transparently by

@@ -242,7 +242,8 @@ class PandasReader(DataReader):
     Returns a pandas DataFrame (partition columns appended as strings —
     reference `deser.py:215-217`). Extra kwargs go verbatim to the pandas
     read function (`deser.py:208`), e.g. ``columns=[...]`` for parquet
-    projection. xlsx is supported when openpyxl is importable.
+    projection. xlsx is supported when openpyxl is importable;
+    feather/arrow (Arrow IPC) reads via pyarrow.
     """
 
     def __init__(self, input_format: InputFormat = InputFormat.AUTO, lazy_errors: bool = False, **pdread_kwargs):
@@ -274,6 +275,8 @@ class PandasReader(DataReader):
                 frame = pd.read_excel(fd, engine="openpyxl", **self.kwargs)
             elif fmt is InputFormat.ORC:
                 frame = pd.read_orc(fd, **self.kwargs)
+            elif fmt is InputFormat.FEATHER:
+                frame = pd.read_feather(fd, **self.kwargs)
             else:  # pragma: no cover
                 raise ValueError(f"unreadable format: {fmt}")
         for key, value in partition.columns.items():

@@ -302,3 +302,26 @@ def test_format_autodetect_compressed_and_jsonl(spark, tmp_path):
     out = read_partitioned_table(str(root), Q_TRUE, spark=spark).toPandas()
     assert sorted(out["c1"]) == [1, 2]
     assert set(out["part"]) == {"a"}
+
+
+def test_feather_reads_via_pandas_reader(spark, tmp_path, df1):
+    """Arrow IPC / Feather V2 (format-registry extension): autodetected
+    from .feather/.arrow, read through the pandas reader (pyarrow is a
+    baked-in dependency — no gate needed), partition columns appended as
+    strings like every other format."""
+    d = tmp_path / "t" / "k=1"
+    d.mkdir(parents=True)
+    df1.to_feather(d / "f1.feather")
+    got = read_partitioned_table(
+        str(tmp_path / "t"), Q_TRUE, data_reader=PandasReader(), spark=spark
+    )
+    assert sorted(got["k"].tolist()) == ["1"] * len(df1)
+    left = got.drop(columns=["k"]).sort_values(list(df1.columns)).reset_index(drop=True)
+    assert left.equals(df1.sort_values(list(df1.columns)).reset_index(drop=True))
+    # the .arrow alias detects identically
+    from fsql_spark.formats import InputFormat
+
+    assert InputFormat.from_url("x/y.arrow") is InputFormat.FEATHER
+    # and the Spark fast path refuses with the same guidance as xlsx
+    with pytest.raises(ValueError, match="pandas reader"):
+        InputFormat.FEATHER.spark_format()
