@@ -630,3 +630,53 @@ def test_bpe_merges_match_python_reference(spark, corpus, k):
         for r in bpe_learn_merges(docs, "text", num_merges=k).orderBy("rank").collect()
     ]
     assert got == want
+
+
+@settings(
+    max_examples=60,  # the kernel is pure numpy/stdlib — 60 cases run in ~2 s
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=11),
+    channels=st.sampled_from([0, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    use_lz77=st.booleans(),
+    cache_bits=st.sampled_from([0, 1, 4, 8]),
+    transform=st.sampled_from(
+        [None, "palette", "meta"] + [("pred", m) for m in range(14)] + ["color"]
+    ),
+)
+def test_webp_roundtrip_property(h, w, channels, seed, use_lz77, cache_bits, transform):
+    """encode_webp_lossless |> decode_webp is the identity (modulo the
+    documented channel-collapse rules) on arbitrary arrays under every
+    option combination — the entire VP8L entropy layer and every
+    transform path, driven by hypothesis instead of a fixed matrix."""
+    import numpy as np
+
+    from fsql_spark.operators.webp import decode_webp, encode_webp_lossless
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 0 else (h, w, channels)
+    # palette mode needs <= 256 distinct colors; a small value alphabet
+    # also exercises bundling and the color cache harder
+    arr = rng.integers(0, 6, shape).astype(np.uint8) * 40
+    kw = {"use_lz77": use_lz77, "cache_bits": cache_bits}
+    if transform == "palette":
+        kw = {"palette": True}
+    elif transform == "meta":
+        kw["meta_groups"] = 2
+    elif transform == "color":
+        kw["color_spec"] = (int(rng.integers(256)), int(rng.integers(256)), int(rng.integers(256)))
+    elif isinstance(transform, tuple):
+        kw["predictor_mode"] = transform[1]
+    out = decode_webp(encode_webp_lossless(arr, **kw))
+    exp = arr
+    if exp.ndim == 3 and exp.shape[2] == 4 and (exp[..., 3] == 255).all():
+        exp = exp[..., :3]
+    if exp.ndim == 3 and (exp[..., 0] == exp[..., 1]).all() and (
+        exp[..., 1] == exp[..., 2]
+    ).all():
+        exp = exp[..., 0]
+    assert out.shape == exp.shape and (out == exp).all()
