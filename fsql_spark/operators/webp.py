@@ -99,12 +99,19 @@ class _BitReader:
         self.limit = 8 * self.n
 
     def _fill(self, need: int) -> None:
-        while self.bits < need:
-            if self.byte_pos < self.n:
-                self.buf |= self.data[self.byte_pos] << self.bits
-                self.byte_pos += 1
-            # else zero-pad past the end; `used > limit` flags the overrun
-            self.bits += 8
+        if self.bits >= need:
+            return
+        # batch refill: one int.from_bytes call instead of a per-byte loop
+        # (this is the hottest line of the whole codec — every prefix-code
+        # peek lands here)
+        take = self.data[self.byte_pos : self.byte_pos + 8]
+        if take:
+            self.buf |= int.from_bytes(take, "little") << self.bits
+            self.byte_pos += len(take)
+            self.bits += 8 * len(take)
+        if self.bits < need:
+            # zero-pad past the end; `used > limit` flags the overrun
+            self.bits = need
 
     def read(self, nbits: int) -> int:
         if nbits == 0:
