@@ -307,3 +307,23 @@ def test_vp8x_feature_chunks_refused_by_name():
     vp8x_only = b"WEBP" + b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
     with pytest.raises(CodecError, match="no VP8L"):
         decode_webp(b"RIFF" + struct.pack("<I", len(vp8x_only)) + vp8x_only)
+
+
+def test_resize_composes_over_webp_media(spark):
+    """Cross-codec composition: resize_images decodes VP8L input through
+    the shared decode_image dispatch and re-encodes PNG — the
+    decode-anything/emit-one-format shape of a real media pipeline."""
+    import pandas as pd
+
+    from fsql_spark.operators.codecs import decode_png
+    from fsql_spark.operators.multimodal import resize_images
+
+    g = _RNG.integers(0, 256, (16, 12)).astype(np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "content": [encode_webp_lossless(g)]})
+    )
+    row = resize_images(media, width=6, height=8).collect()[0]
+    out = decode_png(bytes(row["content"]))
+    rows = np.minimum((np.arange(8) * 16) // 8, 15)
+    cols = np.minimum((np.arange(6) * 12) // 6, 11)
+    assert (out == g[np.ix_(rows, cols)]).all()
