@@ -1273,7 +1273,13 @@ def encode_webp_lossless(
         eh = _subsample_size(h, prefix_bits)
         tiles_y, tiles_x = np.mgrid[0:eh, 0:ew]
         group_idx = ((tiles_x + tiles_y) % 2).astype(np.int64).ravel()
-        meta = (prefix_bits, ew, group_idx, 2, coded_w)
+        # the DECODER derives the group count from the entropy image's max
+        # index — a single-tile image references only group 0, so declare
+        # exactly the groups that appear (hypothesis-found: a 1x2 image
+        # with a hardcoded 2 here made the decoder read the second code
+        # group's bits as pixel data)
+        n_groups = int(group_idx.max()) + 1
+        meta = (prefix_bits, ew, group_idx, n_groups, coded_w)
         use_lz77 = False
         cache_bits = 0
     _encode_stream(bw, argb, use_lz77, cache_bits, True, meta)

@@ -327,3 +327,14 @@ def test_resize_composes_over_webp_media(spark):
     rows = np.minimum((np.arange(8) * 16) // 8, 15)
     cols = np.minimum((np.arange(6) * 12) // 6, 11)
     assert (out == g[np.ix_(rows, cols)]).all()
+
+
+def test_meta_groups_on_single_tile_image():
+    """Regression (hypothesis-found): an image smaller than one meta tile
+    references only group 0 — the encoder must declare exactly the groups
+    the entropy image uses, or the decoder reads the phantom group's code
+    bits as pixel data (a 1x2 image decoded with its pixels swapped)."""
+    for shape in ((1, 2), (1, 1), (2, 3), (8, 8)):
+        arr = (_RNG.integers(0, 6, shape).astype(np.uint8)) * 40
+        _roundtrip(arr, use_lz77=False, meta_groups=2)
+        _roundtrip(arr, meta_groups=2)
