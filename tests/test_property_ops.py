@@ -675,7 +675,7 @@ def test_webp_roundtrip_property(h, w, channels, seed, use_lz77, cache_bits, tra
     exp = arr
     if exp.ndim == 3 and exp.shape[2] == 4 and (exp[..., 3] == 255).all():
         exp = exp[..., :3]
-    if exp.ndim == 3 and (exp[..., 0] == exp[..., 1]).all() and (
+    if exp.ndim == 3 and exp.shape[2] == 3 and (exp[..., 0] == exp[..., 1]).all() and (
         exp[..., 1] == exp[..., 2]
     ).all():
         exp = exp[..., 0]

@@ -34,7 +34,7 @@ def _roundtrip(arr, **kw):
     # alpha, then fully-gray RGB, exactly like the encoder's input classes
     if exp.ndim == 3 and exp.shape[2] == 4 and (exp[..., 3] == 255).all():
         exp = exp[..., :3]
-    if exp.ndim == 3 and (exp[..., 0] == exp[..., 1]).all() and (
+    if exp.ndim == 3 and exp.shape[2] == 3 and (exp[..., 0] == exp[..., 1]).all() and (
         exp[..., 1] == exp[..., 2]
     ).all():
         exp = exp[..., 0]
