@@ -1010,7 +1010,7 @@ def _encode_stream(
 
 def _forward_predictor(
     argb: np.ndarray, w: int, h: int, size_bits: int, mode: int
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray, int]:
     """Residuals for a uniform predictor ``mode``: coded = px - pred
     (channel-wise mod 256), where pred reads the ORIGINAL neighbors —
     exactly what the sequential inverse restores."""
