@@ -263,6 +263,14 @@ def write_object(
         elif fmt == "orc":  # format-registry extension, pyarrow-backed
             with fs.open(path, "wb") as fd:
                 data.to_orc(fd)
+        elif fmt in ("feather", "arrow"):  # Arrow IPC file == Feather V2
+            # write parity with the r9 read arm (readers.py PandasReader):
+            # pandas requires a seekable sink for feather, so stage in memory
+            # (single-object writes are driver-sized by contract).
+            buf = io.BytesIO()
+            data.reset_index(drop=True).to_feather(buf)
+            with fs.open(path, "wb") as fd:
+                fd.write(buf.getvalue())
         else:
             raise ValueError(f"unsupported format for dataframe writing: {fmt}")
         return
