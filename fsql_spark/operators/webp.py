@@ -26,9 +26,23 @@ Scope (loud refusal outside it):
   predictor mode, a uniform color-transform element, two meta groups,
   LZ77 runs via plain distance 1, a color cache) with frequency-built
   canonical codes (simple codes when <= 2 symbols). The encoder exists
-  so decode is value-checked end-to-end without an external codec;
-  interop is additionally covered by a Pillow-gated test that skips
-  where Pillow is absent.
+  so decode is value-checked end-to-end without an external codec.
+
+Interop evidence (round 10 — supersedes the r9 "interop risk" caveat):
+the decoder is pinned against the REFERENCE codec via vendored fixtures
+in tests/fixtures/vp8l/, whose streams and expected pixels were
+arbitrated by the system libwebp.so.7 (v1.2.4) at generation time
+(tools/make_webp_fixtures.py + an independent from-scratch spec
+assembler, tools/vp8l_assembler.py, which imports nothing from this
+module). Coverage: ALL 120 2D distance codes, the distance clamp-to-1
+rule, predictor mode 11's tie rule (ties -> TOP, libwebp-confirmed), and
+three streams produced by the libwebp ENCODER (palette/gradient/alpha).
+That arbitration caught and FIXED a real transcription error in
+_CODE_TO_PLANE entries 111..114 (see the table comment). The encoder is
+interop-checked the other direction too: libwebp decodes every encoder
+option path back to the source pixels (tests/test_webp_fixtures.py::
+test_libwebp_interop_live, gated on the shared library; the Pillow-gated
+twin remains for Pillow environments).
 
 Error taxonomy: corrupt structure raises :class:`~fsql_spark.operators.
 codecs.CodecError` (a ValueError), out-of-scope features raise
@@ -57,10 +71,14 @@ _KCODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
 
 #: 2D distance mapping: decoded distance values 1..120 name near pixels.
 #: Each byte packs (yoffset << 4) | (8 - xoffset); dist = y*width + x
-#: (clamped to >= 1). Transcribed from the public libwebp table; the
-#: permutation + near-ordering properties are unit-tested, and the
-#: engine's own encoder emits only arithmetic (plain, > 120) distances so
-#: round-trip correctness never depends on this table.
+#: (clamped to >= 1). Interop-verified in round 10 against the SYSTEM
+#: libwebp decoder (1.2.4) via hand-assembled streams that exercise every
+#: one of the 120 codes (tests/fixtures/vp8l/ + tools/make_webp_fixtures
+#: .py) — which caught and fixed a real transcription error: entries
+#: 111..114 are (6,7),(-6,7),(7,6),(-7,6) [packed 0x72,0x7e,0x61,0x6f],
+#: not the norm-tie order the first transcription assumed. The engine's
+#: own encoder emits only arithmetic (plain, > 120) distances, which is
+#: why the repo's round-trip oracles could not see the error.
 _CODE_TO_PLANE = (
     0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1a,
     0x26, 0x2a, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1b, 0x36, 0x3a,
@@ -73,7 +91,7 @@ _CODE_TO_PLANE = (
     0x64, 0x6c, 0x42, 0x4e, 0x76, 0x7a, 0x21, 0x2f, 0x75, 0x7b,
     0x31, 0x3f, 0x63, 0x6d, 0x52, 0x5e, 0x00, 0x74, 0x7c, 0x41,
     0x4f, 0x10, 0x20, 0x62, 0x6e, 0x30, 0x73, 0x7d, 0x51, 0x5f,
-    0x40, 0x61, 0x6f, 0x72, 0x7e, 0x50, 0x71, 0x7f, 0x60, 0x70,
+    0x40, 0x72, 0x7e, 0x61, 0x6f, 0x50, 0x71, 0x7f, 0x60, 0x70,
 )
 
 _HASH_MUL = 0x1E35A7BD  # color-cache multiplicative hash (spec constant)
