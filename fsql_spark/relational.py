@@ -890,14 +890,20 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supplycost"))
     )
-    # single-scan: cost feeds BOTH sides of the min-equality self-join —
-    # without materialization Spark re-derives it (two lineitem scans)
-    cost = materialize_small(cost, spark, "q2_cost")
-    min_cost = cost.groupBy(F.col("l_partkey").alias("mp")).agg(
-        F.min("supplycost").alias("min_cost")
+    # single-scan: the per-part minimum comes from a WINDOW over the
+    # aggregated cost frame instead of a min-equality self-join — one
+    # lineitem scan, no scratch materialization (r8 used a parquet
+    # temp-write here; its fixed write cost dominated at sf0.1 — 2.18x
+    # vs r7 — while the window pays only one small shuffle of the
+    # already-aggregated (partkey, suppkey) frame and keeps zero
+    # executor/scratch state; at 100 TB that frame is the per-key
+    # aggregate, orders of magnitude below lineitem)
+    cost = cost.withColumn(
+        "min_cost",
+        F.min("supplycost").over(Window.partitionBy("l_partkey")),
     )
     return (
-        cost.join(min_cost, (cost.l_partkey == F.col("mp")) & (cost.supplycost == F.col("min_cost")))
+        cost.where(F.col("supplycost") == F.col("min_cost"))
         .join(F.broadcast(supplier), cost.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(part), cost.l_partkey == part.p_partkey)
         .select(
