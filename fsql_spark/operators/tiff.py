@@ -145,10 +145,15 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
             raise CodecError("TIFF LZW: code out of range")
         out += entry
         prev = entry
-        # EarlyChange: the encoder's next assignable code is ONE AHEAD of
-        # this table (its entry for the code we just read was added before
-        # it emitted), so widen one entry early: len+2, not len+1
-        if len(table) + 2 >= (1 << width) and width < 12:
+        # EarlyChange width rule, INTEROP-ARBITRATED (round 10): widen as
+        # soon as the next assignable code no longer fits the current
+        # width MINUS ONE — i.e. after adding entry 510/1022/2046 the next
+        # read uses 10/11/12 bits (the JDK TIFFLZWDecompressor bumps at
+        # tableIndex == 511/1023/2047; libtiff agrees). The pre-r10 code
+        # bumped one entry EARLIER still (len+2) — self-consistent with
+        # the old encoder but desynced from every other implementation;
+        # caught by javax.imageio arbitration (tests/test_codec_interop).
+        if len(table) + 1 >= (1 << width) and width < 12:
             width += 1
     if len(out) < expected:
         raise CodecError(f"TIFF LZW: decoded {len(out)} of {expected} bytes")
@@ -187,9 +192,14 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         emit(table[prev])
         table[cur] = next_code
         next_code += 1
-        # EarlyChange: the width of the NEXT emitted code grows as soon as
-        # next_code would no longer fit one early
-        if next_code >= (1 << width) - 1 and width < 12:
+        # EarlyChange, the decoder's mirror (see _tiff_lzw_decode): the
+        # decoder's table lags this one by exactly one entry (it adds
+        # from its second read onward), so the k-th emitted code is read
+        # with the decoder's table at k-1 entries — widen when next_code
+        # reaches 1 << width, which makes code #254 the first 10-bit one
+        # on BOTH sides (pre-r10: >= (1<<width)-1, one emit early,
+        # rejected by the JDK decoder — see tests/test_codec_interop)
+        if next_code >= (1 << width) and width < 12:
             width += 1
         if next_code >= 4094:  # reset before 12 bits overflow
             emit(CLEAR)
