@@ -166,3 +166,49 @@ def test_our_jpeg420_stream_read_by_imageio(imageio):
     got, ours = imageio.decode(data), decode_jpeg(data)
     assert np.abs(_y(got) - _y(ours)).max() <= 8.0
     assert np.abs(got.astype(int) - ours.astype(int)).mean() <= 12.0
+
+
+def test_our_16bit_and_subbyte_png_read_by_imageio(imageio):
+    """Depth coverage beyond 8-bit: 16-bit gray/RGB and 1/2/4-bit gray
+    PNGs from our encoder, read back through the JDK's raw raster
+    (sample-exact; `decode` would 8-bit-truncate / LUT-map these)."""
+    rng = np.random.RandomState(9)
+    u16g = rng.randint(0, 65536, (5, 4), dtype=np.uint16)
+    got = imageio.decode_raw_samples(encode_png(u16g))
+    assert (got[:, :, 0] == u16g).all()
+    u16c = rng.randint(0, 65536, (4, 3, 3), dtype=np.uint16)
+    got = imageio.decode_raw_samples(encode_png(u16c))
+    assert (got == u16c).all()
+    for depth in (1, 2, 4):
+        g = rng.randint(0, 1 << depth, (6, 5)).astype(np.uint8)
+        got = imageio.decode_raw_samples(encode_png(g, depth=depth))
+        assert (got[:, :, 0] == g).all(), depth
+
+
+def _libpng():
+    sys.path.insert(0, TOOLS)
+    try:
+        from png_ref import load_libpng
+
+        return load_libpng()
+    finally:
+        sys.path.remove(TOOLS)
+
+
+@pytest.mark.skipif(_libpng() is None, reason="libpng16 shared library absent")
+def test_libpng_interop_live():
+    """Second independent PNG arbiter (gated): libpng16's simplified API
+    encodes streams we must decode exactly, and decodes our streams
+    (incl. Adam7 + cycling filters) back to the source pixels."""
+    sys.path.insert(0, TOOLS)
+    try:
+        from png_ref import ref_decode_png, ref_encode_png
+    finally:
+        sys.path.remove(TOOLS)
+    for img in (RGB, GRAY, RGBA):
+        data = ref_encode_png(img)
+        got = decode_png(data)
+        assert got.shape == img.shape and (got == img).all()
+    for img, kw in [(RGB, {}), (RGB, {"interlace": True}), (GRAY, {}), (RGBA, {})]:
+        got = ref_decode_png(encode_png(img, **kw))
+        assert np.squeeze(got).shape == img.shape and (np.squeeze(got) == img).all()

@@ -68,6 +68,19 @@ class ImageIORef:
             return out[:, :, 0]
         return out
 
+    def decode_raw_samples(self, data: bytes) -> np.ndarray:
+        """Raw raster samples as int64 (H, W, bands): no 8-bit
+        truncation, no palette/LUT resolution — the right view for
+        16-bit and sub-byte-depth streams, where `decode` would clip or
+        gamma-map."""
+        img = self._read(data)
+        w, h = img.getWidth(), img.getHeight()
+        raster = img.getRaster()
+        nb = raster.getNumBands()
+        arr = self._gw.new_array(self._gw.jvm.int, w * h * nb)
+        raster.getPixels(0, 0, w, h, arr)
+        return np.array(list(arr), dtype=np.int64).reshape(h, w, nb)
+
     # -- encode ---------------------------------------------------------
 
     def encode(self, arr: np.ndarray, fmt: str, quality: float | None = None,
