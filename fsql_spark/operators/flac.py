@@ -399,8 +399,39 @@ def decode_flac(data: bytes) -> tuple:
     arrs = [np.asarray(c, dtype=dtype) for c in chans]
     if total_samples:
         arrs = [a[:total_samples] for a in arrs]
+    # RFC 9639 §8.2: STREAMINFO carries the MD5 of the unencoded audio
+    # (interleaved, little-endian, signed, ceil(bps/8) bytes/sample);
+    # all-zero means "not computed". Verifying it (round 10) gives decode
+    # a spec-level end-to-end check against the ORIGINAL encoder — the
+    # only external-arbitration channel available for FLAC in this
+    # environment (no libFLAC, no JDK support), and it catches exactly
+    # the convention-mismatch class (e.g. wrong stereo decorrelation)
+    # that per-frame CRCs cannot see, because CRCs cover coded bytes,
+    # not reconstructed samples.
+    md5_declared = streaminfo[18:34]
+    if md5_declared != b"\x00" * 16:
+        if _streaminfo_md5(arrs, bps) != md5_declared:
+            raise CodecError(
+                "FLAC: decoded samples do not match the STREAMINFO MD5 "
+                "(mis-decode or corrupted stream)"
+            )
     out = arrs[0] if channels == 1 else np.stack(arrs, axis=1)
     return sample_rate, out
+
+
+def _streaminfo_md5(arrs: list, bps: int) -> bytes:
+    """MD5 of the unencoded audio per RFC 9639: channel-interleaved
+    samples, each as a little-endian SIGNED integer of ceil(bps/8)
+    bytes."""
+    import hashlib
+
+    width = (bps + 7) // 8
+    inter = np.stack(arrs, axis=1).astype(np.int64)  # (n, channels)
+    u = inter & ((1 << (8 * width)) - 1)  # two's complement view
+    b = np.stack(
+        [(u >> (8 * i)) & 0xFF for i in range(width)], axis=-1
+    ).astype(np.uint8)
+    return hashlib.md5(b.tobytes()).digest()
 
 
 # --------------------------------------------------------------------------
@@ -482,7 +513,13 @@ def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096) -
     si.write(channels - 1, 3)
     si.write(bps - 1, 5)
     si.write(n_total, 36)
-    si.out += b"\x00" * 16  # MD5 unset (all-zero = not computed)
+    # real sample MD5 (round 10; was all-zero "not computed"): the decoder
+    # now VERIFIES this, so every round trip checks reconstructed samples
+    # end-to-end, and libFLAC-style tools can validate our streams
+    _md5_arrs = (
+        [samples] if channels == 1 else [samples[:, 0], samples[:, 1]]
+    )
+    si.out += _streaminfo_md5(_md5_arrs, bps)
     out += bytes([0x80, 0, 0, 34]) + bytes(si.out)
 
     def rice_cost(res: list) -> int:

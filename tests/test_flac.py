@@ -245,3 +245,43 @@ def test_encode_block_size_validated():
         encode_flac(s, 8000, block_size=70000)
     with pytest.raises(ValueError, match="block_size"):
         encode_flac(s, 8000, block_size=8)
+
+
+def test_streaminfo_md5_written_and_verified():
+    """Round 10: the encoder writes the RFC 9639 sample MD5 (interleaved
+    little-endian signed) and the decoder verifies any nonzero MD5 —
+    the one external-arbitration channel FLAC offers in this
+    environment. A tampered MD5 must refuse; an all-zero MD5 (legacy
+    streams, incl. pre-r10 output of this encoder) must still decode."""
+    import hashlib
+
+    import numpy as np
+
+    from fsql_spark.operators.codecs import CodecError
+    from fsql_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.RandomState(11)
+    mono = rng.randint(-32768, 32768, 900).astype(np.int16)
+    stereo = rng.randint(-32768, 32768, (700, 2)).astype(np.int16)
+    for s in (mono, stereo):
+        data = encode_flac(s, 8000, block_size=256)
+        # the MD5 field sits at STREAMINFO body bytes 18..34 = stream
+        # offset 4 (magic) + 4 (block header) + 18
+        field = data[26:42]
+        inter = s.reshape(len(s), -1).astype("<i2").tobytes()
+        assert field == hashlib.md5(inter).digest()
+        rate, back = decode_flac(data)  # verification path runs
+        assert (back == s).all()
+        # tamper: flip one MD5 byte -> decode must refuse loudly
+        bad = bytearray(data)
+        bad[26] ^= 0xFF
+        try:
+            decode_flac(bytes(bad))
+            assert False, "tampered MD5 accepted"
+        except CodecError as exc:
+            assert "MD5" in str(exc)
+        # all-zero MD5 stays accepted (spec: not computed)
+        legacy = bytearray(data)
+        legacy[26:42] = b"\x00" * 16
+        rate, back = decode_flac(bytes(legacy))
+        assert (back == s).all()
