@@ -183,3 +183,60 @@ def test_property_vp8l_distance_streams_match_libwebp(w, codes, seed):
     assert (ref == want).all(), "spec model disagrees with libwebp"
     ours = _norm_rgba(decode_webp(data))
     assert (ours == want).all(), "our decoder disagrees"
+
+
+@pytest.mark.skipif(not _HAS_LIBWEBP, reason="libwebp shared library absent")
+@given(
+    kind=st.sampled_from(["noise", "gradient", "palette", "blocks"]),
+    w=st.integers(5, 64),
+    h=st.integers(5, 64),
+    alpha=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=20, deadline=None)
+def test_property_libwebp_encoded_images_decode_exactly(kind, w, h, alpha, seed):
+    """The strongest decoder fuzz available: libwebp's own encoder picks
+    per-tile predictors, entropy images, color caches, and 2D-distance
+    LZ77 references by its cost model — feature combinations this repo's
+    encoder never emits. Whatever it produces, decode_webp must return
+    the source pixels exactly (VP8L is lossless)."""
+    rng = np.random.RandomState(seed)
+    if kind == "noise":
+        img = rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
+    elif kind == "gradient":
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 7) % 256, (yy * 5 + xx) % 256, (yy * 11) % 256,
+             np.full((h, w), 255)], axis=-1
+        ).astype(np.uint8)
+    elif kind == "palette":
+        pal = rng.randint(0, 256, (rng.randint(2, 9), 4), dtype=np.uint8)
+        img = pal[rng.randint(0, len(pal), (h, w))]
+    else:  # blocks: runs + repeats drive LZ77 hard
+        img = np.repeat(
+            np.repeat(rng.randint(0, 256, ((h + 7) // 8, (w + 7) // 8, 4),
+                                  dtype=np.uint8), 8, axis=0), 8, axis=1
+        )[:h, :w]
+    if not alpha:
+        img[..., 3] = 255
+    sys.path.insert(0, TOOLS)
+    try:
+        from webp_ref import ref_encode_lossless_rgba
+    finally:
+        sys.path.remove(TOOLS)
+    data = ref_encode_lossless_rgba(np.ascontiguousarray(img))
+    sys.path.insert(0, TOOLS)
+    try:
+        from webp_ref import ref_decode_rgba
+    finally:
+        sys.path.remove(TOOLS)
+    # libwebp's default encode is NOT exact under full transparency: it
+    # may rewrite the RGB of alpha==0 pixels (alpha-cleanup) — so the
+    # oracle is libwebp's own decode of the stream, which must match us
+    # bit-for-bit; for opaque images that equals the source exactly.
+    want = ref_decode_rgba(data)
+    got = _norm_rgba(decode_webp(data))
+    assert got.shape == want.shape
+    assert (got == want).all()
+    opaque = img[..., 3] == 255
+    assert (got[opaque] == img[opaque]).all()
