@@ -133,8 +133,19 @@ def test_our_png_streams_read_by_imageio(imageio):
 
 def test_our_bmp_gif_tiff_streams_read_by_imageio(imageio):
     assert (imageio.decode(encode_bmp(RGB)) == RGB).all()
+    # RGBA BMP uses the V4 BI_BITFIELDS header with an explicit alpha
+    # mask — the JDK must honor it (alpha channel round-trips)
+    got = imageio.decode(encode_bmp(RGBA))
+    assert got.shape == RGBA.shape and (got == RGBA).all()
     got = imageio.decode(encode_gif(PAL_IDX, PALETTE))
     assert (got[..., :3] == PALETTE[PAL_IDX]).all()
+    got = imageio.decode(encode_gif(PAL_IDX, PALETTE, interlace=True))
+    assert (got[..., :3] == PALETTE[PAL_IDX]).all()
+    got = imageio.decode(encode_gif(PAL_IDX, PALETTE, transparent=2))
+    assert got.shape[2] == 4
+    assert (got[..., 3] == np.where(PAL_IDX == 2, 0, 255)).all()
+    opaque = PAL_IDX != 2
+    assert (got[opaque][:, :3] == PALETTE[PAL_IDX][opaque]).all()
     for kw in ({}, {"compression": "packbits"}, {"compression": "lzw"},
                {"compression": "deflate", "predictor": True}):
         got = imageio.decode(encode_tiff(RGB, **kw))
