@@ -223,3 +223,13 @@ def test_libpng_interop_live():
     for img, kw in [(RGB, {}), (RGB, {"interlace": True}), (GRAY, {}), (RGBA, {})]:
         got = ref_decode_png(encode_png(img, **kw))
         assert np.squeeze(got).shape == img.shape and (np.squeeze(got) == img).all()
+
+
+def test_imageio_jpeg_in_tiff_decodes_structurally(imageio):
+    """The JDK's TIFF writer with JPEG compression (new-style JPEG-in-
+    TIFF, tag 259=7): same 4:2:0 physics as plain JPEG — luma tight,
+    chroma bounded by the upsampling-filter difference."""
+    data = imageio.encode(SMOOTH, "tiff", compression="JPEG")
+    got, ref = decode_tiff(data), imageio.decode(data)
+    assert np.abs(_y(got) - _y(ref)).max() <= 8.0
+    assert np.abs(got.astype(int) - ref.astype(int)).mean() <= 12.0
