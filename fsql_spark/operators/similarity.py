@@ -1087,7 +1087,145 @@ GROUP BY label
 """
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    key_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with the deterministic sampled-centroid quantizer,
+    then drop items that have a near-duplicate (cosine >= threshold,
+    rounded 4dp) WITHIN their cluster, keeping the lowest key of each
+    dominating pair — the "min-key dominance" rule, a deterministic
+    instantiation of the paper's keep-one-per-near-dup-group heuristic.
+
+    Returns (key, centroid_id, kept) for every input row (kept = 1/0).
+
+    Scale posture: assignment is MAP-ONLY (centroid matrix is KBs,
+    closure-broadcast — see :func:`_make_assigner`); the pairwise stage
+    shuffles once on ``centroid_id`` and is quadratic ONLY within a
+    cluster, the paper's own cost model — n_centroids grows with the
+    corpus to bound cluster sizes (the 100 TB knob). No all-pairs
+    anywhere; the candidate join is a pure equi-join on the cluster id.
+
+    Determinism (what makes the exact SQL oracle possible): centroid
+    init is the md5-hash-ordered sample (engine-portable,
+    :func:`_centroid_seed_hash`), argmax assignment breaks ties toward
+    the lowest centroid id in BOTH engines, and the threshold compares a
+    4dp-rounded cosine."""
+    import numpy as np
+
+    base = vectors.select(F.col(key_col).alias("k"), _as_double(vec_col).alias("v"))
+    init = (
+        base.withColumn("__h", _centroid_seed_hash(F.col("k"), seed))
+        .orderBy("__h", "k")
+        .limit(n_centroids)
+        .select("v")
+        .collect()
+    )
+    cents = np.array([r["v"] for r in init], dtype=np.float64)
+    assigned = base.withColumn("centroid_id", _make_assigner(cents)(F.col("v")))
+    other = assigned.select(
+        F.col("k").alias("k2"), F.col("v").alias("v2"), F.col("centroid_id").alias("c2")
+    )
+    dropped = (
+        assigned.join(
+            other, (F.col("centroid_id") == F.col("c2")) & (F.col("k") < F.col("k2"))
+        )
+        .where(F.round(cosine(F.col("v"), F.col("v2")), 4) >= threshold)
+        .select(F.col("k2").alias("dk"))
+        .distinct()
+    )
+    return assigned.join(dropped, assigned.k == F.col("dk"), "left").select(
+        F.col("k").alias(key_col),
+        "centroid_id",
+        F.col("dk").isNull().cast("int").alias("kept"),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup over the embeddings table with injected exact clones
+    (every 20th vector re-appears as vec_id+100000): the synthetic
+    corpus has no natural near-dups (max pairwise cosine ~0.49), so the
+    clones are what exercises the drop rule at a realistic threshold —
+    every clone must be dropped in favor of its lower-keyed original,
+    every original kept. The oracle replicates the ENTIRE pipeline
+    (augmentation, hash-sampled centroids, tie-broken argmax assignment,
+    in-cluster 4dp-rounded cosine, min-key dominance) in SQL."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(clones)
+    return semantic_dedup(corpus, "vec_id", "embedding", n_centroids=16,
+                          threshold=0.95, seed=42)
+
+
+# full replica of q_semantic_dedup (augmented corpus -> hash-sampled
+# centroids -> lowest-cid-tie argmax assignment -> in-cluster pairwise
+# 4dp cosine -> min-key dominance drop rule)
+Q_SEMANTIC_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM corpus
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+cent AS (
+  SELECT vec_id AS cid_key,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '-42'), vec_id) AS INTEGER) - 1 AS cid
+  FROM corpus
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '-42'), vec_id) <= 16
+),
+cvec AS (
+  SELECT c.cid, e.i, e.v / GREATEST(n.nrm, 1e-12) AS cv
+  FROM cent c JOIN ex e ON e.vec_id = c.cid_key JOIN norms n ON n.vec_id = c.cid_key
+),
+uvec AS (
+  SELECT e.vec_id, e.i, e.v / GREATEST(n.nrm, 1e-12) AS uv
+  FROM ex e JOIN norms n ON n.vec_id = e.vec_id
+),
+sim AS (
+  SELECT u.vec_id, c.cid, SUM(u.uv * c.cv) AS s
+  FROM uvec u JOIN cvec c ON u.i = c.i
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sim) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS ka, b.vec_id AS kb
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+cos AS (
+  SELECT p.ka, p.kb, ROUND(SUM(ea.v * eb.v) / (na.nrm * nb.nrm), 4) AS c
+  FROM pairs p
+  JOIN ex ea ON ea.vec_id = p.ka
+  JOIN ex eb ON eb.vec_id = p.kb AND eb.i = ea.i
+  JOIN norms na ON na.vec_id = p.ka
+  JOIN norms nb ON nb.vec_id = p.kb
+  GROUP BY p.ka, p.kb, na.nrm, nb.nrm
+),
+dropped AS (SELECT DISTINCT kb FROM cos WHERE c >= 0.95)
+SELECT a.vec_id, a.cid AS centroid_id,
+       CASE WHEN d.kb IS NULL THEN 1 ELSE 0 END AS kept
+FROM assign a LEFT JOIN dropped d ON d.kb = a.vec_id
+"""
+
+
 SIMILARITY_QUERIES = {
+    "q_semantic_dedup": q_semantic_dedup,
+
     "q_embedding_similar_pairs": q_embedding_similar_pairs,
     "q_embedding_knn": q_embedding_knn,
     "q_embedding_ann_lsh": q_embedding_ann_lsh,
@@ -1100,6 +1238,7 @@ SIMILARITY_QUERIES = {
 }
 
 SIMILARITY_ORACLES = {
+    "q_semantic_dedup": Q_SEMANTIC_DEDUP_SQL,  # full SemDeDup replica
     "q_embedding_similar_pairs": Q_EMB_PAIRS_SQL,
     "q_embedding_knn": Q_EMB_KNN_SQL,
     # the LSH entries' twins REPLICATE the approximate pipeline exactly in
