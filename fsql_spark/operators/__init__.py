@@ -207,6 +207,12 @@ from .vocab import (  # noqa: F401
     tf_idf,
     vocabulary,
 )
+from .spans import (  # noqa: F401
+    SPAN_ORACLES,
+    SPAN_QUERIES,
+    duplicated_kgram_positions,
+    duplicated_spans,
+)
 
 EXTENSION_QUERIES = {
     **TEXT_QUERIES,
@@ -228,6 +234,7 @@ EXTENSION_QUERIES = {
     **ROLLUP_QUERIES,
     **RETRIEVAL_QUERIES,
     **BPE_QUERIES,
+    **SPAN_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -250,4 +257,5 @@ EXTENSION_ORACLES = {
     **ROLLUP_ORACLES,
     **RETRIEVAL_ORACLES,
     **BPE_ORACLES,
+    **SPAN_ORACLES,
 }

@@ -1,0 +1,182 @@
+"""Exact-substring duplicate spans: character-level k-gram anchoring with
+maximal-span merging — the ExactSubstr side of "Deduplicating Training Data
+Makes Language Models Better" (Lee et al., 2022). Where MinHash/SimHash
+(``dedup.py``) answer "are these two DOCUMENTS near-identical?", this
+operator answers "which exact CHARACTER RANGES of each document also occur
+elsewhere in the corpus?" — the signal a pipeline uses to cut boilerplate,
+license headers, and templated spans out of otherwise-unique pages.
+
+Lee et al. build a corpus-wide suffix array; a suffix array is a single
+global sorted order, which is exactly the thing a distributed engine should
+not build. The standard distributed reformulation (used here) anchors on
+fixed-length k-grams instead: a character range is flagged iff every
+k-window inside it occurs >= 2 times corpus-wide, which equals Lee et al.'s
+"duplicated substring of length >= k" up to the window quantization — and is
+expressible as two keyed exchanges:
+
+1. one gram-keyed exchange to count occurrences of each distinct k-gram
+   (the explode itself is map-only: positions never leave their document's
+   partition until keyed by gram);
+2. one doc-keyed exchange to sort the surviving positions and merge
+   overlapping windows into maximal spans (gaps-and-islands over a window
+   function — position ``p`` extends the current span iff
+   ``p <= prev_p + k``).
+
+Scale posture at 100 TB: the gram exchange is the cost. It carries one
+(gram, doc, pos) row per character of corpus — the same order of bytes as
+the corpus itself, shuffled once, exactly like the tokenize-and-count pass
+of every dedup family in this repo. Two standard levers, both deliberately
+NOT taken in the oracle entry because they trade exactness: (a) key the
+exchange by ``xxhash64(gram)`` so 8 bytes ride the wire instead of k
+characters (collisions only ever ADD false duplicate flags; at ~1e12 grams
+the birthday term is non-negligible, so a production run re-verifies
+flagged spans with one string-equality pass); (b) stride/winnow the anchor
+positions (``q_doc_winnow_fingerprints`` is that operator). The island
+merge is per-document and streams.
+
+No reference counterpart (the reference delegates row-level compute,
+`/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension
+surface (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def duplicated_kgram_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, pos) for every 1-based character position whose exact k-gram
+    occurs >= ``min_count`` times corpus-wide (occurrences in the SAME
+    document count — a doc that repeats its own header is self-duplicated,
+    matching Lee et al.'s any-second-occurrence rule).
+
+    One gram-keyed exchange: the count is a window over the gram partition,
+    so the position rows and their counts materialize in one pass (a
+    groupBy+join formulation would exchange the gram stream twice)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grams = (
+        df.select(id_col, text_col)
+        .where(F.length(text_col) >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("pos"),
+            F.col(text_col),
+        )
+        .select(id_col, "pos", F.expr(f"substring({text_col}, pos, {k})").alias("gram"))
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    return grams.withColumn("_cnt", cnt).where(F.col("_cnt") >= min_count).select(id_col, "pos")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated character spans per document: overlapping/adjacent
+    flagged k-windows merged by gaps-and-islands. Returns one row per span:
+    ``(id, span_start, span_chars, n_kgrams)`` with ``span_start`` 1-based.
+
+    The merge is one doc-keyed window pass: position ``p`` starts a new
+    island iff ``p > lag(p) + k`` (the previous window [lag, lag+k) ends
+    before [p, p+k) begins); island ids are the running sum of start flags.
+    Positions within a document are distinct, so the running sum's default
+    RANGE frame equals ROWS — the SQL oracle relies on the same identity."""
+    dup = duplicated_kgram_positions(df, id_col, text_col, k, min_count)
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    start_flag = F.when(
+        F.col("pos") > F.lag("pos").over(by_doc) + k, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = dup.withColumn(
+        "island", F.sum(start_flag).over(by_doc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k - F.min("pos")).alias("span_chars"),
+        F.count(F.lit(1)).alias("n_kgrams"),
+    ).drop("island")
+
+
+# --------------------------------------------------------------------------
+# catalog entry + oracle
+# --------------------------------------------------------------------------
+
+_K = 40  # Lee et al. use 50 BPE tokens; 40 chars is the same order on text
+
+
+def q_substring_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document exact-substring duplication profile at k=40: how many
+    flagged k-grams, how many maximal spans they merge into, how many
+    characters those spans cover, and the covered fraction of the document
+    — the ExactSubstr cut signal. Docs with no duplicated span are absent
+    (their fraction is identically 0)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    spans = duplicated_spans(docs, k=_K)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.sum("n_kgrams").cast("long").alias("n_dup_kgrams"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("span_chars").cast("long").alias("dup_chars"),
+        )
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "n_dup_kgrams",
+            "n_spans",
+            "dup_chars",
+            F.round(F.col("dup_chars") / F.col("n_chars"), 4).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_SUBSTRING_DUP_SPANS_SQL = f"""
+WITH g AS (
+  SELECT doc_id, n_chars,
+         unnest(generate_series(1, n_chars - {_K - 1})) AS pos, text
+  FROM documents WHERE n_chars >= {_K}
+),
+flagged AS (
+  SELECT doc_id, n_chars, pos,
+         COUNT(*) OVER (PARTITION BY substr(text, pos, {_K})) AS cnt
+  FROM g
+),
+lagged AS (
+  SELECT doc_id, n_chars, pos,
+         CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_K}
+              THEN 1 ELSE 0 END AS starts
+  FROM flagged WHERE cnt >= 2
+),
+isl AS (
+  SELECT doc_id, n_chars, pos,
+         SUM(starts) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, n_chars, island,
+         COUNT(*) AS n_kgrams, MAX(pos) + {_K} - MIN(pos) AS span_chars
+  FROM isl GROUP BY doc_id, n_chars, island
+)
+SELECT doc_id,
+       CAST(SUM(n_kgrams) AS BIGINT)   AS n_dup_kgrams,
+       CAST(COUNT(*) AS BIGINT)        AS n_spans,
+       CAST(SUM(span_chars) AS BIGINT) AS dup_chars,
+       ROUND(SUM(span_chars) * 1.0 / n_chars, 4) AS dup_frac
+FROM spans GROUP BY doc_id, n_chars
+ORDER BY doc_id
+"""
+
+
+SPAN_QUERIES = {"q_substring_dup_spans": q_substring_dup_spans}
+SPAN_ORACLES = {"q_substring_dup_spans": Q_SUBSTRING_DUP_SPANS_SQL}
