@@ -213,6 +213,12 @@ from .spans import (  # noqa: F401
     duplicated_kgram_positions,
     duplicated_spans,
 )
+from .mixing import (  # noqa: F401
+    MIXING_ORACLES,
+    MIXING_QUERIES,
+    source_js_divergence,
+    source_token_probabilities,
+)
 
 EXTENSION_QUERIES = {
     **TEXT_QUERIES,
@@ -235,6 +241,7 @@ EXTENSION_QUERIES = {
     **RETRIEVAL_QUERIES,
     **BPE_QUERIES,
     **SPAN_QUERIES,
+    **MIXING_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -258,4 +265,5 @@ EXTENSION_ORACLES = {
     **RETRIEVAL_ORACLES,
     **BPE_ORACLES,
     **SPAN_ORACLES,
+    **MIXING_ORACLES,
 }

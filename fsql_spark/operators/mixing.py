@@ -1,0 +1,222 @@
+"""Data-mixing diagnostics: how DIFFERENT are the token distributions of
+the corpus's sources/domains? A pretraining pipeline that mixes domains
+(DoReMi, Pile-style weighted sampling) needs a cheap, monitorable distance
+between domain unigram distributions — to pick mixing weights, to detect a
+crawl slice drifting between snapshots, and to flag a "new" source that is
+really a near-copy of an existing one.
+
+The metric is Jensen–Shannon divergence over the corpus-wide top-K token
+vocabulary, renormalized per source within the kept vocabulary. JSD (unlike
+KL) is symmetric, finite even with disjoint support, and bounded by ln 2 —
+the right shape for a dashboard. Restricting to a shared top-K makes the
+distributions comparable metadata-sized objects (the same cut every
+tokenizer-training pipeline applies) instead of corpus-sized tails.
+
+Scale shape (the 100 TB story):
+
+- the ONLY corpus-scale work is the (source, token) count — one map-side
+  combinable aggregate fed by the zero-shuffle
+  :func:`~fsql_spark.operators.vocab.term_frequencies` kernel keyed by
+  source (a batch's rows collapse locally; the exchange carries collapsed
+  counts, bounded by sources x distinct-tokens, NOT by corpus rows);
+- everything after the count is vocabulary-sized metadata: the top-K cut,
+  per-source totals, and the pairwise self-join all operate on at most
+  (sources x K) rows, so the joins broadcast and the pair aggregate is
+  driver-trivial. At 1000 sources x K=50 that is 50k rows — nothing.
+
+Zero-handling is exact without densifying: for tokens held by only one
+side, the JSD term is ``p * ln 2``, so the inner join computes the shared
+core and the missing mass enters in closed form as
+``0.5 * ln2 * ((1 - P_shared) + (1 - Q_shared))`` — no sources-x-vocab
+cross join (which the plan lint would rightly reject as CartesianProduct).
+
+No reference counterpart (the reference delegates row-level compute,
+`/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension
+surface (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .vocab import term_frequencies
+
+
+def group_token_counts(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(group, token, tf) — the ONE corpus-scale aggregate of this module
+    (map-side combinable; the zero-shuffle per-batch kernel already emits
+    collapsed pairs). Callers that consume it more than once should
+    ``.persist()`` it and pass it back via ``counts=`` — the tf= convention
+    of :func:`~fsql_spark.operators.lm.unigram_model`."""
+    return (
+        term_frequencies(df, id_col=group_col, text_col=text_col)
+        .groupBy(group_col, "token")
+        .agg(F.sum("tf").alias("tf"))
+    )
+
+
+def source_token_probabilities(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 50,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """(group, token, p) — each group's unigram distribution over the
+    corpus-wide top-``top_k`` tokens (by total tf, ties broken lexically),
+    renormalized within the kept vocabulary so each group's p sums to 1.
+
+    One corpus-scale exchange (the collapsed (group, token) counts); the
+    vocabulary cut and the totals join are metadata-sized broadcasts."""
+    tf = counts if counts is not None else group_token_counts(df, group_col, text_col)
+    vocab = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").alias("total_tf"))
+        .orderBy(F.desc("total_tf"), "token")
+        .limit(top_k)
+        .select("token")
+    )
+    kept = tf.join(F.broadcast(vocab), "token")
+    totals = kept.groupBy(group_col).agg(F.sum("tf").alias("_total"))
+    return (
+        kept.join(F.broadcast(totals), group_col)
+        .select(group_col, "token", (F.col("tf") / F.col("_total")).alias("p"))
+    )
+
+
+def source_js_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 50,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between group token distributions:
+    ``(group_a, group_b, shared_tokens, js_divergence)`` for every unordered
+    pair sharing >= 1 top-K token (a pair with NO shared token has JSD
+    identically ln 2 and is absent — same inner-join convention in the SQL
+    oracle, and unreachable in practice once K exceeds the stop-word band).
+
+    Exact sparse formulation: the inner join on token yields the shared
+    terms ``p ln(2p/(p+q)) + q ln(2q/(p+q))``; each side's unshared mass
+    contributes ``ln 2`` per unit, recovered from the shared-mass sums in
+    closed form. Result is in [0, ln 2]."""
+    p = source_token_probabilities(df, group_col, text_col, top_k, counts=counts)
+    a = p.select(
+        F.col(group_col).alias("group_a"), "token", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col(group_col).alias("group_b"), "token", F.col("p").alias("pb")
+    )
+    shared = a.join(F.broadcast(b), "token").where(F.col("group_a") < F.col("group_b"))
+    core = (
+        F.col("pa") * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb")))
+        + F.col("pb") * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    )
+    return (
+        shared.select("group_a", "group_b", core.alias("_core"), "pa", "pb")
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_tokens"),
+            F.sum("_core").alias("_c"),
+            F.sum("pa").alias("_pa"),
+            F.sum("pb").alias("_pb"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "shared_tokens",
+            (
+                0.5 * F.col("_c")
+                + 0.5 * math.log(2.0) * (2.0 - F.col("_pa") - F.col("_pb"))
+            ).alias("js_divergence"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entry + oracle
+# --------------------------------------------------------------------------
+
+_TOP_K = 50
+
+
+def _q_source_js_frame(spark: SparkSession, sf: str, counts: DataFrame | None = None) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        source_js_divergence(docs, group_col="source", top_k=_TOP_K, counts=counts)
+        .select(
+            F.col("group_a").alias("source_a"),
+            F.col("group_b").alias("source_b"),
+            "shared_tokens",
+            F.round("js_divergence", 4).alias("js_divergence"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q_source_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise JSD between the documents table's source slices over the
+    corpus top-50 vocabulary — the domain-mixing distance matrix.
+
+    The pairwise self-join references the (source, token) count stream six
+    times in one plan, so the ONE corpus-scale aggregate is persisted for
+    the call and the pairs-squared-sized result (190 rows here) is
+    materialized driver-side so the cache can be RELEASED per call — the
+    q_doc_perplexity pattern; ``lint_target`` exposes the real distributed
+    plan to the catalog-wide lint."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    counts = group_token_counts(docs, "source").persist()
+    try:
+        out = _q_source_js_frame(spark, sf, counts=counts)
+        pdf = out.toPandas()  # sources-choose-2 rows of 4 scalars
+    finally:
+        counts.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+q_source_js_divergence.lint_target = _q_source_js_frame
+
+
+Q_SOURCE_JS_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY source, token
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, SUM(tf) AS total_tf FROM tf GROUP BY token
+    ORDER BY total_tf DESC, token LIMIT {_TOP_K}
+  )
+),
+kept AS (SELECT tf.source, tf.token, tf.tf FROM tf JOIN vocab USING (token)),
+tot AS (SELECT source, SUM(tf) AS _total FROM kept GROUP BY source),
+p AS (
+  SELECT k.source, k.token, k.tf / t._total AS p
+  FROM kept k JOIN tot t USING (source)
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_tokens,
+         SUM(a.p * LN(2.0 * a.p / (a.p + b.p))
+             + b.p * LN(2.0 * b.p / (a.p + b.p))) AS _c,
+         SUM(a.p) AS _pa, SUM(b.p) AS _pb
+  FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, shared_tokens,
+       ROUND(0.5 * _c + 0.5 * LN(2.0) * (2.0 - _pa - _pb), 4) AS js_divergence
+FROM pairs ORDER BY source_a, source_b
+"""
+
+
+MIXING_QUERIES = {"q_source_js_divergence": q_source_js_divergence}
+MIXING_ORACLES = {"q_source_js_divergence": Q_SOURCE_JS_SQL}
