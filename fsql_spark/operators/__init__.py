@@ -219,6 +219,12 @@ from .mixing import (  # noqa: F401
     source_js_divergence,
     source_token_probabilities,
 )
+from .phash import (  # noqa: F401
+    PHASH_ORACLES,
+    PHASH_QUERIES,
+    perceptual_hashes,
+    phash_clusters,
+)
 
 EXTENSION_QUERIES = {
     **TEXT_QUERIES,
@@ -242,6 +248,7 @@ EXTENSION_QUERIES = {
     **BPE_QUERIES,
     **SPAN_QUERIES,
     **MIXING_QUERIES,
+    **PHASH_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -266,4 +273,5 @@ EXTENSION_ORACLES = {
     **BPE_ORACLES,
     **SPAN_ORACLES,
     **MIXING_ORACLES,
+    **PHASH_ORACLES,
 }

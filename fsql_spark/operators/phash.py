@@ -1,0 +1,157 @@
+"""Perceptual-hash image deduplication (average hash): the multimodal twin
+of the text dedup family. A crawl's image corpus is full of byte-UNequal
+near-copies (re-encodes, resizes, metadata strips); exact content hashing
+misses all of them. aHash is the classic cheap perceptual fingerprint:
+downsample to ``hash_size`` x ``hash_size``, threshold each sample against
+the tile mean, read the bits row-major — byte-level differences that don't
+move pixels past the mean leave the hash unchanged, so equal hashes group
+re-encoded copies.
+
+Everything here rides the REAL codec path: payloads decode through
+:func:`~fsql_spark.operators.multimodal.decode_image` (magic-dispatched
+PNG/JPEG/GIF/BMP/TIFF/WebP), the downsample is the same integer
+nearest-neighbor sampler as :func:`~fsql_spark.operators.multimodal.
+resize_images` (``src = min(i * dim // hash_size, dim - 1)``), and the
+threshold is the INTEGER comparison ``n_samples * v > sum(v)`` — no float
+mean, so a SQL oracle replays the hash bit-for-bit from the source text the
+catalog images derive from.
+
+Scale shape (the 100 TB story): hashing is embarrassingly parallel
+(mapInPandas over Arrow batches, one row out per image — bytes never
+amplify); grouping shuffles 8-byte-scale hash strings + ids, NOT pixels;
+the cluster annotation is a window over the hash partition (one exchange).
+Identical-hash grouping is exact grouping, not similarity search — for
+near-miss Hamming-distance matching, band the bits and reuse the
+MinHash-LSH bucketing machinery (``dedup.py``); this operator is the
+exact-bucket base case every image pipeline runs first.
+
+No reference counterpart (the reference delegates row-level compute,
+`/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension
+surface (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+PHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("phash", StringType())]
+)
+
+
+def perceptual_hashes(
+    media: DataFrame,
+    hash_size: int = 8,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, phash) — average-hash over the decoded pixels, as a
+    ``hash_size**2``-character '0'/'1' string (row-major; bit = 1 iff the
+    sample exceeds the tile mean STRICTLY, compared in integers). RGB
+    collapses each sampled pixel to ``(r + g + b) // 3`` before
+    thresholding. Undecodable payloads raise with the media id attached —
+    the quarantine-don't-guess convention of every codec kernel here."""
+    import numpy as np
+
+    from .multimodal import _reraise_with_media_id, decode_image
+
+    if hash_size < 1:
+        raise ValueError(f"hash_size must be >= 1, got {hash_size}")
+    n_samples = hash_size * hash_size
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    arr = decode_image(raw)
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
+                h, w = arr.shape[0], arr.shape[1]
+                rows = np.minimum((np.arange(hash_size) * h) // hash_size, h - 1)
+                cols = np.minimum((np.arange(hash_size) * w) // hash_size, w - 1)
+                tile = arr[np.ix_(rows, cols)].astype(np.int64)
+                if tile.ndim == 3:  # RGB -> integer luma proxy
+                    tile = tile.sum(axis=2) // tile.shape[2]
+                total = int(tile.sum())
+                bits = (n_samples * tile.reshape(-1)) > total
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"media_id": pdf[id_col], "phash": hashes})
+
+    return media.select(id_col, content_col).mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def phash_clusters(hashes: DataFrame) -> DataFrame:
+    """Annotate each image with its exact-hash cluster: ``(media_id, phash,
+    cluster_size, canonical_id)`` — ``canonical_id`` is the cluster's min
+    id (the keep-one-drop-rest dedup decision), so ``media_id !=
+    canonical_id`` is the drop set. One hash-keyed window exchange."""
+    by_hash = Window.partitionBy("phash")
+    return hashes.select(
+        "media_id",
+        "phash",
+        F.count(F.lit(1)).over(by_hash).cast("long").alias("cluster_size"),
+        F.min("media_id").over(by_hash).cast("long").alias("canonical_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entry + oracle
+# --------------------------------------------------------------------------
+
+
+def q_image_phash_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """aHash every document-derived PNG through the real decode path and
+    annotate exact-hash clusters — the image-dedup keep/drop table. The
+    oracle replays the downsample + integer threshold from the '.'-padded
+    source text, so one flipped pixel anywhere in deflate/unfilter/sampler
+    flips a hash bit and breaks the row hash."""
+    from .multimodal import documents_as_png
+
+    media = documents_as_png(spark, sf, width=32)
+    return phash_clusters(perceptual_hashes(media, hash_size=8)).orderBy("media_id")
+
+
+Q_IMAGE_PHASH_SQL = """
+WITH sized AS (
+  SELECT doc_id,
+         rpad(text, CAST(GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER), 1) * 32 AS INTEGER), '.') AS padded,
+         GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER), 1) AS h
+  FROM documents
+),
+samples AS (
+  SELECT doc_id,
+         r.i AS r, c.i AS c,
+         ascii(substr(padded,
+                      CAST(LEAST((r.i * h) // 8, h - 1) * 32
+                           + LEAST((c.i * 32) // 8, 31) + 1 AS INTEGER),
+                      1)) AS v
+  FROM sized,
+       unnest(generate_series(0, 7)) AS r(i),
+       unnest(generate_series(0, 7)) AS c(i)
+),
+bits AS (
+  SELECT doc_id, r, c,
+         CASE WHEN 64 * v > SUM(v) OVER (PARTITION BY doc_id) THEN '1' ELSE '0' END AS bit
+  FROM samples
+),
+hashes AS (
+  SELECT doc_id AS media_id, string_agg(bit, '' ORDER BY r, c) AS phash
+  FROM bits GROUP BY doc_id
+)
+SELECT media_id, phash,
+       CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS cluster_size,
+       CAST(MIN(media_id) OVER (PARTITION BY phash) AS BIGINT) AS canonical_id
+FROM hashes
+ORDER BY media_id
+"""
+
+
+PHASH_QUERIES = {"q_image_phash_dups": q_image_phash_dups}
+PHASH_ORACLES = {"q_image_phash_dups": Q_IMAGE_PHASH_SQL}

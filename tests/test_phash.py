@@ -1,0 +1,97 @@
+"""Perceptual-hash image dedup (phash.py): known-answer bit patterns on
+constructed images, the RGB luma-collapse path, cross-codec agreement
+(same pixels through PNG and BMP must hash identically), and validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fsql_spark.operators import perceptual_hashes, phash_clusters
+from fsql_spark.operators.codecs import encode_png
+
+
+def _media(spark, items):
+    return spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in items], "media_id long, content binary"
+    )
+
+
+def _hashes(spark, items, hash_size=8):
+    df = _media(spark, items)
+    return {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hashes(df, hash_size=hash_size).collect()
+    }
+
+
+def test_known_answer_half_bright(spark):
+    # left half 200, right half 10: bits are 1 on the left columns, 0 right
+    arr = np.full((8, 8), 10, np.uint8)
+    arr[:, :4] = 200
+    out = _hashes(spark, [(1, encode_png(arr))], hash_size=8)
+    assert out[1] == ("1111" + "0000") * 8
+
+
+def test_uniform_image_is_all_zero_bits(spark):
+    # strict threshold: v > mean is false everywhere on a constant image
+    arr = np.full((16, 16), 77, np.uint8)
+    out = _hashes(spark, [(1, encode_png(arr))], hash_size=8)
+    assert out[1] == "0" * 64
+
+
+def test_reencode_and_resize_collide_bytes_differ(spark):
+    # the whole point: byte-unequal variants of the same picture share a
+    # hash. Variant A: different PNG row filters. Variant B: 2x upscale
+    # (nearest-neighbor sampling lands on the same source pixels).
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (8, 8), dtype=np.uint8)
+    big = np.kron(arr, np.ones((2, 2), np.uint8))
+    a = encode_png(arr, filters="none")
+    b = encode_png(arr, filters="cycle")
+    c = encode_png(big, filters="cycle")
+    assert a != b  # genuinely different bytes
+    out = _hashes(spark, [(1, a), (2, b), (3, c)], hash_size=8)
+    assert out[1] == out[2] == out[3]
+    clustered = {
+        r["media_id"]: (r["cluster_size"], r["canonical_id"])
+        for r in phash_clusters(
+            perceptual_hashes(_media(spark, [(1, a), (2, b), (3, c)]))
+        ).collect()
+    }
+    assert clustered == {1: (3, 1), 2: (3, 1), 3: (3, 1)}
+
+
+def test_cross_codec_same_pixels_same_hash(spark):
+    from fsql_spark.operators.bmp import encode_bmp
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (12, 9), dtype=np.uint8)
+    rgb = np.stack([gray, np.roll(gray, 1, 0), np.roll(gray, 2, 1)], axis=2)
+    out = _hashes(
+        spark,
+        [(1, encode_png(rgb)), (2, encode_bmp(rgb))],
+        hash_size=8,
+    )
+    assert out[1] == out[2]
+
+
+def test_rgb_luma_collapse_is_integer_mean(spark):
+    # channels (30, 60, 93): luma = 183 // 3 = 61 everywhere except one
+    # bright sample -> exactly one 1-bit
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 30, 60, 93
+    rgb[0, 0] = (255, 255, 255)
+    out = _hashes(spark, [(1, encode_png(rgb))], hash_size=8)
+    assert out[1] == "1" + "0" * 63
+
+
+def test_hash_size_validation_and_id_on_error(spark):
+    df = _media(spark, [(7, b"not an image")])
+    with pytest.raises(ValueError, match="hash_size must be >= 1"):
+        perceptual_hashes(df, hash_size=0)
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException) as ei:
+        perceptual_hashes(df).collect()
+    assert "media 7" in str(ei.value)
