@@ -224,6 +224,7 @@ from .phash import (  # noqa: F401
     PHASH_QUERIES,
     perceptual_hashes,
     phash_clusters,
+    phash_near_pairs,
 )
 
 EXTENSION_QUERIES = {

@@ -101,8 +101,68 @@ def phash_clusters(hashes: DataFrame) -> DataFrame:
     )
 
 
+def phash_near_pairs(
+    hashes: DataFrame,
+    n_bands: int = 4,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    n_bits: int = 64,
+) -> DataFrame:
+    """Near-miss image pairs via banded Hamming LSH — the image twin of the
+    MinHash band join (``dedup.py``): split each hash into ``n_bands``
+    equal bit-bands, equi-join on (band, band bits), then verify candidates
+    with the EXACT Hamming distance and keep pairs within ``max_hamming``.
+
+    Standard LSH recall semantics: a pair is a candidate iff at least one
+    band matches exactly (guaranteed when hamming < n_bands by pigeonhole;
+    probabilistic above) — never a quadratic all-pairs scan, and the
+    verify step makes every EMITTED pair exact. The band join is a pure
+    equi-join (plan lint enforces no nested-loop fallback); the Hamming
+    verify stays JVM-side (higher-order array functions, no Python).
+
+    Callers should pass a persisted/cached ``hashes`` frame: both join
+    sides derive from it, so an unpersisted lineage would decode the image
+    corpus twice. ``n_bits`` is the hash length (``hash_size ** 2`` of the
+    producing :func:`perceptual_hashes` call)."""
+    if n_bits % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide hash length {n_bits}")
+    band_w = n_bits // n_bands
+    bands = hashes.select(
+        F.col(id_col),
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).select(
+        id_col,
+        "phash",
+        "band",
+        F.expr(f"substring(phash, band * {band_w} + 1, {band_w})").alias("band_key"),
+    )
+    a = bands.select(
+        F.col("band"), F.col("band_key"),
+        F.col(id_col).alias("id_a"), F.col("phash").alias("pa"),
+    )
+    b = bands.select(
+        F.col("band"), F.col("band_key"),
+        F.col(id_col).alias("id_b"), F.col("phash").alias("pb"),
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+        .distinct()  # a pair colliding in several bands is ONE candidate
+    )
+    hamming = F.expr(
+        f"cast(size(filter(sequence(1, {n_bits}),"
+        " i -> substring(pa, i, 1) != substring(pb, i, 1))) as long)"
+    )
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 # --------------------------------------------------------------------------
-# catalog entry + oracle
+# catalog entries + oracles
 # --------------------------------------------------------------------------
 
 
@@ -153,5 +213,96 @@ ORDER BY media_id
 """
 
 
-PHASH_QUERIES = {"q_image_phash_dups": q_image_phash_dups}
-PHASH_ORACLES = {"q_image_phash_dups": Q_IMAGE_PHASH_SQL}
+def _q_phash_near_frame(
+    spark: SparkSession, sf: str, hashes: DataFrame | None = None
+) -> DataFrame:
+    from .multimodal import documents_as_png
+
+    if hashes is None:
+        hashes = perceptual_hashes(documents_as_png(spark, sf, width=32), hash_size=8)
+    return phash_near_pairs(hashes, n_bands=4, max_hamming=6).orderBy("id_a", "id_b")
+
+
+def q_image_phash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-miss image pairs (banded Hamming LSH over aHash, 4 bands of 16
+    bits, exact verify at distance <= 6) — catches re-encodes whose pixels
+    moved a few samples past the mean, which exact-hash grouping misses.
+
+    The band self-join references the hash frame on both sides, so the
+    decode-bearing hash computation is persisted per call and the
+    pairs-sized result materialized driver-side (the q_doc_perplexity
+    cache-release pattern; ``lint_target`` exposes the distributed plan)."""
+    from .multimodal import documents_as_png
+
+    hashes = perceptual_hashes(
+        documents_as_png(spark, sf, width=32), hash_size=8
+    ).persist()
+    try:
+        out = _q_phash_near_frame(spark, sf, hashes=hashes)
+        pdf = out.toPandas()  # near-pair rows: 3 scalars each, LSH-bounded
+    finally:
+        hashes.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+q_image_phash_near_dups.lint_target = _q_phash_near_frame
+
+
+Q_IMAGE_PHASH_NEAR_SQL = """
+WITH sized AS (
+  SELECT doc_id,
+         rpad(text, CAST(GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER), 1) * 32 AS INTEGER), '.') AS padded,
+         GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER), 1) AS h
+  FROM documents
+),
+samples AS (
+  SELECT doc_id,
+         r.i AS r, c.i AS c,
+         ascii(substr(padded,
+                      CAST(LEAST((r.i * h) // 8, h - 1) * 32
+                           + LEAST((c.i * 32) // 8, 31) + 1 AS INTEGER),
+                      1)) AS v
+  FROM sized,
+       unnest(generate_series(0, 7)) AS r(i),
+       unnest(generate_series(0, 7)) AS c(i)
+),
+bits AS (
+  SELECT doc_id, r, c,
+         CASE WHEN 64 * v > SUM(v) OVER (PARTITION BY doc_id) THEN '1' ELSE '0' END AS bit
+  FROM samples
+),
+hashes AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS phash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, phash, b.i AS band,
+         substr(phash, CAST(b.i * 16 + 1 AS INTEGER), 16) AS band_key
+  FROM hashes, unnest(generate_series(0, 3)) AS b(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         CAST((SELECT COUNT(*) FROM unnest(generate_series(1, 64)) AS t(i)
+               WHERE substr(pa, CAST(i AS INTEGER), 1)
+                  <> substr(pb, CAST(i AS INTEGER), 1)) AS BIGINT) AS hamming
+  FROM cand
+)
+SELECT id_a, id_b, hamming
+FROM scored WHERE hamming <= 6
+ORDER BY id_a, id_b
+"""
+
+
+PHASH_QUERIES = {
+    "q_image_phash_dups": q_image_phash_dups,
+    "q_image_phash_near_dups": q_image_phash_near_dups,
+}
+PHASH_ORACLES = {
+    "q_image_phash_dups": Q_IMAGE_PHASH_SQL,
+    "q_image_phash_near_dups": Q_IMAGE_PHASH_NEAR_SQL,
+}

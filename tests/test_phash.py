@@ -95,3 +95,49 @@ def test_hash_size_validation_and_id_on_error(spark):
     with pytest.raises(PythonException) as ei:
         perceptual_hashes(df).collect()
     assert "media 7" in str(ei.value)
+
+
+def _hash_frame(spark, items):
+    return spark.createDataFrame(items, "media_id long, phash string")
+
+
+def test_near_pairs_pigeonhole_and_verify(spark):
+    from fsql_spark.operators import phash_near_pairs
+
+    base = "0" * 64
+    flip3 = "1" * 3 + "0" * 61          # hamming 3 < n_bands=4 -> guaranteed
+    flip8 = ("1" * 2 + "0" * 14) * 4    # 2 diffs in EVERY band -> no band match
+    flip6_one_band = "1" * 6 + "0" * 58  # 6 diffs all in band 0 -> caught, ham 6
+    rows = [(1, base), (2, flip3), (3, flip8), (4, flip6_one_band)]
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_pairs(_hash_frame(spark, rows)).collect()
+    }
+    # pigeonhole guarantee: ham < n_bands is always recalled
+    assert got[(1, 2)] == 3
+    # all-bands-dirty pair is an LSH miss even though ham=8 > 6 anyway;
+    # the one-band-clean ham-6 pair is caught at the threshold
+    assert got[(1, 4)] == 6
+    assert (1, 3) not in got
+    # candidates colliding in MULTIPLE bands emit exactly one row
+    assert sum(1 for k in got if k == (2, 4)) <= 1
+
+
+def test_near_pairs_threshold_excludes_above_max(spark):
+    from fsql_spark.operators import phash_near_pairs
+
+    base = "0" * 64
+    # 7 diffs all inside band 0 -> bands 1..3 match -> candidate, ham 7 > 6
+    flip7_one_band = "1" * 7 + "0" * 57
+    rows = [(1, base), (2, flip7_one_band)]
+    out = phash_near_pairs(_hash_frame(spark, rows), max_hamming=6).collect()
+    assert out == []
+    out7 = phash_near_pairs(_hash_frame(spark, rows), max_hamming=7).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out7] == [(1, 2, 7)]
+
+
+def test_near_pairs_band_validation(spark):
+    from fsql_spark.operators import phash_near_pairs
+
+    with pytest.raises(ValueError, match="must divide"):
+        phash_near_pairs(_hash_frame(spark, [(1, "0" * 64)]), n_bands=5)

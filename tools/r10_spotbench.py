@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Third-decade spot-bench for the round-10 NEW families: exact-substring
+duplicate spans, source JSD, and perceptual-hash image dedup — the same
+paired sf1/sf10 protocol as tools/sf10_spotbench.py (one JVM, warm runs,
+noop sink), against the cached perf corpora under /tmp.
+
+Corpus note for the spans family: the sf1/sf10 perf corpora are built by
+COPYING docs with per-copy filler suffixes (see sf10_spotbench.py's filler
+algebra), so every copied document is ~fully exact-duplicated by
+construction — the worst-case load for ExactSubstr (every k-gram flagged,
+maximal spans cover whole docs). That's the right stress: the gram
+exchange and the island merge both carry their maximum possible row count.
+
+Usage: python tools/r10_spotbench.py   (one JSON line per family)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sf1_spotbench import SF1  # noqa: E402
+from sf10_spotbench import SF10, build_sf10  # noqa: E402
+
+FAMILIES = {
+    "substring_spans": "q_substring_dup_spans",
+    "source_jsd": "q_source_js_divergence",
+    "image_phash": "q_image_phash_dups",
+}
+
+
+def _timed(spark, fn, sf: str) -> tuple[float, int]:
+    start = time.perf_counter()
+    df = fn(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - start, 2)
+    rows = df.count()
+    spark.catalog.clearCache()
+    return wall, rows
+
+
+def main() -> None:
+    from fsql_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="fsql-r10-spotbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    build_sf10(spark)
+
+    # warmup (untimed): codegen + Arrow pool at sf1
+    for name in FAMILIES.values():
+        try:
+            qs[name](spark, SF1).write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            print(f"warmup {name} failed: {exc!r}", file=sys.stderr)
+        spark.catalog.clearCache()
+
+    for family, name in FAMILIES.items():
+        row = {"family": family, "query": name}
+        try:
+            for tag, sf in (("sf1", SF1), ("sf10", SF10)):
+                row[tag], row[f"rows_{tag}"] = _timed(spark, qs[name], sf)
+            row["ratio_10x_data"] = round(row["sf10"] / row["sf1"], 2)
+            row["row_ratio"] = round(row["rows_sf10"] / max(row["rows_sf1"], 1), 2)
+        except Exception as exc:
+            row["error"] = repr(exc)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
