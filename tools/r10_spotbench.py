@@ -73,5 +73,82 @@ def main() -> None:
         print(json.dumps(row), flush=True)
 
 
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup decade evidence (invoked as: python r10_spotbench.py semdedup)
+#
+# The perf corpora don't scale embeddings, so this builds its own: copy c of
+# the sf0.1 table gets vec_id + c*1_000_000 and a CYCLIC SHIFT of the
+# embedding by c positions — shifted copies of a random-ish vector are NOT
+# near-dups (measured max cross-copy cosine << 0.95), so the near-dup pair
+# structure stays ~linear in copies like a real crawl, and the knob the
+# paper prescribes (n_centroids grows with the corpus, bounding cluster
+# sizes) is applied exactly as the operator docstring directs.
+# ---------------------------------------------------------------------------
+
+
+def semdedup_decades() -> None:
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.similarity import semantic_dedup
+    from fsql_spark.session import get_spark
+
+    spark = get_spark(app_name="fsql-r10-semdedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    def scaled(n_copies: int):
+        parts = []
+        for c in range(n_copies):
+            parts.append(
+                base.select(
+                    (F.col("vec_id") + c * 1_000_000).alias("vec_id"),
+                    F.expr(
+                        f"transform(sequence(0, 63), i -> embedding[(i + {c}) % 64])"
+                    ).alias("embedding"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    for n_copies, n_centroids in ((1, 16), (10, 160), (100, 1600)):
+        corpus = scaled(n_copies)
+        # warm the input (tiny: <= 200k x 64 doubles)
+        corpus.write.format("noop").mode("overwrite").save()
+        start = time.perf_counter()
+        out = semantic_dedup(
+            corpus, "vec_id", "embedding", n_centroids=n_centroids,
+            threshold=0.95, seed=42,
+        )
+        out.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - start, 2)
+        rows = out.count()
+        dropped = out.where("kept = 0").count()
+        print(
+            json.dumps(
+                {
+                    "family": "semantic_dedup",
+                    "scale": f"{n_copies}x",
+                    "n_vectors": rows,
+                    "n_centroids": n_centroids,
+                    "wall_s": wall,
+                    "dropped": dropped,
+                }
+            ),
+            flush=True,
+        )
+        spark.catalog.clearCache()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
+        semdedup_decades()
+    else:
+        main()
