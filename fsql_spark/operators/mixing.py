@@ -52,9 +52,14 @@ def group_token_counts(
     (map-side combinable; the zero-shuffle per-batch kernel already emits
     collapsed pairs). Callers that consume it more than once should
     ``.persist()`` it and pass it back via ``counts=`` — the tf= convention
-    of :func:`~fsql_spark.operators.lm.unigram_model`."""
+    of :func:`~fsql_spark.operators.lm.unigram_model`. The input is spread
+    first (no-op on an already-parallel source): the tokenize kernel is
+    CPU-bound Python, and a few-partition scan would serialize it."""
+    from .dedup import _spread
+
     return (
-        term_frequencies(df, id_col=group_col, text_col=text_col)
+        term_frequencies(_spread(df.select(group_col, text_col)),
+                         id_col=group_col, text_col=text_col)
         .groupBy(group_col, "token")
         .agg(F.sum("tf").alias("tf"))
     )
