@@ -57,19 +57,27 @@ def duplicated_kgram_positions(
     document count — a doc that repeats its own header is self-duplicated,
     matching Lee et al.'s any-second-occurrence rule).
 
-    One gram-keyed exchange: the count is a window over the gram partition,
-    so the position rows and their counts materialize in one pass (a
-    groupBy+join formulation would exchange the gram stream twice). Two
-    measured cost levers, both semantics-preserving (r10 spot-bench):
+    Plan shape — ONE gram-keyed exchange, counted with a window: the
+    position rows and their occurrence counts materialize in a single
+    pass of the gram stream. Two cost levers, both semantics-preserving:
 
     - the docs are spread before the ~chars-per-doc explode (the
-      _spread_for_kernel lesson: a few-partition scan otherwise serializes
-      the explode AND the exchange's map side onto one task; no-op on an
-      already-parallel source);
+      _spread_for_kernel lesson: a few-partition scan otherwise
+      serializes the explode AND the exchange's map side onto one task;
+      no-op on an already-parallel source);
     - the window keys on ``(xxhash64(gram), gram)`` — the SAME groups
       (the hash is a function of the gram; the gram stays in the key for
-      exactness), but the exchange's sort resolves almost every comparison
-      on the 8-byte hash instead of k-byte binary compares."""
+      exactness), but the exchange's sort resolves almost every
+      comparison on the 8-byte hash instead of k-byte binary compares.
+
+    The groupBy(gram)+join-back alternative was A/B'd at sf1/sf10 and
+    REJECTED with numbers (r10 spot-bench): map-side combine cannot
+    collapse duplicates that live in different input partitions (where
+    real corpus duplicates live), the dup-gram frame exceeds the
+    broadcast threshold on any dedup-heavy corpus, and the resulting
+    sort-merge join sorts BOTH sides plus pays a second explode pass —
+    sf1 33.5 s vs 9.6 s, sf10 629 s vs 157 s, strictly worse at both
+    decades."""
     from .dedup import _spread
 
     if k < 1:
@@ -84,7 +92,11 @@ def duplicated_kgram_positions(
         .select(id_col, "pos", F.expr(f"substring({text_col}, pos, {k})").alias("gram"))
     )
     cnt = F.count(F.lit(1)).over(Window.partitionBy(F.xxhash64("gram"), F.col("gram")))
-    return grams.withColumn("_cnt", cnt).where(F.col("_cnt") >= min_count).select(id_col, "pos")
+    return (
+        grams.withColumn("_cnt", cnt)
+        .where(F.col("_cnt") >= min_count)
+        .select(id_col, "pos")
+    )
 
 
 def duplicated_spans(
