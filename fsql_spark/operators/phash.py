@@ -108,17 +108,27 @@ def phash_near_pairs(
     id_col: str = "media_id",
     n_bits: int = 64,
 ) -> DataFrame:
-    """Near-miss image pairs via banded Hamming LSH — the image twin of the
-    MinHash band join (``dedup.py``): split each hash into ``n_bands``
-    equal bit-bands, equi-join on (band, band bits), then verify candidates
-    with the EXACT Hamming distance and keep pairs within ``max_hamming``.
+    """Near-miss pairs of DISTINCT perceptual hashes via banded Hamming LSH
+    — the image twin of the MinHash band join with its collapse_exact
+    prefix (``dedup.py``): identical hashes first collapse to one
+    representative (min id) carrying a member count, THEN the distinct
+    hashes band-join and candidates verify with the EXACT Hamming
+    distance. Emits one row per distinct-hash pair within ``max_hamming``:
+    ``(id_a, id_b, hamming, members_a, members_b)`` — representative ids,
+    with the counts making the image-pair multiplicity explicit
+    (``members_a * members_b`` underlying pairs). Hamming 0 is impossible
+    by construction; exact-dup grouping is :func:`phash_clusters`' job.
 
-    Standard LSH recall semantics: a pair is a candidate iff at least one
-    band matches exactly (guaranteed when hamming < n_bands by pigeonhole;
-    probabilistic above) — never a quadratic all-pairs scan, and the
-    verify step makes every EMITTED pair exact. The band join is a pure
-    equi-join (plan lint enforces no nested-loop fallback); the Hamming
-    verify stays JVM-side (higher-order array functions, no Python).
+    The collapse is what makes this scale (measured, r10 spot-bench): on
+    a copy-heavy corpus the per-IMAGE band join explodes (29.5M candidate
+    pairs at sf1, growing ~quadratically with copies), while the
+    per-DISTINCT-HASH join stays bounded by hash diversity (301k at sf1
+    and FEWER at sf10, because new copies land in existing hashes) —
+    same lesson as MinHash's collapse_exact. Standard LSH recall: a pair
+    is a candidate iff >= 1 band matches exactly (guaranteed for
+    hamming < n_bands by pigeonhole; probabilistic above). The band join
+    is a pure equi-join; the Hamming verify stays JVM-side (higher-order
+    array functions, no Python).
 
     Callers should pass a persisted/cached ``hashes`` frame: both join
     sides derive from it, so an unpersisted lineage would decode the image
@@ -127,28 +137,34 @@ def phash_near_pairs(
     if n_bits % n_bands != 0:
         raise ValueError(f"n_bands={n_bands} must divide hash length {n_bits}")
     band_w = n_bits // n_bands
-    bands = hashes.select(
-        F.col(id_col),
+    distinct = hashes.groupBy("phash").agg(
+        F.min(id_col).cast("long").alias("rep"),
+        F.count(F.lit(1)).cast("long").alias("members"),
+    )
+    bands = distinct.select(
+        "rep",
+        "members",
         "phash",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).select(
-        id_col,
+        "rep",
+        "members",
         "phash",
         "band",
         F.expr(f"substring(phash, band * {band_w} + 1, {band_w})").alias("band_key"),
     )
     a = bands.select(
-        F.col("band"), F.col("band_key"),
-        F.col(id_col).alias("id_a"), F.col("phash").alias("pa"),
+        F.col("band"), F.col("band_key"), F.col("rep").alias("id_a"),
+        F.col("phash").alias("pa"), F.col("members").alias("members_a"),
     )
     b = bands.select(
-        F.col("band"), F.col("band_key"),
-        F.col(id_col).alias("id_b"), F.col("phash").alias("pb"),
+        F.col("band"), F.col("band_key"), F.col("rep").alias("id_b"),
+        F.col("phash").alias("pb"), F.col("members").alias("members_b"),
     )
     cand = (
         a.join(b, ["band", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pa", "pb")
+        .select("id_a", "id_b", "pa", "pb", "members_a", "members_b")
         .distinct()  # a pair colliding in several bands is ONE candidate
     )
     hamming = F.expr(
@@ -156,7 +172,9 @@ def phash_near_pairs(
         " i -> substring(pa, i, 1) != substring(pb, i, 1))) as long)"
     )
     return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        cand.select(
+            "id_a", "id_b", hamming.alias("hamming"), "members_a", "members_b"
+        )
         .where(F.col("hamming") <= max_hamming)
     )
 
@@ -224,9 +242,11 @@ def _q_phash_near_frame(
 
 
 def q_image_phash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-miss image pairs (banded Hamming LSH over aHash, 4 bands of 16
-    bits, exact verify at distance <= 6) — catches re-encodes whose pixels
-    moved a few samples past the mean, which exact-hash grouping misses.
+    """Near-miss DISTINCT-hash pairs (exact-collapse, then banded Hamming
+    LSH over aHash: 4 bands of 16 bits, exact verify at distance <= 6) —
+    catches re-encodes whose pixels moved a few samples past the mean,
+    which exact-hash grouping misses; representative ids + member counts
+    carry the underlying image-pair multiplicity.
 
     The band self-join references the hash frame on both sides, so the
     decode-bearing hash computation is persisted per call and the
@@ -275,24 +295,31 @@ hashes AS (
   SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS phash
   FROM bits GROUP BY doc_id
 ),
+dh AS (
+  SELECT phash, CAST(MIN(doc_id) AS BIGINT) AS rep,
+         CAST(COUNT(*) AS BIGINT) AS members
+  FROM hashes GROUP BY phash
+),
 bands AS (
-  SELECT doc_id, phash, b.i AS band,
+  SELECT rep, members, phash, b.i AS band,
          substr(phash, CAST(b.i * 16 + 1 AS INTEGER), 16) AS band_key
-  FROM hashes, unnest(generate_series(0, 3)) AS b(i)
+  FROM dh, unnest(generate_series(0, 3)) AS b(i)
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS pa, b.phash AS pb
+  SELECT DISTINCT a.rep AS id_a, b.rep AS id_b, a.phash AS pa, b.phash AS pb,
+                  a.members AS members_a, b.members AS members_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.band_key = b.band_key AND a.rep < b.rep
 ),
 scored AS (
   SELECT id_a, id_b,
          CAST((SELECT COUNT(*) FROM unnest(generate_series(1, 64)) AS t(i)
                WHERE substr(pa, CAST(i AS INTEGER), 1)
-                  <> substr(pb, CAST(i AS INTEGER), 1)) AS BIGINT) AS hamming
+                  <> substr(pb, CAST(i AS INTEGER), 1)) AS BIGINT) AS hamming,
+         members_a, members_b
   FROM cand
 )
-SELECT id_a, id_b, hamming
+SELECT id_a, id_b, hamming, members_a, members_b
 FROM scored WHERE hamming <= 6
 ORDER BY id_a, id_b
 """

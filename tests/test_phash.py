@@ -141,3 +141,17 @@ def test_near_pairs_band_validation(spark):
 
     with pytest.raises(ValueError, match="must divide"):
         phash_near_pairs(_hash_frame(spark, [(1, "0" * 64)]), n_bands=5)
+
+
+def test_near_pairs_collapse_exact_first(spark):
+    from fsql_spark.operators import phash_near_pairs
+
+    # ids 1,5,9 share one hash; ids 2,7 share a hash 2 bits away ->
+    # exactly ONE pair row between representatives 1 and 2 with member
+    # counts 3 and 2 (never the 3x2 image-level pairs, and no ham-0 rows)
+    ha = "0" * 64
+    hb = "11" + "0" * 62
+    rows = [(5, ha), (1, ha), (9, ha), (7, hb), (2, hb)]
+    out = phash_near_pairs(_hash_frame(spark, rows)).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"], r["members_a"], r["members_b"])
+            for r in out] == [(1, 2, 2, 3, 2)]
