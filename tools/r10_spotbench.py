@@ -119,9 +119,14 @@ def semdedup_decades() -> None:
         return out
 
     for n_copies, n_centroids in ((1, 16), (10, 160), (100, 1600)):
-        corpus = scaled(n_copies)
-        # warm the input (tiny: <= 200k x 64 doubles)
-        corpus.write.format("noop").mode("overwrite").save()
+        # materialize the scaled corpus like the other perf tables (also
+        # sidesteps a Catalyst attribute-resolution error when the
+        # 100-branch union+transform lineage feeds the assigner UDF)
+        dst = f"/tmp/fsql_spark_semdedup_{n_copies}x.parquet"
+        if not os.path.exists(dst):
+            scaled(n_copies).write.mode("overwrite").parquet(dst)
+        corpus = spark.read.parquet(dst)
+        corpus.write.format("noop").mode("overwrite").save()  # warm
         start = time.perf_counter()
         out = semantic_dedup(
             corpus, "vec_id", "embedding", n_centroids=n_centroids,
