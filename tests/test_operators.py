@@ -1521,15 +1521,22 @@ def test_ivf_centroid_persistence_roundtrip(spark, tmp_path):
 def test_lm_catalog_entries_release_their_caches(spark):
     """q_doc_perplexity / q_perplexity_buckets materialize their bounded
     outputs and unpersist the corpus-scale tf / scored caches — repeated
-    catalog runs must not accumulate executor storage (advice find)."""
+    catalog runs must not accumulate executor storage (advice find).
+
+    Asserts no NEW storage relative to a pre-run snapshot rather than zero
+    total: earlier tests' localCheckpointed RDDs (e.g. the clustering loop)
+    legitimately linger in RDD storage until the Python objects are GC'd
+    and the async ContextCleaner runs — clearCache() does not touch them,
+    so a zero-total assertion is order- and GC-timing-flaky."""
     from fsql_spark.operators.lm import q_doc_perplexity, q_perplexity_buckets
 
     spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
     q_doc_perplexity(spark, SF).count()
     q_perplexity_buckets(spark, SF).count()
-    jsc = spark.sparkContext._jsc.sc()
-    cached = jsc.getRDDStorageInfo()
-    assert len(cached) == 0, [str(c) for c in cached]
+    leaked = [str(c) for c in jsc.getRDDStorageInfo() if c.id() not in before]
+    assert not leaked, leaked
 
 
 def test_perplexity_buckets_partition_the_corpus(spark):
