@@ -41,6 +41,13 @@ from .dedup import (  # noqa: F401
     write_bloom,
     write_corpus_signatures,
 )
+from .graph import (  # noqa: F401
+    GRAPH_ORACLES,
+    GRAPH_QUERIES,
+    order_graph_edges,
+    pagerank,
+    undirected_edges,
+)
 from .inference import (  # noqa: F401
     INFERENCE_ORACLES,
     INFERENCE_QUERIES,
@@ -250,6 +257,7 @@ EXTENSION_QUERIES = {
     **SPAN_QUERIES,
     **MIXING_QUERIES,
     **PHASH_QUERIES,
+    **GRAPH_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -275,4 +283,5 @@ EXTENSION_ORACLES = {
     **SPAN_ORACLES,
     **MIXING_ORACLES,
     **PHASH_ORACLES,
+    **GRAPH_ORACLES,
 }

@@ -1,0 +1,296 @@
+"""Graph centrality over relation-derived graphs: weighted PageRank.
+
+A training-data pipeline meets graphs constantly — the crawl's host link
+graph (authority scores drive crawl prioritization and quality weighting,
+the Common Crawl / C4 lineage), the near-dup similarity graph (rank cluster
+members by centrality to pick the best representative), and entity
+co-occurrence graphs. The iterative kernel is the same everywhere: a
+fixed-iteration weighted PageRank
+
+    rank'(v) = (1 - d) / N  +  d * SUM_{(u,v) in E} rank(u) * w(u,v) / wout(u)
+
+This module complements :mod:`clustering` (connected components = WHICH
+nodes belong together) with HOW CENTRAL each node is.
+
+Scale shape (the 100 TB story):
+
+- the edge list is built declaratively (a join + a map-side-combinable
+  count), persisted ONCE with the out-weight share precomputed, and read
+  back by every iteration — the corpus is scanned exactly once;
+- a FIXED iteration count keeps the whole computation ONE declarative plan
+  (the K rounds unroll into K join+aggregate pairs, exactly mirroring the
+  unrolled-CTE SQL oracle) — no per-round driver action, so the scheduler
+  pipelines rounds and AQE picks per-round join strategies. PageRank is a
+  damped fixed-point iteration: unlike label propagation its convergence
+  is geometric in ``damping`` regardless of graph diameter, so K is a
+  quality knob (d^K residual), not a correctness one — no convergence
+  action needed;
+- per round the only corpus-scale exchange is the contribution aggregate
+  keyed by ``dst``; the rank table is NODE-sized (orders of magnitude
+  smaller than edges for any real graph), so the rank-to-edge join
+  broadcasts whenever nodes fit and hash-joins on ``src`` otherwise.
+
+Dangling nodes (out-degree 0) would leak rank mass; redistributing it
+needs a global scalar per round — a cross join the plan lint rightly
+forbids. This implementation REFUSES dangling inputs instead (one cheap
+anti-join probe at build time); symmetric graphs — both use cases above —
+can never dangle, and :func:`undirected_edges` produces them.
+
+No reference counterpart (the reference delegates all row-level compute,
+`/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension
+surface (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class DanglingNodesError(ValueError):
+    """The edge list has sinks (out-degree 0) — PageRank mass would leak."""
+
+
+def undirected_edges(
+    pairs: DataFrame, src_col: str, dst_col: str, weight_col: str
+) -> DataFrame:
+    """Symmetric closure of a directed pair list: every (a, b, w) also
+    contributes (b, a, w). The resulting graph has no dangling nodes by
+    construction (every endpoint has at least one out-edge)."""
+    # map-side doubling via explode, NOT union(fwd, fwd.swapped): the union's
+    # two branches would each recompute the (possibly expensive) pairs
+    # subtree — explode emits both directions in the same pass
+    fwd = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        F.col(weight_col).alias("w"),
+    )
+    both = F.explode(
+        F.array(
+            F.struct(F.col("src"), F.col("dst"), F.col("w")),
+            F.struct(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+            ),
+        )
+    )
+    return fwd.select(both.alias("e")).select("e.src", "e.dst", "e.w")
+
+
+def pagerank_graph_tables(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ew, nodes) from a directed (src, dst, w) edge list: the
+    share-annotated edge table (``share = w / out-weight(src)``) and the
+    node universe (distinct src). The K unrolled PageRank rounds reference
+    BOTH K+ times in one plan, so callers that execute the loop should
+    ``.persist()`` these two (and release them after the action) — the
+    out-weight aggregate+join would otherwise recompute once per round."""
+    base = edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+    outw = base.groupBy("src").agg(F.sum("w").alias("wout"))
+    # share precomputed once: each round then only joins ranks and sums
+    ew = base.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("wout")).alias("share")
+    )
+    nodes = ew.select(F.col("src").alias("node")).distinct()
+    return ew, nodes
+
+
+def pagerank(
+    edges: DataFrame | None,
+    iterations: int = 5,
+    damping: float = 0.85,
+    tables: tuple[DataFrame, DataFrame] | None = None,
+) -> tuple[DataFrame, int]:
+    """Weighted PageRank over a directed (src, dst, w) edge list with no
+    dangling nodes -> ((node, rank) DataFrame, n_nodes).
+
+    The node universe is the distinct ``src`` set (complete for dangling-free
+    graphs: every node that ever receives mass also emits it). Ranks start
+    uniform at 1/N and stay a probability distribution every round (teleport
+    mass (1-d) + propagated mass d). The returned plan is LAZY — K unrolled
+    join+aggregate rounds; pass ``tables`` (persisted output of
+    :func:`pagerank_graph_tables`) to keep the rounds reading a cache (see
+    :func:`q_graph_pagerank` for the persist/materialize/release pattern).
+
+    Two eager probes, both build-time and node-sized: the dangling-input
+    refusal and the N count.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+
+    if tables is None and edges is None:
+        raise ValueError("pass an edge list or prepared tables")
+    ew, nodes = tables if tables is not None else pagerank_graph_tables(edges)
+
+    # dangling probe: a dst never seen as src has out-degree 0 — refuse.
+    # Reads ew (the caller-cached table), not the raw edge build; limit(1)
+    # stops at the first witness — no full count needed.
+    witness = (
+        ew.select("dst").distinct()
+        .join(nodes, F.col("dst") == F.col("node"), "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if witness:
+        raise DanglingNodesError(
+            f"edge list has dangling node(s), e.g. {witness[0]['dst']!r} — "
+            "PageRank mass would leak; symmetrize the graph "
+            "(undirected_edges) or drop sinks first"
+        )
+
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
+
+    # one exchange per round: the teleport mass rides the aggregate as a
+    # baseline row per node (union, map-side) instead of a second join —
+    # in-degree-0 nodes still end at pure teleport mass (their only row)
+    baseline = nodes.select("node", F.lit(teleport).alias("part"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = ew.join(ranks, ew.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            (F.lit(damping) * F.col("rank") * F.col("share")).alias("part"),
+        )
+        ranks = (
+            baseline.union(contrib).groupBy("node").agg(F.sum("part").alias("rank"))
+        )
+    return ranks, n
+
+
+# --------------------------------------------------------------------------
+# catalog entry + oracle
+# --------------------------------------------------------------------------
+
+_PR_ITERATIONS = 5
+_PR_DAMPING = 0.85
+
+
+def order_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The customer<->supplier order graph: an undirected bipartite edge per
+    (customer, supplier) pair that ever traded, weighted by lineitem count.
+    Node encoding: customer -> key*2, supplier -> key*2+1 (disjoint ids
+    without string keys). One fact-scan join + one map-side-combinable
+    count builds it."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_custkey")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+            "w",
+        )
+    )
+    return undirected_edges(pairs, "cust_node", "supp_node", "w")
+
+
+def _q_graph_pagerank_frame(
+    spark: SparkSession,
+    sf: str,
+    edges: DataFrame | None = None,
+    tables: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    if edges is None:
+        edges = order_graph_edges(spark, sf)
+    ranks, n = pagerank(
+        edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING, tables=tables
+    )
+    supplier = spark.read.parquet(f"{sf}/supplier.parquet").select("s_suppkey", "s_name")
+    return (
+        ranks.join(supplier, ranks.node == supplier.s_suppkey * 2 + 1)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rank") * F.lit(float(n)), 4).alias("pr_scaled"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier centrality in the customer–supplier order graph: 5-round
+    weighted PageRank, reported as rank x N (mean 1.0 — 'how many times a
+    uniform share') rounded to 4dp.
+
+    The K unrolled rounds reference the edge table K+1 times in one plan,
+    so it is persisted for the call and the node-sized result materialized
+    driver-side so the cache can be RELEASED per call — the
+    q_source_js_divergence pattern; ``lint_target`` exposes the real
+    distributed plan to the catalog-wide lint.
+
+    Two shuffle-width regimes (the clustering loop_partitions lesson): the
+    edge BUILD is corpus-scale, so the share-annotated edge table and the
+    node universe materialize into their caches at the session width FIRST;
+    every loop table after that is node-sized, so the iterations run under
+    a narrow temp_conf width — at a corpus-sized width the ~3 stages x K
+    rounds each launch a task per mostly-empty partition and task-launch
+    overhead dominates."""
+    from ..session import temp_conf
+
+    edges = order_graph_edges(spark, sf)
+    ew, nodes = pagerank_graph_tables(edges)
+    ew, nodes = ew.persist(), nodes.persist()
+    try:
+        nodes.count()  # materialize both caches at session width (one corpus job)
+        with temp_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+            out = _q_graph_pagerank_frame(spark, sf, edges=edges, tables=(ew, nodes))
+            pdf = out.toPandas()  # one row per supplier: 3 scalars
+    finally:
+        ew.unpersist()
+        nodes.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+q_graph_pagerank.lint_target = _q_graph_pagerank_frame
+
+
+def _pagerank_oracle_sql(iterations: int, damping: float) -> str:
+    """Unrolled-CTE replica: identical init, identical per-round formula,
+    identical operation ORDER for the float-sensitive constants (teleport is
+    (1.0 - d) / n in both engines — NOT a pre-folded literal, which would
+    differ from the IEEE result of the subtraction by one ulp)."""
+    sql = f"""
+WITH pairs AS (
+  SELECT o_custkey * 2 AS cust_node, l_suppkey * 2 + 1 AS supp_node,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT cust_node AS src, supp_node AS dst, w FROM pairs
+  UNION ALL
+  SELECT supp_node, cust_node, w FROM pairs
+),
+outw AS (SELECT src, SUM(CAST(w AS DOUBLE)) AS wout FROM edges GROUP BY src),
+ew AS (
+  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.wout AS share
+  FROM edges e JOIN outw o USING (src)
+),
+nodes AS (SELECT DISTINCT src AS node FROM ew),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+pr{i} AS (
+  SELECT node, SUM(part) AS rank FROM (
+    SELECT node, (1.0 - {damping!r}) / (SELECT n FROM nn) AS part FROM nodes
+    UNION ALL
+    SELECT ew.dst, {damping!r} * p.rank * ew.share
+    FROM ew JOIN pr{i - 1} p ON p.node = ew.src
+  ) GROUP BY node
+)"""
+    sql += f"""
+SELECT s_suppkey, s_name,
+       ROUND(rank * (SELECT n FROM nn), 4) AS pr_scaled
+FROM pr{iterations} JOIN supplier ON node = s_suppkey * 2 + 1
+ORDER BY s_suppkey
+"""
+    return sql
+
+
+Q_GRAPH_PAGERANK_SQL = _pagerank_oracle_sql(_PR_ITERATIONS, _PR_DAMPING)
+
+
+GRAPH_QUERIES = {"q_graph_pagerank": q_graph_pagerank}
+GRAPH_ORACLES = {"q_graph_pagerank": Q_GRAPH_PAGERANK_SQL}

@@ -1,0 +1,105 @@
+"""Weighted PageRank (graph.py): known-answer and invariant tests on
+constructed graphs — the properties the SQL-oracle harness can't isolate
+(uniformity on symmetric cycles, agreement with an independent pure-Python
+power iteration, mass conservation, the dangling refusal)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fsql_spark.operators import pagerank, undirected_edges
+from fsql_spark.operators.graph import DanglingNodesError
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def _pure_python_pagerank(edges, iterations, damping):
+    """Independent reference: dense dict-based power iteration over a
+    directed (src, dst, w) list. Mirrors the definition, not the code."""
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    nodes = sorted(outw)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += rank[s] * (w / outw[s])
+        rank = {v: (1.0 - damping) / n + damping * contrib[v] for v in nodes}
+    return rank
+
+
+def test_uniform_on_unweighted_cycle(spark):
+    # a directed cycle is doubly stochastic: uniform 1/N is the exact
+    # fixpoint at EVERY iteration, so any K must return exactly 1/4
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 1, 1)], "src long, dst long, w long"
+    )
+    ranks, n = pagerank(edges, iterations=3)
+    assert n == 4
+    got = _ranks(ranks)
+    assert set(got) == {1, 2, 3, 4}
+    for v in got.values():
+        assert v == pytest.approx(0.25, abs=1e-12)
+
+
+def test_matches_independent_power_iteration(spark):
+    # weighted, asymmetric degrees, includes an in-degree-0 node (1 is
+    # never a dst) exercising the pure-teleport left-join arm
+    raw = [
+        (1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 2, 5),
+        (2, 4, 1), (4, 2, 1), (3, 4, 2), (4, 3, 7),
+    ]
+    edges = spark.createDataFrame(raw, "src long, dst long, w long")
+    ranks, n = pagerank(edges, iterations=6, damping=0.85)
+    expected = _pure_python_pagerank(raw, iterations=6, damping=0.85)
+    got = _ranks(ranks)
+    assert n == 4 and set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-12)
+
+
+def test_rank_mass_is_conserved(spark):
+    raw = [(1, 2, 2), (2, 1, 1), (2, 3, 4), (3, 1, 1), (3, 2, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long, w long")
+    ranks, _ = pagerank(edges, iterations=4)
+    assert math.fsum(_ranks(ranks).values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_heavier_weight_attracts_more_rank(spark):
+    # star with one heavy spoke: the heavy leaf must outrank the light ones
+    pairs = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (0, 3, 1)], "a long, b long, w long"
+    )
+    edges = undirected_edges(pairs, "a", "b", "w")
+    ranks, n = pagerank(edges, iterations=5)
+    got = _ranks(ranks)
+    assert n == 4
+    assert got[0] > got[1] > got[2]  # hub first, then the heavy leaf
+    assert got[2] == pytest.approx(got[3], abs=1e-12)  # symmetric light leaves
+
+
+def test_undirected_edges_symmetrize(spark):
+    pairs = spark.createDataFrame([(1, 2, 3)], "a long, b long, w long")
+    got = {(r["src"], r["dst"], r["w"]) for r in
+           undirected_edges(pairs, "a", "b", "w").collect()}
+    assert got == {(1, 2, 3), (2, 1, 3)}
+
+
+def test_dangling_input_refuses(spark):
+    edges = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    with pytest.raises(DanglingNodesError, match="dangling"):
+        pagerank(edges, iterations=2)
+
+
+def test_parameter_validation(spark):
+    edges = spark.createDataFrame([(1, 1, 1)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.0)
