@@ -48,6 +48,12 @@ from .graph import (  # noqa: F401
     pagerank,
     undirected_edges,
 )
+from .labelprop import (  # noqa: F401
+    LABELPROP_ORACLES,
+    LABELPROP_QUERIES,
+    knn_graph,
+    propagate_labels,
+)
 from .inference import (  # noqa: F401
     INFERENCE_ORACLES,
     INFERENCE_QUERIES,
@@ -258,6 +264,7 @@ EXTENSION_QUERIES = {
     **MIXING_QUERIES,
     **PHASH_QUERIES,
     **GRAPH_QUERIES,
+    **LABELPROP_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -284,4 +291,5 @@ EXTENSION_ORACLES = {
     **MIXING_ORACLES,
     **PHASH_ORACLES,
     **GRAPH_ORACLES,
+    **LABELPROP_ORACLES,
 }
