@@ -103,3 +103,48 @@ def test_parameter_validation(spark):
         pagerank(edges, iterations=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(edges, damping=1.0)
+
+
+# --------------------------------------------------------------------------
+# property: random symmetric weighted graphs vs the pure-Python reference
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+pairs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@PROP
+@given(
+    pairs=pairs_strategy,
+    iterations=st.integers(min_value=1, max_value=4),
+    damping=st.sampled_from([0.5, 0.85]),
+)
+def test_pagerank_matches_python_on_random_graphs(spark, pairs, iterations, damping):
+    # symmetrize python-side with the same row algebra as undirected_edges
+    # (multi-edges stay multi-edges: per-row shares sum like summed weights)
+    sym = pairs + [(b, a, w) for a, b, w in pairs]
+    df = spark.createDataFrame(pairs, "a long, b long, w long")
+    ranks, n = pagerank(
+        undirected_edges(df, "a", "b", "w"), iterations=iterations, damping=damping
+    )
+    expected = _pure_python_pagerank(sym, iterations, damping)
+    got = _ranks(ranks)
+    assert n == len(expected) and set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-11)

@@ -93,3 +93,72 @@ def test_hash_seed_fraction_one_labels_everything(spark):
     rows = out.collect()
     assert all(r["is_seed"] for r in rows)
     assert {r["vec_id"]: r["label_pred"] for r in rows} == {i: i % 3 for i in range(10)}
+
+
+# --------------------------------------------------------------------------
+# property: random graphs + random seeds vs a pure-Python synchronous model
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),   # node
+        st.integers(min_value=0, max_value=7),   # nbr
+        st.integers(min_value=1, max_value=100),  # wgt
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+def _python_lp(node_labels, edges, seed_ids, rounds):
+    """Independent synchronous model: seeds clamp; every other node takes
+    argmax (vote sum desc, label asc) over labeled neighbors each round."""
+    seeds = {n: node_labels[n] for n in seed_ids}
+    lab = {n: seeds.get(n) for n in node_labels}
+    for _ in range(rounds):
+        votes = {}
+        for node, nbr, w in edges:
+            if node == nbr or lab.get(nbr) is None:
+                continue
+            votes.setdefault(node, {}).setdefault(lab[nbr], 0)
+            votes[node][lab[nbr]] += w
+        new = {}
+        for n in node_labels:
+            if n in seeds:
+                new[n] = seeds[n]
+            elif votes.get(n):
+                new[n] = min(votes[n].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            else:
+                new[n] = None
+        lab = new
+    return lab
+
+
+@PROP
+@given(
+    edges=edges_strategy,
+    labels=st.lists(st.integers(min_value=0, max_value=2), min_size=8, max_size=8),
+    seed_mask=st.lists(st.booleans(), min_size=8, max_size=8),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+def test_propagation_matches_python_on_random_graphs(
+    spark, edges, labels, seed_mask, rounds
+):
+    node_labels = dict(enumerate(labels))
+    seed_ids = [i for i, m in enumerate(seed_mask) if m]
+    nodes = _nodes(spark, list(node_labels.items()))
+    # self-edges never vote (the kNN builder excludes them); model skips too
+    graph = _graph(spark, [e for e in edges if e[0] != e[1]])
+    got = _run(spark, nodes, graph, seed_ids, rounds)
+    want = _python_lp(node_labels, edges, seed_ids, rounds)
+    assert {k: v[0] for k, v in got.items()} == want
+    assert {k for k, v in got.items() if v[1]} == set(seed_ids)
