@@ -152,8 +152,129 @@ def semdedup_decades() -> None:
         spark.catalog.clearCache()
 
 
+# ---------------------------------------------------------------------------
+# Graph-family decade evidence (invoked as: python r10_spotbench.py graph)
+#
+# PageRank: the sf0.1 order graph (~1.1M symmetric edges) replicated with
+# disjoint key offsets — 100 disjoint copies model a crawl of many hosts;
+# PageRank's per-round cost is edges-linear regardless of connectivity, so
+# disjoint replication is the honest load. Label propagation: the semdedup
+# cyclic-shift embedding corpora with label = vec_id % 10 and the IVF
+# n_centroids knob applied per decade exactly as the operator directs
+# (bounding in-cluster quadratic work).
+# ---------------------------------------------------------------------------
+
+
+def graph_decades() -> None:
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.graph import (
+        order_graph_edges,
+        pagerank,
+        pagerank_graph_tables,
+    )
+    from fsql_spark.operators.labelprop import knn_graph, propagate_labels
+    from fsql_spark.session import get_spark, temp_conf
+
+    spark = get_spark(app_name="fsql-r10-graph")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- PageRank over replicated order graphs -----------------------------
+    base_edges = order_graph_edges(spark, "/root/testdata/sf0.1")
+    for n_copies in (1, 10, 100):
+        dst = f"/tmp/fsql_spark_prgraph_{n_copies}x.parquet"
+        if not os.path.exists(dst):
+            copies = [
+                base_edges.select(
+                    (F.col("src") + c * 10_000_000).alias("src"),
+                    (F.col("dst") + c * 10_000_000).alias("dst"),
+                    "w",
+                )
+                for c in range(n_copies)
+            ]
+            out = copies[0]
+            for p in copies[1:]:
+                out = out.unionByName(p)
+            out.write.mode("overwrite").parquet(dst)
+        edges = spark.read.parquet(dst)
+        edges.write.format("noop").mode("overwrite").save()  # warm
+        start = time.perf_counter()
+        ew, nodes = pagerank_graph_tables(edges)
+        ew, nodes = ew.persist(), nodes.persist()
+        n_nodes = nodes.count()
+        # loop width follows the node table, not the corpus (entry pattern)
+        width = str(max(8, min(64, n_nodes // 50_000 + 8)))
+        with temp_conf(spark, **{"spark.sql.shuffle.partitions": width}):
+            ranks, _ = pagerank(None, iterations=5, tables=(ew, nodes))
+            ranks.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - start, 2)
+        ew.unpersist(); nodes.unpersist()
+        print(
+            json.dumps(
+                {
+                    "family": "pagerank",
+                    "scale": f"{n_copies}x",
+                    "n_edges": edges.count(),
+                    "n_nodes": n_nodes,
+                    "wall_s": wall,
+                }
+            ),
+            flush=True,
+        )
+        spark.catalog.clearCache()
+
+    # --- Label propagation over scaled embedding corpora -------------------
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    for n_copies, n_centroids in ((1, 32), (10, 320), (100, 3200)):
+        dst = f"/tmp/fsql_spark_lpemb_{n_copies}x.parquet"
+        if not os.path.exists(dst):
+            parts = [
+                base.select(
+                    (F.col("vec_id") + c * 1_000_000).alias("vec_id"),
+                    F.expr(
+                        f"transform(sequence(0, 63), i -> embedding[(i + {c}) % 64])"
+                    ).alias("embedding"),
+                )
+                for c in range(n_copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.withColumn("label", F.pmod(F.col("vec_id"), F.lit(10)).cast("int")) \
+               .write.mode("overwrite").parquet(dst)
+        corpus = spark.read.parquet(dst)
+        corpus.write.format("noop").mode("overwrite").save()  # warm
+        start = time.perf_counter()
+        g = knn_graph(corpus, "vec_id", "embedding", k=5, n_centroids=n_centroids).persist()
+        out = propagate_labels(corpus, g, "vec_id", "label", seed_fraction=0.3, rounds=2)
+        out.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - start, 2)
+        labeled = out.where("label_pred IS NOT NULL").count()
+        g.unpersist()
+        print(
+            json.dumps(
+                {
+                    "family": "label_propagation",
+                    "scale": f"{n_copies}x",
+                    "n_vectors": corpus.count(),
+                    "n_centroids": n_centroids,
+                    "wall_s": wall,
+                    "labeled": labeled,
+                }
+            ),
+            flush=True,
+        )
+        spark.catalog.clearCache()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
         semdedup_decades()
+    elif len(sys.argv) > 1 and sys.argv[1] == "graph":
+        graph_decades()
     else:
         main()
