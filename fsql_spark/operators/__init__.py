@@ -54,6 +54,12 @@ from .labelprop import (  # noqa: F401
     knn_graph,
     propagate_labels,
 )
+from .html import (  # noqa: F401
+    HTML_ORACLES,
+    HTML_QUERIES,
+    documents_as_html,
+    extract_html_text,
+)
 from .inference import (  # noqa: F401
     INFERENCE_ORACLES,
     INFERENCE_QUERIES,
@@ -265,6 +271,7 @@ EXTENSION_QUERIES = {
     **PHASH_QUERIES,
     **GRAPH_QUERIES,
     **LABELPROP_QUERIES,
+    **HTML_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -292,4 +299,5 @@ EXTENSION_ORACLES = {
     **PHASH_ORACLES,
     **GRAPH_ORACLES,
     **LABELPROP_ORACLES,
+    **HTML_ORACLES,
 }
