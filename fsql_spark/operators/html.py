@@ -53,6 +53,29 @@ def _unescape_html(col: Column) -> Column:
     return F.replace(out, F.lit("&amp;"), F.lit("&"))
 
 
+def html_page_expr(doc_id: Column, source: Column, text: Column) -> Column:
+    """The synthetic page as a pure Column expression — shared by the batch
+    table builder and the streaming twin (expressions run unmodified on a
+    readStream)."""
+    return F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "),
+        doc_id.cast("string"),
+        F.lit(" &mdash; "),
+        source,
+        F.lit("</title><script>var pageId="),
+        doc_id.cast("string"),
+        F.lit(";track(pageId);</script><style>body{margin:0} p{font:14px serif}</style>"),
+        F.lit('</head><body><nav><a href="/">home</a> <a href="/about">about</a></nav>'),
+        F.lit("<h1>Doc "),
+        doc_id.cast("string"),
+        F.lit("</h1>\n<p>"),
+        _escape_html(text),
+        F.lit('</p>\n<footer>&copy; '),
+        source,
+        F.lit(' &nbsp;<a href="/terms">terms</a></footer></body></html>'),
+    )
+
+
 def documents_as_html(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, html): each document rendered as a deterministic synthetic
     page — escaped text in a <p>, plus the chrome a real crawl page carries
@@ -61,24 +84,10 @@ def documents_as_html(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet").select(
         "doc_id", "source", "text"
     )
-    html = F.concat(
-        F.lit("<!DOCTYPE html><html><head><title>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit(" &mdash; "),
-        F.col("source"),
-        F.lit("</title><script>var pageId="),
-        F.col("doc_id").cast("string"),
-        F.lit(";track(pageId);</script><style>body{margin:0} p{font:14px serif}</style>"),
-        F.lit('</head><body><nav><a href="/">home</a> <a href="/about">about</a></nav>'),
-        F.lit("<h1>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit("</h1>\n<p>"),
-        _escape_html(F.col("text")),
-        F.lit('</p>\n<footer>&copy; '),
-        F.col("source"),
-        F.lit(' &nbsp;<a href="/terms">terms</a></footer></body></html>'),
+    return docs.select(
+        "doc_id",
+        html_page_expr(F.col("doc_id"), F.col("source"), F.col("text")).alias("html"),
     )
-    return docs.select("doc_id", html.alias("html"))
 
 
 def extract_html_text(

@@ -436,6 +436,96 @@ def q_stream_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """The HTML crawl-ingest extractor running UNMODIFIED on a document
+    stream: wrap + extract are pure Catalyst expressions (stateless — no
+    watermark, no state store), so the per-arriving-file HTML-to-text step
+    of a 100 TB ingest is literally the batch operator on a readStream.
+    Per-row extractions stream into the sink; the per-source audit
+    aggregates batch-side over the appended output, carrying the byte-exact
+    round-trip count so any extraction drift is hash-visible."""
+    from ..operators.html import extract_html_text, html_page_expr
+
+    docs = documents_stream(spark, sf)
+    pages = docs.select(
+        "doc_id",
+        "source",
+        F.col("text").alias("_orig"),
+        html_page_expr(F.col("doc_id"), F.col("source"), F.col("text")).alias("html"),
+    )
+    ex = extract_html_text(pages, "html")
+    want = F.concat(
+        F.lit("Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("_orig"), "\\s+", " ")),
+    )
+    flagged = ex.select(
+        "source",
+        "text_len",
+        "html_len",
+        (F.col("text_extracted") == F.trim(want)).alias("ok"),
+    )
+    out = run_to_memory(flagged, mode="append")
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_roundtrip"),
+            F.sum("text_len").alias("sum_text_len"),
+            F.sum("html_len").alias("sum_html_len"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_STREAM_HTML_SQL = """
+WITH pages AS (
+  SELECT doc_id, source, text,
+         '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || ' &mdash; ' || source
+         || '</title><script>var pageId=' || CAST(doc_id AS VARCHAR)
+         || ';track(pageId);</script><style>body{margin:0} p{font:14px serif}</style>'
+         || '</head><body><nav><a href="/">home</a> <a href="/about">about</a></nav>'
+         || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p>'
+         || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+         || '</p>' || chr(10) || '<footer>&copy; ' || source
+         || ' &nbsp;<a href="/terms">terms</a></footer></body></html>' AS html
+  FROM documents
+),
+extracted AS (
+  SELECT doc_id, source, text, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                   '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+                 '(?s)<head[^>]*>.*?</head>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS text_extracted
+  FROM pages
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(text_extracted = trim('Doc ' || CAST(doc_id AS VARCHAR) || ' '
+                || trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS INTEGER)) AS BIGINT)
+         AS n_roundtrip,
+       CAST(SUM(length(text_extracted)) AS BIGINT) AS sum_text_len,
+       CAST(SUM(length(html)) AS BIGINT)           AS sum_html_len
+FROM extracted
+GROUP BY source
+ORDER BY source
+"""
+
+
 Q_STREAM_QUALITY_SQL = """
 WITH toks AS (
   SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS l
@@ -790,6 +880,7 @@ STREAMING_QUERIES = {
     "q_stream_frame_sample": q_stream_frame_sample,
     "q_stream_audio_decode": q_stream_audio_decode,
     "q_stream_video_decode": q_stream_video_decode,
+    "q_stream_html_extract": q_stream_html_extract,
 }
 
 STREAMING_ORACLES = {
@@ -807,5 +898,5 @@ STREAMING_ORACLES = {
     "q_stream_perplexity": Q_STREAM_PERPLEXITY_SQL,
     "q_stream_frame_sample": Q_STREAM_FRAME_SAMPLE_SQL,
     "q_stream_audio_decode": Q_STREAM_AUDIO_DECODE_SQL,
-    "q_stream_video_decode": Q_STREAM_VIDEO_DECODE_SQL,
+    "q_stream_video_decode": Q_STREAM_VIDEO_DECODE_SQL,    "q_stream_html_extract": Q_STREAM_HTML_SQL,
 }
