@@ -97,20 +97,29 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     tables: tuple[DataFrame, DataFrame] | None = None,
+    seeds: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Weighted PageRank over a directed (src, dst, w) edge list with no
     dangling nodes -> ((node, rank) DataFrame, n_nodes).
 
     The node universe is the distinct ``src`` set (complete for dangling-free
     graphs: every node that ever receives mass also emits it). Ranks start
-    uniform at 1/N and stay a probability distribution every round (teleport
-    mass (1-d) + propagated mass d). The returned plan is LAZY — K unrolled
-    join+aggregate rounds; pass ``tables`` (persisted output of
-    :func:`pagerank_graph_tables`) to keep the rounds reading a cache (see
-    :func:`q_graph_pagerank` for the persist/materialize/release pattern).
+    at the teleport distribution and stay a probability distribution every
+    round (teleport mass (1-d) + propagated mass d). The returned plan is
+    LAZY — K unrolled join+aggregate rounds; pass ``tables`` (persisted
+    output of :func:`pagerank_graph_tables`) to keep the rounds reading a
+    cache (see :func:`q_graph_pagerank` for the persist/materialize/release
+    pattern).
 
-    Two eager probes, both build-time and node-sized: the dangling-input
-    refusal and the N count.
+    ``seeds`` (a one-column ``node`` DataFrame) switches to PERSONALIZED
+    PageRank: teleport mass lands uniformly on the seed set instead of all
+    nodes — trust/authority propagation from a trusted whitelist, crawl
+    frontier scoring from known-good hosts, "similar suppliers to THESE
+    customers". Seeds outside the graph are ignored (inner intersect);
+    refuses an empty intersection.
+
+    Eager probes, all build-time and node-sized: the dangling-input
+    refusal, the N count, and (personalized) the seed count.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -138,13 +147,35 @@ def pagerank(
         )
 
     n = nodes.count()
-    teleport = (1.0 - damping) / n
 
     # one exchange per round: the teleport mass rides the aggregate as a
     # baseline row per node (union, map-side) instead of a second join —
     # in-degree-0 nodes still end at pure teleport mass (their only row)
-    baseline = nodes.select("node", F.lit(teleport).alias("part"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if seeds is None:
+        baseline = nodes.select("node", F.lit((1.0 - damping) / n).alias("part"))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    else:
+        marked = nodes.join(
+            seeds.select("node").distinct().withColumn("_s", F.lit(1)),
+            "node",
+            "left",
+        )
+        n_seeds = marked.where(F.col("_s") == 1).count()
+        if n_seeds == 0:
+            raise ValueError(
+                "personalized pagerank: no seed intersects the graph's nodes"
+            )
+        is_seed = F.col("_s") == 1
+        baseline = marked.select(
+            "node",
+            F.when(is_seed, F.lit((1.0 - damping) / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("part"),
+        )
+        ranks = marked.select(
+            "node",
+            F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("rank"),
+        )
     for _ in range(iterations):
         contrib = ew.join(ranks, ew.src == ranks.node).select(
             F.col("dst").alias("node"),
@@ -292,5 +323,130 @@ ORDER BY s_suppkey
 Q_GRAPH_PAGERANK_SQL = _pagerank_oracle_sql(_PR_ITERATIONS, _PR_DAMPING)
 
 
-GRAPH_QUERIES = {"q_graph_pagerank": q_graph_pagerank}
-GRAPH_ORACLES = {"q_graph_pagerank": Q_GRAPH_PAGERANK_SQL}
+_PPR_SEGMENT = "BUILDING"
+
+
+def _q_graph_ppr_frame(
+    spark: SparkSession,
+    sf: str,
+    edges: DataFrame | None = None,
+    tables: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    if edges is None:
+        edges = order_graph_edges(spark, sf)
+    seeds = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .where(F.col("c_mktsegment") == _PPR_SEGMENT)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    ranks, n = pagerank(
+        edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING,
+        tables=tables, seeds=seeds,
+    )
+    supplier = spark.read.parquet(f"{sf}/supplier.parquet").select("s_suppkey", "s_name")
+    return (
+        ranks.join(supplier, ranks.node == supplier.s_suppkey * 2 + 1)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rank") * F.lit(float(n)), 4).alias("ppr_scaled"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_graph_ppr_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank: teleport mass restricted to the BUILDING-
+    segment customers — 'which suppliers matter to THIS cohort', the
+    trust/frontier-propagation shape (seeded authority instead of global
+    centrality). Same persist/materialize/release pattern and unrolled
+    5-round plan as q_graph_pagerank; seeds outside the graph are ignored
+    by construction."""
+    from ..session import temp_conf
+
+    edges = order_graph_edges(spark, sf)
+    ew, nodes = pagerank_graph_tables(edges)
+    ew, nodes = ew.persist(), nodes.persist()
+    try:
+        nodes.count()  # materialize both caches at session width
+        with temp_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+            out = _q_graph_ppr_frame(spark, sf, edges=edges, tables=(ew, nodes))
+            pdf = out.toPandas()  # one row per supplier: 3 scalars
+    finally:
+        ew.unpersist()
+        nodes.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+q_graph_ppr_segment.lint_target = _q_graph_ppr_frame
+
+
+def _ppr_oracle_sql(iterations: int, damping: float, segment: str) -> str:
+    """Unrolled-CTE replica of the PERSONALIZED variant: identical seed
+    intersection, identical float-op order ((1.0 - d) / |seeds| — not a
+    pre-folded literal)."""
+    sql = f"""
+WITH pairs AS (
+  SELECT o_custkey * 2 AS cust_node, l_suppkey * 2 + 1 AS supp_node,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT cust_node AS src, supp_node AS dst, w FROM pairs
+  UNION ALL
+  SELECT supp_node, cust_node, w FROM pairs
+),
+outw AS (SELECT src, SUM(CAST(w AS DOUBLE)) AS wout FROM edges GROUP BY src),
+ew AS (
+  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.wout AS share
+  FROM edges e JOIN outw o USING (src)
+),
+nodes AS (SELECT DISTINCT src AS node FROM ew),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+seeds AS (
+  SELECT c_custkey * 2 AS node FROM customer WHERE c_mktsegment = '{segment}'
+),
+marked AS (
+  SELECT n.node, (s.node IS NOT NULL) AS is_seed
+  FROM nodes n LEFT JOIN seeds s USING (node)
+),
+ns AS (SELECT CAST(SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS DOUBLE) AS s FROM marked),
+pr0 AS (
+  SELECT node,
+         CASE WHEN is_seed THEN 1.0 / (SELECT s FROM ns) ELSE 0.0 END AS rank
+  FROM marked
+)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+pr{i} AS (
+  SELECT node, SUM(part) AS rank FROM (
+    SELECT node,
+           CASE WHEN is_seed THEN (1.0 - {damping!r}) / (SELECT s FROM ns)
+                ELSE 0.0 END AS part
+    FROM marked
+    UNION ALL
+    SELECT ew.dst, {damping!r} * p.rank * ew.share
+    FROM ew JOIN pr{i - 1} p ON p.node = ew.src
+  ) GROUP BY node
+)"""
+    sql += f"""
+SELECT s_suppkey, s_name,
+       ROUND(rank * (SELECT n FROM nn), 4) AS ppr_scaled
+FROM pr{iterations} JOIN supplier ON node = s_suppkey * 2 + 1
+ORDER BY s_suppkey
+"""
+    return sql
+
+
+Q_GRAPH_PPR_SQL = _ppr_oracle_sql(_PR_ITERATIONS, _PR_DAMPING, _PPR_SEGMENT)
+
+
+GRAPH_QUERIES = {
+    "q_graph_pagerank": q_graph_pagerank,
+    "q_graph_ppr_segment": q_graph_ppr_segment,
+}
+GRAPH_ORACLES = {
+    "q_graph_pagerank": Q_GRAPH_PAGERANK_SQL,
+    "q_graph_ppr_segment": Q_GRAPH_PPR_SQL,
+}

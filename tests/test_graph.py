@@ -148,3 +148,68 @@ def test_pagerank_matches_python_on_random_graphs(spark, pairs, iterations, damp
     assert n == len(expected) and set(got) == set(expected)
     for k in expected:
         assert got[k] == pytest.approx(expected[k], abs=1e-11)
+
+
+# --------------------------------------------------------------------------
+# personalized PageRank
+# --------------------------------------------------------------------------
+
+
+def _seed_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+def test_ppr_with_all_nodes_seeded_equals_standard(spark):
+    raw = [(1, 2, 3), (2, 1, 1), (2, 3, 4), (3, 1, 1), (3, 2, 2)]
+    edges = spark.createDataFrame(raw, "src long, dst long, w long")
+    std, _ = pagerank(edges, iterations=4)
+    ppr, _ = pagerank(edges, iterations=4, seeds=_seed_df(spark, [1, 2, 3]))
+    assert _ranks(std) == _ranks(ppr)  # identical teleport + init -> identical
+
+
+def test_ppr_concentrates_mass_near_seeds(spark):
+    # symmetric path 0-1-2-3-4, seed at 0. A path is bipartite, so finite-K
+    # ranks oscillate by parity (rank[2] > rank[1] at K=6) — the sound
+    # distance-decay claim is WITHIN each parity cohort, plus seed-is-max
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(4)], "a long, b long, w long"
+    )
+    edges = undirected_edges(pairs, "a", "b", "w")
+    ranks, _ = pagerank(edges, iterations=6, seeds=_seed_df(spark, [0]))
+    got = _ranks(ranks)
+    assert got[0] == max(got.values())
+    assert got[0] > got[2] > got[4]  # even cohort decays with distance
+    assert got[1] > got[3]  # odd cohort decays with distance
+    assert math.fsum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ppr_matches_python_model(spark):
+    raw = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 2, 5), (2, 1, 2), (3, 1, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long, w long")
+    ranks, _ = pagerank(edges, iterations=5, seeds=_seed_df(spark, [2, 3]))
+
+    # independent model with seeded teleport
+    outw = {}
+    for s, _, w in raw:
+        outw[s] = outw.get(s, 0.0) + w
+    nodes = sorted(outw)
+    t = {v: (0.5 if v in (2, 3) else 0.0) for v in nodes}
+    rank = dict(t)
+    for _ in range(5):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in raw:
+            contrib[d] += rank[s] * (w / outw[s])
+        rank = {v: 0.15 * t[v] + 0.85 * contrib[v] for v in nodes}
+    got = _ranks(ranks)
+    for k in rank:
+        assert got[k] == pytest.approx(rank[k], abs=1e-11)
+
+
+def test_ppr_ignores_foreign_seeds_and_refuses_empty(spark):
+    raw = [(1, 2, 1), (2, 1, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long, w long")
+    with_foreign, _ = pagerank(edges, iterations=3, seeds=_seed_df(spark, [1, 99]))
+    only_real, _ = pagerank(edges, iterations=3, seeds=_seed_df(spark, [1]))
+    assert _ranks(with_foreign) == _ranks(only_real)
+    with pytest.raises(ValueError, match="no seed intersects"):
+        pagerank(edges, iterations=3, seeds=_seed_df(spark, [99]))
