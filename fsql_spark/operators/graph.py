@@ -216,6 +216,46 @@ def order_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
     return undirected_edges(pairs, "cust_node", "supp_node", "w")
 
 
+def order_graph_tables_cached(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame]:
+    """Compute-once (ew, nodes) for a testdata sf dir: the first caller
+    materializes the share-annotated edge table + node universe into a
+    fingerprinted /tmp parquet cache (the corpus_signatures_cached
+    lifecycle); every later question asked of the SAME graph — global
+    PageRank, personalized PageRank from any seed set, degree audits —
+    reads the slim graph tables instead of re-joining the fact tables.
+    That is the 100 TB graph lifecycle: build the graph once, query it
+    many times. The kernel fingerprint covers this module's builders so
+    an encoding/share change invalidates the cache."""
+    import hashlib
+    import inspect
+
+    from ..fsql_catalog import _build_once, _tree_dir
+
+    kern = hashlib.md5(
+        inspect.getsource(order_graph_edges).encode()
+        + inspect.getsource(undirected_edges).encode()
+        + inspect.getsource(pagerank_graph_tables).encode()
+    ).hexdigest()[:8]
+
+    def build(staging: str) -> None:
+        import os
+
+        ew, nodes = pagerank_graph_tables(order_graph_edges(spark, sf))
+        ew.write.parquet(os.path.join(staging, "ew.parquet"))
+        nodes.write.parquet(os.path.join(staging, "nodes.parquet"))
+
+    dest = _build_once(_tree_dir(sf, f"ordergraph_k{kern}", "lineitem"), build)
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(dest, "ew.parquet")),
+        spark.read.parquet(os.path.join(dest, "nodes.parquet")),
+    )
+
+
+
 def _q_graph_pagerank_frame(
     spark: SparkSession,
     sf: str,
@@ -259,13 +299,12 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     overhead dominates."""
     from ..session import temp_conf
 
-    edges = order_graph_edges(spark, sf)
-    ew, nodes = pagerank_graph_tables(edges)
+    ew, nodes = order_graph_tables_cached(spark, sf)
     ew, nodes = ew.persist(), nodes.persist()
     try:
-        nodes.count()  # materialize both caches at session width (one corpus job)
+        nodes.count()  # materialize both caches (first call builds the artifact)
         with temp_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
-            out = _q_graph_pagerank_frame(spark, sf, edges=edges, tables=(ew, nodes))
+            out = _q_graph_pagerank_frame(spark, sf, tables=(ew, nodes))
             pdf = out.toPandas()  # one row per supplier: 3 scalars
     finally:
         ew.unpersist()
@@ -364,13 +403,12 @@ def q_graph_ppr_segment(spark: SparkSession, sf: str) -> DataFrame:
     by construction."""
     from ..session import temp_conf
 
-    edges = order_graph_edges(spark, sf)
-    ew, nodes = pagerank_graph_tables(edges)
+    ew, nodes = order_graph_tables_cached(spark, sf)
     ew, nodes = ew.persist(), nodes.persist()
     try:
-        nodes.count()  # materialize both caches at session width
+        nodes.count()  # materialize both caches (usually a slim parquet read)
         with temp_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
-            out = _q_graph_ppr_frame(spark, sf, edges=edges, tables=(ew, nodes))
+            out = _q_graph_ppr_frame(spark, sf, tables=(ew, nodes))
             pdf = out.toPandas()  # one row per supplier: 3 scalars
     finally:
         ew.unpersist()
