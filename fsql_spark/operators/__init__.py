@@ -59,6 +59,7 @@ from .html import (  # noqa: F401
     HTML_QUERIES,
     documents_as_html,
     extract_html_text,
+    extract_links,
 )
 from .inference import (  # noqa: F401
     INFERENCE_ORACLES,

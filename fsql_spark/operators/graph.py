@@ -480,11 +480,162 @@ ORDER BY s_suppkey
 Q_GRAPH_PPR_SQL = _ppr_oracle_sql(_PR_ITERATIONS, _PR_DAMPING, _PPR_SEGMENT)
 
 
+
+def q_link_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """The full crawl-ranking pipeline in one declarative plan: render the
+    synthetic pages WITH their deterministic cross-doc hyperlinks, extract
+    every href back out of the raw HTML (regexp_extract_all — the
+    link-graph feed), parse the /doc/<id> targets, symmetrize, and run
+    5-round weighted PageRank over the resulting page graph — ingest ->
+    extract -> graph -> rank, each stage the real operator, the whole
+    chain replayed by the SQL oracle from the documents table. Output is
+    every page's rank x N (4dp), i.e. crawl-prioritization scores.
+
+    Same persist/materialize/release + narrow-loop-width pattern as the
+    other graph entries (the page graph is corpus-sized: ~3 links/page)."""
+    from ..session import temp_conf
+
+    from .html import documents_as_html, extract_links
+
+    pages = documents_as_html(spark, sf, cross_links=True)
+    links = extract_links(pages, "html")
+    pairs = (
+        links.select(
+            "doc_id",
+            F.regexp_extract("href", "^/doc/([0-9]+)$", 1).alias("_target"),
+        )
+        .where(F.col("_target") != "")  # boilerplate chrome links drop out
+        .select("doc_id", F.col("_target").cast("long").alias("target"))
+        .groupBy("doc_id", "target")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = undirected_edges(pairs, "doc_id", "target", "w")
+    ew, nodes = pagerank_graph_tables(edges)
+    ew, nodes = ew.persist(), nodes.persist()
+    try:
+        nodes.count()  # materialize at session width (the one corpus job)
+        with temp_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+            ranks, n = pagerank(
+                None, iterations=_PR_ITERATIONS, damping=_PR_DAMPING,
+                tables=(ew, nodes),
+            )
+            out = ranks.select(
+                F.col("node").alias("doc_id"),
+                F.round(F.col("rank") * F.lit(float(n)), 4).alias("pr_scaled"),
+            ).orderBy("doc_id")
+            pdf = out.toPandas()  # one row per page: 2 scalars
+    finally:
+        ew.unpersist()
+        nodes.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+def _q_link_graph_lint(spark: SparkSession, sf: str) -> DataFrame:
+    from .html import documents_as_html, extract_links
+
+    pages = documents_as_html(spark, sf, cross_links=True)
+    links = extract_links(pages, "html")
+    pairs = (
+        links.select(
+            "doc_id",
+            F.regexp_extract("href", "^/doc/([0-9]+)$", 1).alias("_target"),
+        )
+        .where(F.col("_target") != "")
+        .select("doc_id", F.col("_target").cast("long").alias("target"))
+        .groupBy("doc_id", "target")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks, n = pagerank(
+        undirected_edges(pairs, "doc_id", "target", "w"),
+        iterations=_PR_ITERATIONS, damping=_PR_DAMPING,
+    )
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank") * F.lit(float(n)), 4).alias("pr_scaled"),
+    ).orderBy("doc_id")
+
+
+q_link_graph_pagerank.lint_target = _q_link_graph_lint
+
+
+def _link_pagerank_oracle_sql(iterations: int, damping: float) -> str:
+    """Replays the WHOLE pipeline: page synthesis (with the cross-doc
+    'see also' links), href extraction from the raw HTML, target parsing,
+    symmetrization, and the unrolled rounds."""
+    sql = f"""
+WITH nn0 AS (SELECT COUNT(*) AS c FROM documents),
+pages AS (
+  SELECT doc_id,
+         '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || ' &mdash; ' || source
+         || '</title><script>var pageId=' || CAST(doc_id AS VARCHAR)
+         || ';track(pageId);</script><style>body{{margin:0}} p{{font:14px serif}}</style>'
+         || '</head><body><nav><a href="/">home</a> <a href="/about">about</a></nav>'
+         || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p>'
+         || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+         || '</p>' || chr(10)
+         || '<p>see also <a href="/doc/' || CAST((doc_id * 7 + 1) % (SELECT c FROM nn0) AS VARCHAR)
+         || '">doc ' || CAST((doc_id * 7 + 1) % (SELECT c FROM nn0) AS VARCHAR)
+         || '</a> and <a href="/doc/' || CAST((doc_id * 13 + 5) % (SELECT c FROM nn0) AS VARCHAR)
+         || '">doc ' || CAST((doc_id * 13 + 5) % (SELECT c FROM nn0) AS VARCHAR)
+         || '</a></p>'
+         || '<footer>&copy; ' || source
+         || ' &nbsp;<a href="/terms">terms</a></footer></body></html>' AS html
+  FROM documents
+),
+hrefs AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, '<a href="([^"]+)"', 1)) AS href
+  FROM pages
+),
+pairs AS (
+  SELECT doc_id, CAST(regexp_extract(href, '^/doc/([0-9]+)$', 1) AS BIGINT) AS target,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM hrefs
+  WHERE regexp_extract(href, '^/doc/([0-9]+)$', 1) <> ''
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_id AS src, target AS dst, w FROM pairs
+  UNION ALL
+  SELECT target, doc_id, w FROM pairs
+),
+outw AS (SELECT src, SUM(CAST(w AS DOUBLE)) AS wout FROM edges GROUP BY src),
+ew AS (
+  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.wout AS share
+  FROM edges e JOIN outw o USING (src)
+),
+nodes AS (SELECT DISTINCT src AS node FROM ew),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+pr{{i}} AS (
+  SELECT node, SUM(part) AS rank FROM (
+    SELECT node, (1.0 - {damping!r}) / (SELECT n FROM nn) AS part FROM nodes
+    UNION ALL
+    SELECT ew.dst, {damping!r} * p.rank * ew.share
+    FROM ew JOIN pr{{j}} p ON p.node = ew.src
+  ) GROUP BY node
+)""".replace("{i}", str(i)).replace("{j}", str(i - 1))
+    sql += f"""
+SELECT node AS doc_id,
+       ROUND(rank * (SELECT n FROM nn), 4) AS pr_scaled
+FROM pr{iterations}
+ORDER BY doc_id
+"""
+    return sql
+
+
+Q_LINK_PAGERANK_SQL = _link_pagerank_oracle_sql(_PR_ITERATIONS, _PR_DAMPING)
+
+
 GRAPH_QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_ppr_segment": q_graph_ppr_segment,
+    "q_link_graph_pagerank": q_link_graph_pagerank,
 }
 GRAPH_ORACLES = {
     "q_graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "q_graph_ppr_segment": Q_GRAPH_PPR_SQL,
+    "q_link_graph_pagerank": Q_LINK_PAGERANK_SQL,
 }

@@ -53,10 +53,25 @@ def _unescape_html(col: Column) -> Column:
     return F.replace(out, F.lit("&amp;"), F.lit("&"))
 
 
-def html_page_expr(doc_id: Column, source: Column, text: Column) -> Column:
+def html_page_expr(
+    doc_id: Column, source: Column, text: Column, n_docs: int | None = None
+) -> Column:
     """The synthetic page as a pure Column expression — shared by the batch
     table builder and the streaming twin (expressions run unmodified on a
-    readStream)."""
+    readStream). With ``n_docs`` set, the body gains a deterministic
+    'see also' paragraph linking to docs ``(id*7+1) % n`` and
+    ``(id*13+5) % n`` — the cross-page hyperlinks a link-graph pipeline
+    extracts (see :func:`extract_links`); None keeps the page byte-stable
+    for the extraction round-trip entries."""
+    see_also: tuple[Column, ...] = ()
+    if n_docs is not None:
+        t1 = F.pmod(doc_id * 7 + 1, F.lit(n_docs)).cast("string")
+        t2 = F.pmod(doc_id * 13 + 5, F.lit(n_docs)).cast("string")
+        see_also = (
+            F.lit('<p>see also <a href="/doc/'), t1, F.lit('">doc '), t1,
+            F.lit('</a> and <a href="/doc/'), t2, F.lit('">doc '), t2,
+            F.lit("</a></p>"),
+        )
     return F.concat(
         F.lit("<!DOCTYPE html><html><head><title>Doc "),
         doc_id.cast("string"),
@@ -70,24 +85,44 @@ def html_page_expr(doc_id: Column, source: Column, text: Column) -> Column:
         doc_id.cast("string"),
         F.lit("</h1>\n<p>"),
         _escape_html(text),
-        F.lit('</p>\n<footer>&copy; '),
+        F.lit("</p>\n"),
+        *see_also,
+        F.lit('<footer>&copy; '),
         source,
         F.lit(' &nbsp;<a href="/terms">terms</a></footer></body></html>'),
     )
 
 
-def documents_as_html(spark: SparkSession, sf: str) -> DataFrame:
+def documents_as_html(
+    spark: SparkSession, sf: str, cross_links: bool = False
+) -> DataFrame:
     """(doc_id, html): each document rendered as a deterministic synthetic
     page — escaped text in a <p>, plus the chrome a real crawl page carries
     (title, script, style, nav with links, h1, footer). Pure expression
-    work; the page derives from text so oracles can replay it."""
+    work; the page derives from text so oracles can replay it.
+    ``cross_links`` adds the deterministic 'see also' hyperlinks (one cheap
+    count fixes the modulus)."""
     docs = spark.read.parquet(f"{sf}/documents.parquet").select(
         "doc_id", "source", "text"
     )
+    n_docs = docs.count() if cross_links else None
     return docs.select(
         "doc_id",
-        html_page_expr(F.col("doc_id"), F.col("source"), F.col("text")).alias("html"),
+        html_page_expr(
+            F.col("doc_id"), F.col("source"), F.col("text"), n_docs=n_docs
+        ).alias("html"),
     )
+
+
+def extract_links(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """One row per <a href="..."> occurrence: input columns + ``href`` —
+    the crawl link-graph feed (build the host/page graph, then rank it;
+    see q_link_graph_pagerank). Catalyst regexp_extract_all + explode,
+    map-only, Java/RE2-common dialect."""
+    hrefs = F.expr(
+        f"""regexp_extract_all({html_col}, '<a href="([^"]+)"', 1)"""
+    )
+    return df.select("*", F.explode(hrefs).alias("href"))
 
 
 def extract_html_text(

@@ -73,3 +73,35 @@ def test_catalog_roundtrip_is_all_true(spark):
     assert all(r["roundtrip_ok"] for r in rows)
     assert all(r["n_links"] == 3 for r in rows)  # nav x2 + footer x1
     assert all(0 < r["text_ratio_bp"] < 10000 for r in rows)
+
+
+def test_extract_links_one_row_per_href(spark):
+    from fsql_spark.operators import extract_links
+
+    df = spark.createDataFrame(
+        [(1, '<a href="/x">x</a><p>n</p><a href="/doc/7">d</a>'), (2, "<p>none</p>")],
+        "doc_id long, html string",
+    )
+    got = [(r["doc_id"], r["href"]) for r in extract_links(df, "html").collect()]
+    assert sorted(got) == [(1, "/doc/7"), (1, "/x")]  # linkless rows drop out
+
+
+def test_cross_links_are_deterministic_and_default_stays_byte_stable(spark):
+    from fsql_spark.operators import extract_links
+    from fsql_spark.operators.html import documents_as_html
+
+    sf = "/root/testdata/sf0.001"
+    plain = documents_as_html(spark, sf).orderBy("doc_id").limit(1).collect()[0]
+    linked = documents_as_html(spark, sf, cross_links=True).orderBy("doc_id").limit(1).collect()[0]
+    # cross_links only INSERTS the see-also paragraph; everything else stable
+    assert linked["html"].replace(
+        '<p>see also <a href="/doc/1">doc 1</a> and <a href="/doc/5">doc 5</a></p>', ""
+    ) == plain["html"]
+    # doc 0: targets (0*7+1)%500=1 and (0*13+5)%500=5, via real extraction
+    hrefs = {
+        r["href"]
+        for r in extract_links(
+            documents_as_html(spark, sf, cross_links=True).where("doc_id = 0"), "html"
+        ).collect()
+    }
+    assert hrefs == {"/", "/about", "/terms", "/doc/1", "/doc/5"}
