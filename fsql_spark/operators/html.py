@@ -253,5 +253,79 @@ ORDER BY doc_id
 """
 
 
-HTML_QUERIES = {"q_html_extract": q_html_extract}
-HTML_ORACLES = {"q_html_extract": Q_HTML_EXTRACT_SQL}
+def extract_doc_link_anchors(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """One row per /doc/<id> hyperlink: input columns + (target, anchor) —
+    href target id and the link's anchor TEXT, the classic inlink ranking/
+    retrieval signal (anchor text describes the TARGET page better than the
+    target's own body; BM25F's anchor field). Two positional
+    regexp_extract_all passes (group 1 = id, group 2 = text) zipped in
+    lockstep — matches come back in document order in both engines."""
+    pat = '<a href="/doc/([0-9]+)">([^<]*)</a>'
+    zipped = F.arrays_zip(
+        F.expr(f"regexp_extract_all({html_col}, '{pat}', 1)"),
+        F.expr(f"regexp_extract_all({html_col}, '{pat}', 2)"),
+    )
+    return (
+        df.select("*", F.explode(zipped).alias("_m"))
+        .select("*", F.col("_m.0").cast("long").alias("target"),
+                F.col("_m.1").alias("anchor"))
+        .drop("_m")
+    )
+
+
+def q_link_anchor_texts(spark: SparkSession, sf: str) -> DataFrame:
+    """Inlink anchor-text aggregation over the cross-linked synthetic crawl:
+    per target page, how many inlinks, from how many distinct source pages,
+    and the sorted-distinct anchor vocabulary — the signal a retrieval
+    pipeline indexes as the anchor field. One map-side extraction + one
+    aggregate; the oracle replays the two-group zip extraction with
+    DuckDB's lockstep unnest."""
+    pages = documents_as_html(spark, sf, cross_links=True)
+    anchors = extract_doc_link_anchors(pages, "html")
+    return (
+        anchors.groupBy(F.col("target").alias("target_doc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.countDistinct("doc_id").alias("n_sources"),
+            F.array_join(F.array_sort(F.collect_set("anchor")), "|").alias("anchor_terms"),
+        )
+        .orderBy("target_doc")
+    )
+
+
+Q_LINK_ANCHORS_SQL = """
+WITH nn0 AS (SELECT COUNT(*) AS c FROM documents),
+pages AS (
+  SELECT doc_id,
+         '<p>see also <a href="/doc/' || CAST((doc_id * 7 + 1) % (SELECT c FROM nn0) AS VARCHAR)
+         || '">doc ' || CAST((doc_id * 7 + 1) % (SELECT c FROM nn0) AS VARCHAR)
+         || '</a> and <a href="/doc/' || CAST((doc_id * 13 + 5) % (SELECT c FROM nn0) AS VARCHAR)
+         || '">doc ' || CAST((doc_id * 13 + 5) % (SELECT c FROM nn0) AS VARCHAR)
+         || '</a></p>' AS body
+  FROM documents
+),
+anchors AS (
+  SELECT doc_id,
+         CAST(unnest(regexp_extract_all(body, '<a href="/doc/([0-9]+)">([^<]*)</a>', 1)) AS BIGINT) AS target,
+         unnest(regexp_extract_all(body, '<a href="/doc/([0-9]+)">([^<]*)</a>', 2)) AS anchor
+  FROM pages
+)
+SELECT target AS target_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_sources,
+       array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchor_terms
+FROM anchors
+GROUP BY target
+ORDER BY target_doc
+"""
+
+
+
+HTML_QUERIES = {
+    "q_html_extract": q_html_extract,
+    "q_link_anchor_texts": q_link_anchor_texts,
+}
+HTML_ORACLES = {
+    "q_html_extract": Q_HTML_EXTRACT_SQL,
+    "q_link_anchor_texts": Q_LINK_ANCHORS_SQL,
+}

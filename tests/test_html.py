@@ -105,3 +105,26 @@ def test_cross_links_are_deterministic_and_default_stays_byte_stable(spark):
         ).collect()
     }
     assert hrefs == {"/", "/about", "/terms", "/doc/1", "/doc/5"}
+
+
+def test_anchor_extraction_zips_ids_with_texts(spark):
+    from fsql_spark.operators.html import extract_doc_link_anchors
+
+    df = spark.createDataFrame(
+        [(9, '<a href="/doc/3">alpha</a><a href="/x">chrome</a><a href="/doc/12"></a>')],
+        "doc_id long, html string",
+    )
+    got = {(r["target"], r["anchor"]) for r in extract_doc_link_anchors(df, "html").collect()}
+    assert got == {(3, "alpha"), (12, "")}  # chrome link excluded; empty anchor kept
+
+
+def test_anchor_aggregation_counts_sources(spark):
+    from fsql_spark.operators.html import q_link_anchor_texts
+
+    rows = {r["target_doc"]: r for r in
+            q_link_anchor_texts(spark, "/root/testdata/sf0.001").collect()}
+    # every doc receives exactly one *7+1 link and one *13+5 link (both
+    # maps are bijections mod 500); anchor text is 'doc <target>'
+    assert all(r["n_inlinks"] == 2 for r in rows.values())
+    assert all(r["anchor_terms"] == f"doc {t}" for t, r in rows.items())
+    assert all(r["n_sources"] in (1, 2) for r in rows.values())
