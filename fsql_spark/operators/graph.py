@@ -629,13 +629,169 @@ ORDER BY doc_id
 Q_LINK_PAGERANK_SQL = _link_pagerank_oracle_sql(_PR_ITERATIONS, _PR_DAMPING)
 
 
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Weighted HITS (Kleinberg) over a directed (src, dst, w) edge list ->
+    ((node, auth), (node, hub)) — UNNORMALIZED scores after ``iterations``
+    synchronous rounds (hub_0 = 1 on every source;
+    auth_i = sum_in w * hub_{i-1}; hub_i = sum_out w * auth_i). Callers
+    normalize at output (scores grow multiplicatively with the weighted
+    degree — still far inside double range for any sane K; normalizing
+    per round would need a global scalar per round, the cross join the
+    plan lint forbids). Dangling is NATURAL here: sinks simply keep hub 0
+    — authorities don't need out-edges, unlike PageRank's mass
+    conservation. The plan is LAZY: 2K unrolled join+aggregate pairs;
+    callers should pass a persisted ``edges``."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    srcs = edges.select(F.col("src").alias("node")).distinct()
+    dsts = edges.select(F.col("dst").alias("node")).distinct()
+    hub = srcs.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(iterations):
+        auth = (
+            edges.join(hub, edges.src == hub.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("auth"))
+            .select(F.col("dst").alias("node"), "auth")
+        )
+        hub = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("auth")).alias("hub"))
+            .select(F.col("src").alias("node"), "hub")
+        )
+    # nodes that received nothing keep score 0 (possible only for sources
+    # with no in-edges / sinks with no out-edges — the bipartite norm)
+    auth_full = dsts.join(auth, "node", "left").select(
+        "node", F.coalesce("auth", F.lit(0.0)).alias("auth")
+    )
+    hub_full = srcs.join(hub, "node", "left").select(
+        "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+    )
+    return auth_full, hub_full
+
+
+_HITS_ITERATIONS = 3
+
+
+def q_graph_hits_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier AUTHORITY in the directed customer->supplier order graph
+    (weighted HITS, 3 rounds): customers are the natural hubs (they point
+    at suppliers), suppliers the natural authorities — the directed
+    complement of q_graph_pagerank's symmetric centrality. Scores are
+    normalized to mean 1 over suppliers (sum collected driver-side — one
+    node-sized action — then scaled IN Spark so the 4dp rounding is the
+    engine's own) and reported per supplier.
+
+    Edge build is one fact join + count; the 2K unrolled rounds run over
+    the persisted directed edge table under the narrow loop width."""
+    from ..session import temp_conf
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_custkey")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_suppkey").alias("dst"),
+            "w",
+        )
+        .persist()
+    )
+    try:
+        edges.count()  # materialize at session width (the one corpus job)
+        with temp_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+            auth, _hub = hits(edges, iterations=_HITS_ITERATIONS)
+            # three actions follow (sum, count, collect): persist the
+            # node-sized result so the 2K-join chain runs once
+            auth = auth.persist()
+            total = auth.agg(F.sum("auth")).collect()[0][0]
+            n = auth.count()
+            supplier = spark.read.parquet(f"{sf}/supplier.parquet").select(
+                "s_suppkey", "s_name"
+            )
+            out = (
+                auth.join(supplier, auth.node == supplier.s_suppkey)
+                .select(
+                    "s_suppkey",
+                    "s_name",
+                    F.round(
+                        F.col("auth") / F.lit(float(total)) * F.lit(float(n)), 4
+                    ).alias("authority"),
+                )
+                .orderBy("s_suppkey")
+            )
+            pdf = out.toPandas()  # one row per supplier: 3 scalars
+            auth.unpersist()
+    finally:
+        edges.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+def _q_graph_hits_lint(spark: SparkSession, sf: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_custkey")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"), "w")
+    )
+    auth, _ = hits(edges, iterations=_HITS_ITERATIONS)
+    return auth
+
+
+q_graph_hits_suppliers.lint_target = _q_graph_hits_lint
+
+
+def _hits_oracle_sql(iterations: int) -> str:
+    sql = """
+WITH edges AS (
+  SELECT o_custkey AS src, l_suppkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+h0 AS (SELECT DISTINCT src AS node, 1.0 AS hub FROM edges)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+a{i} AS (
+  SELECT e.dst AS node, SUM(e.w * h.hub) AS auth
+  FROM edges e JOIN h{i - 1} h ON h.node = e.src
+  GROUP BY e.dst
+),
+h{i} AS (
+  SELECT e.src AS node, SUM(e.w * a.auth) AS hub
+  FROM edges e JOIN a{i} a ON a.node = e.dst
+  GROUP BY e.src
+)"""
+    sql += f"""
+SELECT s_suppkey, s_name,
+       ROUND(a.auth / (SELECT SUM(auth) FROM a{iterations})
+             * (SELECT CAST(COUNT(*) AS DOUBLE) FROM a{iterations}), 4) AS authority
+FROM a{iterations} a JOIN supplier ON a.node = s_suppkey
+ORDER BY s_suppkey
+"""
+    return sql
+
+
+Q_GRAPH_HITS_SQL = _hits_oracle_sql(_HITS_ITERATIONS)
+
+
 GRAPH_QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_ppr_segment": q_graph_ppr_segment,
     "q_link_graph_pagerank": q_link_graph_pagerank,
+    "q_graph_hits_suppliers": q_graph_hits_suppliers,
 }
 GRAPH_ORACLES = {
     "q_graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "q_graph_ppr_segment": Q_GRAPH_PPR_SQL,
     "q_link_graph_pagerank": Q_LINK_PAGERANK_SQL,
+    "q_graph_hits_suppliers": Q_GRAPH_HITS_SQL,
 }

@@ -213,3 +213,52 @@ def test_ppr_ignores_foreign_seeds_and_refuses_empty(spark):
     assert _ranks(with_foreign) == _ranks(only_real)
     with pytest.raises(ValueError, match="no seed intersects"):
         pagerank(edges, iterations=3, seeds=_seed_df(spark, [99]))
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities
+# --------------------------------------------------------------------------
+
+from fsql_spark.operators.graph import hits
+
+
+def test_hits_known_answer_bipartite(spark):
+    # customers {1,2} -> suppliers {10,11}; hand-computed 2 rounds:
+    # h0=1; a1 = {10:3, 11:1}; h1 = {1:7, 2:3}; a2 = {10:17, 11:7};
+    # h2 = {1:41, 2:17}
+    edges = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 11, 1.0), (2, 10, 1.0)], "src long, dst long, w double"
+    )
+    auth, hub = hits(edges, iterations=2)
+    assert {r["node"]: r["auth"] for r in auth.collect()} == {10: 17.0, 11: 7.0}
+    assert {r["node"]: r["hub"] for r in hub.collect()} == {1: 41.0, 2: 17.0}
+
+
+def test_hits_matches_python_model(spark):
+    raw = [(1, 10, 3), (1, 11, 1), (2, 10, 2), (2, 12, 5), (3, 11, 1), (10, 1, 2)]
+    edges = spark.createDataFrame(raw, "src long, dst long, w long")
+    K = 3
+    auth_df, hub_df = hits(edges.selectExpr("src", "dst", "cast(w as double) w"), iterations=K)
+
+    hub = {s: 1.0 for s, _, _ in raw}
+    auth = {}
+    for _ in range(K):
+        auth = {}
+        for s, d, w in raw:
+            auth[d] = auth.get(d, 0.0) + w * hub.get(s, 0.0)
+        hub = {}
+        for s, d, w in raw:
+            hub[s] = hub.get(s, 0.0) + w * auth[d]
+    got_a = {r["node"]: r["auth"] for r in auth_df.collect()}
+    got_h = {r["node"]: r["hub"] for r in hub_df.collect()}
+    assert set(got_a) == set(auth) and set(got_h) == set(hub)
+    for k in auth:
+        assert got_a[k] == pytest.approx(auth[k], rel=1e-12)
+    for k in hub:
+        assert got_h[k] == pytest.approx(hub[k], rel=1e-12)
+
+
+def test_hits_validates_iterations(spark):
+    edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)
