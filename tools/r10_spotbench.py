@@ -225,6 +225,44 @@ def graph_decades() -> None:
         )
         spark.catalog.clearCache()
 
+    # --- HITS over the replicated DIRECTED order graphs --------------------
+    # the prgraph parquets hold the symmetric closure; the directed
+    # customer->supplier half is exactly the even-src rows (node encoding:
+    # customer = key*2, supplier = key*2+1)
+    from pyspark.sql import functions as _F
+
+    from fsql_spark.operators.graph import hits
+
+    for n_copies in (1, 10, 100):
+        dst = f"/tmp/fsql_spark_prgraph_{n_copies}x.parquet"
+        if not os.path.exists(dst):
+            print(json.dumps({"family": "hits", "scale": f"{n_copies}x",
+                              "error": "run the pagerank block first"}), flush=True)
+            continue
+        edges = spark.read.parquet(dst).where(_F.col("src") % 2 == 0) \
+                     .select("src", "dst", _F.col("w").cast("double").alias("w")) \
+                     .persist()
+        ne = edges.count()  # warm + materialize
+        start = time.perf_counter()
+        auth, _hub = hits(edges, iterations=3)
+        auth.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - start, 2)
+        rows = auth.count()
+        edges.unpersist()
+        print(
+            json.dumps(
+                {
+                    "family": "hits",
+                    "scale": f"{n_copies}x",
+                    "n_edges": ne,
+                    "n_authorities": rows,
+                    "wall_s": wall,
+                }
+            ),
+            flush=True,
+        )
+        spark.catalog.clearCache()
+
     # --- Label propagation over scaled embedding corpora -------------------
     base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
         "vec_id", "embedding"
