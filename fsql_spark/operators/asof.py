@@ -178,6 +178,76 @@ def resample_ffill(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    every_seconds: int,
+) -> DataFrame:
+    """Per-key fixed-interval resampling with LINEAR interpolation — the
+    other half of time-series regularization (:func:`resample_ffill` carries
+    the last observation forward; this draws the straight line between the
+    surrounding observations, the right gap-fill for continuously-varying
+    signals such as sensor readings or prices).
+
+    Per bin the anchor value is SELECTED (latest row by (ts, order_col)),
+    then each empty bin gets ``prev + (next - prev) * (bin - prev_bin) /
+    (next_bin - prev_bin)`` — a fixed per-row float expression with one
+    evaluation order, so the result is reproducible across engines (the SQL
+    oracle spells the identical expression). Bins before the first / after
+    the last observation take the nearest anchor (no extrapolation).
+
+    Scale shape: identical to resample_ffill — one shuffle on the key for
+    the per-bin pick, one ordered window pass per direction for the anchor
+    carry; the grid is keys x bins (output-sized), generated per key from a
+    2-column span aggregate."""
+    if int(every_seconds) != every_seconds or int(every_seconds) <= 0:
+        raise ValueError(f"every_seconds must be a positive integer, got {every_seconds}")
+    every_us = int(every_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    binned = df.withColumn("__bs", us - F.pmod(us, F.lit(every_us)))
+    w_pick = Window.partitionBy(key_col, "__bs").orderBy(
+        F.col(ts_col).desc(), F.col(order_col).desc()
+    )
+    per_bin = (
+        binned.withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") == 1)
+        .select(key_col, "__bs", F.col(value_col).alias("__obs"))
+    )
+    spans = binned.groupBy(key_col).agg(
+        F.min("__bs").alias("__lo"), F.max("__bs").alias("__hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(F.sequence("__lo", "__hi", F.lit(every_us))).alias("__bs"),
+    )
+    joined = grid.join(per_bin, [key_col, "__bs"], "left")
+    w = Window.partitionBy(key_col).orderBy("__bs")
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_bs = F.when(F.col("__obs").isNotNull(), F.col("__bs"))
+    prev_v = F.last("__obs", ignorenulls=True).over(w_back)
+    prev_b = F.last(obs_bs, ignorenulls=True).over(w_back)
+    nxt_v = F.first("__obs", ignorenulls=True).over(w_fwd)
+    nxt_b = F.first(obs_bs, ignorenulls=True).over(w_fwd)
+    interp = (
+        F.when(F.col("__obs").isNotNull(), F.col("__obs"))
+        .when(prev_v.isNull(), nxt_v)
+        .when(nxt_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + ((nxt_v - prev_v) * (F.col("__bs") - prev_b)) / (nxt_b - prev_b)
+        )
+    )
+    return joined.select(
+        key_col,
+        F.col("__bs").alias("bin_start_us"),
+        interp.alias(value_col),
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog entries + oracles (events table: clicks vs purchases)
 # --------------------------------------------------------------------------
@@ -284,14 +354,76 @@ FROM grid g LEFT JOIN picked p ON g.user_id = p.user_id AND g.bs = p.bs
 """
 
 
+def q_events_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly per-user value series with LINEAR interpolation across gaps
+    (users < 20 bound the grid) — the continuously-varying-signal twin of
+    q_events_resample's forward fill. Interpolated values are emitted RAW:
+    the formula is a fixed per-row float expression (no summation), so both
+    engines produce bit-identical doubles — whereas ROUND would DIVERGE
+    here, because interpolating 2dp inputs at power-of-two gap fractions
+    lands exactly on decimal half-way points where the engines' double
+    rounding disagrees (measured: 23.79875 -> 23.7988 vs 23.7987)."""
+    from ..relational import _t
+
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 20)
+    out = resample_interpolate(
+        ev, "user_id", "ts", "event_id", "value", every_seconds=3600
+    )
+    return out.select("user_id", "bin_start_us", "value")
+
+
+Q_EVENTS_INTERPOLATE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, value
+  FROM events WHERE user_id < 20
+),
+b AS (SELECT *, us - (us % 3600000000) AS bs FROM e),
+picked AS (
+  SELECT user_id, bs, value AS obs FROM (
+    SELECT user_id, bs, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, bs ORDER BY us DESC, event_id DESC) AS rn
+    FROM b) WHERE rn = 1
+),
+spans AS (SELECT user_id, MIN(bs) AS lo, MAX(bs) AS hi FROM b GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS bs FROM spans
+),
+anchored AS (
+  SELECT g.user_id, g.bs, p.obs,
+         LAST_VALUE(p.obs IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bs
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         LAST_VALUE(CASE WHEN p.obs IS NOT NULL THEN g.bs END IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bs
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+         FIRST_VALUE(p.obs IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bs
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_v,
+         FIRST_VALUE(CASE WHEN p.obs IS NOT NULL THEN g.bs END IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bs
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_b
+  FROM grid g LEFT JOIN picked p ON g.user_id = p.user_id AND g.bs = p.bs
+)
+SELECT user_id, bs AS bin_start_us,
+       CASE WHEN obs IS NOT NULL THEN obs
+            WHEN prev_v IS NULL THEN nxt_v
+            WHEN nxt_v IS NULL THEN prev_v
+            ELSE prev_v + ((nxt_v - prev_v) * (bs - prev_b)) / (nxt_b - prev_b)
+       END AS value
+FROM anchored
+"""
+
+
 ASOF_QUERIES = {
     "q_asof_click_purchase": q_asof_click_purchase,
     "q_range_join_bursts": q_range_join_bursts,
     "q_events_resample": q_events_resample,
+    "q_events_interpolate": q_events_interpolate,
 }
 
 ASOF_ORACLES = {
     "q_asof_click_purchase": Q_ASOF_SQL,
     "q_range_join_bursts": Q_RANGE_JOIN_SQL,
     "q_events_resample": Q_EVENTS_RESAMPLE_SQL,
+    "q_events_interpolate": Q_EVENTS_INTERPOLATE_SQL,
 }

@@ -937,6 +937,44 @@ def test_resample_ffill_semantics(spark):
     assert len([k for k in got if k[0] == 1]) == 4  # contiguous, no extras
 
 
+def test_resample_interpolate_semantics(spark):
+    """Interior gaps take the straight line between the surrounding anchors;
+    edges clamp to the nearest anchor; observed bins keep the latest row's
+    exact value (selection, not aggregation)."""
+    from datetime import datetime, timezone
+
+    from fsql_spark.operators.asof import resample_interpolate
+
+    def utc(h, m):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+
+    rows = [
+        # key 1: anchors at hours 0 (value 2.0, later row wins) and 4 (10.0)
+        (1, utc(0, 10), 100, 1.0),
+        (1, utc(0, 50), 101, 2.0),
+        (1, utc(4, 5), 102, 10.0),
+        # key 2: single event — every bin is that anchor
+        (2, utc(5, 0), 200, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, event_id long, value double")
+    out = resample_interpolate(df, "k", "ts", "event_id", "value", every_seconds=3600)
+    got = {(r["k"], r["bin_start_us"]): r["value"] for r in out.collect()}
+    h0 = int(utc(0, 0).timestamp()) * 1_000_000
+    hour = 3600 * 1_000_000
+    assert got[(1, h0)] == 2.0                 # anchor: latest row in bin
+    assert got[(1, h0 + hour)] == 4.0          # 2 + (10-2) * 1/4
+    assert got[(1, h0 + 2 * hour)] == 6.0
+    assert got[(1, h0 + 3 * hour)] == 8.0
+    assert got[(1, h0 + 4 * hour)] == 10.0
+    assert got[(2, h0 + 5 * hour)] == 7.0      # single anchor: clamp
+    assert len([k for k in got if k[0] == 1]) == 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive integer"):
+        resample_interpolate(df, "k", "ts", "event_id", "value", 0.5)
+
+
 # --------------------------------------------------------------------------
 # unigram LM perplexity, quality filter, anomaly detection (round 5)
 # --------------------------------------------------------------------------
