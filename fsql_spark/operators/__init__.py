@@ -246,6 +246,12 @@ from .phash import (  # noqa: F401
     phash_clusters,
     phash_near_pairs,
 )
+from .sequence import (  # noqa: F401
+    SEQUENCE_ORACLES,
+    SEQUENCE_QUERIES,
+    last_touch_attribution,
+    transition_matrix,
+)
 
 EXTENSION_QUERIES = {
     **TEXT_QUERIES,
@@ -273,6 +279,7 @@ EXTENSION_QUERIES = {
     **GRAPH_QUERIES,
     **LABELPROP_QUERIES,
     **HTML_QUERIES,
+    **SEQUENCE_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -301,4 +308,5 @@ EXTENSION_ORACLES = {
     **GRAPH_ORACLES,
     **LABELPROP_ORACLES,
     **HTML_ORACLES,
+    **SEQUENCE_ORACLES,
 }

@@ -1,0 +1,183 @@
+"""Event-sequence analytics: last-touch attribution and Markov transitions.
+
+A clickstream/events table is a set of per-user ordered SEQUENCES; two
+questions every product/marketing pipeline asks of it:
+
+- **Attribution**: when a conversion happens, which earlier touch gets the
+  credit? Last-touch (the industry default) credits the most recent
+  qualifying touch strictly BEFORE the conversion; conversions with no
+  prior touch are "direct".
+- **Transition structure**: what follows what? The first-order Markov
+  transition matrix (P(next_type | type) from consecutive event pairs) is
+  the standard sequence fingerprint — feeds session simulation, anomaly
+  scoring (improbable paths), and UX funnels.
+
+Both are ONE ordered-window pass over the events table: shuffle once on
+``user_id``, sort within the key by (ts, event_id), then a window carry
+(attribution: ``last(ignorenulls)`` over the preceding frame) or a ``lead``
+(transitions). The follow-up aggregate is grouped by low-cardinality type
+keys — map-side combinable, never user-wide. No driver loops, no UDFs; at
+100 TB the cost is exactly one repartition of the events table, and AQE
+handles user-skew in the sort.
+
+Determinism: ties in ``ts`` are broken by ``event_id`` (total order), so
+the attributed touch and every (type, next) pair are unique; transition
+probabilities are single divisions of exact BIGINT counts — bit-identical
+across engines.
+
+No reference counterpart (the reference delegates all row-level compute,
+`/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension
+surface (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+) -> DataFrame:
+    """Conversion rows annotated with their attributed touch: the latest
+    event of a ``touch_types`` type strictly before the conversion in the
+    same user's (ts, order) sequence; ``channel`` is NULL when no touch
+    precedes (callers usually coalesce to 'direct').
+
+    One window over (user, ts, order): the qualifying-touch type is carried
+    forward with ``last(ignorenulls)`` over the UNBOUNDED-PRECEDING..-1
+    frame (strictly earlier rows), then non-conversions are dropped."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col).isin(touch_types), F.col(type_col))
+    return (
+        events.withColumn("channel", F.last(touch, ignorenulls=True).over(w))
+        .where(F.col(type_col) == conversion_type)
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    type_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities from each
+    user's ordered event sequence -> (type, next_type, n, p) where
+    ``p = n / sum(n over type)``. Sequence-final events emit no pair.
+
+    The pair extraction is one ``lead`` window (a single shuffle on the
+    user key); the count is grouped by the type pair — a tiny,
+    map-side-combinable aggregate — and the row-normalization is a second
+    window over the type-pair table, which is (|types|^2)-sized, i.e.
+    driver-trivial at any corpus scale."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
+    pairs = (
+        events.withColumn("next_type", F.lead(type_col).over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col(type_col).alias("type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("type")
+    return pairs.withColumn("p", F.col("n") / F.sum("n").over(w_row))
+
+
+# --------------------------------------------------------------------------
+# catalog entries + oracles
+# --------------------------------------------------------------------------
+
+_TOUCH_TYPES = ["click", "view"]
+
+
+def q_events_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the user's
+    most recent click/view strictly before it (ties broken by event_id),
+    'direct' when none precedes; reported as conversions + revenue (2dp)
+    per channel."""
+    from ..relational import _t
+
+    ev = _t(spark, sf, "events")
+    conv = last_touch_attribution(
+        ev, "user_id", "ts", "event_id", "event_type",
+        conversion_type="purchase", touch_types=_TOUCH_TYPES,
+    )
+    return (
+        conv.select(F.coalesce("channel", F.lit("direct")).alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+Q_EVENTS_ATTRIBUTION_SQL = """
+WITH tagged AS (
+  SELECT event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       COUNT(*) AS conversions,
+       ROUND(SUM(value), 2) AS revenue
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of the event-type sequences:
+    per (type, next_type) the pair count and row-normalized probability
+    (4dp) — the corpus's behavioral fingerprint."""
+    from ..relational import _t
+
+    ev = _t(spark, sf, "events")
+    out = transition_matrix(ev, "user_id", "ts", "event_id", "event_type")
+    return out.select(
+        "type", "next_type", "n", F.round("p", 4).alias("p")
+    ).orderBy("type", "next_type")
+
+
+Q_MARKOV_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT type, next_type, COUNT(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT type, next_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY type), 4) AS p
+FROM counts
+ORDER BY type, next_type
+"""
+
+
+SEQUENCE_QUERIES = {
+    "q_events_attribution": q_events_attribution,
+    "q_markov_transitions": q_markov_transitions,
+}
+SEQUENCE_ORACLES = {
+    "q_events_attribution": Q_EVENTS_ATTRIBUTION_SQL,
+    "q_markov_transitions": Q_MARKOV_TRANSITIONS_SQL,
+}

@@ -975,6 +975,65 @@ def test_resample_interpolate_semantics(spark):
         resample_interpolate(df, "k", "ts", "event_id", "value", 0.5)
 
 
+def test_last_touch_attribution_semantics(spark):
+    """The attributed channel is the latest qualifying touch STRICTLY before
+    the conversion (same-row conversions never self-attribute); no prior
+    touch -> NULL; ts ties break by the order column."""
+    from datetime import datetime, timezone
+
+    from fsql_spark.operators.sequence import last_touch_attribution
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+    rows = [
+        # user 1: view -> click -> purchase (click wins: latest touch)
+        (1, t(1), 1, "view", 0.0),
+        (1, t(2), 2, "click", 0.0),
+        (1, t(3), 3, "purchase", 10.0),
+        # user 1 again: error between touch and purchase is transparent
+        (1, t(4), 4, "view", 0.0),
+        (1, t(5), 5, "error", 0.0),
+        (1, t(6), 6, "purchase", 5.0),
+        # user 2: purchase with NO prior touch -> NULL channel
+        (2, t(1), 7, "purchase", 3.0),
+        # user 3: ts tie — higher event_id is the later touch
+        (3, t(1), 8, "view", 0.0),
+        (3, t(1), 9, "click", 0.0),
+        (3, t(2), 10, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    out = last_touch_attribution(
+        df, "user_id", "ts", "event_id", "event_type",
+        conversion_type="purchase", touch_types=["click", "view"],
+    )
+    got = {r["event_id"]: r["channel"] for r in out.collect()}
+    assert got == {3: "click", 6: "view", 7: None, 10: "click"}
+
+
+def test_transition_matrix_semantics(spark):
+    """Consecutive pairs per user (final events emit none); probabilities
+    row-normalize over the FIRST type."""
+    from datetime import datetime, timezone
+
+    from fsql_spark.operators.sequence import transition_matrix
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+    rows = [
+        (1, t(1), 1, "a"), (1, t(2), 2, "b"), (1, t(3), 3, "a"),
+        (2, t(1), 4, "a"), (2, t(2), 5, "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = transition_matrix(df, "user_id", "ts", "event_id", "event_type")
+    got = {(r["type"], r["next_type"]): (r["n"], r["p"]) for r in out.collect()}
+    # pairs: u1 a->b, b->a; u2 a->a  => from 'a': b(1/2), a(1/2); from 'b': a(1/1)
+    assert got == {("a", "b"): (1, 0.5), ("a", "a"): (1, 0.5), ("b", "a"): (1, 1.0)}
+
+
 # --------------------------------------------------------------------------
 # unigram LM perplexity, quality filter, anomaly detection (round 5)
 # --------------------------------------------------------------------------
