@@ -783,15 +783,171 @@ ORDER BY s_suppkey
 Q_GRAPH_HITS_SQL = _hits_oracle_sql(_HITS_ITERATIONS)
 
 
+def triangle_counts(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as (possibly directed, possibly duplicated) node
+    pairs -> (node, deg, triangles, lcc) for every node in the edge set.
+
+    Degree-oriented node-iterator (the MapReduce-triangles standard,
+    Cohen 2009 / Suri-Vassilvitskii 2011): canonicalize edges, orient each
+    from the (degree, id)-SMALLER endpoint to the larger, enumerate wedges
+    by self-joining oriented edges on their source, and close each wedge
+    against the oriented edge set. The orientation bounds every node's
+    out-degree by O(sqrt(|E|)) regardless of hub skew — the id-ordered
+    formulation (which the SQL oracle uses; identical triangle set) is
+    quadratic in a hub's degree, the difference between a web-scale graph
+    finishing and one reducer receiving the whole star. Three equi-joins,
+    no iteration, one declarative plan.
+
+    ``lcc = 2 * triangles / (deg * (deg - 1))`` — exact integer operands,
+    one double division, bit-identical across engines."""
+    a, b = F.col(a_col), F.col(b_col)
+    und = (
+        pairs.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    annotated = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = annotated.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    o1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddst").alias("db")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("ddst").alias("dc")
+    )
+    wedges = o1.join(o2, "a").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(tcnt, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            (F.lit(2) * F.coalesce("triangles", F.lit(0)))
+            / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-page triangle counts + local clustering coefficient of the crawl
+    link graph: render pages with their cross-doc hyperlinks, extract hrefs
+    back out of the raw HTML, parse the /doc/<id> targets, and run the
+    degree-oriented triangle kernel — the graph-structure complement of
+    q_link_graph_pagerank's centrality (triads measure COHESION: community
+    density, spam-farm detection, feature for quality models)."""
+    from .html import documents_as_html, extract_links
+
+    pages = documents_as_html(spark, sf, cross_links=True)
+    links = extract_links(pages, "html")
+    pairs = (
+        links.select(
+            "doc_id",
+            F.regexp_extract("href", "^/doc/([0-9]+)$", 1).alias("_target"),
+        )
+        .where(F.col("_target") != "")
+        .select("doc_id", F.col("_target").cast("long").alias("target"))
+    )
+    out = triangle_counts(pairs, "doc_id", "target")
+    return out.select(
+        F.col("node").alias("doc_id"), "deg", "triangles", "lcc"
+    ).orderBy("doc_id")
+
+
+_TRIANGLE_PIPE_SQL = """
+WITH nn0 AS (SELECT COUNT(*) AS c FROM documents),
+pages AS (
+  SELECT doc_id,
+         '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || ' &mdash; ' || source
+         || '</title><script>var pageId=' || CAST(doc_id AS VARCHAR)
+         || ';track(pageId);</script><style>body{margin:0} p{font:14px serif}</style>'
+         || '</head><body><nav><a href="/">home</a> <a href="/about">about</a></nav>'
+         || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p>'
+         || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+         || '</p>' || chr(10)
+         || '<p>see also <a href="/doc/' || CAST((doc_id * 7 + 1) % (SELECT c FROM nn0) AS VARCHAR)
+         || '">doc ' || CAST((doc_id * 7 + 1) % (SELECT c FROM nn0) AS VARCHAR)
+         || '</a> and <a href="/doc/' || CAST((doc_id * 13 + 5) % (SELECT c FROM nn0) AS VARCHAR)
+         || '">doc ' || CAST((doc_id * 13 + 5) % (SELECT c FROM nn0) AS VARCHAR)
+         || '</a></p>'
+         || '<footer>&copy; ' || source
+         || ' &nbsp;<a href="/terms">terms</a></footer></body></html>' AS html
+  FROM documents
+),
+hrefs AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, '<a href="([^"]+)"', 1)) AS href
+  FROM pages
+),
+linkpairs AS (
+  SELECT doc_id, TRY_CAST(regexp_extract(href, '^/doc/([0-9]+)$', 1) AS BIGINT) AS target
+  FROM hrefs
+  WHERE TRY_CAST(regexp_extract(href, '^/doc/([0-9]+)$', 1) AS BIGINT) IS NOT NULL
+),
+und AS (
+  SELECT DISTINCT LEAST(doc_id, target) AS u, GREATEST(doc_id, target) AS v
+  FROM linkpairs WHERE doc_id <> target
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (SELECT unnest([a, b, c]) AS node FROM tri),
+tcnt AS (SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node),
+deg AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+)
+SELECT d.node AS doc_id, d.deg,
+       COALESCE(t.triangles, 0) AS triangles,
+       CASE WHEN d.deg >= 2
+            THEN (2 * COALESCE(t.triangles, 0)) / (d.deg * (d.deg - 1))
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+ORDER BY doc_id
+"""
+
+
 GRAPH_QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_ppr_segment": q_graph_ppr_segment,
     "q_link_graph_pagerank": q_link_graph_pagerank,
     "q_graph_hits_suppliers": q_graph_hits_suppliers,
+    "q_graph_triangles": q_graph_triangles,
 }
 GRAPH_ORACLES = {
     "q_graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "q_graph_ppr_segment": Q_GRAPH_PPR_SQL,
     "q_link_graph_pagerank": Q_LINK_PAGERANK_SQL,
     "q_graph_hits_suppliers": Q_GRAPH_HITS_SQL,
+    "q_graph_triangles": _TRIANGLE_PIPE_SQL,
 }

@@ -262,3 +262,65 @@ def test_hits_validates_iterations(spark):
     edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
     with pytest.raises(ValueError, match="iterations"):
         hits(edges, iterations=0)
+
+
+# --------------------------------------------------------------------------
+# triangle counts: degree-oriented kernel vs brute-force enumeration
+# --------------------------------------------------------------------------
+
+from fsql_spark.operators.graph import triangle_counts  # noqa: E402
+
+
+def _python_triangles(raw_pairs):
+    """Brute force: canonical undirected edge set, all C(n,3) checks."""
+    und = {(min(a, b), max(a, b)) for a, b in raw_pairs if a != b}
+    nodes = sorted({n for e in und for n in e})
+    deg = {n: sum(1 for e in und if n in e) for n in nodes}
+    tri = {n: 0 for n in nodes}
+    import itertools
+
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in und and (y, z) in und and (x, z) in und:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    return deg, tri
+
+
+def test_triangle_counts_known_graph(spark):
+    """Square with one diagonal: two triangles sharing the diagonal edge."""
+    #  1-2, 2-3, 3-4, 4-1, 1-3  => triangles {1,2,3} and {1,3,4}
+    raw = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    df = spark.createDataFrame(raw, "a long, b long")
+    got = {r["node"]: (r["deg"], r["triangles"], r["lcc"]) for r in
+           triangle_counts(df, "a", "b").collect()}
+    assert got[1] == (3, 2, 2 * 2 / (3 * 2))
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 2, 2 * 2 / (3 * 2))
+    assert got[4] == (2, 1, 1.0)
+
+
+def test_triangle_counts_dedups_and_ignores_direction_and_loops(spark):
+    """Duplicate edges, reversed edges, and self-loops don't inflate."""
+    raw = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1)]
+    df = spark.createDataFrame(raw, "a long, b long")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df, "a", "b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+@PROP
+@given(pairs=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)),
+    min_size=1, max_size=25,
+))
+def test_triangle_counts_match_brute_force(spark, pairs):
+    deg, tri = _python_triangles(pairs)
+    if not deg:  # all self-loops: empty edge set, empty output
+        assert triangle_counts(
+            spark.createDataFrame(pairs, "a long, b long"), "a", "b"
+        ).count() == 0
+        return
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r["node"]: (r["deg"], r["triangles"]) for r in
+           triangle_counts(df, "a", "b").collect()}
+    assert got == {n: (deg[n], tri[n]) for n in deg}
