@@ -223,5 +223,199 @@ FROM pairs ORDER BY source_a, source_b
 """
 
 
-MIXING_QUERIES = {"q_source_js_divergence": q_source_js_divergence}
-MIXING_ORACLES = {"q_source_js_divergence": Q_SOURCE_JS_SQL}
+def keyness_terms(
+    counts: DataFrame,
+    total_tokens: int,
+    group_col: str = "source",
+) -> DataFrame:
+    """Dunning log-likelihood (G2) keyness of every (group, token) present
+    in the group vs the REST of the corpus -> (group, token, tf, g2),
+    overrepresented terms only (observed rate in the group above the
+    corpus rate) — the standard "what words characterize this domain"
+    statistic (Dunning 1993), more robust than raw ratios for rare terms.
+
+    ``counts`` is the (group, token, tf) output of
+    :func:`group_token_counts`; ``total_tokens`` the corpus token count
+    (callers take it from one scalar aggregate action). Everything after
+    the count stream is metadata-sized: per-token totals and per-group
+    totals broadcast into the scoring projection — no second corpus pass.
+    Expected counts use double arithmetic ((ns * tot) / N overflows BIGINT
+    at corpus scale)."""
+    tok_tot = counts.groupBy("token").agg(F.sum("tf").alias("tot"))
+    grp_tot = counts.groupBy(group_col).agg(F.sum("tf").alias("ns"))
+    n = float(total_tokens)
+    joined = counts.join(F.broadcast(tok_tot), "token").join(
+        F.broadcast(grp_tot), group_col
+    )
+    a = F.col("tf")
+    b = F.col("tot") - a
+    ns = F.col("ns")
+    no = F.lit(n) - ns
+    ea = (ns.cast("double") * F.col("tot")) / F.lit(n)
+    eb = (no * F.col("tot")) / F.lit(n)
+    term_a = a * F.log(a / ea)
+    term_b = F.when(b > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
+    over = (a / ns) > (F.col("tot") / F.lit(n))
+    return (
+        joined.where(over)
+        .select(
+            group_col,
+            "token",
+            a.alias("tf"),
+            (2.0 * (term_a + term_b)).alias("g2"),
+        )
+    )
+
+
+def zipf_slopes(counts: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-group Zipf slope: the least-squares slope of ln(tf) against
+    ln(rank) over the group's frequency-ranked vocabulary ->
+    (group, n_tokens, slope). Natural text sits near -1; a slice whose
+    slope collapses toward 0 is template/boilerplate-heavy and one that
+    steepens is repetitive spam — a one-number corpus-health probe per
+    source/snapshot.
+
+    Rank is a per-group window (ties broken lexically); the regression is
+    computed from explicit sums with ONE spelled-out expression
+    ``(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` so the SQL oracle replicates the
+    exact float op order instead of trusting two engines' regr_slope
+    internals to agree."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("tf"), "token")
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).select(
+        group_col,
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        group_col, F.col("n").cast("long").alias("n_tokens"), slope.alias("slope")
+    )
+
+
+def _q_keyness_frame(
+    spark: SparkSession, sf: str, counts: DataFrame | None = None
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    counts = counts if counts is not None else group_token_counts(docs, "source")
+    total = counts.agg(F.sum("tf")).collect()[0][0]
+    scored = keyness_terms(counts, total, "source")
+    w = Window.partitionBy("source").orderBy(F.desc("g2"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("source", "token", "tf", F.round("g2", 4).alias("g2"), "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+def q_keyness_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 Dunning-G2 keywords per source vs the rest of the corpus —
+    the domain-characterization report. The count stream feeds both the
+    scalar total and the scoring join, so it is persisted for the call
+    (the q_source_js_divergence pattern); the result is sources x 3 rows,
+    materialized driver-side to release the cache."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    counts = group_token_counts(docs, "source").persist()
+    try:
+        out = _q_keyness_frame(spark, sf, counts=counts)
+        pdf = out.toPandas()  # sources x 3 rows of 5 scalars
+    finally:
+        counts.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+q_keyness_terms.lint_target = _q_keyness_frame
+
+
+Q_KEYNESS_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY source, token
+),
+tok_tot AS (SELECT token, SUM(tf) AS tot FROM tf GROUP BY token),
+grp_tot AS (SELECT source, SUM(tf) AS ns FROM tf GROUP BY source),
+n AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n FROM tf),
+scored AS (
+  SELECT tf.source, tf.token, tf.tf,
+         2.0 * (tf.tf * LN(tf.tf / ((CAST(g.ns AS DOUBLE) * t.tot) / (SELECT n FROM n)))
+                + CASE WHEN t.tot - tf.tf > 0
+                       THEN (t.tot - tf.tf)
+                            * LN((t.tot - tf.tf)
+                                 / ((((SELECT n FROM n) - g.ns) * t.tot) / (SELECT n FROM n)))
+                       ELSE 0.0 END) AS g2
+  FROM tf JOIN tok_tot t USING (token) JOIN grp_tot g USING (source)
+  WHERE (tf.tf / g.ns) > (t.tot / (SELECT n FROM n))
+),
+ranked AS (
+  SELECT source, token, tf, g2,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY g2 DESC, token) AS rnk
+  FROM scored
+)
+SELECT source, token, tf, ROUND(g2, 4) AS g2, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY source, rnk
+"""
+
+
+def q_zipf_slopes(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Zipf slope of the token frequency-rank curve (4dp) — the
+    one-number 'does this slice look like natural text' probe."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    counts = group_token_counts(docs, "source")
+    out = zipf_slopes(counts, "source")
+    return out.select(
+        "source", "n_tokens", F.round("slope", 4).alias("zipf_slope")
+    ).orderBy("source")
+
+
+Q_ZIPF_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY source, token
+),
+ranked AS (
+  SELECT source,
+         LN(CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY tf DESC, token) AS DOUBLE)) AS x,
+         LN(CAST(tf AS DOUBLE)) AS y
+  FROM tf
+),
+sums AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM ranked GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_tokens,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+FROM sums ORDER BY source
+"""
+
+
+MIXING_QUERIES = {
+    "q_source_js_divergence": q_source_js_divergence,
+    "q_keyness_terms": q_keyness_terms,
+    "q_zipf_slopes": q_zipf_slopes,
+}
+MIXING_ORACLES = {
+    "q_source_js_divergence": Q_SOURCE_JS_SQL,
+    "q_keyness_terms": Q_KEYNESS_SQL,
+    "q_zipf_slopes": Q_ZIPF_SQL,
+}

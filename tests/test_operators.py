@@ -975,6 +975,59 @@ def test_resample_interpolate_semantics(spark):
         resample_interpolate(df, "k", "ts", "event_id", "value", 0.5)
 
 
+def test_keyness_matches_hand_computed_g2(spark):
+    """G2 on a 2-group toy corpus vs the textbook formula computed in
+    Python; only overrepresented (group-rate > corpus-rate) terms emitted."""
+    import math
+
+    from fsql_spark.operators.mixing import group_token_counts, keyness_terms
+
+    docs = spark.createDataFrame(
+        [("s1", "apple apple banana"), ("s2", "banana cherry cherry cherry")],
+        "source string, text string",
+    )
+    counts = group_token_counts(docs, "source")
+    total = counts.agg(F.sum("tf")).collect()[0][0]
+    assert total == 7
+    got = {(r["source"], r["token"]): r["g2"] for r in
+           keyness_terms(counts, total, "source").collect()}
+
+    def g2(a, b, ns, no, n=7.0):
+        tot = a + b
+        ea, eb = ns * tot / n, no * tot / n
+        out = a * math.log(a / ea)
+        if b > 0:
+            out += b * math.log(b / eb)
+        return 2.0 * out
+
+    # apple: only in s1 (a=2, b=0); cherry: only in s2 (a=3, b=0);
+    # banana: 1 of 3 in s1 (rate 1/3 > 2/7 -> overrepresented in s1 only)
+    assert got[("s1", "apple")] == pytest.approx(g2(2, 0, 3, 4), rel=1e-12)
+    assert got[("s2", "cherry")] == pytest.approx(g2(3, 0, 4, 3), rel=1e-12)
+    assert got[("s1", "banana")] == pytest.approx(g2(1, 1, 3, 4), rel=1e-12)
+    assert ("s2", "banana") not in got  # rate 1/4 < 2/7: underrepresented
+    assert ("s2", "apple") not in got  # absent terms never emitted
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark):
+    """The explicit-sums slope equals numpy's least-squares fit on the same
+    (ln rank, ln tf) points; an exact power law recovers its exponent."""
+    import numpy as np
+
+    from fsql_spark.operators.mixing import zipf_slopes
+
+    # exact Zipf with exponent -1: tf = 1200 / rank for ranks 1..8
+    rows = [("s", f"tok{r:02d}", 1200 // r) for r in range(1, 9)]
+    counts = spark.createDataFrame(rows, "source string, token string, tf long")
+    got = zipf_slopes(counts, "source").collect()[0]
+    x = np.log(np.arange(1, 9, dtype=float))
+    y = np.log(np.array([1200 // r for r in range(1, 9)], dtype=float))
+    expect = np.polyfit(x, y, 1)[0]
+    assert got["n_tokens"] == 8
+    assert got["slope"] == pytest.approx(expect, rel=1e-9)
+    assert got["slope"] == pytest.approx(-1.0, abs=0.01)
+
+
 def test_last_touch_attribution_semantics(spark):
     """The attributed channel is the latest qualifying touch STRICTLY before
     the conversion (same-row conversions never self-attribute); no prior
