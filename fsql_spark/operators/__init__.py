@@ -34,6 +34,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     minhash_lsh_pairs_against,
     minhash_signatures,
+    prefix_filter_pairs,
     read_bloom,
     read_corpus_signatures,
     simhash,

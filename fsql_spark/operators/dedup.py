@@ -231,6 +231,82 @@ def jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int = 1,
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs via prefix filtering (the All-Pairs /
+    PPJoin family, Chaudhuri 2006 / Xiao 2008) — same output contract as
+    :func:`jaccard_pairs`, but the candidate join touches only each set's
+    PREFIX instead of its whole inverted index, so no frequency cut and no
+    candidate-explosion cap are needed: the algorithm is exact AND bounded.
+
+    The lemma: under any fixed global token order, two sets with
+    ``J >= t`` must share a token among the first ``|x| - ceil(t*|x|) + 1``
+    of each (a qualifying pair intersects in >= ceil(t*|x|) tokens, and a
+    subset that large cannot avoid the prefix). Ordering tokens RAREST
+    FIRST makes prefixes maximally selective: the quadratic blowup of
+    stop-word postings disappears because stop words live in suffixes. At
+    t=0.95 the prefix is ~5% of each set — candidate volume drops by
+    ~400x vs the full inverted index, which is the difference between an
+    exact join finishing at corpus scale and needing the LSH fallback.
+
+    Plan: one token-keyed shuffle to attach document frequencies, one
+    per-doc sort (rarest first) to cut prefixes, the prefix-keyed
+    candidate equi-join with the standard size filter
+    (``t*|x| <= |y| <= |x|/t``), then exact verification on the full
+    shingle sets. Float guards (the 1e-9 slacks) only ever ADMIT extra
+    candidates — verification keeps the result exact."""
+    base = _spread(df).select(
+        F.col(key_col).alias("k"), _word_shingles(F.col(text_col), ngram).alias("sh")
+    )
+    base = base.where(F.size("sh") > 0)
+    tok = base.select("k", F.size("sh").alias("s"), F.explode("sh").alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
+    ordered = tok.join(dfreq, "w")
+    # prefix length |x| - ceil(t*|x|) + 1; the -1e-9 keeps a float ceil
+    # from rounding UP past an exact integer product (which would shorten
+    # the prefix and silently drop qualifying pairs)
+    pref_len = (
+        F.col("s") - F.ceil(F.col("s") * F.lit(threshold) - F.lit(1e-9)) + 1
+    ).cast("int")
+    prefixes = (
+        ordered.groupBy("k", "s")
+        .agg(F.sort_array(F.collect_list(F.struct("dfw", "w"))).alias("toks"))
+        .select(
+            "k", "s",
+            F.explode(F.slice("toks", F.lit(1), pref_len)).alias("t"),
+        )
+        .select("k", "s", F.col("t.w").alias("w"))
+    )
+    p2 = prefixes.select(
+        F.col("k").alias("k2"), F.col("s").alias("s2"), F.col("w")
+    )
+    size_ok = (
+        (F.col("s2") >= F.col("s") * F.lit(threshold) - F.lit(1e-9))
+        & (F.col("s") >= F.col("s2") * F.lit(threshold) - F.lit(1e-9))
+    )
+    cand_keys = (
+        prefixes.join(p2, "w")
+        .where((F.col("k") < F.col("k2")) & size_ok)
+        .select("k", "k2")
+        .distinct()
+    )
+    s1 = base.select("k", "sh")
+    s2 = base.select(F.col("k").alias("k2"), F.col("sh").alias("sh2"))
+    cands = cand_keys.join(s1, "k").join(s2, "k2")
+    inter = F.size(F.array_intersect("sh", "sh2"))
+    jac = inter / (F.size("sh") + F.size("sh2") - inter)
+    return cands.where(jac >= threshold).select(
+        F.col("k").alias("doc_a"),
+        F.col("k2").alias("doc_b"),
+        F.round(jac, 4).alias("jaccard"),
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH (scale path)
 # --------------------------------------------------------------------------
@@ -1274,10 +1350,41 @@ WHERE bit_count(xor(a.sg, b.sg)) <= 3
 """
 
 
+def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs over the FULL corpus via prefix
+    filtering — no doc_id slice, no frequency cut, no candidate cap: the
+    rarest-first prefixes make the exact join scale where
+    q_jaccard_near_dups needs a bounded slice. Same output contract and
+    threshold; the oracle is the unbounded all-pairs SQL."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return prefix_filter_pairs(docs, "doc_id", "text", threshold=0.95, ngram=1)
+
+
+Q_JACCARD_PREFIX_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+FROM common
+JOIN sizes s1 ON doc_a = s1.doc_id
+JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.95
+"""
+
+
 DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_stats": q_dedup_stats,
     "q_jaccard_near_dups": q_jaccard_near_dups,
+    "q_jaccard_prefix_pairs": q_jaccard_prefix_pairs,
     "q_minhash_near_dups": q_minhash_near_dups,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_simhash_collapsed": q_simhash_collapsed,
@@ -1290,6 +1397,7 @@ DEDUP_ORACLES = {
     "q_dedup_exact": Q_DEDUP_EXACT_SQL,
     "q_dedup_stats": Q_DEDUP_STATS_SQL,
     "q_jaccard_near_dups": Q_JACCARD_SQL,
+    "q_jaccard_prefix_pairs": Q_JACCARD_PREFIX_SQL,
     "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
     # exact-by-construction: the bloom stage only prunes the anti-join's
     # left side (no false negatives), so the exact path's oracle applies

@@ -680,3 +680,37 @@ def test_webp_roundtrip_property(h, w, channels, seed, use_lz77, cache_bits, tra
     ).all():
         exp = exp[..., 0]
     assert out.shape == exp.shape and (out == exp).all()
+
+
+@PROP
+@given(
+    corpus=corpus_strategy,
+    threshold=st.sampled_from([0.3, 0.5, 0.8, 0.95, 1.0]),
+)
+def test_prefix_filter_pairs_match_brute_force(spark, corpus, threshold):
+    """Prefix filtering is EXACT: identical pair set + jaccard values to a
+    pure-Python all-pairs scan, at any threshold (the tiny alphabet makes
+    near-identical sets and exact-1.0 pairs common — the boundary cases
+    the float guards exist for)."""
+    from fsql_spark.operators import prefix_filter_pairs
+
+    docs = _mk_docs(spark, corpus)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(docs, "doc_id", "text", threshold).collect()
+    }
+    # engine tokenization: split(text, ' ') — empty text yields the {''}
+    # singleton set (the Q_JACCARD_SQL convention), so empty docs pair
+    # with each other at jaccard 1.0
+    sets = {i: set(" ".join(toks).split(" ")) for i, toks in enumerate(corpus)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if jac >= threshold:
+                    want[(a, b)] = round(jac, 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
