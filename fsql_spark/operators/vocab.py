@@ -320,14 +320,129 @@ FROM pairs WHERE dist <= 2
 """
 
 
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 10,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs ->
+    (token_a, token_b, n_ab, pmi) for pairs seen >= ``min_count`` times —
+    the classic collocation statistic (Church & Hanks 1990): phrases whose
+    co-occurrence beats the independence baseline ("new york", "machine
+    learning") float to the top, which feeds phrase-aware tokenizers and
+    multi-word-expression vocabularies.
+
+    ``pmi = ln( (n_ab / N_bigrams) / ((n_a / N_tokens) * (n_b / N_tokens)) )``
+    with the exact expression order mirrored in the SQL oracle. Pair
+    extraction is JVM-side (a transform over the token index range — the
+    _word_shingles technique, no UDF); the two count aggregates are
+    map-side combinable; the scalar totals come back from ONE tiny action
+    and re-enter the plan as literals. ``min_count`` applies the standard
+    low-frequency cut (PMI is notoriously noisy on rare pairs)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    base = df.select(words.alias("ws"))
+    n = F.size("ws")
+    # sequence(1, 0) would be a DESCENDING [1, 0] (the _word_shingles
+    # lesson), so short docs short-circuit to an empty pair array
+    bi = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("a"),
+            F.element_at("ws", (i + 1).cast("int")).alias("b"),
+        ),
+    )).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = base.select(F.explode(bi).alias("p")).select("p.a", "p.b")
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        base.select(F.explode("ws").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    totals = big.agg(F.sum("n_ab")).collect()[0][0] or 0
+    nu = uni.agg(F.sum("n_t")).collect()[0][0] or 0
+    ua = uni.select(F.col("t").alias("a"), F.col("n_t").alias("n_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("n_t").alias("n_b"))
+    pmi = F.log(
+        (F.col("n_ab") * 1.0 / F.lit(float(totals)))
+        / (
+            (F.col("n_a") * 1.0 / F.lit(float(nu)))
+            * (F.col("n_b") * 1.0 / F.lit(float(nu)))
+        )
+    )
+    return (
+        big.where(F.col("n_ab") >= min_count)
+        .join(ua, "a")
+        .join(ub, "b")
+        .select(
+            F.col("a").alias("token_a"),
+            F.col("b").alias("token_b"),
+            "n_ab",
+            pmi.alias("pmi"),
+        )
+    )
+
+
+_PMI_MIN_COUNT = 10
+_PMI_TOP = 20
+
+
+def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 PMI collocations of the corpus (pairs seen >= 10 times,
+    ranked on the unrounded statistic, reported 4dp) — the
+    phrase-discovery report."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = pmi_collocations(docs, "doc_id", "text", min_count=_PMI_MIN_COUNT)
+    return (
+        out.orderBy(F.desc("pmi"), "token_a", "token_b")
+        .limit(_PMI_TOP)
+        .select("token_a", "token_b", "n_ab", F.round("pmi", 4).alias("pmi"))
+    )
+
+
+Q_PMI_SQL = f"""
+WITH toksl AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents
+),
+pairs AS (
+  SELECT ts[CAST(s.i AS INTEGER)] AS a, ts[CAST(s.i + 1 AS INTEGER)] AS b
+  FROM toksl, unnest(generate_series(1, len(ts) - 1)) AS s(i)
+  WHERE len(ts) >= 2
+),
+big AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM pairs GROUP BY a, b),
+uni AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM (SELECT unnest(ts) AS t FROM toksl) GROUP BY t
+),
+nb AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS v FROM big),
+nu AS (SELECT CAST(SUM(n_t) AS DOUBLE) AS v FROM uni),
+scored AS (
+  SELECT big.a, big.b, big.n_ab,
+         LN((big.n_ab * 1.0 / (SELECT v FROM nb))
+            / ((ua.n_t * 1.0 / (SELECT v FROM nu))
+               * (ub.n_t * 1.0 / (SELECT v FROM nu)))) AS pmi
+  FROM big
+  JOIN uni ua ON big.a = ua.t
+  JOIN uni ub ON big.b = ub.t
+  WHERE big.n_ab >= {_PMI_MIN_COUNT}
+)
+SELECT a AS token_a, b AS token_b, n_ab, ROUND(pmi, 4) AS pmi
+FROM scored
+ORDER BY pmi DESC, token_a, token_b
+LIMIT {_PMI_TOP}
+"""
+
+
 VOCAB_QUERIES = {
     "q_vocab_top_tokens": q_vocab_top_tokens,
     "q_tfidf_terms": q_tfidf_terms,
     "q_vocab_edit_pairs": q_vocab_edit_pairs,
+    "q_pmi_collocations": q_pmi_collocations,
 }
 
 VOCAB_ORACLES = {
     "q_vocab_top_tokens": Q_VOCAB_TOP_TOKENS_SQL,
     "q_tfidf_terms": Q_TFIDF_TERMS_SQL,
     "q_vocab_edit_pairs": Q_VOCAB_EDIT_PAIRS_SQL,
+    "q_pmi_collocations": Q_PMI_SQL,
 }

@@ -975,6 +975,28 @@ def test_resample_interpolate_semantics(spark):
         resample_interpolate(df, "k", "ts", "event_id", "value", 0.5)
 
 
+def test_pmi_collocations_match_hand_computed(spark):
+    """PMI on a toy corpus vs the formula computed in Python; adjacent
+    pairs only, min_count cut applied, single-token docs emit nothing."""
+    import math
+
+    from fsql_spark.operators.vocab import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(0, "new york new york is big"), (1, "new york"), (2, "big"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {(r["token_a"], r["token_b"]): (r["n_ab"], r["pmi"]) for r in
+           pmi_collocations(docs, min_count=2).collect()}
+    # bigrams: (new,york) x3, (york,new) x1, (york,is) x1, (is,big) x1 => Nb=6
+    # unigrams: new x3, york x3, is x1, big x2 => Nu=9
+    assert set(got) == {("new", "york")}
+    n_ab, pmi = got[("new", "york")]
+    assert n_ab == 3
+    expect = math.log((3 / 6) / ((3 / 9) * (3 / 9)))
+    assert pmi == pytest.approx(expect, rel=1e-12)
+
+
 def test_keyness_matches_hand_computed_g2(spark):
     """G2 on a 2-group toy corpus vs the textbook formula computed in
     Python; only overrepresented (group-rate > corpus-rate) terms emitted."""

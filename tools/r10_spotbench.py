@@ -309,10 +309,76 @@ def graph_decades() -> None:
         spark.catalog.clearCache()
 
 
+# ---------------------------------------------------------------------------
+# Decade evidence for the session-2 new families (invoked as:
+# python r10_spotbench.py session2): interpolation resampling, sequence
+# analytics, triangle counting, keyness/zipf, prefix-filter jaccard.
+#
+# The entries' own bounds are removed where they would hide scaling
+# (q_events_interpolate caps user_id < 20 for oracle-size reasons — here the
+# operator runs over ALL users so the grid scales with the corpus).
+# ---------------------------------------------------------------------------
+
+
+def session2_decades() -> None:
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.asof import resample_interpolate
+    from fsql_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="fsql-r10-session2-spotbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    build_sf10(spark)
+
+    def interpolate_all_users(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        out = resample_interpolate(
+            ev, "user_id", "ts", "event_id", "value", every_seconds=3600
+        )
+        return out.select("user_id", "bin_start_us", "value")
+
+    families = {
+        "interpolate_all_users": interpolate_all_users,
+        "attribution": qs["q_events_attribution"],
+        "markov_transitions": qs["q_markov_transitions"],
+        "graph_triangles": qs["q_graph_triangles"],
+        "keyness": qs["q_keyness_terms"],
+        "zipf_slopes": qs["q_zipf_slopes"],
+        "jaccard_prefix": qs["q_jaccard_prefix_pairs"],
+    }
+
+    for name, fn in families.items():  # warmup untimed at sf0.1
+        try:
+            fn(spark, "/root/testdata/sf0.1").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:
+            print(f"warmup {name} failed: {exc!r}", file=sys.stderr)
+        spark.catalog.clearCache()
+
+    for name, fn in families.items():
+        row = {"family": name}
+        try:
+            for tag, sf in (
+                ("sf01", "/root/testdata/sf0.1"), ("sf1", SF1), ("sf10", SF10)
+            ):
+                row[tag], row[f"rows_{tag}"] = _timed(spark, fn, sf)
+            row["ratio_10x"] = round(row["sf1"] / max(row["sf01"], 0.01), 2)
+            row["ratio_100x"] = round(row["sf10"] / max(row["sf01"], 0.01), 2)
+        except Exception as exc:
+            row["error"] = repr(exc)
+        print(json.dumps(row), flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
         semdedup_decades()
     elif len(sys.argv) > 1 and sys.argv[1] == "graph":
         graph_decades()
+    elif len(sys.argv) > 1 and sys.argv[1] == "session2":
+        session2_decades()
     else:
         main()
