@@ -864,8 +864,123 @@ GROUP BY p.user_id
 """
 
 
+_TRANS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_pairs", LongType()),
+        StructField("pairs_json", StringType()),
+    ]
+)
+_TRANS_STATE_SCHEMA = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("counts_json", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _transition_fn(
+    key: Tuple[int], batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user transition counting across micro-batches: state carries the
+    user's LAST event type (so a pair spanning a batch boundary is still
+    counted) plus the cumulative (type -> next) counts as sorted JSON."""
+    import json
+
+    if state.exists:
+        last_type, counts_json, n = state.get
+        counts = json.loads(counts_json)
+    else:
+        last_type, counts, n = None, {}, 0
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for cur in pdf["event_type"]:
+            if last_type is not None:
+                k = last_type + "\x01" + cur
+                counts[k] = counts.get(k, 0) + 1
+                n += 1
+            last_type = cur
+    state.update((last_type, json.dumps(counts, sort_keys=True), n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_pairs": [n],
+         "pairs_json": [json.dumps(counts, sort_keys=True)]}
+    )
+
+
+def stateful_transitions(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: per-user first-order transition counts in the
+    state store — the STREAMING twin of
+    :func:`~fsql_spark.operators.sequence.transition_matrix`. Each
+    micro-batch emits the user's updated cumulative counts (update mode);
+    pairs spanning batch boundaries are counted via the carried last-type.
+
+    Ordering contract: within a batch rows are sorted by (ts, event_id);
+    ACROSS batches the source must deliver each user's events in order (the
+    Kafka partition-by-key shape; the harness's one-file availableNow
+    source trivially satisfies it). An out-of-order source would need a
+    watermark-buffered variant."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def q_stream_markov(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming Markov transition matrix: per-user stateful pair counting
+    in the state store, then a batch-side combine of the users' final count
+    maps into the corpus (type, next_type, n, p) matrix — identical output
+    to the batch q_markov_transitions, proved by the same oracle."""
+    from pyspark.sql.types import LongType as _L
+    from pyspark.sql.types import MapType, StringType as _S
+    from pyspark.sql.window import Window
+
+    raw = run_to_memory(stateful_transitions(events_stream(spark, sf)), mode="update")
+    # update mode emits one row per (user, micro-batch); the final counts
+    # are the row with the highest (monotone) pair count
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_pairs"))
+    latest = (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.from_json("pairs_json", MapType(_S(), _L())).alias("m"))
+    )
+    pairs = latest.select(F.explode("m").alias("k", "n")).select(
+        F.split_part("k", F.lit("\x01"), F.lit(1)).alias("type"),
+        F.split_part("k", F.lit("\x01"), F.lit(2)).alias("next_type"),
+        "n",
+    )
+    counts = pairs.groupBy("type", "next_type").agg(F.sum("n").alias("n"))
+    w_row = Window.partitionBy("type")
+    return (
+        counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(w_row), 4))
+        .orderBy("type", "next_type")
+    )
+
+
+Q_STREAM_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type AS type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT type, next_type, COUNT(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT type, next_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY type), 4) AS p
+FROM counts
+ORDER BY type, next_type
+"""
+
+
 STREAMING_QUERIES = {
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_markov": q_stream_markov,
     "q_stream_hourly": q_stream_hourly,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_sessions": q_stream_sessions,
@@ -885,6 +1000,7 @@ STREAMING_QUERIES = {
 
 STREAMING_ORACLES = {
     "q_stream_dedup": Q_STREAM_DEDUP_SQL,
+    "q_stream_markov": Q_STREAM_MARKOV_SQL,
     "q_stream_join": Q_STREAM_JOIN_SQL,
     "q_stream_hourly": Q_STREAM_HOURLY_SQL,
     "q_stream_sliding": Q_STREAM_SLIDING_SQL,

@@ -249,3 +249,39 @@ def test_stream_ingest_dedup_matches_batch_operator(spark, tmp_path):
         for r in dedup_against(batch, corpus, ["text"], normalize=True).select("doc_id").collect()
     )
     assert sorted(r["doc_id"] for r in streamed.collect()) == want and want
+
+
+def test_stateful_transitions_pair_across_batches(spark, tmp_path):
+    """A transition whose two events land in DIFFERENT micro-batches must
+    still be counted: the state-carried last type pairs with the next
+    batch's first event."""
+    import json
+
+    import pandas as pd
+
+    from fsql_spark.streaming.windows import stateful_transitions
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[ns]"),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    b0 = mk([(1, "2024-01-01 10:00:00", 7, "view"),
+             (2, "2024-01-01 10:01:00", 7, "click")])
+    b1 = mk([(3, "2024-01-01 12:00:00", 7, "purchase"),
+             (4, "2024-01-01 12:05:00", 8, "view")])
+    stream = _staged_stream(spark, tmp_path, [b0, b1])
+    raw = run_to_memory(stateful_transitions(stream), "update").toPandas()
+    final = raw.sort_values("n_pairs").groupby("user_id").last()
+    got = json.loads(final.loc[7, "pairs_json"])
+    # view->click inside batch 0; click->purchase SPANS the batch boundary
+    assert got == {"view\x01click": 1, "click\x01purchase": 1}
+    assert final.loc[7, "n_pairs"] == 2
+    assert final.loc[8, "n_pairs"] == 0
