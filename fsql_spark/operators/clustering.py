@@ -325,12 +325,68 @@ ORDER BY lang
 """
 
 
+def q_link_graph_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components of the crawl link graph on the DISTRIBUTED
+    pointer-jumping path (``driver_edge_threshold=0`` forces the loop the
+    big-graph regime uses — the other cluster entries take the union-find
+    fast path, so without this entry the loop would run only in unit
+    tests, never under the driver's bench): extract /doc/<id> hrefs from
+    the rendered pages, symmetrize, min-label-propagate with pointer
+    jumping to a fixpoint. Output is every page's component id (the min
+    reachable doc_id) — crawl-frontier partitioning / site clustering."""
+    from .html import documents_as_html, extract_links
+
+    pages = documents_as_html(spark, sf, cross_links=True)
+    links = extract_links(pages, "html")
+    pairs = (
+        links.select(
+            "doc_id",
+            F.regexp_extract("href", "^/doc/([0-9]+)$", 1).alias("_target"),
+        )
+        .where(F.col("_target") != "")
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("_target").cast("long").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    comps = connected_components(
+        pairs, loop_partitions=8, driver_edge_threshold=0
+    )
+    return comps.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
+Q_LINK_COMPONENTS_SQL = """
+WITH RECURSIVE nn0 AS (SELECT COUNT(*) AS c FROM documents),
+linkpairs AS (
+  SELECT doc_id AS doc_a, (doc_id * 7 + 1) % (SELECT c FROM nn0) AS doc_b
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % (SELECT c FROM nn0) FROM documents
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM linkpairs WHERE doc_a <> doc_b
+  UNION
+  SELECT doc_b, doc_a FROM linkpairs WHERE doc_a <> doc_b
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+ORDER BY doc_id
+"""
+
+
 CLUSTERING_QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_representatives": q_dedup_representatives,
+    "q_link_graph_components": q_link_graph_components,
 }
 
 CLUSTERING_ORACLES = {
     "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "q_dedup_representatives": Q_DEDUP_REPRESENTATIVES_SQL,
+    "q_link_graph_components": Q_LINK_COMPONENTS_SQL,
 }
