@@ -1352,18 +1352,26 @@ WHERE bit_count(xor(a.sg, b.sg)) <= 3
 
 def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact Jaccard near-dup pairs over the FULL corpus via prefix
-    filtering — no doc_id slice, no frequency cut, no candidate cap: the
+    filtering, on 3-gram shingle sets (the discriminative set the MinHash
+    entries use — UNIGRAM sets over this corpus's 31-word vocabulary are
+    degenerate: most docs share most words, qualifying pairs alone hit
+    ~190k at sf0.1 and grew 28x per decade, measured before this was
+    switched) — no doc_id slice, no frequency cut, no candidate cap: the
     rarest-first prefixes make the exact join scale where
-    q_jaccard_near_dups needs a bounded slice. Same output contract and
-    threshold; the oracle is the unbounded all-pairs SQL."""
+    q_jaccard_near_dups needs a bounded slice. The oracle is the unbounded
+    all-pairs SQL over the same shingles."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return prefix_filter_pairs(docs, "doc_id", "text", threshold=0.95, ngram=1)
+    return prefix_filter_pairs(docs, "doc_id", "text", threshold=0.95, ngram=3)
 
 
 Q_JACCARD_PREFIX_SQL = """
-WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-  FROM documents
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(ws[i:i+2], chr(1)) for i in range(1, len(ws) - 1)])) AS w
+  FROM words WHERE len(ws) >= 3
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
 common AS (

@@ -929,6 +929,119 @@ def stateful_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+_ATTR_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("channel", StringType()),
+        StructField("conversions", LongType()),
+        StructField("revenue", DoubleType()),
+    ]
+)
+_ATTR_STATE_SCHEMA = StructType(
+    [
+        StructField("last_touch", StringType()),
+        StructField("totals_json", StringType()),
+    ]
+)
+_ATTR_TOUCH_TYPES = ("click", "view")
+
+
+def _attribution_fn(
+    key: Tuple[int], batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user last-touch attribution across micro-batches: state carries
+    the latest qualifying touch (so a conversion in a later batch credits a
+    touch from an earlier one) plus cumulative per-channel (conversions,
+    revenue) as sorted JSON. Revenue accumulates in event order — the same
+    left-to-right summation order the batch oracle's user-sequence implies."""
+    import json
+
+    if state.exists:
+        last_touch, totals_json = state.get
+        totals = json.loads(totals_json)
+    else:
+        last_touch, totals = None, {}
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for etype, value in zip(pdf["event_type"], pdf["value"]):
+            if etype == "purchase":
+                ch = last_touch if last_touch is not None else "direct"
+                n, s = totals.get(ch, (0, 0.0))
+                totals[ch] = (n + 1, s + float(value))
+            if etype in _ATTR_TOUCH_TYPES:
+                last_touch = etype
+    state.update((last_touch, json.dumps(totals, sort_keys=True)))
+    chans = sorted(totals)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(chans),
+            "channel": chans,
+            "conversions": [totals[c][0] for c in chans],
+            "revenue": [totals[c][1] for c in chans],
+        }
+    )
+
+
+def stateful_attribution(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: streaming last-touch revenue attribution —
+    the streaming twin of
+    :func:`~fsql_spark.operators.sequence.last_touch_attribution`. State
+    per user is two scalars (last touch + totals JSON); each micro-batch
+    emits the user's updated per-channel totals (update mode). Same
+    ordering contract as :func:`stateful_transitions` (in-order-per-key
+    source; rows sorted within the batch)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attribution_fn,
+        outputStructType=_ATTR_OUT_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def q_stream_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming last-touch attribution: stateful per-user crediting in the
+    state store, combined batch-side into per-channel conversions +
+    revenue (2dp) — identical output to the batch q_events_attribution,
+    proved by the same oracle."""
+    from pyspark.sql.window import Window
+
+    raw = run_to_memory(stateful_attribution(events_stream(spark, sf)), mode="update")
+    # update mode: latest (user, channel) row wins — conversions is monotone
+    w = Window.partitionBy("user_id", "channel").orderBy(F.desc("conversions"))
+    latest = (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    return (
+        latest.groupBy("channel")
+        .agg(
+            F.sum("conversions").alias("conversions"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+Q_STREAM_ATTRIBUTION_SQL = """
+WITH tagged AS (
+  SELECT event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       COUNT(*) AS conversions,
+       ROUND(SUM(value), 2) AS revenue
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_stream_markov(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming Markov transition matrix: per-user stateful pair counting
     in the state store, then a batch-side combine of the users' final count
@@ -981,6 +1094,7 @@ ORDER BY type, next_type
 STREAMING_QUERIES = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_markov": q_stream_markov,
+    "q_stream_attribution": q_stream_attribution,
     "q_stream_hourly": q_stream_hourly,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_sessions": q_stream_sessions,
@@ -1001,6 +1115,7 @@ STREAMING_QUERIES = {
 STREAMING_ORACLES = {
     "q_stream_dedup": Q_STREAM_DEDUP_SQL,
     "q_stream_markov": Q_STREAM_MARKOV_SQL,
+    "q_stream_attribution": Q_STREAM_ATTRIBUTION_SQL,
     "q_stream_join": Q_STREAM_JOIN_SQL,
     "q_stream_hourly": Q_STREAM_HOURLY_SQL,
     "q_stream_sliding": Q_STREAM_SLIDING_SQL,
