@@ -285,3 +285,43 @@ def test_stateful_transitions_pair_across_batches(spark, tmp_path):
     assert got == {"view\x01click": 1, "click\x01purchase": 1}
     assert final.loc[7, "n_pairs"] == 2
     assert final.loc[8, "n_pairs"] == 0
+
+
+def test_stateful_attribution_credits_across_batches(spark, tmp_path):
+    """A purchase in a later micro-batch credits the touch carried in state
+    from an earlier one; a touch AFTER the purchase never back-credits."""
+    import pandas as pd
+
+    from fsql_spark.streaming.windows import stateful_attribution
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[ns]"),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [r[4] for r in rows],
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    b0 = mk([(1, "2024-01-01 10:00:00", 7, "click", 0.0),
+             (2, "2024-01-01 10:30:00", 8, "purchase", 5.0)])
+    b1 = mk([(3, "2024-01-01 12:00:00", 7, "purchase", 10.0),
+             (4, "2024-01-01 12:30:00", 7, "view", 0.0)])
+    stream = _staged_stream(spark, tmp_path, [b0, b1])
+    raw = run_to_memory(stateful_attribution(stream), "update").toPandas()
+    final = (
+        raw.sort_values("conversions")
+        .groupby(["user_id", "channel"])
+        .last()
+        .reset_index()
+    )
+    got = {(r.user_id, r.channel): (r.conversions, r.revenue)
+           for r in final.itertuples()}
+    # user 7: purchase in batch 1 credits the batch-0 click (NOT the later view)
+    assert got[(7, "click")] == (1, 10.0)
+    # user 8: no prior touch -> direct
+    assert got[(8, "direct")] == (1, 5.0)
+    assert set(got) == {(7, "click"), (8, "direct")}
