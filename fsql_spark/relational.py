@@ -1587,6 +1587,130 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_brand_cooccurrence_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity at brand grain: cosine
+    of the brands' order-occurrence vectors, computable from counts alone —
+    ``cos(a,b) = n_ab / sqrt(n_a * n_b)`` (the binary-vector identity), so
+    the whole statistic rides the one distinct (order, brand) aggregate:
+    pair counts via the basket self-join, per-brand counts broadcast into
+    the scoring projection. The recommender-shape workload over the same
+    fact scan as q_basket_brand_pairs (support >= 3 keeps oracle parity
+    with it)."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    ob2 = ob.select(
+        F.col("l_orderkey").alias("o2"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        ob.join(ob2, (ob.l_orderkey == ob2.o2) & (ob.p_brand < ob2.brand_b))
+        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    occ = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    oa = occ.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))
+    obr = occ.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b"))
+    cosine = F.col("n_ab") / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
+    return (
+        pairs.join(F.broadcast(oa), "brand_a")
+        .join(F.broadcast(obr), "brand_b")
+        .select(
+            "brand_a", "brand_b", "n_ab", F.round(cosine, 4).alias("cosine")
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+Q_BRAND_COSINE_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+occ AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM ob GROUP BY p_brand)
+SELECT pairs.brand_a, pairs.brand_b, pairs.n_ab,
+       ROUND(pairs.n_ab / SQRT(CAST(oa.n AS DOUBLE) * ob2.n), 4) AS cosine
+FROM pairs
+JOIN occ oa ON pairs.brand_a = oa.p_brand
+JOIN occ ob2 ON pairs.brand_b = ob2.p_brand
+ORDER BY brand_a, brand_b
+"""
+
+
+def q_customer_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: per customer the recency (days from their last
+    order to the corpus's last order date), frequency (order count), and
+    monetary total (2dp), each NTILE(4)-scored WITHIN THE CUSTOMER'S
+    NATION under a fully deterministic order (metric, then custkey).
+
+    Quartiles are per-nation on purpose: an UNPARTITIONED ntile is a
+    single-task global sort (the scale-killer the CMS top-k fix removed),
+    and cross-market value scores aren't comparable anyway — the same
+    per-group-windows posture as q_price_quantiles. The window input is
+    the customer-grain aggregate (orders collapse first), and the
+    reference date comes back from one scalar action as a literal."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    ref_date = orders.agg(F.max("o_orderdate")).collect()[0][0]
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.lit(ref_date), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    # low recency = good, so r_score orders DESC (quartile 4 = most recent)
+    r_w = Window.partitionBy("c_nationkey").orderBy(F.desc("recency_days"), "o_custkey")
+    f_w = Window.partitionBy("c_nationkey").orderBy(F.col("frequency"), F.col("o_custkey"))
+    m_w = Window.partitionBy("c_nationkey").orderBy(F.col("monetary"), F.col("o_custkey"))
+    return per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    ).orderBy("custkey")
+
+
+Q_CUSTOMER_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', MAX(o_orderdate),
+                   (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, c_nationkey AS nationkey, recency_days, frequency, monetary,
+       NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY recency_days DESC, custkey) AS r_score,
+       NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY frequency, custkey) AS f_score,
+       NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY monetary, custkey) AS m_score
+FROM per_cust JOIN customer ON custkey = c_custkey
+ORDER BY custkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1627,6 +1751,8 @@ RELATIONAL_QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_events_cohort_retention": q_events_cohort_retention,
     "q_basket_brand_pairs": q_basket_brand_pairs,
+    "q_brand_cooccurrence_cosine": q_brand_cooccurrence_cosine,
+    "q_customer_rfm": q_customer_rfm,
 }
 
 RELATIONAL_ORACLES = {
@@ -1669,4 +1795,6 @@ RELATIONAL_ORACLES = {
     "q_events_funnel": Q_EVENTS_FUNNEL_SQL,
     "q_events_cohort_retention": Q_EVENTS_COHORT_SQL,
     "q_basket_brand_pairs": Q_BASKET_BRAND_PAIRS_SQL,
+    "q_brand_cooccurrence_cosine": Q_BRAND_COSINE_SQL,
+    "q_customer_rfm": Q_CUSTOMER_RFM_SQL,
 }
