@@ -162,7 +162,11 @@ def resample_ffill(
     spans = binned.groupBy(key_col).agg(
         F.min("__bs").alias("__lo"), F.max("__bs").alias("__hi")
     )
-    grid = spans.select(
+    # the spans table is keys-sized, so AQE coalesces it to ~1 partition —
+    # which would then make ONE task generate the whole keys x bins grid
+    # (measured: the single-task explode dominated the decade spot-bench);
+    # spread the tiny table first so grid generation parallelizes
+    grid = spans.repartition(key_col).select(
         key_col,
         F.explode(F.sequence("__lo", "__hi", F.lit(every_us))).alias("__bs"),
     )
@@ -219,7 +223,8 @@ def resample_interpolate(
     spans = binned.groupBy(key_col).agg(
         F.min("__bs").alias("__lo"), F.max("__bs").alias("__hi")
     )
-    grid = spans.select(
+    # spread the keys-sized spans table before exploding (see resample_ffill)
+    grid = spans.repartition(key_col).select(
         key_col,
         F.explode(F.sequence("__lo", "__hi", F.lit(every_us))).alias("__bs"),
     )

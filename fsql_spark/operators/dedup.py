@@ -266,7 +266,11 @@ def prefix_filter_pairs(
     base = base.where(F.size("sh") > 0)
     tok = base.select("k", F.size("sh").alias("s"), F.explode("sh").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
-    ordered = tok.join(dfreq, "w")
+    # dfreq is corpus-VOCABULARY-sized: AQE's post-agg size estimate can
+    # look broadcastable while the real build blows the driver (measured:
+    # sf10 "Not enough memory to build and broadcast" before the hint) —
+    # pin both token-keyed joins to shuffled hash
+    ordered = tok.join(dfreq.hint("shuffle_hash"), "w")
     # prefix length |x| - ceil(t*|x|) + 1; the -1e-9 keeps a float ceil
     # from rounding UP past an exact integer product (which would shorten
     # the prefix and silently drop qualifying pairs)
@@ -290,7 +294,7 @@ def prefix_filter_pairs(
         & (F.col("s") >= F.col("s2") * F.lit(threshold) - F.lit(1e-9))
     )
     cand_keys = (
-        prefixes.join(p2, "w")
+        prefixes.join(p2.hint("shuffle_hash"), "w")
         .where((F.col("k") < F.col("k2")) & size_ok)
         .select("k", "k2")
         .distinct()

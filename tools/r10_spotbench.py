@@ -334,7 +334,9 @@ def session2_decades() -> None:
     build_sf10(spark)
 
     def interpolate_all_users(spark, sf):
-        ev = spark.read.parquet(f"{sf}/events.parquet")
+        from fsql_spark.relational import normalize_events_ts
+
+        ev = normalize_events_ts(spark.read.parquet(f"{sf}/events.parquet"))
         out = resample_interpolate(
             ev, "user_id", "ts", "event_id", "value", every_seconds=3600
         )
