@@ -937,12 +937,118 @@ ORDER BY doc_id
 """
 
 
+def neighbor_jaccard_pairs(
+    pairs: DataFrame, a_col: str, b_col: str, threshold: float
+) -> DataFrame:
+    """Structural node similarity (link prediction / role discovery):
+    Jaccard of the two nodes' NEIGHBOR SETS over an undirected graph ->
+    (node_a, node_b, common, jaccard) for pairs with >= ``threshold`` —
+    nodes that link to the same places are interchangeable even when they
+    never link to each other (the classic co-citation signal; feeds
+    "similar pages", mirror detection, and graph-feature models).
+
+    Candidates come from the co-neighbor wedge join (two edges into the
+    same hub), counted once per unordered pair; degrees attach by
+    broadcast-or-hash join and the exact ``c / (da + db - c)`` filter
+    applies last. The wedge join is quadratic in hub degree — the same
+    profile as :func:`triangle_counts`, and the same remedy applies at
+    scale (cap or sample mega-hubs before the join; a node with a million
+    neighbors makes every pair through it a candidate)."""
+    a, b = F.col(a_col), F.col(b_col)
+    und = (
+        pairs.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    a1 = adj.select(F.col("node").alias("node_a"), "nbr")
+    a2 = adj.select(F.col("node").alias("node_b"), "nbr")
+    common = (
+        a1.join(a2, "nbr")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("db"))
+    jac = F.col("common") / (F.col("da") + F.col("db") - F.col("common"))
+    return (
+        common.join(da, "node_a")
+        .join(db, "node_b")
+        .where(jac >= threshold)
+        .select("node_a", "node_b", "common", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def q_graph_similar_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """Structurally-similar page pairs in the crawl link graph: neighbor-set
+    Jaccard >= 0.25 over the symmetrized /doc link graph (the top band of this graph's similarity distribution — max observed 1/3) — "these pages
+    occupy the same place in the web", the link-prediction complement of
+    q_graph_triangles' cohesion measure."""
+    from .html import documents_as_html, extract_links
+
+    pages = documents_as_html(spark, sf, cross_links=True)
+    links = extract_links(pages, "html")
+    pairs = (
+        links.select(
+            "doc_id",
+            F.regexp_extract("href", "^/doc/([0-9]+)$", 1).alias("_target"),
+        )
+        .where(F.col("_target") != "")
+        .select("doc_id", F.col("_target").cast("long").alias("target"))
+    )
+    out = neighbor_jaccard_pairs(pairs, "doc_id", "target", threshold=0.25)
+    return out.select(
+        F.col("node_a").alias("doc_a"),
+        F.col("node_b").alias("doc_b"),
+        "common",
+        "jaccard",
+    ).orderBy("doc_a", "doc_b")
+
+
+Q_GRAPH_SIMILAR_SQL = """
+WITH nn0 AS (SELECT COUNT(*) AS c FROM documents),
+linkpairs AS (
+  SELECT doc_id AS doc_a, (doc_id * 7 + 1) % (SELECT c FROM nn0) AS doc_b
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % (SELECT c FROM nn0) FROM documents
+),
+und AS (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM linkpairs WHERE doc_a <> doc_b
+),
+adj AS (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL
+  SELECT v, u FROM und
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+common AS (
+  SELECT a.node AS node_a, b.node AS node_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+  GROUP BY 1, 2
+)
+SELECT node_a AS doc_a, node_b AS doc_b, common,
+       ROUND(common / (da.deg + db.deg - common), 4) AS jaccard
+FROM common
+JOIN deg da ON node_a = da.node
+JOIN deg db ON node_b = db.node
+WHERE common / (da.deg + db.deg - common) >= 0.25
+ORDER BY doc_a, doc_b
+"""
+
+
 GRAPH_QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_ppr_segment": q_graph_ppr_segment,
     "q_link_graph_pagerank": q_link_graph_pagerank,
     "q_graph_hits_suppliers": q_graph_hits_suppliers,
     "q_graph_triangles": q_graph_triangles,
+    "q_graph_similar_pages": q_graph_similar_pages,
 }
 GRAPH_ORACLES = {
     "q_graph_pagerank": Q_GRAPH_PAGERANK_SQL,
@@ -950,4 +1056,5 @@ GRAPH_ORACLES = {
     "q_link_graph_pagerank": Q_LINK_PAGERANK_SQL,
     "q_graph_hits_suppliers": Q_GRAPH_HITS_SQL,
     "q_graph_triangles": _TRIANGLE_PIPE_SQL,
+    "q_graph_similar_pages": Q_GRAPH_SIMILAR_SQL,
 }
