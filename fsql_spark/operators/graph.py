@@ -1042,6 +1042,105 @@ ORDER BY doc_a, doc_b
 """
 
 
+def kcore_nodes(
+    pairs: DataFrame, a_col: str, b_col: str, k: int, rounds: int
+) -> DataFrame:
+    """Nodes surviving ``rounds`` synchronous peels toward the k-core ->
+    (node, deg) with deg the node's degree in the surviving subgraph —
+    the density skeleton (spam farms and boilerplate rings live in deep
+    cores; the periphery peels away). Each round removes every node whose
+    CURRENT degree is < k, simultaneously; the truncation is part of the
+    semantics (both engines compute exactly R rounds, converged or not).
+
+    Unlike the pagerank/HITS loops — where each round references the
+    previous ROUND's node-sized result once — a peel round references the
+    previous adjacency THREE times (degree aggregate + both semi-join
+    sides), so a lazily-unrolled plan replicates the base subtree 3^R
+    times (measured: 6 lazy rounds ground Catalyst to a halt at 500
+    nodes). Rounds therefore truncate lineage with ``localCheckpoint``,
+    the :func:`~fsql_spark.operators.clustering.connected_components`
+    loop posture: one edges-sized materialization per round, peeling
+    shrinks it monotonically."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k and rounds must be >= 1, got k={k} rounds={rounds}")
+    a, b = F.col(a_col), F.col(b_col)
+    und = (
+        pairs.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    ).localCheckpoint()
+    for _ in range(rounds):
+        deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("node")
+        adj = adj.join(keep, "node", "left_semi").join(
+            keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+        ).localCheckpoint()
+    return adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+
+def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """The 4-core peel front of the crawl link graph after 3 synchronous
+    peels (k=4 bites: degrees are 3-4, so the deg-3 fringe peels and the
+    removals CASCADE — 500 -> 492 -> 476 -> 428 survivors, fully unraveling
+    by round ~8; the 3-round truncation snapshots the cascade mid-flight,
+    which is the monitorable quantity): surviving pages + in-peel degree — the dense center the
+    spam/boilerplate auditors look at first."""
+    from .html import documents_as_html, extract_links
+
+    pages = documents_as_html(spark, sf, cross_links=True)
+    links = extract_links(pages, "html")
+    pairs = (
+        links.select(
+            "doc_id",
+            F.regexp_extract("href", "^/doc/([0-9]+)$", 1).alias("_target"),
+        )
+        .where(F.col("_target") != "")
+        .select("doc_id", F.col("_target").cast("long").alias("target"))
+    )
+    out = kcore_nodes(pairs, "doc_id", "target", k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return out.select(F.col("node").alias("doc_id"), "deg").orderBy("doc_id")
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    sql = """
+WITH nn0 AS (SELECT COUNT(*) AS c FROM documents),
+linkpairs AS (
+  SELECT doc_id AS doc_a, (doc_id * 7 + 1) % (SELECT c FROM nn0) AS doc_b
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % (SELECT c FROM nn0) FROM documents
+),
+und AS (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM linkpairs WHERE doc_a <> doc_b
+),
+a0 AS (SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und)"""
+    for i in range(rounds):
+        sql += f""",
+k{i} AS (SELECT node FROM a{i} GROUP BY node HAVING COUNT(*) >= {k}),
+a{i + 1} AS (
+  SELECT a.node, a.nbr FROM a{i} a
+  JOIN k{i} x ON a.node = x.node
+  JOIN k{i} y ON a.nbr = y.node
+)"""
+    sql += f"""
+SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+FROM a{rounds} GROUP BY node
+ORDER BY doc_id
+"""
+    return sql
+
+
+Q_GRAPH_KCORE_SQL = _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS)
+
+
 GRAPH_QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_ppr_segment": q_graph_ppr_segment,
@@ -1049,6 +1148,7 @@ GRAPH_QUERIES = {
     "q_graph_hits_suppliers": q_graph_hits_suppliers,
     "q_graph_triangles": q_graph_triangles,
     "q_graph_similar_pages": q_graph_similar_pages,
+    "q_graph_kcore": q_graph_kcore,
 }
 GRAPH_ORACLES = {
     "q_graph_pagerank": Q_GRAPH_PAGERANK_SQL,
@@ -1057,4 +1157,5 @@ GRAPH_ORACLES = {
     "q_graph_hits_suppliers": Q_GRAPH_HITS_SQL,
     "q_graph_triangles": _TRIANGLE_PIPE_SQL,
     "q_graph_similar_pages": Q_GRAPH_SIMILAR_SQL,
+    "q_graph_kcore": Q_GRAPH_KCORE_SQL,
 }

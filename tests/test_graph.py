@@ -324,3 +324,29 @@ def test_triangle_counts_match_brute_force(spark, pairs):
     got = {r["node"]: (r["deg"], r["triangles"]) for r in
            triangle_counts(df, "a", "b").collect()}
     assert got == {n: (deg[n], tri[n]) for n in deg}
+
+
+# --------------------------------------------------------------------------
+# k-core peeling
+# --------------------------------------------------------------------------
+
+from fsql_spark.operators.graph import kcore_nodes  # noqa: E402
+
+
+def test_kcore_peels_pendant_chain(spark):
+    """Triangle {1,2,3} with a pendant chain 3-4-5: at k=2 the chain peels
+    over two rounds (5 first, then 4) and the triangle survives as the
+    exact 2-core with degree 2 everywhere."""
+    raw = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(raw, "a long, b long")
+    got = {r["node"]: r["deg"] for r in kcore_nodes(df, "a", "b", k=2, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # truncation semantics: ONE round only removes the chain tip
+    one = {r["node"]: r["deg"] for r in kcore_nodes(df, "a", "b", k=2, rounds=1).collect()}
+    assert set(one) == {1, 2, 3, 4}
+    assert one[4] == 1  # 4 lost its pendant neighbor but hasn't peeled yet
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k and rounds"):
+        kcore_nodes(df, "a", "b", k=0, rounds=1)
