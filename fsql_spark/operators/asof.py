@@ -165,8 +165,12 @@ def resample_ffill(
     # the spans table is keys-sized, so AQE coalesces it to ~1 partition —
     # which would then make ONE task generate the whole keys x bins grid
     # (measured: the single-task explode dominated the decade spot-bench);
-    # spread the tiny table first so grid generation parallelizes
-    grid = spans.repartition(key_col).select(
+    # spread the tiny table first so grid generation parallelizes. The
+    # width must be EXPLICIT: a column-only repartition is itself
+    # AQE-coalesced right back to one partition (measured, second round
+    # of the same spot-bench)
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    grid = spans.repartition(width, key_col).select(
         key_col,
         F.explode(F.sequence("__lo", "__hi", F.lit(every_us))).alias("__bs"),
     )
@@ -223,20 +227,36 @@ def resample_interpolate(
     spans = binned.groupBy(key_col).agg(
         F.min("__bs").alias("__lo"), F.max("__bs").alias("__hi")
     )
-    # spread the keys-sized spans table before exploding (see resample_ffill)
-    grid = spans.repartition(key_col).select(
+    # spread the keys-sized spans table before exploding at an EXPLICIT
+    # width (see resample_ffill: column-only repartition gets AQE-coalesced
+    # straight back to one partition)
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    grid = spans.repartition(width, key_col).select(
         key_col,
         F.explode(F.sequence("__lo", "__hi", F.lit(every_us))).alias("__bs"),
     )
     joined = grid.join(per_bin, [key_col, "__bs"], "left")
-    w = Window.partitionBy(key_col).orderBy("__bs")
-    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # BOTH anchor carries run as cumulative unbounded-PRECEDING frames
+    # (incremental, O(rows)): the forward anchor uses a DESC ordering
+    # instead of an unbounded-FOLLOWING frame, because Spark evaluates
+    # following-frames with ignoreNulls by re-scanning the frame per row —
+    # quadratic per key (measured: 232 s -> the rewrite's time at sf1 for
+    # the identical result)
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy("__bs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(F.desc("__bs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     obs_bs = F.when(F.col("__obs").isNotNull(), F.col("__bs"))
     prev_v = F.last("__obs", ignorenulls=True).over(w_back)
     prev_b = F.last(obs_bs, ignorenulls=True).over(w_back)
-    nxt_v = F.first("__obs", ignorenulls=True).over(w_fwd)
-    nxt_b = F.first(obs_bs, ignorenulls=True).over(w_fwd)
+    nxt_v = F.last("__obs", ignorenulls=True).over(w_fwd)
+    nxt_b = F.last(obs_bs, ignorenulls=True).over(w_fwd)
     interp = (
         F.when(F.col("__obs").isNotNull(), F.col("__obs"))
         .when(prev_v.isNull(), nxt_v)
