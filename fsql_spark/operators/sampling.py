@@ -436,8 +436,73 @@ WHERE shuffle_pos <= 100
 """
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row gets the key ``ln(u) / w`` with ``u`` a
+    hash-derived uniform in (0, 1], and the k LARGEST keys are the sample —
+    provably equivalent to sequentially drawing k rows with probability
+    proportional to weight, the importance-sampling primitive a
+    quality-weighted data-mix needs (vs replicate_by_weight's
+    with-replacement upsampling).
+
+    ``u`` comes from 13 hex chars (52 bits — exactly a double's mantissa)
+    of md5(key || '-' || seed), so the draw is reproducible across engines
+    and runs; the +1 keeps u > 0. Map-only scoring + TakeOrderedAndProject
+    for the top-k — no shuffle, no global sort. Zero/negative weights are
+    excluded (their inclusion probability is 0 in the limit)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.conv(
+        F.substring(F.md5(F.concat_ws("-", F.col(key_col).cast("string"), F.lit(seed))), 1, 13),
+        16, 10,
+    ).cast("double")
+    es_key = F.log((v + 1.0) / F.lit(float(1 << 52))) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__es", es_key)
+        .orderBy(F.desc("__es"), F.col(key_col))
+        .limit(k)
+        .drop("__es")
+    )
+
+
+_WS_K = 50
+
+
+def q_sample_weighted_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-weighted document sample: 50 docs drawn without replacement
+    with probability proportional to n_chars (Efraimidis-Spirakis keys,
+    seeded md5 uniforms) — longer documents proportionally more likely,
+    every draw reproducible."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = weighted_sample_topk(docs, "doc_id", "n_chars", k=_WS_K)
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+Q_SAMPLE_WEIGHTED_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, n_chars,
+         LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-42'), 1, 13))::BIGINT + 1.0)
+            / 4503599627370496.0) / n_chars AS es_key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, lang, source, n_chars
+FROM scored
+ORDER BY es_key DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
 SAMPLING_QUERIES = {
     "q_sample_per_lang": q_sample_per_lang,
+    "q_sample_weighted_docs": q_sample_weighted_docs,
     "q_sample_mix_weighted": q_sample_mix_weighted,
     "q_domain_upsample": q_domain_upsample,
     "q_shuffle_order": q_shuffle_order,
@@ -447,6 +512,7 @@ SAMPLING_QUERIES = {
 
 SAMPLING_ORACLES = {
     "q_sample_per_lang": Q_SAMPLE_PER_LANG_SQL,
+    "q_sample_weighted_docs": Q_SAMPLE_WEIGHTED_SQL,
     "q_sample_mix_weighted": Q_SAMPLE_MIX_SQL,
     "q_domain_upsample": Q_DOMAIN_UPSAMPLE_SQL,
     "q_split_train_val_test": Q_SPLIT_SQL,

@@ -975,6 +975,34 @@ def test_resample_interpolate_semantics(spark):
         resample_interpolate(df, "k", "ts", "event_id", "value", 0.5)
 
 
+def test_weighted_sample_matches_python_model(spark):
+    """Efraimidis-Spirakis draw equals a pure-Python replica of the same
+    md5-derived keys; heavier rows appear when their key wins, zero-weight
+    rows never appear."""
+    import hashlib
+    import math
+
+    from fsql_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, (i * 37) % 11) for i in range(40)]  # weights 0..10, some zero
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    k = 10
+    got = sorted(r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", k).collect())
+
+    def key(i, w):
+        v = int(hashlib.md5(f"{i}-42".encode()).hexdigest()[:13], 16)
+        return math.log((v + 1.0) / float(1 << 52)) / w
+
+    scored = [(key(i, w), -i) for i, w in rows if w > 0]
+    want = sorted(-i for _, i in sorted(scored, reverse=True)[:k])
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample_topk(df, "doc_id", "w", 0)
+
+
 def test_pmi_collocations_match_hand_computed(spark):
     """PMI on a toy corpus vs the formula computed in Python; adjacent
     pairs only, min_count cut applied, single-token docs emit nothing."""
