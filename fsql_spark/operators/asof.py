@@ -147,10 +147,15 @@ def resample_ffill(
     # check and then truncate to a zero modulus — review find)
     if int(every_seconds) != every_seconds or int(every_seconds) <= 0:
         raise ValueError(f"every_seconds must be a positive integer, got {every_seconds}")
+    from .dedup import _spread
+
     every_us = int(every_seconds) * 1_000_000
     us = F.unix_micros(F.col(ts_col))
     bs = (us - F.pmod(us, F.lit(every_us))).alias("__bs")
-    binned = df.withColumn("__bs", bs)
+    # _spread: a single-file input scans as ONE task, and the per-bin
+    # pick's partial sort then runs on it (measured: minutes at the sf10
+    # perf corpus); no-op on real many-file inputs
+    binned = _spread(df).withColumn("__bs", bs)
     w_pick = Window.partitionBy(key_col, "__bs").orderBy(
         F.col(ts_col).desc(), F.col(order_col).desc()
     )
@@ -213,9 +218,13 @@ def resample_interpolate(
     2-column span aggregate."""
     if int(every_seconds) != every_seconds or int(every_seconds) <= 0:
         raise ValueError(f"every_seconds must be a positive integer, got {every_seconds}")
+    from .dedup import _spread
+
     every_us = int(every_seconds) * 1_000_000
     us = F.unix_micros(F.col(ts_col))
-    binned = df.withColumn("__bs", us - F.pmod(us, F.lit(every_us)))
+    # _spread: see resample_ffill — single-file inputs otherwise feed the
+    # per-bin pick's partial sort from a one-task scan
+    binned = _spread(df).withColumn("__bs", us - F.pmod(us, F.lit(every_us)))
     w_pick = Window.partitionBy(key_col, "__bs").orderBy(
         F.col(ts_col).desc(), F.col(order_col).desc()
     )
