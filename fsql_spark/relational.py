@@ -1428,6 +1428,82 @@ ORDER BY event_id
 """
 
 
+_ROLL_W = 24  # trailing bins in the rolling baseline
+
+
+def q_events_rolling_z(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-LOCAL anomaly detection: each (event_type, hour) bin scored
+    against the trailing 24-hour baseline — the complement of
+    q_events_anomaly's global z (a metric can be globally normal yet wildly
+    off its recent trend, the on-call pager's actual question).
+
+    The rolling moments are computed from EXPLICIT integer sums over the
+    ROWS frame (sum and sum-of-squares of BIGINT counts are exact, the
+    variance ``(n*sumsq - sum^2) / (n*(n-1))`` is one spelled-out float
+    expression) — NOT the engines' stddev aggregates, whose internal
+    algorithms (Welford vs two-pass) differ in the last ulps. Only bins
+    with a FULL 24-bin history are scored. One hour-bin aggregate (map-side
+    combinable) then a per-type ordered window: the windowed table is
+    types x hours — metadata-sized next to the event stream."""
+    ev = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    hour = 3600 * 1_000_000
+    bins = (
+        ev.withColumn("hour_us", us - F.pmod(us, F.lit(hour)))
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(-_ROLL_W, -1)
+    )
+    stats = bins.select(
+        "event_type",
+        "hour_us",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+    ).where(F.col("n") == _ROLL_W)
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    # zero-variance baselines are unscoreable: Spark(ANSI) raises
+    # DIVIDE_BY_ZERO, DuckDB returns inf — exclude them with the EXACT
+    # integer predicate (n*ss - s^2 > 0), not a float epsilon
+    stats = stats.where((n * ss - s * s) > 0)
+    var = (n * ss - s * s) / (n * (n - 1))
+    z = (F.col("cnt") - (s / n)) / F.sqrt(var)
+    return stats.select(
+        "event_type",
+        "hour_us",
+        "cnt",
+        F.round(z, 3).alias("z"),
+    ).orderBy("event_type", "hour_us")
+
+
+Q_EVENTS_ROLLING_Z_SQL = f"""
+WITH bins AS (
+  SELECT event_type,
+         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, hour_us, cnt,
+         COUNT(*) OVER w AS n,
+         SUM(cnt) OVER w AS s,
+         SUM(cnt * cnt) OVER w AS ss
+  FROM bins
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN {_ROLL_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_us, cnt,
+       ROUND((cnt - (s / n)) / SQRT((n * ss - s * s) / (n * (n - 1))), 3) AS z
+FROM stats WHERE n = {_ROLL_W} AND (n * ss - s * s) > 0
+ORDER BY event_type, hour_us
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered conversion funnel (view -> click -> purchase) without a
     single join: per user, running window flags mark whether an earlier
@@ -1748,6 +1824,7 @@ RELATIONAL_QUERIES = {
     "q_events_sessionize": q_events_sessionize,
     "q_events_json": q_events_json,
     "q_events_anomaly": q_events_anomaly,
+    "q_events_rolling_z": q_events_rolling_z,
     "q_events_funnel": q_events_funnel,
     "q_events_cohort_retention": q_events_cohort_retention,
     "q_basket_brand_pairs": q_basket_brand_pairs,
@@ -1792,6 +1869,7 @@ RELATIONAL_ORACLES = {
     "q_events_sessionize": Q_EVENTS_SESSIONS_SQL,
     "q_events_json": Q_EVENTS_JSON_SQL,
     "q_events_anomaly": Q_EVENTS_ANOMALY_SQL,
+    "q_events_rolling_z": Q_EVENTS_ROLLING_Z_SQL,
     "q_events_funnel": Q_EVENTS_FUNNEL_SQL,
     "q_events_cohort_retention": Q_EVENTS_COHORT_SQL,
     "q_basket_brand_pairs": Q_BASKET_BRAND_PAIRS_SQL,
