@@ -179,7 +179,11 @@ def resample_ffill(
         key_col,
         F.explode(F.sequence("__lo", "__hi", F.lit(every_us))).alias("__bs"),
     )
-    joined = grid.join(per_bin, [key_col, "__bs"], "left")
+    # per_bin is corpus-BIN-sized; Catalyst's selectivity estimate for the
+    # row_number()==1 filter makes it look broadcastable and the driver
+    # then builds a tens-of-millions-row hashed relation single-threaded
+    # (measured: the sf10 spot ground in a one-task stage) — pin the join
+    joined = grid.join(per_bin.hint("shuffle_hash"), [key_col, "__bs"], "left")
     w_fill = Window.partitionBy(key_col).orderBy("__bs")
     return joined.select(
         key_col,
@@ -244,7 +248,9 @@ def resample_interpolate(
         key_col,
         F.explode(F.sequence("__lo", "__hi", F.lit(every_us))).alias("__bs"),
     )
-    joined = grid.join(per_bin, [key_col, "__bs"], "left")
+    # shuffle_hash: see resample_ffill — per_bin looks broadcastable to the
+    # static estimator but is corpus-bin-sized
+    joined = grid.join(per_bin.hint("shuffle_hash"), [key_col, "__bs"], "left")
     # BOTH anchor carries run as cumulative unbounded-PRECEDING frames
     # (incremental, O(rows)): the forward anchor uses a DESC ordering
     # instead of an unbounded-FOLLOWING frame, because Spark evaluates
