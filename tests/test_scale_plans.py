@@ -928,3 +928,35 @@ def test_edit_pairs_blocking_beats_band_quadratic(spark):
     band_quadratic = len(vocab) * (len(vocab) - 1) // 2
     # random same-length tokens almost never share a 2-deletion variant
     assert candidates < band_quadratic / 100, (candidates, band_quadratic)
+
+
+def test_prefix_filter_joins_never_broadcast_vocabulary(spark):
+    """The prefix-filter candidate path joins two vocabulary/corpus-sized
+    tables; the static estimator undersizes them (measured OOM at sf10) —
+    the plan must carry ShuffledHashJoin for both token-keyed joins, not
+    BroadcastHashJoin."""
+    from fsql_spark.operators import prefix_filter_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        prefix_filter_pairs(docs, "doc_id", "text", 0.95, ngram=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ShuffledHashJoin") >= 2, plan[:1500]
+
+
+def test_resample_anchor_join_not_broadcast_and_grid_parallel(spark):
+    """per_bin is corpus-bin-sized (the row_number filter fools the
+    estimator into broadcasting it: a driver-side single-threaded build at
+    scale), and the keys-x-bins grid explode must not run on an
+    AQE-coalesced single partition."""
+    from fsql_spark.operators.asof import resample_interpolate
+    from fsql_spark.relational import _t
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    out = resample_interpolate(ev, "user_id", "ts", "event_id", "value", 3600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    # the explicit-width repartition survives in the plan (AQE leaves
+    # user-specified widths alone; a column-only repartition is coalesced)
+    assert "REPARTITION_BY_NUM" in plan or "Exchange hashpartitioning(user_id" in plan, plan[:1500]

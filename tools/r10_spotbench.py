@@ -375,6 +375,50 @@ def session2_decades() -> None:
         print(json.dumps(row), flush=True)
 
 
+def session2b_decades() -> None:
+    """Decade rows for the rest of the session-2 families (docs/events
+    scale in the perf corpora; orders/lineitem are symlinked, so the
+    relational entries are spot-checked at sf0.1 only by the main bench)."""
+    from fsql_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="fsql-r10-session2b-spotbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    build_sf10(spark)
+
+    families = {
+        "kcore": qs["q_graph_kcore"],
+        "similar_pages": qs["q_graph_similar_pages"],
+        "link_components": qs["q_link_graph_components"],
+        "pmi": qs["q_pmi_collocations"],
+        "rolling_z": qs["q_events_rolling_z"],
+        "weighted_sample": qs["q_sample_weighted_docs"],
+    }
+    for name, fn in families.items():  # warmup untimed at sf0.1
+        try:
+            fn(spark, "/root/testdata/sf0.1").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:
+            print(f"warmup {name} failed: {exc!r}", file=sys.stderr)
+        spark.catalog.clearCache()
+
+    for name, fn in families.items():
+        row = {"family": name}
+        try:
+            for tag, sf in (
+                ("sf01", "/root/testdata/sf0.1"), ("sf1", SF1), ("sf10", SF10)
+            ):
+                row[tag], row[f"rows_{tag}"] = _timed(spark, fn, sf)
+            row["ratio_10x"] = round(row["sf1"] / max(row["sf01"], 0.01), 2)
+            row["ratio_100x"] = round(row["sf10"] / max(row["sf01"], 0.01), 2)
+        except Exception as exc:
+            row["error"] = repr(exc)
+        print(json.dumps(row), flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
         semdedup_decades()
@@ -382,5 +426,7 @@ if __name__ == "__main__":
         graph_decades()
     elif len(sys.argv) > 1 and sys.argv[1] == "session2":
         session2_decades()
+    elif len(sys.argv) > 1 and sys.argv[1] == "session2b":
+        session2b_decades()
     else:
         main()
