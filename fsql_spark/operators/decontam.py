@@ -150,12 +150,90 @@ FROM t
 """
 
 
+def source_gram_containment(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Cross-slice leakage matrix: for every ORDERED pair of groups, the
+    fraction of group A's distinct word n-grams that also occur in group B
+    -> (group_a, group_b, shared_grams, containment). The
+    benchmark-vs-corpus contamination check generalized to all slice
+    pairs — which crawl snapshots replicate each other, which "new" source
+    is a re-scrape of an old one (containment is asymmetric: a subset
+    scores 1.0 against its superset, not vice versa).
+
+    One shuffle builds the distinct (group, gram) relation; the gram-keyed
+    self-join's fanout is bounded by groups-per-gram SQUARED — group
+    count, not corpus size — and the gram relation is vocabulary-scale, so
+    the join is pinned to shuffled hash (never broadcast)."""
+    grams = (
+        df.select(
+            F.col(group_col).alias("group_a"),
+            F.explode(F.array_distinct(_gram_structs(F.col(text_col), ngram))).alias("g"),
+        )
+        .distinct()
+    )
+    totals = grams.groupBy("group_a").agg(F.count(F.lit(1)).alias("n_grams"))
+    g2 = grams.select(F.col("group_a").alias("group_b"), "g")
+    shared = (
+        grams.join(g2.hint("shuffle_hash"), "g")
+        .where(F.col("group_a") != F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return shared.join(F.broadcast(totals), "group_a").select(
+        "group_a",
+        "group_b",
+        "shared_grams",
+        (F.col("shared_grams") / F.col("n_grams")).alias("containment"),
+    )
+
+
+def q_source_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """3-gram containment matrix between the documents table's sources —
+    the slice-leakage dashboard (4dp)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = source_gram_containment(docs, "source", "text", ngram=3)
+    return out.select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "shared_grams",
+        F.round("containment", 4).alias("containment"),
+    ).orderBy("source_a", "source_b")
+
+
+Q_SOURCE_CONTAINMENT_SQL = """
+WITH grams AS (
+  SELECT DISTINCT source AS group_a,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], chr(1))
+         ))) AS g
+  FROM documents
+),
+totals AS (SELECT group_a, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY group_a),
+shared AS (
+  SELECT a.group_a, b.group_a AS group_b, CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM grams a JOIN grams b ON a.g = b.g AND a.group_a <> b.group_a
+  GROUP BY 1, 2
+)
+SELECT s.group_a AS source_a, s.group_b AS source_b, s.shared_grams,
+       ROUND(s.shared_grams / t.n_grams, 4) AS containment
+FROM shared s JOIN totals t ON s.group_a = t.group_a
+ORDER BY source_a, source_b
+"""
+
+
 DECONTAM_QUERIES = {
     "q_contamination": q_contamination,
     "q_doc_repetition": q_doc_repetition,
+    "q_source_containment": q_source_containment,
 }
 
 DECONTAM_ORACLES = {
     "q_contamination": Q_CONTAMINATION_SQL,
     "q_doc_repetition": Q_REPETITION_SQL,
+    "q_source_containment": Q_SOURCE_CONTAINMENT_SQL,
 }
