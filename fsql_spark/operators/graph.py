@@ -1141,8 +1141,108 @@ ORDER BY doc_id
 Q_GRAPH_KCORE_SQL = _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS)
 
 
+def degree_assortativity(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Degree assortativity coefficient of an undirected graph -> one row
+    (n_edges, assortativity): the Pearson correlation of endpoint degrees
+    over the directed edge set (Newman 2002) — positive means hubs link to
+    hubs (social shape), negative means hubs link to leaves (web/biology
+    shape); a crawl whose assortativity jumps snapshot-over-snapshot has
+    changed its link structure (link farms, template rollouts).
+
+    Both symmetric orientations of every edge enter the sums (the standard
+    convention, making x/y moments equal). All five sums are EXACT integer
+    aggregates of degree products; the correlation is one spelled-out
+    float expression over them, so the result is bit-identical across
+    engines. Two shuffles total (degree aggregate + the node-keyed degree
+    attach); the final moment aggregate is map-side combinable into one
+    row."""
+    a, b = F.col(a_col), F.col(b_col)
+    und = (
+        pairs.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    dx = deg.select(F.col("node").alias("node"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("node").alias("nbr"), F.col("deg").alias("dy"))
+    moments = (
+        adj.join(dx, "node")
+        .join(dy, "nbr")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        )
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (m * sxy - sx * sy) / F.sqrt(
+        (m * sxx - sx * sx).cast("double") * (m * syy - sy * sy)
+    )
+    return moments.select(
+        (m / 2).cast("long").alias("n_edges"), F.round(r, 4).alias("assortativity")
+    )
+
+
+def q_graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the crawl link graph — the one-number
+    structural fingerprint tracked across snapshots."""
+    from .html import documents_as_html, extract_links
+
+    pages = documents_as_html(spark, sf, cross_links=True)
+    links = extract_links(pages, "html")
+    pairs = (
+        links.select(
+            "doc_id",
+            F.regexp_extract("href", "^/doc/([0-9]+)$", 1).alias("_target"),
+        )
+        .where(F.col("_target") != "")
+        .select("doc_id", F.col("_target").cast("long").alias("target"))
+    )
+    return degree_assortativity(pairs, "doc_id", "target")
+
+
+Q_GRAPH_ASSORT_SQL = """
+WITH nn0 AS (SELECT COUNT(*) AS c FROM documents),
+linkpairs AS (
+  SELECT doc_id AS doc_a, (doc_id * 7 + 1) % (SELECT c FROM nn0) AS doc_b
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % (SELECT c FROM nn0) FROM documents
+),
+und AS (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM linkpairs WHERE doc_a <> doc_b
+),
+adj AS (SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(dx.deg) AS sx, SUM(dy.deg) AS sy,
+         SUM(dx.deg * dy.deg) AS sxy,
+         SUM(dx.deg * dx.deg) AS sxx,
+         SUM(dy.deg * dy.deg) AS syy
+  FROM adj
+  JOIN deg dx ON adj.node = dx.node
+  JOIN deg dy ON adj.nbr = dy.node
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       ROUND((m * sxy - sx * sy)
+             / SQRT(CAST(m * sxx - sx * sx AS DOUBLE) * (m * syy - sy * sy)), 4)
+         AS assortativity
+FROM moments
+"""
+
+
 GRAPH_QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
+    "q_graph_assortativity": q_graph_assortativity,
     "q_graph_ppr_segment": q_graph_ppr_segment,
     "q_link_graph_pagerank": q_link_graph_pagerank,
     "q_graph_hits_suppliers": q_graph_hits_suppliers,
@@ -1152,6 +1252,7 @@ GRAPH_QUERIES = {
 }
 GRAPH_ORACLES = {
     "q_graph_pagerank": Q_GRAPH_PAGERANK_SQL,
+    "q_graph_assortativity": Q_GRAPH_ASSORT_SQL,
     "q_graph_ppr_segment": Q_GRAPH_PPR_SQL,
     "q_link_graph_pagerank": Q_LINK_PAGERANK_SQL,
     "q_graph_hits_suppliers": Q_GRAPH_HITS_SQL,

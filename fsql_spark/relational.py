@@ -1428,6 +1428,65 @@ ORDER BY event_id
 """
 
 
+def q_customer_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto concentration of revenue within each nation: customers ranked
+    by lifetime revenue (desc, custkey tiebreak), each annotated with their
+    cumulative share of the nation's total — the 80/20 audit ("how few
+    customers carry this market"). Revenue is summed ONCE per customer
+    (2dp-rounded so the cumulative numerator is a fixed decimal both
+    engines add identically); rank and cumulative sums are per-nation
+    windows over the customer-grain aggregate (the q_customer_rfm
+    posture — no global sort). Only the top-10 per nation are reported."""
+    orders = _t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w_rank = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("revenue"), "o_custkey"
+    )
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy("c_nationkey")
+    return (
+        per_cust.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+            "revenue",
+            F.row_number().over(w_rank).alias("rnk"),
+            F.round(
+                F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_tot), 4
+            ).alias("cum_share"),
+        )
+        .where(F.col("rnk") <= 10)
+        .orderBy("nationkey", "rnk")
+    )
+
+
+Q_CUSTOMER_PARETO_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+joined AS (
+  SELECT c_nationkey AS nationkey, custkey, revenue
+  FROM per_cust JOIN customer ON custkey = c_custkey
+),
+ranked AS (
+  SELECT nationkey, custkey, revenue,
+         ROW_NUMBER() OVER (PARTITION BY nationkey ORDER BY revenue DESC, custkey) AS rnk,
+         ROUND(SUM(revenue) OVER (PARTITION BY nationkey ORDER BY revenue DESC, custkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(revenue) OVER (PARTITION BY nationkey), 4) AS cum_share
+  FROM joined
+)
+SELECT nationkey, custkey, revenue, rnk, cum_share
+FROM ranked WHERE rnk <= 10
+ORDER BY nationkey, rnk
+"""
+
+
 _ROLL_W = 24  # trailing bins in the rolling baseline
 
 
@@ -1830,6 +1889,7 @@ RELATIONAL_QUERIES = {
     "q_basket_brand_pairs": q_basket_brand_pairs,
     "q_brand_cooccurrence_cosine": q_brand_cooccurrence_cosine,
     "q_customer_rfm": q_customer_rfm,
+    "q_customer_pareto": q_customer_pareto,
 }
 
 RELATIONAL_ORACLES = {
@@ -1875,4 +1935,5 @@ RELATIONAL_ORACLES = {
     "q_basket_brand_pairs": Q_BASKET_BRAND_PAIRS_SQL,
     "q_brand_cooccurrence_cosine": Q_BRAND_COSINE_SQL,
     "q_customer_rfm": Q_CUSTOMER_RFM_SQL,
+    "q_customer_pareto": Q_CUSTOMER_PARETO_SQL,
 }
