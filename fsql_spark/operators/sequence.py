@@ -173,11 +173,166 @@ ORDER BY type, next_type
 """
 
 
+def sequence_ngrams(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    type_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Frequent behavioral n-grams: every length-``n`` run of consecutive
+    event types per user, counted corpus-wide -> (t1..tn, cnt). The
+    sequence-mining staple behind "what do users do right before X" —
+    first-order transitions (``transition_matrix``) can't see it (a Markov
+    chain forgets everything past one step).
+
+    Same one-window shape as the transition matrix: ``n-1`` leads over one
+    (user, ts, order) sort — Spark computes all leads in a single Window
+    node — then a tiny type-tuple aggregate."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
+    cols = [F.col(type_col).alias("t1")]
+    for i in range(1, n):
+        cols.append(F.lead(type_col, i).over(w).alias(f"t{i + 1}"))
+    grams = events.select(*cols).where(F.col(f"t{n}").isNotNull())
+    return grams.groupBy(*[f"t{i + 1}" for i in range(n)]).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_sequence_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 event-type trigrams across all user sequences (count desc,
+    lexical tie-break) — the pre-conversion path report."""
+    from ..relational import _t
+
+    ev = _t(spark, sf, "events")
+    out = sequence_ngrams(ev, "user_id", "ts", "event_id", "event_type", n=3)
+    return (
+        out.orderBy(F.desc("cnt"), "t1", "t2", "t3")
+        .limit(20)
+        .select("t1", "t2", "t3", "cnt")
+    )
+
+
+Q_SEQUENCE_TRIGRAMS_SQL = """
+WITH grams AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, COUNT(*) AS cnt
+FROM grams WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY cnt DESC, t1, t2, t3
+LIMIT 20
+"""
+
+
+def q_conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Touch-to-conversion latency distribution per channel: every purchase
+    measures the time since its attributed (latest strictly-preceding)
+    click/view, reported per channel as count, min/median/p90/max seconds —
+    "how long does each channel take to convert". The attributed touch TS
+    rides the same strictly-preceding window as the channel; quantiles are
+    exact DISCRETE order statistics via a per-channel ranking window (the
+    q_price_quantiles posture: interpolated quantiles diverge across
+    engines at decimal midpoints), and every statistic is integer seconds —
+    no float anywhere."""
+    from ..relational import _t
+
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.when(F.col("event_type").isin(_TOUCH_TYPES), F.col("event_type"))
+    touch_ts = F.when(F.col("event_type").isin(_TOUCH_TYPES), F.col("ts"))
+    conv = (
+        ev.withColumn("channel", F.last(touch_type, ignorenulls=True).over(w))
+        .withColumn("touch_ts", F.last(touch_ts, ignorenulls=True).over(w))
+        .where((F.col("event_type") == "purchase") & F.col("channel").isNotNull())
+        .select(
+            "channel",
+            ((F.unix_micros("ts") - F.unix_micros("touch_ts")) / 1_000_000)
+            .cast("long")
+            .alias("gap_s"),
+            "event_id",
+        )
+    )
+    w_rank = Window.partitionBy("channel").orderBy("gap_s", "event_id")
+    w_n = Window.partitionBy("channel")
+    ranked = conv.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_n)
+    )
+    at = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("int"),
+            F.col("gap_s"),
+        )
+    )
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.max("n").alias("conversions"),
+            F.min("gap_s").alias("min_s"),
+            at(0.5).alias("median_s"),
+            at(0.9).alias("p90_s"),
+            F.max("gap_s").alias("max_s"),
+        )
+        .orderBy("channel")
+    )
+
+
+Q_CONVERSION_LATENCY_SQL = """
+WITH tagged AS (
+  SELECT event_type, ts, event_id,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                    IGNORE NULLS) OVER w AS channel,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN ts END
+                    IGNORE NULLS) OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+conv AS (
+  SELECT channel,
+         CAST((epoch_us(ts) - epoch_us(touch_ts)) // 1000000 AS BIGINT) AS gap_s,
+         event_id
+  FROM tagged
+  WHERE event_type = 'purchase' AND channel IS NOT NULL
+),
+ranked AS (
+  SELECT channel, gap_s,
+         ROW_NUMBER() OVER (PARTITION BY channel ORDER BY gap_s, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY channel) AS n
+  FROM conv
+)
+SELECT channel,
+       MAX(n) AS conversions,
+       MIN(gap_s) AS min_s,
+       MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS INTEGER) THEN gap_s END) AS median_s,
+       MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS INTEGER) THEN gap_s END) AS p90_s,
+       MAX(gap_s) AS max_s
+FROM ranked
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 SEQUENCE_QUERIES = {
     "q_events_attribution": q_events_attribution,
     "q_markov_transitions": q_markov_transitions,
+    "q_sequence_trigrams": q_sequence_trigrams,
+    "q_conversion_latency": q_conversion_latency,
 }
 SEQUENCE_ORACLES = {
     "q_events_attribution": Q_EVENTS_ATTRIBUTION_SQL,
     "q_markov_transitions": Q_MARKOV_TRANSITIONS_SQL,
+    "q_sequence_trigrams": Q_SEQUENCE_TRIGRAMS_SQL,
+    "q_conversion_latency": Q_CONVERSION_LATENCY_SQL,
 }
