@@ -1116,6 +1116,31 @@ def test_last_touch_attribution_semantics(spark):
     assert got == {3: "click", 6: "view", 7: None, 10: "click"}
 
 
+def test_sequence_ngrams_semantics(spark):
+    """Trigrams stay within a user's sequence (no cross-user runs), short
+    sequences emit nothing, n validates."""
+    from datetime import datetime, timezone
+
+    from fsql_spark.operators.sequence import sequence_ngrams
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+    rows = [
+        (1, t(1), 1, "a"), (1, t(2), 2, "b"), (1, t(3), 3, "c"), (1, t(4), 4, "a"),
+        (2, t(1), 5, "x"), (2, t(2), 6, "y"),  # too short for a trigram
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {(r["t1"], r["t2"], r["t3"]): r["cnt"] for r in
+           sequence_ngrams(df, "user_id", "ts", "event_id", "event_type", 3).collect()}
+    assert got == {("a", "b", "c"): 1, ("b", "c", "a"): 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be"):
+        sequence_ngrams(df, "user_id", "ts", "event_id", "event_type", 1)
+
+
 def test_transition_matrix_semantics(spark):
     """Consecutive pairs per user (final events emit none); probabilities
     row-normalize over the FIRST type."""
