@@ -419,6 +419,85 @@ def session2b_decades() -> None:
         print(json.dumps(row), flush=True)
 
 
+def session2c_decades() -> None:
+    """Decade rows for the session-2 RELATIONAL entries (RFM, Pareto, brand
+    cosine): the sf1/sf10 perf corpora symlink orders/customer/lineitem, so
+    this builds its own replicas — copy c offsets every key by c * 10M,
+    preserving per-customer order counts, per-nation populations (nation
+    keys kept), and per-order baskets, so the workload scales linearly in
+    customers/orders like a real market."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fsql_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="fsql-r10-session2c")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    src = "/root/testdata/sf0.1"
+
+    def build(n_copies: int) -> str:
+        dst = f"/tmp/fsql_spark_rel_{n_copies}x"
+        if os.path.exists(f"{dst}/_READY"):
+            return dst
+        os.makedirs(dst, exist_ok=True)
+        for t in ("region", "nation", "part", "supplier",
+                  "events", "documents", "embeddings"):
+            link = f"{dst}/{t}.parquet"
+            if not os.path.exists(link):
+                os.symlink(f"{src}/{t}.parquet", link)
+        off = lambda col, c: (F.col(col) + c * 10_000_000).alias(col)  # noqa: E731
+        orders = spark.read.parquet(f"{src}/orders.parquet")
+        cust = spark.read.parquet(f"{src}/customer.parquet")
+        li = spark.read.parquet(f"{src}/lineitem.parquet")
+        o_parts, c_parts, l_parts = [], [], []
+        for c in range(n_copies):
+            o_parts.append(orders.select(
+                off("o_orderkey", c), off("o_custkey", c),
+                *[x for x in orders.columns if x not in ("o_orderkey", "o_custkey")],
+            ))
+            c_parts.append(cust.select(
+                off("c_custkey", c),
+                *[x for x in cust.columns if x != "c_custkey"],
+            ))
+            l_parts.append(li.select(
+                off("l_orderkey", c),
+                *[x for x in li.columns if x != "l_orderkey"],
+            ))
+        for name, parts in (("orders", o_parts), ("customer", c_parts), ("lineitem", l_parts)):
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        open(f"{dst}/_READY", "w").close()
+        return dst
+
+    families = {
+        "customer_rfm": qs["q_customer_rfm"],
+        "customer_pareto": qs["q_customer_pareto"],
+        "brand_cosine": qs["q_brand_cooccurrence_cosine"],
+    }
+    dirs = {"1x": src, "10x": build(10), "100x": build(100)}
+    for name, fn in families.items():
+        try:
+            fn(spark, src).write.format("noop").mode("overwrite").save()  # warm
+        except Exception as exc:
+            print(f"warmup {name} failed: {exc!r}", file=sys.stderr)
+        spark.catalog.clearCache()
+    for name, fn in families.items():
+        row = {"family": name}
+        try:
+            for tag, d in dirs.items():
+                row[tag], row[f"rows_{tag}"] = _timed(spark, fn, d)
+            row["ratio_100x"] = round(row["100x"] / max(row["1x"], 0.01), 2)
+        except Exception as exc:
+            row["error"] = repr(exc)
+        print(json.dumps(row), flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
         semdedup_decades()
@@ -428,5 +507,7 @@ if __name__ == "__main__":
         session2_decades()
     elif len(sys.argv) > 1 and sys.argv[1] == "session2b":
         session2b_decades()
+    elif len(sys.argv) > 1 and sys.argv[1] == "session2c":
+        session2c_decades()
     else:
         main()
