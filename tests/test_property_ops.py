@@ -714,3 +714,81 @@ def test_prefix_filter_pairs_match_brute_force(spark, corpus, threshold):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# sequence analytics: attribution + transitions vs pure-Python replay
+# --------------------------------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=50),     # ts seconds (ties likely)
+        st.sampled_from(["click", "view", "purchase", "error"]),
+        st.integers(min_value=0, max_value=99),     # value cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _mk_events(spark, raw):
+    from datetime import datetime, timezone
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc), u, t, c / 1.0)
+        for i, (u, s, t, c) in enumerate(raw)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+@PROP
+@given(raw=events_strategy)
+def test_attribution_matches_python_replay(spark, raw):
+    """Last-touch attribution == a sequential replay of each user's
+    (ts, event_id)-ordered stream carrying the last click/view."""
+    from fsql_spark.operators.sequence import last_touch_attribution
+
+    df = _mk_events(spark, raw)
+    got = {r["event_id"]: r["channel"] for r in last_touch_attribution(
+        df, "user_id", "ts", "event_id", "event_type",
+        conversion_type="purchase", touch_types=["click", "view"],
+    ).collect()}
+
+    want = {}
+    per_user = {}
+    for i, (u, s, t, _c) in enumerate(raw):
+        per_user.setdefault(u, []).append((s, i, t))
+    for u, seq in per_user.items():
+        last = None
+        for s, i, t in sorted(seq):
+            if t == "purchase":
+                want[i] = last
+            if t in ("click", "view"):
+                last = t
+    assert got == want
+
+
+@PROP
+@given(raw=events_strategy)
+def test_transitions_match_python_replay(spark, raw):
+    from collections import Counter
+
+    from fsql_spark.operators.sequence import transition_matrix
+
+    df = _mk_events(spark, raw)
+    got = {(r["type"], r["next_type"]): r["n"] for r in transition_matrix(
+        df, "user_id", "ts", "event_id", "event_type"
+    ).collect()}
+
+    per_user = {}
+    for i, (u, s, t, _c) in enumerate(raw):
+        per_user.setdefault(u, []).append((s, i, t))
+    want = Counter()
+    for u, seq in per_user.items():
+        ordered = [t for _, _, t in sorted(seq)]
+        for a, b in zip(ordered, ordered[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
