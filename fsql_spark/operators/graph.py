@@ -1190,6 +1190,65 @@ def degree_assortativity(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
 
 
+def reciprocity(pairs: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Link reciprocity of a DIRECTED graph -> one row (n_links,
+    reciprocity): the fraction of distinct directed links whose reverse
+    link also exists — near 1 on social/follow graphs, near 0 on
+    citation/web graphs; a crawl slice whose reciprocity spikes is usually
+    a link ring. One distinct pass + one self-join on the swapped key,
+    then BOTH counts ride a single aggregate (a separate 1-row-x-1-row
+    combine would plan as the forbidden BroadcastNestedLoopJoin — the
+    plan lint caught exactly that in this function's first draft); the
+    ratio is a single division of exact BIGINTs."""
+    links = (
+        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = links.select(
+        F.col("d").alias("s"), F.col("s").alias("d"), F.lit(1).alias("_m")
+    )
+    marked = links.join(rev, ["s", "d"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.round(F.count("_m") / F.count(F.lit(1)), 4).alias("reciprocity"),
+    )
+
+
+def q_graph_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocity of the DIRECTED /doc link graph (before
+    symmetrization) — the link-ring probe."""
+    from .html import documents_as_html, extract_links
+
+    pages = documents_as_html(spark, sf, cross_links=True)
+    links = extract_links(pages, "html")
+    pairs = (
+        links.select(
+            "doc_id",
+            F.regexp_extract("href", "^/doc/([0-9]+)$", 1).alias("_target"),
+        )
+        .where(F.col("_target") != "")
+        .select("doc_id", F.col("_target").cast("long").alias("target"))
+    )
+    return reciprocity(pairs, "doc_id", "target")
+
+
+Q_GRAPH_RECIPROCITY_SQL = """
+WITH nn0 AS (SELECT COUNT(*) AS c FROM documents),
+linkpairs AS (
+  SELECT doc_id AS s, (doc_id * 7 + 1) % (SELECT c FROM nn0) AS d
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % (SELECT c FROM nn0) FROM documents
+),
+links AS (SELECT DISTINCT s, d FROM linkpairs WHERE s <> d),
+rev AS (SELECT d AS s, s AS d, 1 AS m FROM links)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_links,
+       ROUND(COUNT(r.m) / COUNT(*), 4) AS reciprocity
+FROM links l LEFT JOIN rev r USING (s, d)
+"""
+
+
 def q_graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     """Degree assortativity of the crawl link graph — the one-number
     structural fingerprint tracked across snapshots."""
@@ -1243,6 +1302,7 @@ FROM moments
 GRAPH_QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_assortativity": q_graph_assortativity,
+    "q_graph_reciprocity": q_graph_reciprocity,
     "q_graph_ppr_segment": q_graph_ppr_segment,
     "q_link_graph_pagerank": q_link_graph_pagerank,
     "q_graph_hits_suppliers": q_graph_hits_suppliers,
@@ -1253,6 +1313,7 @@ GRAPH_QUERIES = {
 GRAPH_ORACLES = {
     "q_graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "q_graph_assortativity": Q_GRAPH_ASSORT_SQL,
+    "q_graph_reciprocity": Q_GRAPH_RECIPROCITY_SQL,
     "q_graph_ppr_segment": Q_GRAPH_PPR_SQL,
     "q_link_graph_pagerank": Q_LINK_PAGERANK_SQL,
     "q_graph_hits_suppliers": Q_GRAPH_HITS_SQL,
