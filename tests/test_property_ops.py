@@ -792,3 +792,41 @@ def test_transitions_match_python_replay(spark, raw):
         for a, b in zip(ordered, ordered[1:]):
             want[(a, b)] += 1
     assert got == dict(want)
+
+
+@PROP
+@given(
+    corpus=corpus_strategy,
+    threshold=st.sampled_from([0.5, 0.95, 1.0]),
+    ngram=st.sampled_from([2, 3]),
+)
+def test_prefix_filter_pairs_match_brute_force_ngrams(spark, corpus, threshold, ngram):
+    """Same exactness property on SHINGLE sets (the catalog entry's actual
+    configuration): model shingles mirror _word_shingles' chr(1) joiner
+    and its short-doc empty-set rule."""
+    from fsql_spark.operators import prefix_filter_pairs
+
+    docs = _mk_docs(spark, corpus)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(docs, "doc_id", "text", threshold, ngram=ngram).collect()
+    }
+    sets = {}
+    for i, toks in enumerate(corpus):
+        words = " ".join(toks).split(" ")
+        if len(words) >= ngram:
+            sets[i] = {
+                "\x01".join(words[j : j + ngram])
+                for j in range(len(words) - ngram + 1)
+            }
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if jac >= threshold:
+                    want[(a, b)] = round(jac, 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
