@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import shuffle_width
+
 
 def asof_join(
     left: DataFrame,
@@ -174,7 +176,7 @@ def resample_ffill(
     # width must be EXPLICIT: a column-only repartition is itself
     # AQE-coalesced right back to one partition (measured, second round
     # of the same spot-bench)
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = shuffle_width(df.sparkSession)
     grid = spans.repartition(width, key_col).select(
         key_col,
         F.explode(F.sequence("__lo", "__hi", F.lit(every_us))).alias("__bs"),
@@ -243,7 +245,7 @@ def resample_interpolate(
     # spread the keys-sized spans table before exploding at an EXPLICIT
     # width (see resample_ffill: column-only repartition gets AQE-coalesced
     # straight back to one partition)
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = shuffle_width(df.sparkSession)
     grid = spans.repartition(width, key_col).select(
         key_col,
         F.explode(F.sequence("__lo", "__hi", F.lit(every_us))).alias("__bs"),

@@ -260,6 +260,13 @@ def prefix_filter_pairs(
     (``t*|x| <= |y| <= |x|/t``), then exact verification on the full
     shingle sets. Float guards (the 1e-9 slacks) only ever ADMIT extra
     candidates — verification keeps the result exact."""
+    if not (0.0 < threshold <= 1.0):
+        # t > 1 makes the prefix length non-positive (F.slice throws an
+        # opaque runtime error deep in the plan); t <= 0 silently
+        # degenerates to the full quadratic join — both are caller bugs.
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold!r}"
+        )
     base = _spread(df).select(
         F.col(key_col).alias("k"), _word_shingles(F.col(text_col), ngram).alias("sh")
     )

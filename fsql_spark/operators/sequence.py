@@ -53,7 +53,16 @@ def last_touch_attribution(
 
     One window over (user, ts, order): the qualifying-touch type is carried
     forward with ``last(ignorenulls)`` over the UNBOUNDED-PRECEDING..-1
-    frame (strictly earlier rows), then non-conversions are dropped."""
+    frame (strictly earlier rows), then non-conversions are dropped.
+
+    ``channel`` is a RESERVED output name: an input that already carries a
+    ``channel`` column would be silently clobbered by the ``withColumn``,
+    so it is rejected up front."""
+    if "channel" in events.columns:
+        raise ValueError(
+            "last_touch_attribution reserves the output column 'channel'; "
+            "rename or drop the input's existing 'channel' column first"
+        )
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.col(ts_col), F.col(order_col))
@@ -81,7 +90,16 @@ def transition_matrix(
     user key); the count is grouped by the type pair — a tiny,
     map-side-combinable aggregate — and the row-normalization is a second
     window over the type-pair table, which is (|types|^2)-sized, i.e.
-    driver-trivial at any corpus scale."""
+    driver-trivial at any corpus scale.
+
+    ``next_type`` is a RESERVED output name (and must differ from
+    ``type_col``): a pre-existing column of that name would be silently
+    clobbered, so it is rejected up front."""
+    if "next_type" in events.columns or type_col == "next_type":
+        raise ValueError(
+            "transition_matrix reserves the output column 'next_type'; "
+            "rename or drop the input's existing 'next_type' column first"
+        )
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
     pairs = (
         events.withColumn("next_type", F.lead(type_col).over(w))

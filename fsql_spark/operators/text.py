@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import shuffle_width
+
 # language-marker stopwords: tiny, deterministic n-gram-style heuristic.
 # Word-boundary regexes keep Spark (Java regex) and DuckDB (RE2) agreeing.
 LANG_MARKERS: dict[str, str] = {
@@ -505,7 +507,7 @@ def winnow_fingerprints(
     # Explicit count: AQE would coalesce a column-only repartition of
     # compact texts far below the cores the exploded work needs.
     sc = df.sparkSession.sparkContext
-    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    shuffle_n = shuffle_width(df.sparkSession)
     docs = docs.repartition(max(sc.defaultParallelism, shuffle_n), "doc")
     grams = (
         docs

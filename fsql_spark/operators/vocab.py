@@ -337,8 +337,11 @@ def pmi_collocations(
     with the exact expression order mirrored in the SQL oracle. Pair
     extraction is JVM-side (a transform over the token index range — the
     _word_shingles technique, no UDF); the two count aggregates are
-    map-side combinable; the scalar totals come back from ONE tiny action
-    and re-enter the plan as literals. ``min_count`` applies the standard
+    map-side combinable and PERSISTED (the scalar-total actions and the
+    final join all consume them — without the persist the corpus would be
+    re-tokenized once per action, the tf_idf lesson at vocab.py:115); the
+    totals then come back from tiny aggregate-over-persisted actions and
+    re-enter the plan as literals. ``min_count`` applies the standard
     low-frequency cut (PMI is notoriously noisy on rare pairs)."""
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     base = df.select(words.alias("ws"))
@@ -353,11 +356,12 @@ def pmi_collocations(
         ),
     )).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     pairs = base.select(F.explode(bi).alias("p")).select("p.a", "p.b")
-    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab")).persist()
     uni = (
         base.select(F.explode("ws").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n_t"))
+        .persist()
     )
     totals = big.agg(F.sum("n_ab")).collect()[0][0] or 0
     nu = uni.agg(F.sum("n_t")).collect()[0][0] or 0

@@ -80,6 +80,18 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def shuffle_width(spark: SparkSession) -> int:
+    """Current shuffle parallelism as an int, tolerant of non-numeric
+    values: some managed deployments set ``spark.sql.shuffle.partitions``
+    to ``"auto"``, where a bare ``int(conf.get(...))`` raises. Falls back
+    to ``sparkContext.defaultParallelism`` (the cluster's core count),
+    which is the right explicit-repartition width in that regime anyway."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 from contextlib import contextmanager
 
 

@@ -1162,6 +1162,38 @@ def test_transition_matrix_semantics(spark):
     assert got == {("a", "b"): (1, 0.5), ("a", "a"): (1, 0.5), ("b", "a"): (1, 1.0)}
 
 
+def test_sequence_reserved_output_columns_rejected(spark):
+    """'channel' / 'next_type' are reserved OUTPUT names: inputs already
+    carrying them would be silently clobbered by the withColumn, so both
+    operators refuse them up front."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from fsql_spark.operators.sequence import (
+        last_touch_attribution,
+        transition_matrix,
+    )
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    with_channel = spark.createDataFrame(
+        [(1, ts, 1, "view", "paid")],
+        "user_id long, ts timestamp, event_id long, event_type string, channel string",
+    )
+    with _pytest.raises(ValueError, match="reserves the output column 'channel'"):
+        last_touch_attribution(
+            with_channel, "user_id", "ts", "event_id", "event_type",
+            conversion_type="purchase", touch_types=["view"],
+        )
+
+    with_next = spark.createDataFrame(
+        [(1, ts, 1, "view", "x")],
+        "user_id long, ts timestamp, event_id long, event_type string, next_type string",
+    )
+    with _pytest.raises(ValueError, match="reserves the output column 'next_type'"):
+        transition_matrix(with_next, "user_id", "ts", "event_id", "event_type")
+
+
 # --------------------------------------------------------------------------
 # unigram LM perplexity, quality filter, anomaly detection (round 5)
 # --------------------------------------------------------------------------
@@ -2070,3 +2102,39 @@ def test_bpe_learn_merges_guards(spark):
     m = bpe_learn_merges(docs, num_merges=2).orderBy("rank").collect()
     assert (m[0]["left"], m[0]["right"], m[0]["pair_n"]) == ("a", "a", 3)
     assert m[1]["merged"] in ("ab", "aab", "aaa") or m[1]["pair_n"] <= 3
+
+
+def test_prefix_filter_pairs_threshold_validation(spark):
+    """threshold outside (0, 1] is a caller bug: >1 would make the prefix
+    slice length non-positive (opaque runtime error), <=0 would silently
+    degenerate to the full quadratic join — both rejected up front."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from fsql_spark.operators import prefix_filter_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b d"]})
+    )
+    for bad in (0.0, -0.5, 1.5):
+        with _pytest.raises(ValueError, match="threshold must be in"):
+            prefix_filter_pairs(docs, "doc_id", "text", bad)
+
+
+def test_shuffle_width_tolerates_non_numeric_conf(spark):
+    """Managed deployments set spark.sql.shuffle.partitions to 'auto'
+    (OSS Spark refuses the value at conf.set, so the fallback is exercised
+    through a stub session); shuffle_width must fall back to
+    defaultParallelism, not raise."""
+    from types import SimpleNamespace
+
+    from fsql_spark.session import shuffle_width
+
+    assert shuffle_width(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    auto = SimpleNamespace(
+        conf=SimpleNamespace(get=lambda key: "auto"),
+        sparkContext=SimpleNamespace(defaultParallelism=7),
+    )
+    assert shuffle_width(auto) == 7
