@@ -41,8 +41,92 @@ surface (SURVEY §2.6).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..session import shuffle_width
+
+#: Target estimated bytes per gram-exchange sort partition. The r10 sf10
+#: spot-bench mapped both sides: ~875 MB/partition (32 partitions on the
+#: ~28 GB exploded stream) sat on the executor-memory sort-spill cliff
+#: (157-632 s spread); ~219 MB/partition (128 partitions) ran the decade
+#: linear (197 s). 192 MB sits at the measured-good point with ~4x margin
+#: from the cliff, without paying the many-small-partitions overhead the
+#: r10 A/B measured at sf1 (2.2x at 128 partitions on a ~2 GB stream).
+_TARGET_PARTITION_BYTES = 192 << 20
+
+#: Estimated per-row overhead of the exploded gram exchange beyond the gram
+#: characters themselves: doc id + position + xxhash64 sort key + UnsafeRow
+#: framing.
+_ROW_OVERHEAD_BYTES = 48
+
+
+def _footer_total_chars(df: DataFrame, text_col: str) -> int | None:
+    """Total characters of ``text_col`` from parquet FOOTER metadata — no
+    data scan. Parquet column chunks record their total uncompressed size;
+    for a string column that is the character bytes plus the offset/length
+    framing, so subtracting ~4 bytes/value leaves a sizing-grade estimate
+    of the character count (the width formula only needs the right
+    decade). Applies only when the plan is a bare scan/filter/project over
+    LOCAL parquet files (the plan-string check is the _spread technique);
+    returns None otherwise — joins/aggregates would conflate unrelated
+    sources, and remote filesystems take the exact-scan fallback."""
+    from .dedup import _SHUFFLED_PLAN_NODES
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(node in plan for node in _SHUFFLED_PLAN_NODES):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        files = df.inputFiles()
+        if not files:
+            return None
+        total_bytes = 0
+        total_rows = 0
+        for f in files:
+            if f.startswith("file:"):
+                f = f[5:]
+            elif "://" in f:
+                return None
+            meta = pq.ParquetFile(f).metadata
+            names = [meta.schema.column(i).name for i in range(len(meta.schema))]
+            if text_col not in names:
+                return None
+            col_idx = names.index(text_col)
+            for rg in range(meta.num_row_groups):
+                grp = meta.row_group(rg)
+                total_bytes += grp.column(col_idx).total_uncompressed_size
+                total_rows += grp.num_rows
+        return max(total_bytes - 4 * total_rows, 0)
+    except Exception:
+        return None
+
+
+def _gram_exchange_width(df: DataFrame, text_col: str, k: int) -> int:
+    """Shuffle width for the gram exchange, derived from the INPUT data:
+    total characters of the corpus (from parquet footer metadata when the
+    input is a bare local-parquet scan — zero data read; otherwise one
+    exact ``sum(length(text))`` single-column scan, still trivial next to
+    the main job, which explodes every character into a ~k+48-byte row)
+    estimate the exploded stream's bytes, sized to
+    ``_TARGET_PARTITION_BYTES`` per sort partition. Floored at the session
+    shuffle width (small corpora keep the session plan — the r10 A/B showed
+    128 partitions costing 2.2x at sf1) and capped at 65536 (at that width
+    the job is scheduler-bound and a real cluster sizes executors instead)."""
+    total_chars = _footer_total_chars(df, text_col)
+    if total_chars is None:
+        total_chars = (
+            df.select(F.sum(F.length(text_col)).alias("c")).collect()[0]["c"] or 0
+        )
+    est_bytes = total_chars * (k + _ROW_OVERHEAD_BYTES)
+    width = max(
+        shuffle_width(df.sparkSession),
+        math.ceil(est_bytes / _TARGET_PARTITION_BYTES),
+    )
+    return min(width, 65536)
 
 
 def duplicated_kgram_positions(
@@ -51,6 +135,7 @@ def duplicated_kgram_positions(
     text_col: str = "text",
     k: int = 40,
     min_count: int = 2,
+    gram_partitions: int | None = None,
 ) -> DataFrame:
     """(id, pos) for every 1-based character position whose exact k-gram
     occurs >= ``min_count`` times corpus-wide (occurrences in the SAME
@@ -77,13 +162,30 @@ def duplicated_kgram_positions(
     broadcast threshold on any dedup-heavy corpus, and the resulting
     sort-merge join sorts BOTH sides plus pays a second explode pass —
     sf1 33.5 s vs 9.6 s, sf10 629 s vs 157 s, strictly worse at both
-    decades."""
+    decades.
+
+    The gram exchange SIZES ITSELF: its sort working set grows with
+    corpus characters, not rows, so a session-wide shuffle width sized
+    for ordinary tables hits a sort-spill cliff exactly when the corpus
+    outgrows it (the r10 sf10 finding: 157-632 s unstable at 32
+    partitions vs 197 s at 128). :func:`_gram_exchange_width` derives the
+    width from a sum-of-lengths probe; pass ``gram_partitions`` to pin it
+    explicitly (e.g. when the caller already knows the corpus size, or to
+    skip the probe's extra scan over a complex upstream plan)."""
     from .dedup import _spread
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    base = df.select(id_col, text_col).where(F.length(text_col) >= k)
+    width = (
+        gram_partitions
+        if gram_partitions is not None
+        else _gram_exchange_width(base, text_col, k)
+    )
+    if width < 1:
+        raise ValueError(f"gram_partitions must be >= 1, got {width}")
     grams = (
-        _spread(df.select(id_col, text_col).where(F.length(text_col) >= k))
+        _spread(base)
         .select(
             id_col,
             F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("pos"),
@@ -91,6 +193,12 @@ def duplicated_kgram_positions(
         )
         .select(id_col, "pos", F.expr(f"substring({text_col}, pos, {k})").alias("gram"))
     )
+    # the explicit repartition IS the window's exchange: hashpartitioning on
+    # the window's own partition expressions satisfies its required
+    # distribution, so EnsureRequirements adds only the sort — one exchange
+    # in the plan either way (asserted in tests/test_scale_plans.py), now at
+    # a data-derived width AQE won't coalesce away.
+    grams = grams.repartition(width, F.xxhash64("gram"), F.col("gram"))
     cnt = F.count(F.lit(1)).over(Window.partitionBy(F.xxhash64("gram"), F.col("gram")))
     return (
         grams.withColumn("_cnt", cnt)
@@ -105,6 +213,7 @@ def duplicated_spans(
     text_col: str = "text",
     k: int = 40,
     min_count: int = 2,
+    gram_partitions: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated character spans per document: overlapping/adjacent
     flagged k-windows merged by gaps-and-islands. Returns one row per span:
@@ -115,7 +224,9 @@ def duplicated_spans(
     before [p, p+k) begins); island ids are the running sum of start flags.
     Positions within a document are distinct, so the running sum's default
     RANGE frame equals ROWS — the SQL oracle relies on the same identity."""
-    dup = duplicated_kgram_positions(df, id_col, text_col, k, min_count)
+    dup = duplicated_kgram_positions(
+        df, id_col, text_col, k, min_count, gram_partitions
+    )
     by_doc = Window.partitionBy(id_col).orderBy("pos")
     start_flag = F.when(
         F.col("pos") > F.lag("pos").over(by_doc) + k, F.lit(1)
