@@ -145,9 +145,25 @@ def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
     )
     for _ in range(max_iterations):
         nbr = edges.join(labels, edges.dst == labels.node).select(
-            F.col("src").alias("node"), "label"
+            F.col("src").alias("node"), "label", F.lit(None).cast("boolean").alias("own")
         )
-        propagated = labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        # the convergence check rides the SAME aggregate: tagging the
+        # labels-side rows lets max(when(own, label)) recover each node's
+        # previous label alongside the new min — the old-vs-new diff then
+        # scans the checkpointed output instead of running a second
+        # node-keyed join job per round (measured A/B in PERF.md r11).
+        # Every node of nbr is in labels (both seed from edges.src), and
+        # each node appears in labels exactly once, so the max() IS the
+        # previous label.
+        propagated = (
+            labels.select("node", "label", F.lit(True).alias("own"))
+            .union(nbr)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("own"), F.col("label"))).alias("prev"),
+            )
+        )
         # pointer jumping: label <- label(label). Halves the remaining chain
         # length every round, so convergence is O(log diameter) instead of
         # O(diameter) — the difference between 7 and 10^6 rounds on an
@@ -158,15 +174,11 @@ def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
         )
         new_labels = (
             propagated.join(jump, "label", "left")
-            .select("node", F.coalesce("label2", "label").alias("label"))
+            .select("node", F.coalesce("label2", "label").alias("label"), "prev")
         ).localCheckpoint()  # truncate lineage: plans must not grow per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # scan-only job over the checkpointed partitions — no join, no shuffle
+        changed = new_labels.where(F.col("label") != F.col("prev")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             edges.unpersist()
             return labels.select("node", F.col("label").alias("cluster_id"))
