@@ -26,9 +26,11 @@ and merges apply left-to-right non-overlapping — so the merge table is a
 pure function of the word-frequency table, reproducible by any
 implementation. :func:`bpe_pair_stats` (merge round 1's candidate
 statistics) is fully SQL-expressible and carries the exact DuckDB
-oracle; the merge LOOP is the catalog's one documented rows-only entry
-(iterative algorithms are the driver contract's named exception) and is
-instead property-tested against an independent pure-Python reference.
+oracle; the merge LOOP's catalog entry fixes the budget at 15 merges,
+which makes even the sequential loop exactly SQL-replayable by
+UNROLLING (``_bpe_unrolled_sql`` — round 11; previously the catalog's
+one rows-only entry), and the unbounded loop is additionally
+property-tested against an independent pure-Python reference.
 
 No reference counterpart (fsql delegates all row-level compute,
 `/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension
@@ -268,15 +270,81 @@ LIMIT 20
 
 
 def q_bpe_learned_merges(spark: SparkSession, sf: str) -> DataFrame:
-    """The first 15 learned BPE merges over the corpus — the catalog's one
-    deliberately ORACLE-LESS entry: the merge loop is iterative (each
-    round's argmax feeds the next round's counts), the driver contract's
-    named rows-only exception. Correctness rests on the hypothesis
-    property test against an independent pure-Python BPE
-    (tests/test_property_ops.py) and on q_bpe_pair_stats, whose exact SQL
-    oracle pins round 1 of the identical arithmetic."""
+    """The first 15 learned BPE merges over the corpus. EXACT-oracled
+    since round 11: the fixed merge budget lets the sequential loop be
+    UNROLLED into 15 rounds of plain SQL (the unrolled-CTE PageRank
+    technique) — each round recomputes weighted adjacent-pair counts,
+    takes the deterministic argmax, and applies the merge with a
+    left-to-right non-overlapping string ``replace`` over a
+    separator-wrapped token-string word representation (see
+    ``_bpe_unrolled_sql``). The hypothesis property test against an
+    independent pure-Python BPE (tests/test_property_ops.py) remains as
+    the unbounded-budget check."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return bpe_learn_merges(docs, "text", num_merges=15)
+
+
+def _bpe_unrolled_sql(num_merges: int) -> str:
+    """DuckDB replay of :func:`bpe_learn_merges` for a FIXED merge budget.
+
+    Word representation: each word is a string with every token wrapped
+    in U+001F separators — ``hello`` starts as ``␟h␟␟e␟␟l␟␟l␟␟o␟``.
+    Merging pair (a, b) is then ``replace(ws, '␟a␟␟b␟', '␟ab␟')``:
+    SQL ``replace`` scans left-to-right and never rescans replaced
+    output, which is exactly BPE's non-overlapping apply rule (e.g.
+    tokens [a,a,a] under merge (a,a) -> [aa, a]); the separator wrapping
+    makes token-boundary collisions impossible (corpus text never
+    contains U+001F — ASCII control). The per-round argmax is
+    ``ORDER BY c DESC, l, r LIMIT 1``: DuckDB's default binary collation
+    compares UTF-8 bytes = code points, matching the Python loop's tuple
+    min. Every per-round CTE is MATERIALIZED: w{r+1} references w{r}
+    twice (directly and through b{r}), so inlined CTEs would expand into
+    a 2^rounds evaluation tree. If pairs run dry early, the empty argmax row empties every
+    later round, matching the Python loop's break."""
+    sep = "\\x1F"  # DuckDB string-literal escape for U+001F
+    rounds = []
+    for r in range(num_merges):
+        rounds.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT toks[CAST(s.i AS INTEGER)]     AS l,
+         toks[CAST(s.i AS INTEGER) + 1] AS r,
+         CAST(SUM(n) AS BIGINT)         AS c
+  FROM (SELECT n, string_split(trim(ws, e'{sep}'), e'{sep}{sep}') AS toks FROM w{r}),
+       unnest(generate_series(1, len(toks) - 1)) AS s(i)
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (SELECT l, r, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1),
+m{r} AS (
+  SELECT {r + 1} AS rank, l AS "left", r AS "right", l || r AS merged,
+         c AS pair_n
+  FROM b{r}
+),
+w{r + 1} AS MATERIALIZED (
+  SELECT n,
+         replace(ws, e'{sep}' || l || e'{sep}{sep}' || r || e'{sep}',
+                 e'{sep}' || l || r || e'{sep}') AS ws
+  FROM w{r}, b{r}
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{r}" for r in range(num_merges))
+    return f"""
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+w0 AS MATERIALIZED (
+  SELECT n,
+         e'{sep}' || array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> substr(word, CAST(i AS INTEGER), 1)),
+           e'{sep}{sep}') || e'{sep}' AS ws
+  FROM words
+),{",".join(rounds)}
+SELECT * FROM ({union}) ORDER BY rank
+"""
+
+
+Q_BPE_LEARNED_MERGES_SQL = _bpe_unrolled_sql(15)
 
 
 BPE_QUERIES = {
@@ -286,5 +354,5 @@ BPE_QUERIES = {
 
 BPE_ORACLES = {
     "q_bpe_pair_stats": Q_BPE_PAIR_STATS_SQL,
-    # q_bpe_learned_merges: intentionally absent — rows-only (iterative)
+    "q_bpe_learned_merges": Q_BPE_LEARNED_MERGES_SQL,
 }
