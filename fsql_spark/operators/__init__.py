@@ -253,6 +253,12 @@ from .sequence import (  # noqa: F401
     last_touch_attribution,
     transition_matrix,
 )
+from .dsir import (  # noqa: F401
+    DSIR_ORACLES,
+    DSIR_QUERIES,
+    dsir_logratio_scores,
+    gumbel_topk,
+)
 
 EXTENSION_QUERIES = {
     **TEXT_QUERIES,
@@ -281,6 +287,7 @@ EXTENSION_QUERIES = {
     **LABELPROP_QUERIES,
     **HTML_QUERIES,
     **SEQUENCE_QUERIES,
+    **DSIR_QUERIES,
 }
 
 EXTENSION_ORACLES = {
@@ -310,4 +317,5 @@ EXTENSION_ORACLES = {
     **LABELPROP_ORACLES,
     **HTML_ORACLES,
     **SEQUENCE_ORACLES,
+    **DSIR_ORACLES,
 }

@@ -1,0 +1,261 @@
+"""DSIR-style data selection: importance resampling on hashed-n-gram
+log-likelihood ratios (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling").
+
+The selection step a real pretraining pipeline runs over a 100 TB crawl:
+score every raw document by how much more likely its hashed n-gram bag
+is under the TARGET distribution (the data you want more of) than under
+the RAW distribution (the crawl you have), then sample toward the target
+with the ratio as the weight. This composes three operators the engine
+already has — hashed n-gram featurization (the md5 bucket trick every
+oracle-checked hash in this repo uses), smoothed count LMs
+(:mod:`~fsql_spark.operators.lm`'s exact-integer recipe), and
+deterministic weighted sampling (:mod:`~fsql_spark.operators.sampling`'s
+Efraimidis-Spirakis / Gumbel machinery) — into one pipeline entry.
+
+Exactly-oracle-able by construction: bucket counts are integers, the
+log-ratio is a fixed expression over them, the per-doc score is a sum,
+and the Gumbel resampling key derives from md5 — DuckDB replays every
+step (4dp rounding on the reported score absorbs the engines'
+sum-association ULP noise, the repo-wide convention).
+
+Scale posture (100 TB): two passes over the corpus text, the DSIR
+paper's own design. Pass 1 tokenizes and hashes every gram and
+map-side-combines straight down to the ``n_buckets``-sized count table
+(one shuffle of B-bounded partials; both models come from ONE aggregate
+— the target is a conditional count of the same stream). Pass 2
+re-hashes grams and joins the BROADCAST B-sized log-ratio table, then
+map-side-combines per-doc sums (one doc-keyed shuffle). The resample is
+TakeOrderedAndProject — no global sort. Nothing corpus-sized is ever
+collected or persisted.
+
+No reference counterpart (the reference delegates row-level compute,
+`/root/reference/src/fsql/deser.py:30-31`); driver-mandated extension
+surface (SURVEY §2.6, quality/mixing family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Default hashed-feature space: collisions are part of the method
+#: (feature hashing); the paper's quality is insensitive to B within
+#: 1e3-1e5. B bounds the model table, the broadcast, and pass 1's
+#: aggregate — the 100 TB knob.
+DSIR_BUCKETS = 4096
+
+
+def _gram_stream(df: DataFrame, text_col: str, n_buckets: int, *carry: str) -> DataFrame:
+    """(*carry, bucket) with one row per gram INSTANCE (unigrams + bigrams
+    of whitespace words, multiplicity preserved — the bag, not the set).
+    All JVM-side: word split, bigram join via the transform-over-index
+    technique (``sequence(1, 0)`` would be a DESCENDING [1, 0] — the
+    _word_shingles lesson — so short docs short-circuit to no bigrams),
+    and the md5 bucket hash DuckDB can recompute."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    base = df.select(*carry, words.alias("__ws"))
+    n = F.size("__ws")
+    bis = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at("__ws", i),
+                              F.element_at("__ws", (i + 1).cast("int"))),
+    )).otherwise(F.array().cast("array<string>"))
+    grams = base.select(*carry, F.explode(F.concat(F.col("__ws"), bis)).alias("__g"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    return grams.select(*carry, bucket.alias("__bucket"))
+
+
+def dsir_logratio_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(id, n_grams, llr): per-document importance score
+    ``llr = sum over gram instances of ln(p_target(b)) - ln(p_raw(b))``
+    under Laplace-smoothed hashed-n-gram models fit in the SAME pass —
+    ``p(b) = (count_b + 1) / (total + B)`` with exact integer counts, the
+    target model from the ``is_target`` rows, the raw model from ALL
+    rows (the paper's raw side; target docs are crawl members too).
+    Positive llr = the doc looks more like the target than like the
+    crawl average. Documents with no grams (empty text) are absent:
+    their bag carries no evidence, and a selection run drops them.
+
+    ``is_target`` is a boolean Column over ``df``'s columns (e.g.
+    ``F.col('lang') == 'en'``), so target membership rides the same
+    scan instead of forcing a second corpus input."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from .dedup import _spread
+
+    spark = df.sparkSession
+    tagged = _spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__tx"),
+                  is_target.cast("boolean").alias("__t"))
+    )
+
+    # ---- pass 1: both models from ONE B-bounded aggregate ----
+    g1 = _gram_stream(tagged, "__tx", n_buckets, "__t")
+    counts = (
+        g1.groupBy("__bucket")
+        .agg(
+            F.count(F.lit(1)).alias("r_n"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t_n"),
+        )
+        .persist()  # consumed by the totals action and the ratio table
+    )
+    tot = counts.agg(
+        F.sum("r_n").alias("r"), F.sum("t_n").alias("t")
+    ).collect()[0]
+    r_total, t_total = int(tot["r"] or 0), int(tot["t"] or 0)
+    if t_total == 0:
+        counts.unpersist()
+        raise ValueError("is_target selects no grams — empty target corpus")
+    # exact-integer counts -> one ln per side, the lm.py recipe; the
+    # B-sized ratio relation is materialized driver-side (it IS the model
+    # artifact) so the persist can be released and downstream plans
+    # broadcast a self-contained table with no lineage into the corpus.
+    ratio_rows = counts.select(
+        "__bucket",
+        (
+            F.log((F.col("t_n") + 1.0) / F.lit(float(t_total + n_buckets)))
+            - F.log((F.col("r_n") + 1.0) / F.lit(float(r_total + n_buckets)))
+        ).alias("__lr"),
+    ).collect()
+    counts.unpersist()
+    ratio = spark.createDataFrame(ratio_rows, "__bucket long, __lr double")
+
+    # ---- pass 2: per-doc sum over the broadcast ratio table ----
+    g2 = _gram_stream(tagged, "__tx", n_buckets, "__id")
+    return (
+        g2.join(F.broadcast(ratio), "__bucket")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__lr").alias("llr"),
+        )
+        .select(F.col("__id").alias(id_col), "n_grams", "llr")
+    )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    key_col: str,
+    logweight_col: str,
+    k: int,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k: sample ``k`` rows without replacement
+    with probability proportional to ``exp(logweight)`` — the
+    log-space twin of :func:`~fsql_spark.operators.sampling.
+    weighted_sample_topk` (Efraimidis-Spirakis), for weights that only
+    exist as logs (DSIR's llr can be very negative; exponentiating would
+    underflow). Key = ``logweight - ln(-ln(u))`` with ``u`` a
+    reproducible md5-derived uniform in (0, 1) — 52 mantissa bits of
+    ``md5(key || '-' || seed)``, shifted into the open interval so
+    neither ln is singular. Map-only scoring + TakeOrderedAndProject."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.conv(
+        F.substring(F.md5(F.concat_ws("-", F.col(key_col).cast("string"), F.lit(seed))), 1, 13),
+        16, 10,
+    ).cast("double")
+    u = (v + 0.5) / F.lit(float(1 << 52))  # (0, 1): both ln calls finite
+    gkey = F.col(logweight_col) - F.log(-F.log(u))
+    return (
+        df.withColumn("__gk", gkey)
+        .orderBy(F.desc("__gk"), F.col(key_col))
+        .limit(k)
+        .drop("__gk")
+    )
+
+
+# --------------------------------------------------------------------------
+# catalog entry + oracle
+# --------------------------------------------------------------------------
+
+_DSIR_K = 50
+_DSIR_B = DSIR_BUCKETS
+
+
+def q_dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling toward English: hashed unigram+bigram
+    models of the en subcorpus (target) vs the whole crawl (raw), per-doc
+    log-likelihood-ratio scores, and a 50-doc Gumbel resample proportional
+    to exp(llr) — the paper's selection step end-to-end. Reported:
+    (doc_id, lang, source, n_grams, llr 4dp), doc_id order."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    scores = dsir_logratio_scores(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=_DSIR_B
+    )
+    picked = gumbel_topk(scores, "doc_id", "llr", k=_DSIR_K)
+    return (
+        picked.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_grams",
+                F.round("llr", 4).alias("llr"))
+        .orderBy("doc_id")
+    )
+
+
+Q_DSIR_SELECTION_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS bucket
+  FROM (
+    SELECT doc_id, lang, unnest(ws) AS g
+    FROM (
+      SELECT doc_id, lang,
+             list_concat(
+               ws,
+               CASE WHEN len(ws) >= 2 THEN
+                 list_transform(generate_series(1, len(ws) - 1),
+                                i -> ws[CAST(i AS INTEGER)] || ' ' ||
+                                     ws[CAST(i AS INTEGER) + 1])
+               ELSE [] END) AS ws
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents)
+    )
+  )
+),
+counts AS MATERIALIZED (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS r_n,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_n
+  FROM grams GROUP BY bucket
+),
+tots AS (SELECT SUM(r_n) AS r_total, SUM(t_n) AS t_total FROM counts),
+ratio AS MATERIALIZED (
+  SELECT bucket,
+         LN((t_n + 1.0) / (t_total + {_DSIR_B}))
+         - LN((r_n + 1.0) / (r_total + {_DSIR_B})) AS lr
+  FROM counts, tots
+),
+scores AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         SUM(ratio.lr) AS llr
+  FROM grams g JOIN ratio ON g.bucket = ratio.bucket
+  GROUP BY g.doc_id
+),
+picked AS (
+  SELECT doc_id, n_grams, llr
+  FROM scores
+  ORDER BY llr - LN(-LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-42'), 1, 13))::BIGINT + 0.5)
+                        / 4503599627370496.0)) DESC,
+           doc_id
+  LIMIT {_DSIR_K}
+)
+SELECT p.doc_id, d.lang, d.source, p.n_grams, ROUND(p.llr, 4) AS llr
+FROM picked p JOIN documents d ON p.doc_id = d.doc_id
+ORDER BY p.doc_id
+"""
+
+
+DSIR_QUERIES = {"q_dsir_selection": q_dsir_selection}
+DSIR_ORACLES = {"q_dsir_selection": Q_DSIR_SELECTION_SQL}

@@ -2138,3 +2138,59 @@ def test_shuffle_width_tolerates_non_numeric_conf(spark):
         sparkContext=SimpleNamespace(defaultParallelism=7),
     )
     assert shuffle_width(auto) == 7
+
+
+def test_dsir_scores_and_gumbel_semantics(spark):
+    """DSIR log-ratio scores: docs made of target-only vocabulary score
+    higher than docs of raw-only vocabulary; empty target refuses; the
+    Gumbel resample is deterministic and without replacement."""
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.dsir import (
+        dsir_logratio_scores,
+        gumbel_topk,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["alpha beta alpha beta", "alpha beta gamma",
+                 "delta epsilon zeta", "delta zeta delta",
+                 "alpha beta", "epsilon delta"],
+        "lang": ["en", "en", "fr", "fr", "fr", "fr"],
+    }))
+    scores = dsir_logratio_scores(docs, "doc_id", "text",
+                                  F.col("lang") == "en", n_buckets=64)
+    got = {r["doc_id"]: r["llr"] for r in scores.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # doc 5 is pure target vocabulary, doc 3/4/6 pure non-target: the
+    # target model must prefer 5
+    assert got[5] > got[3] and got[5] > got[4] and got[5] > got[6]
+
+    picked = gumbel_topk(scores, "doc_id", "llr", k=3)
+    ids = [r["doc_id"] for r in picked.collect()]
+    assert len(ids) == len(set(ids)) == 3
+    # deterministic: same seed, same draw
+    again = [r["doc_id"] for r in gumbel_topk(scores, "doc_id", "llr", k=3).collect()]
+    assert sorted(ids) == sorted(again)
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dsir_logratio_scores(docs, "doc_id", "text", F.col("lang") == "en", n_buckets=1)
+    with _pytest.raises(ValueError, match="no grams"):
+        dsir_logratio_scores(docs, "doc_id", "text", F.lit(False)).collect()
+    with _pytest.raises(ValueError, match="k must be"):
+        gumbel_topk(scores, "doc_id", "llr", k=0)
+
+
+def test_dsir_selection_upsamples_target(spark):
+    """On the driver corpus, resampling toward lang='en' must pick en docs
+    at well above the corpus base rate — the method's whole point."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    base_rate = docs.where("lang = 'en'").count() / docs.count()
+    picked = e.queries()["q_dsir_selection"](spark, sf).collect()
+    en_rate = sum(1 for r in picked if r["lang"] == "en") / len(picked)
+    assert en_rate > base_rate * 1.5, (en_rate, base_rate)
