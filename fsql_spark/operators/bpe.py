@@ -339,20 +339,160 @@ w0 AS MATERIALIZED (
                           i -> substr(word, CAST(i AS INTEGER), 1)),
            e'{sep}{sep}') || e'{sep}' AS ws
   FROM words
-),{",".join(rounds)}
-SELECT * FROM ({union}) ORDER BY rank
+),{",".join(rounds)}"""
+
+
+Q_BPE_LEARNED_MERGES_SQL = (
+    _bpe_unrolled_sql(15)
+    + "\nSELECT * FROM ("
+    + "\nUNION ALL\n".join(f"SELECT * FROM m{r}" for r in range(15))
+    + ") ORDER BY rank\n"
+)
+
+
+# --------------------------------------------------------------------------
+# applying the learned merges back to the corpus (entry #193)
+# --------------------------------------------------------------------------
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus under a learned merge list: (id, n_words,
+    n_tokens, n_chars) per document with >= 1 word — the
+    fertility/compression report (chars-per-token = n_chars/n_tokens)
+    that tells a pipeline how a tokenizer fits its corpus. All-integer
+    output BY DESIGN: a rounded ratio sits on rounding-boundary values
+    where engines legally disagree (measured at sf0.001: 207/160 =
+    1.29375 rounds differently across round-half conventions), and the
+    exact integers carry strictly more information anyway. ``merges`` is
+    the ``(left, right)`` sequence in rank order (e.g. from
+    :func:`bpe_learn_merges` ``.collect()``).
+
+    Tokenization is a pure function of the WORD, so the expensive part —
+    the U+001F-wrapped token string pushed through a chain of ``replace``
+    expressions, one per merge (SQL replace IS BPE's left-to-right
+    non-overlapping apply rule, the identity the unrolled oracle rests
+    on) — runs on the DISTINCT word table, which is zipf-bounded
+    vocabulary metadata, not corpus (the same compression insight the
+    merge LEARNER rests on; the first formulation applied the chain per
+    word INSTANCE inside a transform lambda and the interpreted
+    higher-order eval paid 15 replace passes over every corpus character
+    — killed at sf10, rewrite recorded in PERF.md r11). The per-word
+    (n_tokens, n_chars) relation then broadcast-joins back onto the word
+    stream and map-side-combines per doc: one vocab aggregate + one
+    doc-keyed shuffle, both of compact integer rows. At vocabularies
+    beyond the broadcast threshold drop the hint and the planner falls
+    back to a shuffle join on the word key — still never quadratic."""
+    sep = "\x1f"
+    wrapped = F.concat(
+        F.lit(sep), F.array_join(F.split(F.col("word"), ""), sep + sep), F.lit(sep)
+    )
+    folded = wrapped
+    for left, right in merges:
+        folded = F.replace(
+            folded,
+            F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
+            F.lit(f"{sep}{left}{right}{sep}"),
+        )
+    stream = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        ).alias("word"),
+    )
+    tokmap = (
+        stream.select("word").distinct()
+        .withColumn("__s", folded)
+        .select(
+            "word",
+            (F.length("__s")
+             - F.length(F.replace(F.col("__s"), F.lit(sep + sep), F.lit(sep))) + 1)
+            .cast("long").alias("__tok"),
+            F.length("word").cast("long").alias("__chr"),
+        )
+    )
+    return (
+        stream.join(F.broadcast(tokmap), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__tok").alias("n_tokens"),
+            F.sum("__chr").alias("n_chars"),
+        )
+    )
+
+
+def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token counts under the corpus's own 15 learned BPE
+    merges — learn (driver loop over the zipf-bounded word table), then
+    apply distributedly (chained replace on the DISTINCT word table,
+    broadcast-joined back to the word stream):
+    (doc_id, n_words, n_tokens, n_chars) — exact integers only."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    learned = bpe_learn_merges(docs, "text", num_merges=15).orderBy("rank").collect()
+    merges = [(r["left"], r["right"]) for r in learned]
+    return bpe_apply_merges(docs, merges).orderBy("doc_id")
+
+
+def _bpe_apply_sql(num_merges: int) -> str:
+    """Oracle: replay the learn (shared unrolled rounds) AND the apply —
+    per-word wrapped strings pushed through the same ``replace`` chain,
+    one round per learned merge (``a{r}`` tables, MATERIALIZED like the
+    learn side), then per-doc aggregation of token/char counts."""
+    sep = "\\x1F"
+    parts = [f"""
+docwords AS MATERIALIZED (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+a0 AS MATERIALIZED (
+  SELECT doc_id,
+         e'{sep}' || array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> substr(word, CAST(i AS INTEGER), 1)),
+           e'{sep}{sep}') || e'{sep}' AS ws
+  FROM docwords
+)"""]
+    for r in range(num_merges):
+        parts.append(f"""
+a{r + 1} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(ws, e'{sep}' || l || e'{sep}{sep}' || r || e'{sep}',
+                 e'{sep}' || l || r || e'{sep}') AS ws
+  FROM a{r}, b{r}
+)""")
+    return (
+        _bpe_unrolled_sql(num_merges)
+        + ","
+        + ",".join(parts)
+        + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(ws) - length(replace(ws, e'{sep}{sep}', e'{sep}')) + 1) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(replace(ws, e'{sep}', ''))) AS BIGINT) AS n_chars
+FROM a{num_merges}
+GROUP BY doc_id
+ORDER BY doc_id
 """
+    )
 
 
-Q_BPE_LEARNED_MERGES_SQL = _bpe_unrolled_sql(15)
+Q_BPE_TOKEN_COUNTS_SQL = _bpe_apply_sql(15)
 
 
 BPE_QUERIES = {
     "q_bpe_pair_stats": q_bpe_pair_stats,
     "q_bpe_learned_merges": q_bpe_learned_merges,
+    "q_bpe_token_counts": q_bpe_token_counts,
 }
 
 BPE_ORACLES = {
     "q_bpe_pair_stats": Q_BPE_PAIR_STATS_SQL,
     "q_bpe_learned_merges": Q_BPE_LEARNED_MERGES_SQL,
+    "q_bpe_token_counts": Q_BPE_TOKEN_COUNTS_SQL,
 }

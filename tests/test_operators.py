@@ -2194,3 +2194,32 @@ def test_dsir_selection_upsamples_target(spark):
     picked = e.queries()["q_dsir_selection"](spark, sf).collect()
     en_rate = sum(1 for r in picked if r["lang"] == "en") / len(picked)
     assert en_rate > base_rate * 1.5, (en_rate, base_rate)
+
+
+def test_bpe_apply_merges_matches_python_tokenizer(spark):
+    """The chained-replace distributed apply equals the per-word Python
+    apply loop (same merge list, rank order, non-overlapping rule)."""
+    import pandas as pd
+
+    from fsql_spark.operators.bpe import _apply_merge, bpe_apply_merges
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the theme thesis", "aaa aa a", "", "th aaaa the"],
+    }))
+    merges = [("t", "h"), ("a", "a"), ("th", "e"), ("aa", "aa")]
+
+    def tokenize(word):
+        toks = list(word)
+        for left, right in merges:
+            toks = _apply_merge(toks, (left, right), left + right)
+        return toks
+
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+           for r in bpe_apply_merges(docs, merges).collect()}
+    want = {}
+    for doc_id, text in [(1, "the theme thesis"), (2, "aaa aa a"), (4, "th aaaa the")]:
+        ws = [w for w in text.split(" ") if w]
+        want[doc_id] = (len(ws), sum(len(tokenize(w)) for w in ws),
+                        sum(len(w) for w in ws))
+    assert got == want  # doc 3 (empty) absent from both
