@@ -69,6 +69,53 @@ def _gram_stream(df: DataFrame, text_col: str, n_buckets: int, *carry: str) -> D
     return grams.select(*carry, bucket.alias("__bucket"))
 
 
+def dsir_fit(
+    df: DataFrame,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = DSIR_BUCKETS,
+) -> list:
+    """Fit the DSIR log-ratio model: the B-sized ``(bucket, lr)`` rows —
+    the shipped artifact — from ONE bucket-bounded aggregate over the
+    corpus gram stream (raw counts and target counts ride the same pass;
+    exact integers feed one ``ln`` per side, the lm.py recipe). Collected
+    driver-side by design: it is model metadata, bounded by ``n_buckets``,
+    and both the batch scorer (broadcast relation) and the streaming
+    stateless scorer (kernel closure) consume it."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from .dedup import _spread
+
+    tagged = _spread(
+        df.select(F.col(text_col).alias("__tx"), is_target.cast("boolean").alias("__t"))
+    )
+    g1 = _gram_stream(tagged, "__tx", n_buckets, "__t")
+    counts = (
+        g1.groupBy("__bucket")
+        .agg(
+            F.count(F.lit(1)).alias("r_n"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t_n"),
+        )
+        .persist()  # consumed by the totals action and the ratio projection
+    )
+    try:
+        tot = counts.agg(
+            F.sum("r_n").alias("r"), F.sum("t_n").alias("t")
+        ).collect()[0]
+        r_total, t_total = int(tot["r"] or 0), int(tot["t"] or 0)
+        if t_total == 0:
+            raise ValueError("is_target selects no grams — empty target corpus")
+        return counts.select(
+            "__bucket",
+            (
+                F.log((F.col("t_n") + 1.0) / F.lit(float(t_total + n_buckets)))
+                - F.log((F.col("r_n") + 1.0) / F.lit(float(r_total + n_buckets)))
+            ).alias("__lr"),
+        ).collect()
+    finally:
+        counts.unpersist()
+
+
 def dsir_logratio_scores(
     df: DataFrame,
     id_col: str,
@@ -89,48 +136,19 @@ def dsir_logratio_scores(
     ``is_target`` is a boolean Column over ``df``'s columns (e.g.
     ``F.col('lang') == 'en'``), so target membership rides the same
     scan instead of forcing a second corpus input."""
-    if n_buckets < 2:
-        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     from .dedup import _spread
 
     spark = df.sparkSession
-    tagged = _spread(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__tx"),
-                  is_target.cast("boolean").alias("__t"))
-    )
-
-    # ---- pass 1: both models from ONE B-bounded aggregate ----
-    g1 = _gram_stream(tagged, "__tx", n_buckets, "__t")
-    counts = (
-        g1.groupBy("__bucket")
-        .agg(
-            F.count(F.lit(1)).alias("r_n"),
-            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t_n"),
-        )
-        .persist()  # consumed by the totals action and the ratio table
-    )
-    tot = counts.agg(
-        F.sum("r_n").alias("r"), F.sum("t_n").alias("t")
-    ).collect()[0]
-    r_total, t_total = int(tot["r"] or 0), int(tot["t"] or 0)
-    if t_total == 0:
-        counts.unpersist()
-        raise ValueError("is_target selects no grams — empty target corpus")
-    # exact-integer counts -> one ln per side, the lm.py recipe; the
-    # B-sized ratio relation is materialized driver-side (it IS the model
-    # artifact) so the persist can be released and downstream plans
-    # broadcast a self-contained table with no lineage into the corpus.
-    ratio_rows = counts.select(
-        "__bucket",
-        (
-            F.log((F.col("t_n") + 1.0) / F.lit(float(t_total + n_buckets)))
-            - F.log((F.col("r_n") + 1.0) / F.lit(float(r_total + n_buckets)))
-        ).alias("__lr"),
-    ).collect()
-    counts.unpersist()
+    # pass 1 (inside dsir_fit): both models from ONE B-bounded aggregate,
+    # materialized driver-side as the model artifact — downstream plans
+    # broadcast a self-contained relation with no lineage into the corpus
+    ratio_rows = dsir_fit(df, text_col, is_target, n_buckets)
     ratio = spark.createDataFrame(ratio_rows, "__bucket long, __lr double")
 
     # ---- pass 2: per-doc sum over the broadcast ratio table ----
+    tagged = _spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__tx"))
+    )
     g2 = _gram_stream(tagged, "__tx", n_buckets, "__id")
     return (
         g2.join(F.broadcast(ratio), "__bucket")
@@ -141,6 +159,67 @@ def dsir_logratio_scores(
         )
         .select(F.col("__id").alias(id_col), "n_grams", "llr")
     )
+
+
+def dsir_score_stateless(
+    df: DataFrame,
+    ratio_rows: list,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """STATELESS per-document DSIR scoring: the B-sized log-ratio model
+    (from :func:`dsir_fit`) rides as a numpy array in the kernel closure,
+    each document hashes its own grams and sums ratios row-locally inside
+    one Arrow batch — no join, no aggregation state — so the same code
+    runs unmodified on a readStream (crawl-time selection scoring), the
+    :func:`~fsql_spark.operators.lm.doc_cross_entropy_stateless` posture.
+    Gram hashing replicates the JVM/oracle definition exactly
+    (``md5(gram)[:8]`` as int mod B — md5 is md5 in any engine).
+    Zero-gram documents emit no row, matching the batch scorer."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    lr = np.zeros(n_buckets, dtype=np.float64)
+    for row in ratio_rows:
+        lr[int(row["__bucket"])] = float(row["__lr"])
+
+    src = df.select(id_col, text_col, *carry_cols)
+    schema = StructType(
+        [src.schema[id_col]]
+        + [src.schema[c] for c in carry_cols]
+        + [
+            StructField("n_grams", LongType()),
+            StructField("llr", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import hashlib
+
+        def bucket(g: str) -> int:
+            return int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+        for pdf in batches:
+            rows = []
+            carries = [pdf[c] for c in carry_cols]
+            for key, text, *extra in zip(pdf[id_col], pdf[text_col], *carries):
+                words = [w for w in (text or "").split(" ") if w]
+                if not words:
+                    continue
+                grams = words + [
+                    f"{a} {b}" for a, b in zip(words, words[1:])
+                ]
+                total = float(sum(lr[bucket(g)] for g in grams))
+                rows.append((key, *extra, len(grams), total))
+            yield pd.DataFrame(
+                rows, columns=[id_col, *carry_cols, "n_grams", "llr"]
+            )
+
+    return src.mapInPandas(run, schema=schema)
 
 
 def gumbel_topk(
@@ -202,8 +281,10 @@ def q_dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q_DSIR_SELECTION_SQL = f"""
-WITH grams AS (
+# shared model+scoring CTEs (one SQL definition of the DSIR arithmetic —
+# a bucket-count or smoothing change cannot drift between the batch
+# selection oracle and the streaming twin's oracle)
+_DSIR_SCORES_CTE = f"""grams AS (
   SELECT doc_id, lang,
          ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS bucket
   FROM (
@@ -242,7 +323,11 @@ scores AS (
          SUM(ratio.lr) AS llr
   FROM grams g JOIN ratio ON g.bucket = ratio.bucket
   GROUP BY g.doc_id
-),
+)"""
+
+
+Q_DSIR_SELECTION_SQL = f"""
+WITH {_DSIR_SCORES_CTE},
 picked AS (
   SELECT doc_id, n_grams, llr
   FROM scores

@@ -1091,8 +1091,53 @@ ORDER BY type, next_type
 """
 
 
+def q_stream_dsir_score(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR selection scoring AT CRAWL INGEST: the hashed-n-gram log-ratio
+    model is fit offline on the batch corpus (``dsir_fit`` — the shipped
+    B-sized artifact), then every arriving document hashes its own grams
+    and sums ratios ROW-LOCALLY via the stateless kernel scorer — no join,
+    no aggregation state, no watermark; the array-sized model rides in the
+    closure. The streaming face of entry #192: a real crawl scores docs as
+    they arrive and resamples downstream in batch. Audit: per-lang doc
+    counts + mean llr over the appended output, replayed exactly by the
+    shared model/scoring CTEs."""
+    from ..operators.dsir import DSIR_BUCKETS, dsir_fit, dsir_score_stateless
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ratio_rows = dsir_fit(docs, "text", F.col("lang") == "en", DSIR_BUCKETS)
+    scored = dsir_score_stateless(
+        documents_stream(spark, sf), ratio_rows, DSIR_BUCKETS, carry_cols=("lang",)
+    )
+    out = run_to_memory(scored.select("lang", "llr"), mode="append")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("llr"), 4).alias("avg_llr"),
+        )
+        .orderBy("lang")
+    )
+
+
+from ..operators.dsir import _DSIR_SCORES_CTE  # noqa: E402
+
+# composes the SHARED model/scoring CTEs (one SQL definition of the DSIR
+# arithmetic — a bucket-count or smoothing change cannot drift between the
+# batch selection oracle and this twin)
+Q_STREAM_DSIR_SQL = f"""
+WITH {_DSIR_SCORES_CTE}
+SELECT d.lang,
+       COUNT(*)             AS n_docs,
+       ROUND(AVG(s.llr), 4) AS avg_llr
+FROM scores s JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 STREAMING_QUERIES = {
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_dsir_score": q_stream_dsir_score,
     "q_stream_markov": q_stream_markov,
     "q_stream_attribution": q_stream_attribution,
     "q_stream_hourly": q_stream_hourly,
@@ -1114,6 +1159,7 @@ STREAMING_QUERIES = {
 
 STREAMING_ORACLES = {
     "q_stream_dedup": Q_STREAM_DEDUP_SQL,
+    "q_stream_dsir_score": Q_STREAM_DSIR_SQL,
     "q_stream_markov": Q_STREAM_MARKOV_SQL,
     "q_stream_attribution": Q_STREAM_ATTRIBUTION_SQL,
     "q_stream_join": Q_STREAM_JOIN_SQL,

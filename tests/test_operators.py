@@ -2223,3 +2223,31 @@ def test_bpe_apply_merges_matches_python_tokenizer(spark):
         want[doc_id] = (len(ws), sum(len(tokenize(w)) for w in ws),
                         sum(len(w) for w in ws))
     assert got == want  # doc 3 (empty) absent from both
+
+
+def test_dsir_stateless_equals_batch_scorer(spark):
+    """The closure-model kernel scorer (streaming face) must produce the
+    SAME per-doc (n_grams, llr) as the batch broadcast-join scorer — the
+    batch/stream unification contract for entry #192."""
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.dsir import (
+        dsir_fit,
+        dsir_logratio_scores,
+        dsir_score_stateless,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = {
+        r["doc_id"]: (r["n_grams"], round(r["llr"], 9))
+        for r in dsir_logratio_scores(
+            docs, "doc_id", "text", F.col("lang") == "en", n_buckets=256
+        ).collect()
+    }
+    rows = dsir_fit(docs, "text", F.col("lang") == "en", n_buckets=256)
+    stateless = {
+        r["doc_id"]: (r["n_grams"], round(r["llr"], 9))
+        for r in dsir_score_stateless(docs, rows, n_buckets=256).collect()
+    }
+    assert batch == stateless
