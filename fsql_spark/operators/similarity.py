@@ -1223,8 +1223,115 @@ FROM assign a LEFT JOIN dropped d ON d.kb = a.vec_id
 """
 
 
+def hard_negative_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE data
+    prep step): for each anchor, the ``k`` most-cosine-similar corpus
+    vectors whose LABEL DIFFERS — the negatives that sit closest to the
+    decision boundary and teach an embedding model the most. Exact
+    brute-force formulation (the same blocked-GEMM kernel posture as
+    :func:`brute_force_topk`: corpus streams through Arrow batches, ONE
+    BLAS matmul per batch against the broadcast anchor matrix; each batch
+    emits its local label-masked top-k, a subset of which is the global
+    top-k under the same total order, finalized by one small window).
+    Scale path: swap the corpus stream for :func:`ivf_ann_topk`'s probed
+    cells and apply the same label mask — negatives are near the anchor
+    by construction, exactly where IVF probes."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = queries.select(key_col, vec_col, label_col).collect()
+    q_keys = np.array([r[key_col] for r in rows], dtype=np.int64)
+    q_labels = np.array([r[label_col] for r in rows], dtype=np.int64)
+    q_mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+
+    schema = StructType(
+        [
+            StructField("anchor_id", LongType()),
+            StructField("negative_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ q_mat.T
+            n_ids = pdf[key_col].to_numpy()
+            n_labels = pdf[label_col].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j in range(sims.shape[1]):
+                cand = np.nonzero(n_labels != q_labels[j])[0]
+                if not len(cand):
+                    continue
+                col = sims[cand, j]
+                order = np.argsort(-col, kind="stable")[:k]
+                top = cand[order]
+                out_q.extend([q_keys[j]] * len(top))
+                out_n.extend(n_ids[top])
+                out_c.extend(sims[top, j])
+            yield pd.DataFrame({"anchor_id": out_q, "negative_id": out_n, "cos": out_c})
+
+    scored = vectors.select(key_col, vec_col, label_col).mapInPandas(kernel, schema)
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "rank")
+    )
+
+
+def q_embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 hard negatives (highest-cosine DIFFERENT-label vectors) for
+    each of the first 20 anchors — the contrastive-training mining step,
+    exact-brute oracle."""
+    emb = _emb(spark, sf)
+    qs = emb.where(F.col("vec_id") < 20)
+    return hard_negative_topk(emb, qs, "vec_id", "embedding", "label", k=3)
+
+
+Q_EMB_HARD_NEG_SQL = """
+WITH ex AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id, SUM(a.v * b.v) AS d
+  FROM ex a JOIN ex b ON a.i = b.i AND b.label != a.label
+  WHERE a.vec_id < 20
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT anchor_id, negative_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY d / (na.nrm * nb.nrm) DESC, negative_id ASC) AS INTEGER) AS rank
+  FROM dots
+  JOIN norms na ON anchor_id = na.vec_id
+  JOIN norms nb ON negative_id = nb.vec_id
+)
+SELECT anchor_id, negative_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
 SIMILARITY_QUERIES = {
     "q_semantic_dedup": q_semantic_dedup,
+    "q_embedding_hard_negatives": q_embedding_hard_negatives,
 
     "q_embedding_similar_pairs": q_embedding_similar_pairs,
     "q_embedding_knn": q_embedding_knn,
@@ -1241,6 +1348,7 @@ SIMILARITY_ORACLES = {
     "q_semantic_dedup": Q_SEMANTIC_DEDUP_SQL,  # full SemDeDup replica
     "q_embedding_similar_pairs": Q_EMB_PAIRS_SQL,
     "q_embedding_knn": Q_EMB_KNN_SQL,
+    "q_embedding_hard_negatives": Q_EMB_HARD_NEG_SQL,
     # the LSH entries' twins REPLICATE the approximate pipeline exactly in
     # SQL (inlined seeded plane matrix) — sub-recall-1 is no obstacle to a
     # value-level oracle because the pipeline is deterministic end-to-end

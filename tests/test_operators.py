@@ -2251,3 +2251,39 @@ def test_dsir_stateless_equals_batch_scorer(spark):
         for r in dsir_score_stateless(docs, rows, n_buckets=256).collect()
     }
     assert batch == stateless
+
+
+def test_hard_negative_topk_matches_numpy(spark):
+    """Label-masked brute-force mining equals a full numpy reference:
+    same-label vectors never appear, ranks follow (cosine desc, id asc)."""
+    import numpy as np
+    import pandas as pd
+
+    from fsql_spark.operators.similarity import hard_negative_topk
+
+    rng = [(i, [float(((i * 37 + d * 11) % 19) - 9) for d in range(8)], i % 3)
+           for i in range(40)]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rng],
+                      "embedding": [r[1] for r in rng],
+                      "label": [r[2] for r in rng]})
+    )
+    got = {(r["anchor_id"], r["rank"]): r["negative_id"]
+           for r in hard_negative_topk(emb, emb.where("vec_id < 5"),
+                                       "vec_id", "embedding", "label", k=4).collect()}
+
+    mat = np.array([r[1] for r in rng], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    labels = np.array([r[2] for r in rng])
+    want = {}
+    for a in range(5):
+        cand = [(float(-(mat[a] @ mat[b])), b) for b in range(40) if labels[b] != labels[a]]
+        cand.sort()
+        for rank, (_, b) in enumerate(cand[:4], 1):
+            want[(a, rank)] = b
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        hard_negative_topk(emb, emb, "vec_id", "embedding", "label", k=0)
