@@ -476,11 +476,15 @@ def ivf_ann_topk(
     n_probe: int = 4,
     seed: int = 42,
     iterations: int = 2,
+    _label_mask: tuple = (),
 ) -> DataFrame:
     """IVF approximate top-k: queries probe their ``n_probe`` nearest
     centroids; exact cosine runs only within the probed inverted lists
     (candidates ~ corpus * n_probe / n_centroids instead of the full cross
-    product)."""
+    product). ``_label_mask=(label_col,)`` (internal, used by
+    :func:`hard_negative_topk_ivf`) drops same-label candidates BEFORE
+    ranking: the query side carries its label in the probe relation and
+    the neighbor label joins onto the bounded candidate stream."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -503,11 +507,21 @@ def ivf_ann_topk(
     _probe.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     probe_udf = pandas_udf(_probe, ArrayType(IntegerType()))
 
-    qs = queries.select(F.col(key_col).alias("query_id"), _as_double(vec_col).alias("q"))
+    q_cols = [F.col(key_col).alias("query_id"), _as_double(vec_col).alias("q")]
+    if _label_mask:
+        q_cols.append(F.col(_label_mask[0]).alias("__ql"))
+    qs = queries.select(*q_cols)
     probed = qs.withColumn("centroid_id", F.explode(probe_udf(F.col("q"))))
     cands = probed.join(
         assigned.withColumnRenamed("k", "neighbor_id"), "centroid_id"
     ).where(F.col("query_id") != F.col("neighbor_id"))
+    if _label_mask:
+        nlabels = vectors.select(
+            F.col(key_col).alias("neighbor_id"), F.col(_label_mask[0]).alias("__nl")
+        )
+        cands = cands.join(nlabels, "neighbor_id").where(
+            F.col("__nl") != F.col("__ql")
+        ).drop("__nl", "__ql")
     scored = cands.withColumn(
         "cos", F.round(cosine(F.col("q"), F.col("v")), 4)
     ).dropDuplicates(["query_id", "neighbor_id"])
@@ -1292,6 +1306,43 @@ def hard_negative_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("anchor_id", "negative_id", "rank")
+    )
+
+
+def hard_negative_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    iterations: int = 2,
+) -> DataFrame:
+    """The SCALE path for hard-negative mining: IVF-probed candidates with
+    the label mask applied declaratively on the candidate stream — each
+    anchor scores only its ``n_probe`` inverted lists (~corpus *
+    n_probe / n_centroids candidates), which is exactly where hard
+    negatives live (they are near the anchor by construction). Same
+    ranked-output contract as :func:`ivf_ann_topk` (rounded-cosine total
+    order); with ``n_probe == n_centroids`` the candidate set is the full
+    corpus and the result is exact. The per-anchor label rides the
+    broadcast query side; the neighbor label joins onto the BOUNDED
+    candidate stream, never the full corpus cross product."""
+    out = ivf_ann_topk(
+        vectors, queries, key_col, vec_col,
+        # over-fetch: the mask drops same-label candidates AFTER ranking
+        # would otherwise have cut them — rank on the masked stream instead
+        k=k, n_centroids=n_centroids, n_probe=n_probe, seed=seed,
+        iterations=iterations, _label_mask=(label_col,),
+    )
+    return out.select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("negative_id"),
+        "rank",
+        "cos",
     )
 
 

@@ -2287,3 +2287,38 @@ def test_hard_negative_topk_matches_numpy(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         hard_negative_topk(emb, emb, "vec_id", "embedding", "label", k=0)
+
+
+def test_hard_negative_ivf_full_probe_matches_brute(spark):
+    """The IVF scale path at FULL probe (candidate set = whole corpus) must
+    return the same (anchor, negative) assignments as the exact brute
+    kernel, and never leak a same-label candidate at partial probe."""
+    import pandas as pd
+
+    from fsql_spark.operators.similarity import (
+        hard_negative_topk,
+        hard_negative_topk_ivf,
+    )
+
+    rng = [(i, [float(((i * 37 + d * 11) % 19) - 9) for d in range(8)], i % 3)
+           for i in range(60)]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rng],
+                      "embedding": [r[1] for r in rng],
+                      "label": [r[2] for r in rng]})
+    )
+    anchors = emb.where("vec_id < 4")
+    brute = {(r["anchor_id"], r["rank"]): r["negative_id"]
+             for r in hard_negative_topk(emb, anchors, "vec_id", "embedding",
+                                         "label", k=3).collect()}
+    full = hard_negative_topk_ivf(emb, anchors, "vec_id", "embedding", "label",
+                                  k=3, n_centroids=4, n_probe=4).collect()
+    ivf = {(r["anchor_id"], r["rank"]): r["negative_id"] for r in full}
+    assert ivf == brute
+
+    partial = hard_negative_topk_ivf(emb, anchors, "vec_id", "embedding", "label",
+                                     k=3, n_centroids=4, n_probe=2).collect()
+    labels = {r[0]: r[2] for r in rng}
+    assert partial and all(
+        labels[r["negative_id"]] != labels[r["anchor_id"]] for r in partial
+    )
