@@ -485,6 +485,72 @@ ORDER BY doc_id
 Q_BPE_TOKEN_COUNTS_SQL = _bpe_apply_sql(15)
 
 
+#: bump when the merge-loop definition (tokenization, tie-break, apply
+#: rule) changes: an old persisted merge table applied to newly-learned
+#: conventions would silently tokenize differently
+_BPE_FORMAT = 1
+_BPE_META_COLS = ["__n_merges", "__bpe_fmt"]
+
+
+def write_bpe_merges(merges: DataFrame, url: str) -> None:
+    """Materialize a learned merge table — the shipped tokenizer artifact
+    of the learn-once / tokenize-every-batch lifecycle (the
+    write_unigram_model posture): format version + merge count ride as
+    constant columns, validated on read so a stale or appended-to
+    artifact refuses loudly instead of silently mis-tokenizing."""
+    from ..api import write_table
+
+    rows = merges.count()
+    if rows == 0:
+        raise ValueError("merge table is empty — nothing to persist")
+    out = (
+        merges.withColumn("__n_merges", F.lit(int(rows)))
+        .withColumn("__bpe_fmt", F.lit(_BPE_FORMAT))
+    )
+    write_table(out, url)
+
+
+def read_bpe_merges(spark: SparkSession, url: str) -> list:
+    """Load a persisted merge table as the rank-ordered ``(left, right)``
+    list :func:`bpe_apply_merges` consumes. Refuses missing metadata,
+    mixed configs, format drift, and row-count mismatches (an append with
+    the same config would re-apply merges out of order)."""
+    from ..fs import get_url_and_fs
+
+    path, fs = get_url_and_fs(url)
+    df = spark.read.parquet(fs.spark_url(path))
+    missing = [c for c in _BPE_META_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"merge table at {url} lacks metadata column(s) {missing} — "
+            f"rebuild with write_bpe_merges (current format v{_BPE_FORMAT})"
+        )
+    configs = [tuple(r) for r in df.select(*_BPE_META_COLS).distinct().limit(3).collect()]
+    if len(configs) != 1:
+        raise ValueError(
+            f"merge table at {url} contains MIXED configs {configs} — "
+            "it was appended to under different settings; rebuild it"
+        )
+    n_merges, fmt = configs[0]
+    if fmt != _BPE_FORMAT:
+        raise ValueError(
+            f"merge table at {url} is format v{fmt}, this engine expects "
+            f"v{_BPE_FORMAT} (merge-loop conventions changed) — rebuild it"
+        )
+    rows = df.select("rank", "left", "right").orderBy("rank").collect()
+    if len(rows) != int(n_merges):
+        raise ValueError(
+            f"merge table at {url} has {len(rows)} rows but records "
+            f"__n_merges={int(n_merges)} — it was appended to; rebuild it"
+        )
+    if [r["rank"] for r in rows] != list(range(1, len(rows) + 1)):
+        raise ValueError(
+            f"merge table at {url} has non-contiguous ranks — merges apply "
+            "in rank order and a gap means a corrupted artifact; rebuild it"
+        )
+    return [(r["left"], r["right"]) for r in rows]
+
+
 BPE_QUERIES = {
     "q_bpe_pair_stats": q_bpe_pair_stats,
     "q_bpe_learned_merges": q_bpe_learned_merges,

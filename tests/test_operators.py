@@ -2322,3 +2322,79 @@ def test_hard_negative_ivf_full_probe_matches_brute(spark):
     assert partial and all(
         labels[r["negative_id"]] != labels[r["anchor_id"]] for r in partial
     )
+
+
+def test_bpe_merges_write_read_roundtrip(spark, tmp_path):
+    """The persisted merge table (the shipped tokenizer artifact) round
+    trips exactly, and the reader refuses empty/tampered/appended forms."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from fsql_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+        read_bpe_merges,
+        write_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["the theme thesis the", "aaa the aa the"],
+    }))
+    learned = bpe_learn_merges(docs, num_merges=4)
+    url = str(tmp_path / "merges.parquet")
+    write_bpe_merges(learned, url)
+    merges = read_bpe_merges(spark, url)
+    want = [(r["left"], r["right"]) for r in learned.orderBy("rank").collect()]
+    assert merges == want
+
+    # the round-tripped artifact drives the apply identically
+    a = {r["doc_id"]: (r["n_tokens"], r["n_chars"])
+         for r in bpe_apply_merges(docs, merges).collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["n_chars"])
+         for r in bpe_apply_merges(docs, want).collect()}
+    assert a == b
+
+    with _pytest.raises(ValueError, match="empty"):
+        write_bpe_merges(learned.where("rank > 99"), str(tmp_path / "e.parquet"))
+
+    # append with the same config -> row-count mismatch refusal
+    from fsql_spark.api import write_table
+    extra = learned.limit(1).withColumn("__n_merges", F.lit(4)).withColumn("__bpe_fmt", F.lit(1))
+    write_table(extra, url, mode="append")
+    with _pytest.raises(ValueError, match="appended"):
+        read_bpe_merges(spark, url)
+
+
+def test_spans_footer_probe_fallbacks(spark, tmp_path):
+    """_footer_total_chars: exact-grade estimate on a bare local parquet
+    scan; None (-> exact-scan fallback) on in-memory inputs and on plans
+    containing shuffling operators; the width formula floors at the
+    session shuffle width either way."""
+    import pandas as pd
+
+    from fsql_spark.operators.spans import (
+        _footer_total_chars,
+        _gram_exchange_width,
+    )
+    from fsql_spark.session import shuffle_width
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["ab" * 30, "xyz" * 10, "q" * 7]})
+    path = str(tmp_path / "d.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    scan = spark.read.parquet(path).select("doc_id", "text")
+    truth = int(pdf["text"].str.len().sum())
+    est = _footer_total_chars(scan, "text")
+    # page/dictionary framing dominates a 3-row file (~90 bytes); it
+    # amortizes at corpus scale (measured ratio 1.000 at sf1/sf10 —
+    # PERF.md r11), so the tiny-file contract is order-of-magnitude only
+    assert est is not None and truth <= est <= truth + 256
+
+    mem = spark.createDataFrame(pdf)
+    assert _footer_total_chars(mem, "text") is None  # no input files
+    agg = scan.groupBy("doc_id").agg(F.first("text").alias("text"))
+    assert _footer_total_chars(agg, "text") is None  # shuffling plan
+    assert _footer_total_chars(scan, "nope") is None  # missing column
+
+    # tiny corpus floors at the session width on BOTH probe paths
+    assert _gram_exchange_width(scan, "text", 40) == shuffle_width(spark)
+    assert _gram_exchange_width(mem, "text", 40) == shuffle_width(spark)
