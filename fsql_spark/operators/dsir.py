@@ -281,9 +281,16 @@ def q_dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# shared model+scoring CTEs (one SQL definition of the DSIR arithmetic —
-# a bucket-count or smoothing change cannot drift between the batch
-# selection oracle and the streaming twin's oracle)
+def _dsir_scores_cte(src: str = "documents") -> str:
+    """The shared model+scoring CTEs over relation ``src`` (one SQL
+    definition of the DSIR arithmetic — a bucket-count or smoothing change
+    cannot drift between the batch selection oracle, the streaming twin,
+    and any pipeline composition that fits the model on a FILTERED
+    corpus). ``src`` must expose (doc_id, lang, text)."""
+    return _DSIR_SCORES_CTE.replace("FROM documents)", f"FROM {src})")
+
+
+# the default instance over the raw documents table
 _DSIR_SCORES_CTE = f"""grams AS (
   SELECT doc_id, lang,
          ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS bucket

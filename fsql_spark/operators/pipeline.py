@@ -198,11 +198,106 @@ GROUP BY 1, 2
 """
 
 
+def build_corpus_dsir_selected(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    target=None,
+    n_select: int = 100,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The selection-era recipe composed end-to-end: Gopher rule gate ->
+    exact dedup -> DSIR importance resample toward the target distribution
+    (Gumbel-top-``n_select`` on hashed-n-gram log-likelihood ratios) — the
+    chain a 2024+ pretraining corpus build actually runs, with the DSIR
+    model fitted on the GATED+DEDUPED corpus (garbage filtered before it
+    can distort the raw-side model, the paper's own ordering).
+
+    Exchange audit: rules are map-only; dedup is the one content-hash
+    shuffle; the DSIR fit is a bucket-bounded aggregate over the deduped
+    stream; scoring joins a broadcast B-sized ratio table and combines
+    per-doc map-side; the resample is TakeOrderedAndProject. Nothing
+    corpus-sized is collected."""
+    from .dsir import DSIR_BUCKETS, dsir_logratio_scores, gumbel_topk
+    from .text import quality_filter
+
+    if target is None:
+        target = F.col("lang") == "en"
+    gated = (
+        quality_filter(docs, text_col)
+        .where(F.col("passes"))
+        .drop("r_word_count", "r_word_len", "r_stopword", "r_repetition", "passes")
+    )
+    d = dedup_exact(gated, [text_col], key_col)
+    scores = dsir_logratio_scores(
+        d, key_col, text_col, target, n_buckets=n_buckets or DSIR_BUCKETS
+    )
+    picked = gumbel_topk(scores, key_col, "llr", k=n_select)
+    return picked.join(d, key_col)
+
+
+def q_corpus_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate -> dedup -> DSIR-select-100-toward-English, audited per
+    (lang, source): selected doc counts + characters. One oracle replays
+    the whole chain including the model fit on the gated+deduped set."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = build_corpus_dsir_selected(docs)
+    return (
+        out.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+from .dsir import _dsir_scores_cte  # noqa: E402
+
+Q_CORPUS_PIPELINE_V3_SQL = f"""
+WITH rl AS (
+  SELECT *, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+rules AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         len(l) BETWEEN 20 AND 90
+           AND COALESCE(list_sum(list_transform(l, x -> LENGTH(x))), 0) * 1.0
+                 / GREATEST(len(l), 1) BETWEEN 2.5 AND 7.0
+           AND (list_contains(l, 'a') OR list_contains(l, 'the'))
+           AND len(list_distinct(l)) * 1.0 / GREATEST(len(l), 1) >= 0.3 AS passes
+  FROM rl
+),
+gatedsrc AS MATERIALIZED (
+  SELECT doc_id, text, lang, source, n_chars FROM rules
+  WHERE passes
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+{_dsir_scores_cte("gatedsrc")},
+picked AS (
+  SELECT doc_id
+  FROM scores
+  ORDER BY llr - LN(-LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-42'), 1, 13))::BIGINT + 0.5)
+                        / 4503599627370496.0)) DESC,
+           doc_id
+  LIMIT 100
+)
+SELECT g.lang, g.source,
+       COUNT(*)                     AS n_docs,
+       CAST(SUM(g.n_chars) AS BIGINT) AS sum_chars
+FROM picked p JOIN gatedsrc g USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 PIPELINE_QUERIES = {
     "q_corpus_pipeline": q_corpus_pipeline,
     "q_corpus_pipeline_v2": q_corpus_pipeline_v2,
+    "q_corpus_pipeline_v3": q_corpus_pipeline_v3,
 }
 PIPELINE_ORACLES = {
     "q_corpus_pipeline": Q_CORPUS_PIPELINE_SQL,
     "q_corpus_pipeline_v2": Q_CORPUS_PIPELINE_V2_SQL,
+    "q_corpus_pipeline_v3": Q_CORPUS_PIPELINE_V3_SQL,
 }

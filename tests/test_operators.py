@@ -2398,3 +2398,25 @@ def test_spans_footer_probe_fallbacks(spark, tmp_path):
     # tiny corpus floors at the session width on BOTH probe paths
     assert _gram_exchange_width(scan, "text", 40) == shuffle_width(spark)
     assert _gram_exchange_width(mem, "text", 40) == shuffle_width(spark)
+
+
+def test_corpus_pipeline_v3_selects_toward_target(spark):
+    """The composed gate->dedup->DSIR-select chain must (a) pick only docs
+    that pass the quality gate, and (b) overrepresent the en target vs its
+    share of the gated pool."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    from fsql_spark.operators.pipeline import build_corpus_dsir_selected
+    from fsql_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    picked = build_corpus_dsir_selected(docs, n_select=50).collect()
+    assert len(picked) == 50
+    gated = quality_filter(docs).where("passes")
+    base = gated.where("lang = 'en'").count() / gated.count()
+    en = sum(1 for r in picked if r["lang"] == "en") / len(picked)
+    assert en > base * 1.3, (en, base)
+    # gate actually applied: every picked doc passes the rules
+    gated_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert all(r["doc_id"] in gated_ids for r in picked)
