@@ -199,7 +199,14 @@ def dsir_score_stateless(
 
     def run(batches):
         import hashlib
+        from functools import lru_cache
 
+        # gram -> bucket memo: the vocabulary is zipf-shaped, so most gram
+        # instances are repeats of a small head — caching turns the
+        # per-instance python md5 (the kernel's measured hot spot, PERF.md
+        # r11 A/B) into a dict probe. Bounded: ~1M entries x ~100 B is a
+        # worker-safe ceiling even on adversarial vocabularies.
+        @lru_cache(maxsize=1 << 20)
         def bucket(g: str) -> int:
             return int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
 
