@@ -470,19 +470,77 @@ a{r + 1} AS MATERIALIZED (
         _bpe_unrolled_sql(num_merges)
         + ","
         + ",".join(parts)
-        + f"""
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(length(ws) - length(replace(ws, e'{sep}{sep}', e'{sep}')) + 1) AS BIGINT) AS n_tokens,
-       CAST(SUM(length(replace(ws, e'{sep}', ''))) AS BIGINT) AS n_chars
-FROM a{num_merges}
-GROUP BY doc_id
-ORDER BY doc_id
-"""
+        + f""",
+tokcounts AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(length(ws) - length(replace(ws, e'{sep}{sep}', e'{sep}')) + 1) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(replace(ws, e'{sep}', ''))) AS BIGINT) AS n_chars
+  FROM a{num_merges}
+  GROUP BY doc_id
+)"""
     )
 
 
-Q_BPE_TOKEN_COUNTS_SQL = _bpe_apply_sql(15)
+Q_BPE_TOKEN_COUNTS_SQL = (
+    _bpe_apply_sql(15) + "\nSELECT * FROM tokcounts ORDER BY doc_id\n"
+)
+
+
+_PACK_TOKEN_BUDGET = 4096  # one context window per shard
+
+
+def q_pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """TOKEN-budget sequence packing: tokenize the corpus under its own 15
+    learned BPE merges, then greedy-pack documents into ~4096-token shards
+    per language (the context-window batching step that follows
+    tokenization in every pretraining pipeline; q_pack_shards is the same
+    packer on raw chars). Audited per (lang, shard): docs + exact token
+    sum. One oracle replays learn, apply, AND the running-sum packing."""
+    from .sampling import pack_shards
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    learned = bpe_learn_merges(docs, "text", num_merges=15).orderBy("rank").collect()
+    counts = bpe_apply_merges(docs, [(r["left"], r["right"]) for r in learned])
+    withlang = counts.join(docs.select("doc_id", "lang"), "doc_id")
+    packed = pack_shards(
+        withlang, "doc_id", "n_tokens", budget=_PACK_TOKEN_BUDGET,
+        partition_cols=["lang"],
+    )
+    return (
+        packed.groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .orderBy("lang", "shard_id")
+    )
+
+
+Q_PACK_TOKEN_SHARDS_SQL = (
+    _bpe_apply_sql(15)
+    + f""",
+withlang AS (
+  SELECT t.doc_id, d.lang, t.n_tokens
+  FROM tokcounts t JOIN documents d USING (doc_id)
+),
+packed AS (
+  SELECT lang, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (
+                PARTITION BY lang
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ASC, doc_id ASC
+                ROWS UNBOUNDED PRECEDING
+              ) - n_tokens) / {_PACK_TOKEN_BUDGET}.0) AS BIGINT) AS shard_id
+  FROM withlang
+)
+SELECT lang, shard_id,
+       COUNT(*)                      AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM packed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+)
 
 
 #: bump when the merge-loop definition (tokenization, tie-break, apply
@@ -555,10 +613,12 @@ BPE_QUERIES = {
     "q_bpe_pair_stats": q_bpe_pair_stats,
     "q_bpe_learned_merges": q_bpe_learned_merges,
     "q_bpe_token_counts": q_bpe_token_counts,
+    "q_pack_token_shards": q_pack_token_shards,
 }
 
 BPE_ORACLES = {
     "q_bpe_pair_stats": Q_BPE_PAIR_STATS_SQL,
     "q_bpe_learned_merges": Q_BPE_LEARNED_MERGES_SQL,
     "q_bpe_token_counts": Q_BPE_TOKEN_COUNTS_SQL,
+    "q_pack_token_shards": Q_PACK_TOKEN_SHARDS_SQL,
 }
