@@ -830,3 +830,67 @@ def test_prefix_filter_pairs_match_brute_force_ngrams(spark, corpus, threshold, 
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# DSIR property test vs an independent pure-Python replay (round 11)
+# --------------------------------------------------------------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                     min_size=1, max_size=6),
+            st.booleans(),
+        ),
+        min_size=2, max_size=12,
+    ).filter(lambda c: any(t for _, t in c))
+)
+def test_dsir_scores_match_pure_python(spark, corpus):
+    """dsir_logratio_scores == an independent pure-Python DSIR (own
+    tokenizer, own md5 bucketing, own Laplace smoothing) on random small
+    corpora — llr to 9dp, n_grams exactly."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.dsir import dsir_logratio_scores
+
+    B = 32
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(len(corpus))),
+        "text": [" ".join(ws) for ws, _ in corpus],
+        "is_t": [t for _, t in corpus],
+    }))
+    got = {r["doc_id"]: (r["n_grams"], round(r["llr"], 9))
+           for r in dsir_logratio_scores(docs, "doc_id", "text",
+                                         F.col("is_t"), n_buckets=B).collect()}
+
+    def grams(ws):
+        return list(ws) + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    r_cnt, t_cnt = {}, {}
+    for ws, is_t in corpus:
+        for g in grams(ws):
+            b = bucket(g)
+            r_cnt[b] = r_cnt.get(b, 0) + 1
+            if is_t:
+                t_cnt[b] = t_cnt.get(b, 0) + 1
+    R, T = sum(r_cnt.values()), sum(t_cnt.values())
+    want = {}
+    for i, (ws, _) in enumerate(corpus):
+        gs = grams(ws)
+        llr = sum(
+            math.log((t_cnt.get(bucket(g), 0) + 1.0) / (T + B))
+            - math.log((r_cnt.get(bucket(g), 0) + 1.0) / (R + B))
+            for g in gs
+        )
+        want[i] = (len(gs), round(llr, 9))
+    assert got == want
