@@ -260,62 +260,80 @@ from .dsir import (  # noqa: F401
     gumbel_topk,
 )
 
-EXTENSION_QUERIES = {
-    **TEXT_QUERIES,
-    **DEDUP_QUERIES,
-    **SIMILARITY_QUERIES,
-    **MULTIMODAL_QUERIES,
-    **ASOF_QUERIES,
-    **PROFILE_QUERIES,
-    **SAMPLING_QUERIES,
-    **CLUSTERING_QUERIES,
-    **DECONTAM_QUERIES,
-    **INFERENCE_QUERIES,
-    **VOCAB_QUERIES,
-    **SKEW_QUERIES,
-    **PASSAGE_QUERIES,
-    **SKETCH_QUERIES,
-    **PIPELINE_QUERIES,
-    **LM_QUERIES,
-    **ROLLUP_QUERIES,
-    **RETRIEVAL_QUERIES,
-    **BPE_QUERIES,
-    **SPAN_QUERIES,
-    **MIXING_QUERIES,
-    **PHASH_QUERIES,
-    **GRAPH_QUERIES,
-    **LABELPROP_QUERIES,
-    **HTML_QUERIES,
-    **SEQUENCE_QUERIES,
-    **DSIR_QUERIES,
-}
 
-EXTENSION_ORACLES = {
-    **TEXT_ORACLES,
-    **DEDUP_ORACLES,
-    **SIMILARITY_ORACLES,
-    **MULTIMODAL_ORACLES,
-    **ASOF_ORACLES,
-    **PROFILE_ORACLES,
-    **SAMPLING_ORACLES,
-    **CLUSTERING_ORACLES,
-    **DECONTAM_ORACLES,
-    **INFERENCE_ORACLES,
-    **VOCAB_ORACLES,
-    **SKEW_ORACLES,
-    **PASSAGE_ORACLES,
-    **SKETCH_ORACLES,
-    **PIPELINE_ORACLES,
-    **LM_ORACLES,
-    **ROLLUP_ORACLES,
-    **RETRIEVAL_ORACLES,
-    **BPE_ORACLES,
-    **SPAN_ORACLES,
-    **MIXING_ORACLES,
-    **PHASH_ORACLES,
-    **GRAPH_ORACLES,
-    **LABELPROP_ORACLES,
-    **HTML_ORACLES,
-    **SEQUENCE_ORACLES,
-    **DSIR_ORACLES,
-}
+def _merge_disjoint(*dicts: dict) -> dict:
+    """Merge registries, REFUSING key collisions: a duplicate catalog name
+    silently shadows the earlier entry (dict.update semantics), which is
+    how round 11 briefly lost the round-8 q_bpe_token_counts entry to a
+    same-named newcomer — fail loudly at import instead."""
+    out: dict = {}
+    for d in dicts:
+        for k in d:
+            if k in out:
+                raise ValueError(
+                    f"catalog key collision: {k!r} is registered twice — "
+                    "rename one entry (duplicates silently shadow)"
+                )
+        out.update(d)
+    return out
+
+
+EXTENSION_QUERIES = _merge_disjoint(
+    TEXT_QUERIES,
+    DEDUP_QUERIES,
+    SIMILARITY_QUERIES,
+    MULTIMODAL_QUERIES,
+    ASOF_QUERIES,
+    PROFILE_QUERIES,
+    SAMPLING_QUERIES,
+    CLUSTERING_QUERIES,
+    DECONTAM_QUERIES,
+    INFERENCE_QUERIES,
+    VOCAB_QUERIES,
+    SKEW_QUERIES,
+    PASSAGE_QUERIES,
+    SKETCH_QUERIES,
+    PIPELINE_QUERIES,
+    LM_QUERIES,
+    ROLLUP_QUERIES,
+    RETRIEVAL_QUERIES,
+    BPE_QUERIES,
+    SPAN_QUERIES,
+    MIXING_QUERIES,
+    PHASH_QUERIES,
+    GRAPH_QUERIES,
+    LABELPROP_QUERIES,
+    HTML_QUERIES,
+    SEQUENCE_QUERIES,
+    DSIR_QUERIES,
+)
+
+EXTENSION_ORACLES = _merge_disjoint(
+    TEXT_ORACLES,
+    DEDUP_ORACLES,
+    SIMILARITY_ORACLES,
+    MULTIMODAL_ORACLES,
+    ASOF_ORACLES,
+    PROFILE_ORACLES,
+    SAMPLING_ORACLES,
+    CLUSTERING_ORACLES,
+    DECONTAM_ORACLES,
+    INFERENCE_ORACLES,
+    VOCAB_ORACLES,
+    SKEW_ORACLES,
+    PASSAGE_ORACLES,
+    SKETCH_ORACLES,
+    PIPELINE_ORACLES,
+    LM_ORACLES,
+    ROLLUP_ORACLES,
+    RETRIEVAL_ORACLES,
+    BPE_ORACLES,
+    SPAN_ORACLES,
+    MIXING_ORACLES,
+    PHASH_ORACLES,
+    GRAPH_ORACLES,
+    LABELPROP_ORACLES,
+    HTML_ORACLES,
+    SEQUENCE_ORACLES,
+    DSIR_ORACLES,
+)

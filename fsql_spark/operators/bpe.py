@@ -426,7 +426,7 @@ def bpe_apply_merges(
     )
 
 
-def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+def q_bpe_tokenized_lengths(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document token counts under the corpus's own 15 learned BPE
     merges — learn (driver loop over the zipf-bounded word table), then
     apply distributedly (chained replace on the DISTINCT word table,
@@ -482,7 +482,7 @@ tokcounts AS MATERIALIZED (
     )
 
 
-Q_BPE_TOKEN_COUNTS_SQL = (
+Q_BPE_TOKENIZED_LENGTHS_SQL = (
     _bpe_apply_sql(15) + "\nSELECT * FROM tokcounts ORDER BY doc_id\n"
 )
 
@@ -612,13 +612,13 @@ def read_bpe_merges(spark: SparkSession, url: str) -> list:
 BPE_QUERIES = {
     "q_bpe_pair_stats": q_bpe_pair_stats,
     "q_bpe_learned_merges": q_bpe_learned_merges,
-    "q_bpe_token_counts": q_bpe_token_counts,
+    "q_bpe_tokenized_lengths": q_bpe_tokenized_lengths,
     "q_pack_token_shards": q_pack_token_shards,
 }
 
 BPE_ORACLES = {
     "q_bpe_pair_stats": Q_BPE_PAIR_STATS_SQL,
     "q_bpe_learned_merges": Q_BPE_LEARNED_MERGES_SQL,
-    "q_bpe_token_counts": Q_BPE_TOKEN_COUNTS_SQL,
+    "q_bpe_tokenized_lengths": Q_BPE_TOKENIZED_LENGTHS_SQL,
     "q_pack_token_shards": Q_PACK_TOKEN_SHARDS_SQL,
 }

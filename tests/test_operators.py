@@ -2420,3 +2420,25 @@ def test_corpus_pipeline_v3_selects_toward_target(spark):
     # gate actually applied: every picked doc passes the rules
     gated_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
     assert all(r["doc_id"] in gated_ids for r in picked)
+
+
+def test_catalog_registry_has_no_collisions():
+    """Every registry source contributes disjoint keys end-to-end: the
+    __spark_entry__ catalog size equals the sum of its parts, and the
+    operators-level merge refuses duplicates at import (the silent-shadow
+    bug class that briefly cost the catalog an entry in round 11)."""
+    import __spark_entry__ as e
+    from fsql_spark.fsql_catalog import FSQL_QUERIES
+    from fsql_spark.operators import EXTENSION_QUERIES, _merge_disjoint
+    from fsql_spark.relational import RELATIONAL_QUERIES
+    from fsql_spark.sql import SQL_QUERIES
+    from fsql_spark.streaming import STREAMING_QUERIES
+
+    parts = [RELATIONAL_QUERIES, SQL_QUERIES, FSQL_QUERIES,
+             EXTENSION_QUERIES, STREAMING_QUERIES]
+    assert len(e.queries()) == sum(len(p) for p in parts)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        _merge_disjoint({"a": 1}, {"a": 2})
