@@ -1702,12 +1702,197 @@ def q_audio_decode_flac(spark: SparkSession, sf: str) -> DataFrame:
     return decode_audio_energy(media, window=64)
 
 
+#: deterministic geometric augmentations: name -> (numpy transform)
+_AUGMENT_OPS = ("hflip", "vflip", "rot180", "center_crop")
+
+
+def augment_images(
+    media: DataFrame,
+    ops: tuple = _AUGMENT_OPS,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL distributed augmentation: decode each payload once, apply every
+    requested deterministic geometric op (horizontal/vertical flip, 180
+    rotation, centered half crop — the orientation-invariance set a vision
+    data pipeline materializes), re-encode each variant as PNG. One output
+    row per (media, op): (media_id, op, content, width, height).
+    Augmentation multiplies rows, never shuffles — the kernel is map-only
+    and each task re-encodes only its own batch's variants. Nondeterministic
+    augmentations (random crop/jitter) belong on the training loader, not
+    in a reproducible corpus build — deliberately not offered here."""
+    import numpy as np
+
+    from .codecs import encode_png
+
+    unknown = [o for o in ops if o not in _AUGMENT_OPS]
+    if unknown or not ops:
+        raise ValueError(f"ops must be a non-empty subset of {_AUGMENT_OPS}, got {ops!r}")
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("op", StringType()),
+            StructField("content", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def transform(arr, op):
+        if op == "hflip":
+            return arr[:, ::-1]
+        if op == "vflip":
+            return arr[::-1]
+        if op == "rot180":
+            return arr[::-1, ::-1]
+        h, w = arr.shape[0], arr.shape[1]
+        h2, w2 = max(h // 2, 1), max(w // 2, 1)
+        r0, c0 = (h - h2) // 2, (w - w2) // 2
+        return arr[r0 : r0 + h2, c0 : c0 + w2]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, blobs, ws, hs = [], [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    arr = decode_image(raw)
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
+                for op in ops:
+                    out = transform(arr, op)
+                    ids.append(mid)
+                    names.append(op)
+                    blobs.append(encode_png(out.copy(), filters="none"))
+                    hs.append(out.shape[0])
+                    ws.append(out.shape[1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "op": pd.Series(names, dtype="object"),
+                    "content": pd.Series(blobs, dtype="object"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
+def image_position_checksums(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Per-image POSITION-WEIGHTED pixel checksum over the real decode
+    path: ``sum(px[r, c] * (r * width + c + 1))`` on the first channel.
+    Plain pixel sums are orientation-BLIND (a flip permutes the same
+    multiset), so this is the audit that makes geometric transforms
+    value-checkable — a flipped or mis-cropped image cannot collide."""
+    import numpy as np
+
+    schema = StructType(
+        [StructField("media_id", LongType())]
+        + [StructField(c, StringType()) for c in carry_cols]
+        + [
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("pos_checksum", LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            carries = [pdf[c] for c in carry_cols]
+            for mid, raw, *extra in zip(pdf[id_col], pdf[content_col], *carries):
+                try:
+                    arr = decode_image(raw)
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
+                px = np.asarray(arr)
+                if px.ndim == 3:
+                    px = px[:, :, 0]
+                h, w = px.shape
+                weights = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+                rows.append((mid, *extra, w, h, int((px.astype(np.int64) * weights).sum())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", *carry_cols, "width", "height", "pos_checksum"]
+            )
+
+    return media.select(id_col, *carry_cols, content_col).mapInPandas(kernel, schema)
+
+
+def q_image_augment(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode -> {hflip, vflip, rot180, center-crop} -> re-encode -> decode
+    again, audited by position-weighted checksums: the full distributed
+    augmentation loop over REAL PNGs, with an oracle that recomputes every
+    output pixel's source position from the '.'-padded text for each op —
+    an orientation bug in either codec direction or any transform flips
+    the checksum."""
+    media = documents_as_png(spark, sf, width=32)
+    aug = augment_images(media)
+    return (
+        image_position_checksums(aug, carry_cols=("op",))
+        .select("media_id", "op", "width", "height", "pos_checksum")
+        .orderBy("media_id", "op")
+    )
+
+
+# the oracle recomputes each op's output pixel at (r, c) from its SOURCE
+# character position in the padded text (W=32, H=ceil(len/32), '.' pad):
+#   hflip:       src = (r, W-1-c)         vflip: src = (H-1-r, c)
+#   rot180:      src = (H-1-r, W-1-c)
+#   center_crop: out is H2 x W2 = (max(H//2,1), 16) starting at
+#                ((H-H2)//2, 8); src = (r0+r, c0+c)
+Q_IMAGE_AUGMENT_SQL = """
+WITH sized AS (
+  SELECT doc_id,
+         rpad(text, CAST(GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER), 1) * 32 AS INTEGER), '.') AS padded,
+         GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS INTEGER), 1) AS h
+  FROM documents
+),
+flips AS (
+  SELECT doc_id, op, 32 AS width, h AS height,
+         CAST(SUM(
+           ascii(substr(padded, CAST(src_r * 32 + src_c + 1 AS INTEGER), 1))
+           * (r.i * 32 + c.i + 1)
+         ) AS BIGINT) AS pos_checksum
+  FROM sized,
+       unnest(generate_series(0, h - 1)) AS r(i),
+       unnest(generate_series(0, 31)) AS c(i),
+       LATERAL (VALUES ('hflip'), ('vflip'), ('rot180')) AS o(op),
+       LATERAL (SELECT CASE op WHEN 'hflip' THEN r.i ELSE h - 1 - r.i END AS src_r,
+                       CASE op WHEN 'vflip' THEN c.i ELSE 31 - c.i END AS src_c) s
+  GROUP BY doc_id, op, h
+),
+crop AS (
+  SELECT doc_id, 'center_crop' AS op, 16 AS width,
+         CAST(GREATEST(h // 2, 1) AS INTEGER) AS height,
+         CAST(SUM(
+           ascii(substr(padded,
+                        CAST(((h - GREATEST(h // 2, 1)) // 2 + r.i) * 32 + (8 + c.i) + 1 AS INTEGER),
+                        1))
+           * (r.i * 16 + c.i + 1)
+         ) AS BIGINT) AS pos_checksum
+  FROM sized,
+       unnest(generate_series(0, GREATEST(h // 2, 1) - 1)) AS r(i),
+       unnest(generate_series(0, 15)) AS c(i)
+  GROUP BY doc_id, h
+)
+SELECT doc_id AS media_id, op, width, height, pos_checksum FROM flips
+UNION ALL
+SELECT doc_id AS media_id, op, width, height, pos_checksum FROM crop
+ORDER BY media_id, op
+"""
+
+
 MULTIMODAL_QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
     "q_multimodal_audio_energy": q_multimodal_audio_energy,
     "q_image_decode_png": q_image_decode_png,
     "q_image_resize_png": q_image_resize_png,
+    "q_image_augment": q_image_augment,
     "q_image_decode_palette": q_image_decode_palette,
     "q_image_decode_gif": q_image_decode_gif,
     "q_image_decode_tiff": q_image_decode_tiff,
@@ -1727,6 +1912,7 @@ MULTIMODAL_ORACLES = {
     "q_multimodal_audio_energy": Q_AUDIO_ENERGY_SQL,
     "q_image_decode_png": Q_IMAGE_DECODE_SQL,
     "q_image_resize_png": Q_IMAGE_RESIZE_SQL,
+    "q_image_augment": Q_IMAGE_AUGMENT_SQL,
     "q_image_decode_palette": Q_IMAGE_PALETTE_SQL,
     "q_image_decode_gif": Q_IMAGE_PALETTE_SQL,  # same pixels, different container
     "q_image_decode_tiff": Q_IMAGE_DECODE_SQL,  # same pixels as the PNG entry

@@ -2442,3 +2442,37 @@ def test_catalog_registry_has_no_collisions():
 
     with _pytest.raises(ValueError, match="collision"):
         _merge_disjoint({"a": 1}, {"a": 2})
+
+
+def test_augment_images_matches_numpy(spark):
+    """Each geometric op's re-encoded pixels equal the numpy transform of
+    the decoded source; position checksums distinguish orientations."""
+    import numpy as np
+    import pandas as pd
+
+    from fsql_spark.operators.codecs import encode_png
+    from fsql_spark.operators.multimodal import (
+        augment_images,
+        decode_image,
+        image_position_checksums,
+    )
+
+    arr = (np.arange(7 * 5, dtype=np.uint8) * 3 % 251).reshape(7, 5)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "content": [encode_png(arr, filters="none")]})
+    )
+    aug = augment_images(media)
+    got = {r["op"]: decode_image(bytes(r["content"])) for r in aug.collect()}
+    np.testing.assert_array_equal(got["hflip"], arr[:, ::-1])
+    np.testing.assert_array_equal(got["vflip"], arr[::-1])
+    np.testing.assert_array_equal(got["rot180"], arr[::-1, ::-1])
+    np.testing.assert_array_equal(got["center_crop"], arr[2:5, 1:3])
+
+    sums = {r["op"]: r["pos_checksum"]
+            for r in image_position_checksums(aug, carry_cols=("op",)).collect()}
+    assert len(set(sums.values())) == 4  # orientation-sensitive audit
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ops must be"):
+        augment_images(media, ops=("sepia",))
