@@ -1822,6 +1822,160 @@ def image_position_checksums(
     return media.select(id_col, *carry_cols, content_col).mapInPandas(kernel, schema)
 
 
+#: deterministic audio augmentations (the loader-side randomness caveat
+#: from augment_images applies identically)
+_AUDIO_AUGMENT_OPS = ("reverse", "trim_half", "gain_half")
+
+
+def augment_audio(
+    media: DataFrame,
+    ops: tuple = _AUDIO_AUGMENT_OPS,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL distributed audio augmentation: decode each payload once
+    (any natively-decodable container — WAV/AU/AIFF/FLAC), apply every
+    requested deterministic op, re-encode as 16-bit WAV. Ops: ``reverse``
+    (time inversion), ``trim_half`` (first ceil-half of the samples),
+    ``gain_half`` (arithmetic-shift halving, ``s >> 1`` — floor division,
+    mirrored exactly by SQL ``//``). One row per (media, op); map-only."""
+    import numpy as np
+
+    from .codecs import encode_wav
+
+    unknown = [o for o in ops if o not in _AUDIO_AUGMENT_OPS]
+    if unknown or not ops:
+        raise ValueError(
+            f"ops must be a non-empty subset of {_AUDIO_AUGMENT_OPS}, got {ops!r}"
+        )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("op", StringType()),
+            StructField("content", BinaryType()),
+            StructField("n_samples", LongType()),
+        ]
+    )
+
+    def transform(arr, op):
+        if op == "reverse":
+            return arr[::-1]
+        if op == "trim_half":
+            return arr[: max((len(arr) + 1) // 2, 1)]
+        return arr >> 1  # gain_half: arithmetic shift == floor(s/2)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, blobs, ns = [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    rate, samples = decode_audio(raw)
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
+                s16 = np.asarray(samples, dtype=np.int16)
+                for op in ops:
+                    out = transform(s16, op)
+                    ids.append(mid)
+                    names.append(op)
+                    blobs.append(encode_wav(out.copy(), rate))
+                    ns.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "op": pd.Series(names, dtype="object"),
+                    "content": pd.Series(blobs, dtype="object"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
+def audio_position_checksums(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Per-clip POSITION-WEIGHTED sample checksum over the real decode
+    path: ``sum(s[i] * (i + 1))`` — plain energies are time-reversal-blind
+    (same multiset), so this audit pins temporal structure exactly."""
+    import numpy as np
+
+    schema = StructType(
+        [StructField("media_id", LongType())]
+        + [StructField(c, StringType()) for c in carry_cols]
+        + [
+            StructField("n_samples", LongType()),
+            StructField("pos_checksum", LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            carries = [pdf[c] for c in carry_cols]
+            for mid, raw, *extra in zip(pdf[id_col], pdf[content_col], *carries):
+                try:
+                    _, samples = decode_audio(raw)
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
+                s = np.asarray(samples, dtype=np.int64).reshape(-1)
+                rows.append(
+                    (mid, *extra, len(s), int((s * (np.arange(len(s)) + 1)).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", *carry_cols, "n_samples", "pos_checksum"]
+            )
+
+    return media.select(id_col, *carry_cols, content_col).mapInPandas(kernel, schema)
+
+
+def q_audio_augment(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode -> {reverse, trim-half, gain-half} -> re-encode WAV ->
+    decode again, audited by position-weighted sample checksums (plain
+    energies are time-reversal-blind): the distributed audio-augmentation
+    loop over REAL 16-bit PCM containers; the oracle recomputes every
+    output sample from the source characters per op."""
+    media = documents_as_wav(spark, sf)
+    aug = augment_audio(media)
+    return (
+        audio_position_checksums(aug, carry_cols=("op",))
+        .select("media_id", "op", "n_samples", "pos_checksum")
+        .orderBy("media_id", "op")
+    )
+
+
+# source model (documents_as_wav): sample i (1-based char p) = (ascii-128)*256
+Q_AUDIO_AUGMENT_SQL = """
+WITH chars AS (
+  SELECT doc_id, LENGTH(text) AS n, s.p AS p,
+         (ascii(substr(text, CAST(s.p AS INTEGER), 1)) - 128) * 256 AS v
+  FROM documents, unnest(generate_series(1, LENGTH(text))) AS s(p)
+  WHERE LENGTH(text) > 0
+),
+rev AS (
+  SELECT doc_id, 'reverse' AS op, CAST(MAX(n) AS BIGINT) AS n_samples,
+         CAST(SUM(v * (n - p + 1)) AS BIGINT) AS pos_checksum
+  FROM chars GROUP BY doc_id
+),
+trim AS (
+  SELECT doc_id, 'trim_half' AS op,
+         CAST(GREATEST((MAX(n) + 1) // 2, 1) AS BIGINT) AS n_samples,
+         CAST(SUM(CASE WHEN p <= GREATEST((n + 1) // 2, 1) THEN v * p ELSE 0 END) AS BIGINT) AS pos_checksum
+  FROM chars GROUP BY doc_id
+),
+gain AS (
+  SELECT doc_id, 'gain_half' AS op, CAST(MAX(n) AS BIGINT) AS n_samples,
+         CAST(SUM((v // 2) * p) AS BIGINT) AS pos_checksum
+  FROM chars GROUP BY doc_id
+)
+SELECT doc_id AS media_id, op, n_samples, pos_checksum FROM rev
+UNION ALL SELECT doc_id, op, n_samples, pos_checksum FROM trim
+UNION ALL SELECT doc_id, op, n_samples, pos_checksum FROM gain
+ORDER BY media_id, op
+"""
+
+
 def q_image_augment(spark: SparkSession, sf: str) -> DataFrame:
     """Decode -> {hflip, vflip, rot180, center-crop} -> re-encode -> decode
     again, audited by position-weighted checksums: the full distributed
@@ -1893,6 +2047,7 @@ MULTIMODAL_QUERIES = {
     "q_image_decode_png": q_image_decode_png,
     "q_image_resize_png": q_image_resize_png,
     "q_image_augment": q_image_augment,
+    "q_audio_augment": q_audio_augment,
     "q_image_decode_palette": q_image_decode_palette,
     "q_image_decode_gif": q_image_decode_gif,
     "q_image_decode_tiff": q_image_decode_tiff,
@@ -1913,6 +2068,7 @@ MULTIMODAL_ORACLES = {
     "q_image_decode_png": Q_IMAGE_DECODE_SQL,
     "q_image_resize_png": Q_IMAGE_RESIZE_SQL,
     "q_image_augment": Q_IMAGE_AUGMENT_SQL,
+    "q_audio_augment": Q_AUDIO_AUGMENT_SQL,
     "q_image_decode_palette": Q_IMAGE_PALETTE_SQL,
     "q_image_decode_gif": Q_IMAGE_PALETTE_SQL,  # same pixels, different container
     "q_image_decode_tiff": Q_IMAGE_DECODE_SQL,  # same pixels as the PNG entry

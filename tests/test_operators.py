@@ -2476,3 +2476,29 @@ def test_augment_images_matches_numpy(spark):
 
     with _pytest.raises(ValueError, match="ops must be"):
         augment_images(media, ops=("sepia",))
+
+
+def test_augment_audio_matches_numpy(spark):
+    """Each audio op's re-encoded samples equal the numpy transform;
+    gain_half is an arithmetic shift (floor) on NEGATIVE samples too."""
+    import numpy as np
+    import pandas as pd
+
+    from fsql_spark.operators.codecs import encode_wav
+    from fsql_spark.operators.multimodal import augment_audio, decode_audio
+
+    s = np.array([-32768, -3, -1, 0, 1, 5, 32767, -255], dtype=np.int16)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "content": [encode_wav(s, 8000)]})
+    )
+    got = {r["op"]: decode_audio(bytes(r["content"]))[1]
+           for r in augment_audio(media).collect()}
+    np.testing.assert_array_equal(got["reverse"], s[::-1])
+    np.testing.assert_array_equal(got["trim_half"], s[:4])
+    np.testing.assert_array_equal(got["gain_half"], s >> 1)
+    assert (s >> 1)[1] == -2  # floor, not truncation: -3 >> 1 == -2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ops must be"):
+        augment_audio(media, ops=("echo",))
