@@ -1976,6 +1976,250 @@ ORDER BY media_id, op
 """
 
 
+#: deterministic temporal video augmentations (per-frame spatial ops are
+#: the image set applied frame-wise; these are the ops that move TIME)
+_VIDEO_AUGMENT_OPS = ("reverse", "stride2", "trim_half")
+
+
+def augment_video(
+    media: DataFrame,
+    ops: tuple = _VIDEO_AUGMENT_OPS,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL distributed temporal video augmentation over Y4M: decode the
+    frame tensor once, apply every requested deterministic op — ``reverse``
+    (play backwards), ``stride2`` (every 2nd frame — frame-rate halving),
+    ``trim_half`` (first ceil-half) — and re-encode. One row per
+    (media, op); map-only, zero shuffles; chroma planes (C420) ride along
+    with matching temporal slicing."""
+    import numpy as np
+
+    from .video import decode_y4m, encode_y4m
+
+    unknown = [o for o in ops if o not in _VIDEO_AUGMENT_OPS]
+    if unknown or not ops:
+        raise ValueError(
+            f"ops must be a non-empty subset of {_VIDEO_AUGMENT_OPS}, got {ops!r}"
+        )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("op", StringType()),
+            StructField("content", BinaryType()),
+            StructField("n_frames", LongType()),
+        ]
+    )
+
+    def tsel(n, op):
+        if op == "reverse":
+            return list(range(n - 1, -1, -1))
+        if op == "stride2":
+            return list(range(0, n, 2))
+        return list(range(max((n + 1) // 2, 1)))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Y4M is UNCOMPRESSED: the ops multiply a batch's bytes ~2.5x, so
+        # yielding one frame per INPUT batch let output buffers blow the
+        # local JVM's direct memory at sf10 (measured: driver death).
+        # Flush on an explicit output-byte bound instead — the session's
+        # input-side maxBytesPerBatch cap has no authority over what a
+        # kernel EMITS.
+        flush_bytes = 32 << 20
+
+        def make_frame(ids, names, blobs, ns):
+            return pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "op": pd.Series(names, dtype="object"),
+                    "content": pd.Series(blobs, dtype="object"),
+                    "n_frames": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+        for pdf in batches:
+            ids, names, blobs, ns, pending = [], [], [], [], 0
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    vid = decode_y4m(bytes(raw))
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
+                y = vid["y"]
+                u, v = vid.get("u"), vid.get("v")
+                fps = (vid["fps_num"], vid["fps_den"])
+                for op in ops:
+                    sel = tsel(y.shape[0], op)
+                    kwargs = {}
+                    if u is not None:
+                        kwargs = {"u": u[sel].copy(), "v": v[sel].copy()}
+                    blob = encode_y4m(y[sel].copy(), fps=fps, **kwargs)
+                    ids.append(mid)
+                    names.append(op)
+                    blobs.append(blob)
+                    ns.append(len(sel))
+                    pending += len(blob)
+                if pending >= flush_bytes:
+                    yield make_frame(ids, names, blobs, ns)
+                    ids, names, blobs, ns, pending = [], [], [], [], 0
+            if ids:
+                yield make_frame(ids, names, blobs, ns)
+
+    return media.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
+def video_time_checksums(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Per-video TIME-WEIGHTED luma checksum over the real decode path:
+    ``sum(frame_luma_sum[i] * (i + 1))`` — per-frame sums alone are
+    reordering-blind, so the index weighting pins temporal structure."""
+    import numpy as np
+
+    from .video import decode_y4m
+
+    schema = StructType(
+        [StructField("media_id", LongType())]
+        + [StructField(c, StringType()) for c in carry_cols]
+        + [
+            StructField("n_frames", LongType()),
+            StructField("time_checksum", LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            carries = [pdf[c] for c in carry_cols]
+            for mid, raw, *extra in zip(pdf[id_col], pdf[content_col], *carries):
+                try:
+                    y = decode_y4m(bytes(raw))["y"]
+                except Exception as exc:
+                    _reraise_with_media_id(mid, exc)
+                sums = y.reshape(y.shape[0], -1).sum(axis=1, dtype=np.int64)
+                weights = np.arange(y.shape[0], dtype=np.int64) + 1
+                rows.append((mid, *extra, int(y.shape[0]), int((sums * weights).sum())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", *carry_cols, "n_frames", "time_checksum"]
+            )
+
+    return media.select(id_col, *carry_cols, content_col).mapInPandas(kernel, schema)
+
+
+def video_augment_checksums_fused(
+    docs: DataFrame, ops: tuple = _VIDEO_AUGMENT_OPS,
+    frame_w: int = 8, frame_h: int = 8,
+) -> DataFrame:
+    """The FUSED form of pack -> :func:`augment_video` ->
+    :func:`video_time_checksums`: one kernel synthesizes each doc's Y4M,
+    runs every op through a REAL encode_y4m/decode_y4m round trip, and
+    emits only the checksum rows — the uncompressed intermediate video
+    never crosses an Arrow boundary. Necessary at scale: Y4M is ~64x the
+    source text, and composing the three kernels ships that expansion
+    through TWO Arrow transfers per row — measured at sf10 as a local-JVM
+    direct-memory death even with output-side flushing. The composed
+    operators stay for bounded media (or path-referenced blobs); this is
+    the decode_audio_energy single-kernel posture. Equivalence with the
+    composed chain is pinned by test."""
+    import numpy as np
+
+    from .video import decode_y4m, encode_y4m
+
+    unknown = [o for o in ops if o not in _VIDEO_AUGMENT_OPS]
+    if unknown or not ops:
+        raise ValueError(
+            f"ops must be a non-empty subset of {_VIDEO_AUGMENT_OPS}, got {ops!r}"
+        )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("op", StringType()),
+            StructField("n_frames", LongType()),
+            StructField("time_checksum", LongType()),
+        ]
+    )
+
+    def tsel(n, op):
+        if op == "reverse":
+            return list(range(n - 1, -1, -1))
+        if op == "stride2":
+            return list(range(0, n, 2))
+        return list(range(max((n + 1) // 2, 1)))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "").encode("utf-8")
+                if not b:
+                    continue
+                y = np.frombuffer(b, dtype=np.uint8).reshape(-1, 1, 1)
+                y = np.broadcast_to(y, (len(b), frame_h, frame_w)).copy()
+                src = encode_y4m(y)
+                decoded = decode_y4m(src)["y"]  # real decode of the synth
+                for op in ops:
+                    sel = tsel(decoded.shape[0], op)
+                    blob = encode_y4m(decoded[sel].copy())
+                    out = decode_y4m(blob)["y"]  # real decode of the variant
+                    sums = out.reshape(out.shape[0], -1).sum(axis=1, dtype=np.int64)
+                    weights = np.arange(out.shape[0], dtype=np.int64) + 1
+                    rows.append((mid, op, int(out.shape[0]), int((sums * weights).sum())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "op", "n_frames", "time_checksum"]
+            )
+
+    return _spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(kernel, schema)
+
+
+def q_video_augment(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode -> {reverse, stride-2, trim-half} -> re-encode Y4M -> decode
+    again, audited by time-weighted luma checksums (per-frame sums are
+    reordering-blind): the temporal-augmentation loop over REAL video
+    containers, completing the image/audio/video augmentation triple; the
+    oracle recomputes each output frame's source character per op. Runs
+    the FUSED kernel (see :func:`video_augment_checksums_fused`): the
+    uncompressed intermediate never crosses Arrow."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        video_augment_checksums_fused(docs)
+        .orderBy("media_id", "op")
+    )
+
+
+# source model (pack_y4m 8x8): frame p (1-based char) has luma sum 64*ascii
+Q_VIDEO_AUGMENT_SQL = """
+WITH chars AS (
+  SELECT doc_id, LENGTH(text) AS n, s.p AS p,
+         64 * ascii(substr(text, CAST(s.p AS INTEGER), 1)) AS fsum
+  FROM documents, unnest(generate_series(1, LENGTH(text))) AS s(p)
+  WHERE LENGTH(text) > 0
+),
+rev AS (
+  SELECT doc_id, 'reverse' AS op, CAST(MAX(n) AS BIGINT) AS n_frames,
+         CAST(SUM(fsum * (n - p + 1)) AS BIGINT) AS time_checksum
+  FROM chars GROUP BY doc_id
+),
+strided AS (
+  SELECT doc_id, 'stride2' AS op,
+         CAST((MAX(n) + 1) // 2 AS BIGINT) AS n_frames,
+         CAST(SUM(CASE WHEN p % 2 = 1 THEN fsum * ((p + 1) // 2) ELSE 0 END) AS BIGINT) AS time_checksum
+  FROM chars GROUP BY doc_id
+),
+trimmed AS (
+  SELECT doc_id, 'trim_half' AS op,
+         CAST(GREATEST((MAX(n) + 1) // 2, 1) AS BIGINT) AS n_frames,
+         CAST(SUM(CASE WHEN p <= GREATEST((n + 1) // 2, 1) THEN fsum * p ELSE 0 END) AS BIGINT) AS time_checksum
+  FROM chars GROUP BY doc_id
+)
+SELECT doc_id AS media_id, op, n_frames, time_checksum FROM rev
+UNION ALL SELECT doc_id, op, n_frames, time_checksum FROM strided
+UNION ALL SELECT doc_id, op, n_frames, time_checksum FROM trimmed
+ORDER BY media_id, op
+"""
+
+
 def q_image_augment(spark: SparkSession, sf: str) -> DataFrame:
     """Decode -> {hflip, vflip, rot180, center-crop} -> re-encode -> decode
     again, audited by position-weighted checksums: the full distributed
@@ -2048,6 +2292,7 @@ MULTIMODAL_QUERIES = {
     "q_image_resize_png": q_image_resize_png,
     "q_image_augment": q_image_augment,
     "q_audio_augment": q_audio_augment,
+    "q_video_augment": q_video_augment,
     "q_image_decode_palette": q_image_decode_palette,
     "q_image_decode_gif": q_image_decode_gif,
     "q_image_decode_tiff": q_image_decode_tiff,
@@ -2069,6 +2314,7 @@ MULTIMODAL_ORACLES = {
     "q_image_resize_png": Q_IMAGE_RESIZE_SQL,
     "q_image_augment": Q_IMAGE_AUGMENT_SQL,
     "q_audio_augment": Q_AUDIO_AUGMENT_SQL,
+    "q_video_augment": Q_VIDEO_AUGMENT_SQL,
     "q_image_decode_palette": Q_IMAGE_PALETTE_SQL,
     "q_image_decode_gif": Q_IMAGE_PALETTE_SQL,  # same pixels, different container
     "q_image_decode_tiff": Q_IMAGE_DECODE_SQL,  # same pixels as the PNG entry

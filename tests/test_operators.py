@@ -2502,3 +2502,59 @@ def test_augment_audio_matches_numpy(spark):
 
     with _pytest.raises(ValueError, match="ops must be"):
         augment_audio(media, ops=("echo",))
+
+
+def test_augment_video_matches_numpy(spark):
+    """Temporal ops equal the numpy frame-tensor slicing (chroma rides
+    along); time checksums distinguish orderings."""
+    import numpy as np
+    import pandas as pd
+
+    from fsql_spark.operators.multimodal import augment_video, video_time_checksums
+    from fsql_spark.operators.video import decode_y4m, encode_y4m
+
+    y = (np.arange(5 * 4 * 4, dtype=np.uint8)).reshape(5, 4, 4)
+    u = (np.arange(5 * 2 * 2, dtype=np.uint8)).reshape(5, 2, 2)
+    v = u[::-1].copy().reshape(5, 2, 2)
+    media = spark.createDataFrame(pd.DataFrame(
+        {"media_id": [1], "content": [encode_y4m(y, fps=(25, 1), u=u, v=v)]}
+    ))
+    aug = augment_video(media)
+    got = {r["op"]: decode_y4m(bytes(r["content"])) for r in aug.collect()}
+    np.testing.assert_array_equal(got["reverse"]["y"], y[::-1])
+    np.testing.assert_array_equal(got["reverse"]["u"], u[::-1])
+    np.testing.assert_array_equal(got["stride2"]["y"], y[::2])
+    np.testing.assert_array_equal(got["trim_half"]["y"], y[:3])
+
+    sums = {r["op"]: r["time_checksum"]
+            for r in video_time_checksums(aug, carry_cols=("op",)).collect()}
+    assert len(set(sums.values())) == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ops must be"):
+        augment_video(media, ops=("slowmo",))
+
+
+def test_video_augment_fused_equals_composed(spark):
+    """The fused single-kernel entry path equals pack -> augment_video ->
+    video_time_checksums composed across Arrow (the memory-posture
+    equivalence contract)."""
+    from fsql_spark.operators.multimodal import (
+        augment_video,
+        pack_y4m,
+        video_augment_checksums_fused,
+        video_time_checksums,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    fused = {(r["media_id"], r["op"]): (r["n_frames"], r["time_checksum"])
+             for r in video_augment_checksums_fused(docs).collect()}
+    composed = {
+        (r["media_id"], r["op"]): (r["n_frames"], r["time_checksum"])
+        for r in video_time_checksums(
+            augment_video(pack_y4m(docs, frame_w=8, frame_h=8)),
+            carry_cols=("op",),
+        ).collect()
+    }
+    assert fused and fused == composed
