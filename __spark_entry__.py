@@ -93,15 +93,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pass
     # The driver correctness harness checks only the FIRST 50 registry
     # entries per round. With >50 registered queries a fixed order starves
-    # the tail forever, so rotate: never-verified entries first (including
-    # ones whose last row errored, hash-mismatched, or predates their
-    # oracle), then ascending by the round each was last verified (ties keep
-    # registration order). Every query gets a driver row within two rounds.
+    # the tail forever, so rotate (see _rotation_order): at most
+    # _NEW_ENTRY_SLOT_CAP never-verified entries lead, the rest of the
+    # window is reserved for the globally-oldest verified entries, so a
+    # burst of new entries can never push the single oldest entry out of
+    # the current round's window (the round-11 starvation mode). At the
+    # current 200-entry catalog every entry gets a driver row within
+    # ceil(200/50) = 4 rounds; the oldest entry always gets one THIS round.
     last = _last_verified_round(set(oracle_sql()))
-    names = list(out)
-    order = {n: i for i, n in enumerate(names)}
-    names.sort(key=lambda n: (last.get(n, -1), order[n]))
+    names = _rotation_order(list(out), last)
     return {n: out[n] for n in names}
+
+
+#: How many of the driver's 50 per-round correctness slots may go to
+#: never-verified (new / errored / newly-oracled) entries. The remaining
+#: >= 40 slots are reserved for the globally-oldest verified entries.
+_NEW_ENTRY_SLOT_CAP = 10
+_DRIVER_WINDOW = 50
+
+
+def _rotation_order(names: list[str], last: dict[str, int]) -> list[str]:
+    """Order the registry for the driver's first-``_DRIVER_WINDOW`` check.
+
+    Never-verified entries (no green driver row at current strength) sort
+    first but only up to ``_NEW_ENTRY_SLOT_CAP`` of them enter the window;
+    the window's remaining slots go to verified entries ascending by the
+    round each was last verified (ties keep registration order), so the
+    globally-oldest verified entry is ALWAYS inside the window. Overflow
+    never-verified entries queue immediately after the window.
+    """
+    order = {n: i for i, n in enumerate(names)}
+    never = sorted((n for n in names if n not in last), key=order.__getitem__)
+    verified = sorted((n for n in names if n in last), key=lambda n: (last[n], order[n]))
+    head_new = never[: _NEW_ENTRY_SLOT_CAP]
+    overflow_new = never[_NEW_ENTRY_SLOT_CAP :]
+    fill = _DRIVER_WINDOW - len(head_new)
+    return head_new + verified[:fill] + overflow_new + verified[fill:]
 
 
 def oracle_sql() -> dict[str, str]:
