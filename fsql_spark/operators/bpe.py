@@ -458,13 +458,19 @@ a0 AS MATERIALIZED (
            e'{sep}{sep}') || e'{sep}' AS ws
   FROM docwords
 )"""]
+    # LEFT JOIN ON TRUE, not a cross join: if the merge loop runs dry
+    # before the fixed budget, b{r} is EMPTY and a cross join would empty
+    # every later apply round (tokcounts -> zero rows) while the engine —
+    # applying the shorter learned list — returns every document. With the
+    # left join a dry round passes ws through unchanged (COALESCE over the
+    # NULL replace), matching the Python loop's break. ADVICE r11.
     for r in range(num_merges):
         parts.append(f"""
 a{r + 1} AS MATERIALIZED (
   SELECT doc_id,
-         replace(ws, e'{sep}' || l || e'{sep}{sep}' || r || e'{sep}',
-                 e'{sep}' || l || r || e'{sep}') AS ws
-  FROM a{r}, b{r}
+         COALESCE(replace(ws, e'{sep}' || l || e'{sep}{sep}' || r || e'{sep}',
+                          e'{sep}' || l || r || e'{sep}'), ws) AS ws
+  FROM a{r} LEFT JOIN b{r} ON TRUE
 )""")
     return (
         _bpe_unrolled_sql(num_merges)

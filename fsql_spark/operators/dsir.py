@@ -75,10 +75,16 @@ def dsir_fit(
     is_target: Column,
     n_buckets: int = DSIR_BUCKETS,
 ) -> list:
-    """Fit the DSIR log-ratio model: the B-sized ``(bucket, lr)`` rows —
-    the shipped artifact — from ONE bucket-bounded aggregate over the
-    corpus gram stream (raw counts and target counts ride the same pass;
-    exact integers feed one ``ln`` per side, the lm.py recipe). Collected
+    """Fit the DSIR log-ratio model: exactly ``n_buckets`` ``(bucket, lr)``
+    rows — the shipped artifact — from ONE bucket-bounded aggregate over
+    the corpus gram stream (raw counts and target counts ride the same
+    pass; exact integers feed one ``ln`` per side, the lm.py recipe).
+    Buckets unseen in the fit corpus get the smoothing-only log-ratio
+    ``ln((r_total+B)/(t_total+B))`` (both Laplace models assign an unseen
+    bucket ``1/(total+B)``), so scoring a NEW corpus — the streaming
+    crawl-selection use case — counts unseen grams identically in the
+    batch scorer's join and the stateless kernel instead of silently
+    dropping (batch) or zero-weighting (stateless) them. Collected
     driver-side by design: it is model metadata, bounded by ``n_buckets``,
     and both the batch scorer (broadcast relation) and the streaming
     stateless scorer (kernel closure) consume it."""
@@ -105,7 +111,7 @@ def dsir_fit(
         r_total, t_total = int(tot["r"] or 0), int(tot["t"] or 0)
         if t_total == 0:
             raise ValueError("is_target selects no grams — empty target corpus")
-        return counts.select(
+        seen = counts.select(
             "__bucket",
             (
                 F.log((F.col("t_n") + 1.0) / F.lit(float(t_total + n_buckets)))
@@ -114,6 +120,21 @@ def dsir_fit(
         ).collect()
     finally:
         counts.unpersist()
+    # Unseen buckets: both smoothed models give count 1/(total+B), so the
+    # log-ratio reduces to one constant. Filled driver-side (B-bounded).
+    import math
+
+    from pyspark.sql import Row
+
+    default_lr = math.log(float(r_total + n_buckets)) - math.log(
+        float(t_total + n_buckets)
+    )
+    have = {int(row["__bucket"]) for row in seen}
+    return seen + [
+        Row(__bucket=b, __lr=default_lr)
+        for b in range(n_buckets)
+        if b not in have
+    ]
 
 
 def dsir_logratio_scores(
@@ -177,13 +198,24 @@ def dsir_score_stateless(
     :func:`~fsql_spark.operators.lm.doc_cross_entropy_stateless` posture.
     Gram hashing replicates the JVM/oracle definition exactly
     (``md5(gram)[:8]`` as int mod B — md5 is md5 in any engine).
-    Zero-gram documents emit no row, matching the batch scorer."""
+    Zero-gram documents emit no row, matching the batch scorer.
+
+    ``ratio_rows`` must cover all ``n_buckets`` buckets (:func:`dsir_fit`
+    guarantees this — unseen buckets carry the smoothing-only ratio), so
+    novel grams in a scored stream weigh exactly what the batch scorer's
+    join gives them; a partial model is refused rather than silently
+    zero-weighting unseen buckets."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    lr = np.zeros(n_buckets, dtype=np.float64)
+    if len(ratio_rows) != n_buckets:
+        raise ValueError(
+            f"partial DSIR model: {len(ratio_rows)} rows for n_buckets="
+            f"{n_buckets}; fit with dsir_fit (emits every bucket)"
+        )
+    lr = np.empty(n_buckets, dtype=np.float64)
     for row in ratio_rows:
         lr[int(row["__bucket"])] = float(row["__lr"])
 

@@ -63,14 +63,40 @@ _TARGET_PARTITION_BYTES = 192 << 20
 _ROW_OVERHEAD_BYTES = 48
 
 
+#: Files with dictionary-encoded text chunks need a one-row-group
+#: calibration read each (driver-side); past this many such files the
+#: distributed exact scan is cheaper than a driver-side file loop.
+_MAX_CALIBRATION_FILES = 64
+
+
 def _footer_total_chars(df: DataFrame, text_col: str) -> int | None:
     """Total characters of ``text_col`` from parquet FOOTER metadata — no
-    data scan. Parquet column chunks record their total uncompressed size;
-    for a string column that is the character bytes plus the offset/length
-    framing, so subtracting ~4 bytes/value leaves a sizing-grade estimate
-    of the character count (the width formula only needs the right
-    decade). Applies only when the plan is a bare scan/filter/project over
-    LOCAL parquet files (the plan-string check is the _spread technique);
+    data scan in the common case. Parquet column chunks record their total
+    uncompressed size; for a PLAIN-encoded string column that is the
+    character bytes plus the offset/length framing, so subtracting
+    ~4 bytes/value leaves a sizing-grade estimate of the character count
+    (the width formula only needs the right decade).
+
+    Dictionary-encoded chunks break that identity: their uncompressed size
+    is the RLE index pages plus one dictionary page, which on a repetitive
+    corpus undercounts characters by ORDERS of magnitude (measured: a
+    5000-row single-value corpus reports 0 est vs 4.4M chars) and would
+    undersize the gram exchange straight into the sort-spill cliff the
+    probe exists to avoid (ADVICE r11). A chunk that merely ATTEMPTED
+    dictionary encoding and fell back to PLAIN still lists RLE_DICTIONARY
+    in ``encodings`` (all the driver testdata does), so bailing on the
+    encoding flag alone would disable the footer path everywhere. Instead,
+    any file whose text chunks carry a dictionary page gets CALIBRATED:
+    read ONLY its first row group's text column (bounded: one row group,
+    one column), take exact characters, and scale the file's footer
+    estimate by the observed exact/estimate ratio (per-row extrapolation
+    when the footer estimate is degenerate). Exact for single-row-group
+    files; decade-grade when later row groups differ. Past
+    ``_MAX_CALIBRATION_FILES`` such files the driver-side loop loses to
+    the distributed exact scan — return None.
+
+    Applies only when the plan is a bare scan/filter/project over LOCAL
+    parquet files (the plan-string check is the _spread technique);
     returns None otherwise — joins/aggregates would conflate unrelated
     sources, and remote filesystems take the exact-scan fallback."""
     from .dedup import _SHUFFLED_PLAN_NODES
@@ -79,28 +105,60 @@ def _footer_total_chars(df: DataFrame, text_col: str) -> int | None:
     if any(node in plan for node in _SHUFFLED_PLAN_NODES):
         return None
     try:
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         files = df.inputFiles()
         if not files:
             return None
-        total_bytes = 0
-        total_rows = 0
+        total_chars = 0
+        calibrated = 0
         for f in files:
             if f.startswith("file:"):
                 f = f[5:]
             elif "://" in f:
                 return None
-            meta = pq.ParquetFile(f).metadata
+            pf = pq.ParquetFile(f)
+            meta = pf.metadata
             names = [meta.schema.column(i).name for i in range(len(meta.schema))]
             if text_col not in names:
                 return None
             col_idx = names.index(text_col)
+            file_bytes = 0
+            file_rows = 0
+            has_dict_page = False
             for rg in range(meta.num_row_groups):
                 grp = meta.row_group(rg)
-                total_bytes += grp.column(col_idx).total_uncompressed_size
-                total_rows += grp.num_rows
-        return max(total_bytes - 4 * total_rows, 0)
+                chunk = grp.column(col_idx)
+                file_bytes += chunk.total_uncompressed_size
+                file_rows += grp.num_rows
+                if chunk.dictionary_page_offset is not None:
+                    has_dict_page = True
+            est = max(file_bytes - 4 * file_rows, 0)
+            if has_dict_page:
+                calibrated += 1
+                if calibrated > _MAX_CALIBRATION_FILES:
+                    return None
+                rg0 = meta.row_group(0)
+                exact0 = int(
+                    pc.sum(
+                        pc.utf8_length(
+                            pf.read_row_group(0, columns=[text_col]).column(0)
+                        )
+                    ).as_py()
+                    or 0
+                )
+                est0 = max(
+                    rg0.column(col_idx).total_uncompressed_size - 4 * rg0.num_rows, 0
+                )
+                if est0 > 0:
+                    est = int(est * (exact0 / est0))
+                elif rg0.num_rows > 0:
+                    est = int(exact0 * (file_rows / rg0.num_rows))
+                else:
+                    return None
+            total_chars += est
+        return total_chars
     except Exception:
         return None
 

@@ -2196,6 +2196,46 @@ def test_dsir_selection_upsamples_target(spark):
     assert en_rate > base_rate * 1.5, (en_rate, base_rate)
 
 
+def test_bpe_apply_oracle_survives_merge_dry_out(spark, tmp_path):
+    """Corpus with fewer learnable merges than the fixed 15-merge budget:
+    the apply/pack oracle's per-round CTEs must pass words through dry
+    rounds unchanged (LEFT JOIN + COALESCE) instead of emptying tokcounts
+    via a cross join with the empty argmax row, so oracle == engine on
+    low-entropy corpora. ADVICE r11."""
+    import duckdb
+    import pandas as pd
+
+    from fsql_spark.operators.bpe import (
+        Q_BPE_TOKENIZED_LENGTHS_SQL,
+        q_bpe_tokenized_lengths,
+    )
+
+    # vocab {ab, a, b}: round 1 merges (a,b); after that every word is a
+    # single token -> no pairs -> rounds 2..15 run dry.
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["ab ab a", "b ab", "a a b"],
+         "lang": ["en", "en", "fr"]}
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        (r["doc_id"], r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in q_bpe_tokenized_lengths(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        want = {tuple(r) for r in con.execute(Q_BPE_TOKENIZED_LENGTHS_SQL).fetchall()}
+    finally:
+        con.close()
+    assert want, "oracle returned zero rows on a dry-out corpus"
+    assert got == want
+    # merge (a,b) applied: "ab ab a" -> tokens [ab, ab, a] = 3
+    assert (1, 3, 3, 5) in got
+
+
 def test_bpe_apply_merges_matches_python_tokenizer(spark):
     """The chained-replace distributed apply equals the per-word Python
     apply loop (same merge list, rank order, non-overlapping rule)."""
@@ -2251,6 +2291,57 @@ def test_dsir_stateless_equals_batch_scorer(spark):
         for r in dsir_score_stateless(docs, rows, n_buckets=256).collect()
     }
     assert batch == stateless
+
+
+def test_dsir_unseen_bucket_scores_smoothing_ratio(spark):
+    """Fit-offline / score-new-corpus (the streaming crawl-selection use
+    case): grams hashing to buckets unseen in the fit corpus must count in
+    n_grams AND contribute the smoothing-only log-ratio
+    ln((r_total+B)/(t_total+B)) — not be dropped (old batch join) or
+    zero-weighted (old stateless kernel). ADVICE r11 medium."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.dsir import dsir_fit, dsir_score_stateless
+
+    B = 64
+    fit = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["aa bb aa", "cc dd"], "lang": ["en", "fr"]}
+        )
+    )
+    rows = dsir_fit(fit, "text", F.col("lang") == "en", n_buckets=B)
+    assert len(rows) == B  # full coverage, unseen buckets included
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    fit_grams = ["aa", "bb", "aa", "aa bb", "bb aa", "cc", "dd", "cc dd"]
+    tgt_grams = fit_grams[:5]
+    r_total, t_total = len(fit_grams), len(tgt_grams)
+    seen_buckets = {bucket(g) for g in fit_grams}
+    default_lr = math.log(r_total + B) - math.log(t_total + B)
+
+    # find a gram whose bucket the fit corpus never touched
+    novel = next(
+        w for w in ("zebra", "quux", "novelgram", "xyzzy", "plugh")
+        if bucket(w) not in seen_buckets
+    )
+    lr_by_bucket = {int(r["__bucket"]): float(r["__lr"]) for r in rows}
+    assert lr_by_bucket[bucket(novel)] == pytest.approx(default_lr)
+
+    new = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": [novel]}))
+    out = dsir_score_stateless(new, rows, n_buckets=B).collect()
+    assert len(out) == 1
+    assert out[0]["n_grams"] == 1
+    assert out[0]["llr"] == pytest.approx(default_lr)
+
+    # a partial model (the pre-fix silent-zero shape) is refused loudly
+    with pytest.raises(ValueError, match="partial DSIR model"):
+        dsir_score_stateless(new, rows[: B - 1], n_buckets=B)
 
 
 def test_hard_negative_topk_matches_numpy(spark):
@@ -2398,6 +2489,38 @@ def test_spans_footer_probe_fallbacks(spark, tmp_path):
     # tiny corpus floors at the session width on BOTH probe paths
     assert _gram_exchange_width(scan, "text", 40) == shuffle_width(spark)
     assert _gram_exchange_width(mem, "text", 40) == shuffle_width(spark)
+
+
+def test_spans_footer_probe_calibrates_dictionary_chunks(spark, tmp_path):
+    """Repetitive corpora get dictionary-encoded text chunks whose footer
+    uncompressed size is the RLE index + one dict page — orders of
+    magnitude under the real character count (ADVICE r11: the undercount
+    would undersize the gram exchange back into the sort-spill cliff).
+    The probe must detect the dictionary page and calibrate from a
+    one-row-group sample read instead of trusting the footer arithmetic."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from fsql_spark.operators.spans import _footer_total_chars
+
+    # one distinct value x 5000 rows -> data pages stay dictionary-encoded
+    texts = ["the quick brown fox jumps over the lazy dog " * 20] * 5000
+    pdf = pd.DataFrame({"doc_id": range(5000), "text": texts})
+    path = str(tmp_path / "rep.parquet")
+    pdf.to_parquet(path)  # pyarrow writer: use_dictionary=True default
+
+    meta = pq.ParquetFile(path).metadata
+    names = [meta.schema.column(i).name for i in range(len(meta.schema))]
+    chunk = meta.row_group(0).column(names.index("text"))
+    assert chunk.dictionary_page_offset is not None  # scenario is real
+    naive = max(chunk.total_uncompressed_size - 4 * meta.row_group(0).num_rows, 0)
+    truth = int(pdf["text"].str.len().sum())
+    assert naive < truth / 100  # the pre-fix estimate was catastrophic
+
+    scan = spark.read.parquet(path).select("doc_id", "text")
+    est = _footer_total_chars(scan, "text")
+    assert est is not None
+    assert truth * 0.5 <= est <= truth * 2  # decade-grade, not footer-degenerate
 
 
 def test_corpus_pipeline_v3_selects_toward_target(spark):
