@@ -331,7 +331,13 @@ def main() -> None:
     # loses the headline fields (BENCH_r01..r03 all recorded parsed:null).
     # Emit the full detail FIRST, then a compact final line that always
     # survives truncation; per-query detail also lands in BENCH_DETAIL.json.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # FSQL_BENCH_DETAIL_PATH redirects the detail artifact so a builder's
+    # exclusive-host clean bench (BENCH_CLEAN_r{N}.json) and the driver's
+    # post-round run can't overwrite each other (r11: the driver's
+    # contended run clobbered the working-tree clean copy).
+    detail_path = os.environ.get("FSQL_BENCH_DETAIL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
     try:
         with open(detail_path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)

@@ -194,7 +194,10 @@ def dsir_score_stateless(
     (from :func:`dsir_fit`) rides as a numpy array in the kernel closure,
     each document hashes its own grams and sums ratios row-locally inside
     one Arrow batch — no join, no aggregation state — so the same code
-    runs unmodified on a readStream (crawl-time selection scoring), the
+    runs unmodified on a readStream (crawl-time selection scoring —
+    exercised against a rate-limited unbounded source with a watermarked
+    windowed aggregate downstream in
+    tests/test_streaming.py::test_dsir_stateless_on_rate_source_with_watermark), the
     :func:`~fsql_spark.operators.lm.doc_cross_entropy_stateless` posture.
     Gram hashing replicates the JVM/oracle definition exactly
     (``md5(gram)[:8]`` as int mod B — md5 is md5 in any engine).
