@@ -894,3 +894,48 @@ def test_dsir_scores_match_pure_python(spark, corpus):
         )
         want[i] = (len(gs), round(llr, 9))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=7),
+            min_size=0, max_size=10,
+        ),
+        min_size=1, max_size=10,
+    ),
+)
+def test_bpe_apply_oracle_matches_engine_any_corpus(spark, corpus, tmp_path_factory):
+    """The 15-round apply/pack oracle (unrolled CTEs) == the engine's
+    learn+apply on ARBITRARY corpora — including ones whose merge loop
+    dries out before the budget (the ADVICE r11 divergence: an empty
+    per-round argmax must pass words through, not empty the corpus).
+    DuckDB runs the committed oracle SQL verbatim on the same parquet."""
+    import duckdb
+
+    from fsql_spark.operators.bpe import Q_BPE_TOKENIZED_LENGTHS_SQL
+
+    tmp = tmp_path_factory.mktemp("bpe_prop")
+    docs = _mk_docs(spark, corpus)
+    docs.toPandas().to_parquet(tmp / "documents.parquet", index=False)
+
+    import __spark_entry__ as entry_mod
+
+    got = {
+        (r["doc_id"], r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in entry_mod.queries()["q_bpe_tokenized_lengths"](
+            spark, str(tmp)
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet'"
+        )
+        want = {tuple(r) for r in con.execute(Q_BPE_TOKENIZED_LENGTHS_SQL).fetchall()}
+    finally:
+        con.close()
+    assert got == want
