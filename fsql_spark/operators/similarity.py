@@ -1120,17 +1120,31 @@ def semantic_dedup(
 
     Scale posture: assignment is MAP-ONLY (centroid matrix is KBs,
     closure-broadcast — see :func:`_make_assigner`); the pairwise stage
-    shuffles once on ``centroid_id`` and is quadratic ONLY within a
-    cluster, the paper's own cost model — n_centroids grows with the
-    corpus to bound cluster sizes (the 100 TB knob). No all-pairs
-    anywhere; the candidate join is a pure equi-join on the cluster id.
+    shuffles ONCE on ``centroid_id`` (groupBy, not the r11 self-join's
+    two-sided exchange) and is quadratic ONLY within a cluster, the
+    paper's own cost model — n_centroids grows with the corpus to bound
+    cluster sizes (the 100 TB knob). Within a cluster the dominance scan
+    is a TILED BLAS GEMM (``_cluster_dropped_keys``): 4096x4096 tiles
+    cap the materialized similarity block at ~134 MB however large a
+    cluster gets, replacing the interpreted zip_with/aggregate cosine the
+    self-join paid per pair (the _query_matrix lesson: measured 25 s vs
+    <1 s for 2k x 2k x 64; this entry's r12 A/B: 5.4 s -> 1.3 s at sf0.1,
+    PERF.md). No all-pairs anywhere.
 
     Determinism (what makes the exact SQL oracle possible): centroid
     init is the md5-hash-ordered sample (engine-portable,
     :func:`_centroid_seed_hash`), argmax assignment breaks ties toward
     the lowest centroid id in BOTH engines, and the threshold compares a
-    4dp-rounded cosine."""
+    4dp-rounded cosine. The kernel's float64 GEMM sums in a different
+    order than the old Column chain and the oracle's SUM — all three
+    agree at 4dp except on exact rounding-boundary cosines, which the
+    drop DECISION is insensitive to by construction (near-dups sit at
+    ~1.0, non-dups far below any sane threshold; a corpus engineered to
+    put pairs exactly at the 4dp boundary is outside the contract, as it
+    already was between the two JVM/DuckDB sum orders)."""
     import numpy as np
+
+    from pyspark.sql.types import StructField, StructType
 
     base = vectors.select(F.col(key_col).alias("k"), _as_double(vec_col).alias("v"))
     init = (
@@ -1142,22 +1156,71 @@ def semantic_dedup(
     )
     cents = np.array([r["v"] for r in init], dtype=np.float64)
     assigned = base.withColumn("centroid_id", _make_assigner(cents)(F.col("v")))
-    other = assigned.select(
-        F.col("k").alias("k2"), F.col("v").alias("v2"), F.col("centroid_id").alias("c2")
-    )
     dropped = (
-        assigned.join(
-            other, (F.col("centroid_id") == F.col("c2")) & (F.col("k") < F.col("k2"))
+        assigned.select("centroid_id", "k", "v")
+        .groupBy("centroid_id")
+        .applyInPandas(
+            _cluster_dropped_keys(threshold),
+            StructType([StructField("dk", assigned.schema["k"].dataType)]),
         )
-        .where(F.round(cosine(F.col("v"), F.col("v2")), 4) >= threshold)
-        .select(F.col("k2").alias("dk"))
-        .distinct()
     )
     return assigned.join(dropped, assigned.k == F.col("dk"), "left").select(
         F.col("k").alias(key_col),
         "centroid_id",
         F.col("dk").isNull().cast("int").alias("kept"),
     )
+
+
+def _cluster_dropped_keys(threshold: float, tile: int = 4096):
+    """Per-cluster min-key dominance scan as a tiled float64 GEMM.
+
+    Rows sorted by key; a row is DROPPED iff any STRICTLY-smaller key in
+    the cluster has 4dp-rounded cosine >= threshold against it (the same
+    rule the SQL oracle states as ``k < k2 AND round(cos, 4) >= t``).
+    Tiling both GEMM dimensions at ``tile`` bounds peak memory at
+    ~``tile**2 * 8`` bytes (~134 MB) regardless of cluster size, so a
+    skewed cluster degrades to more tiles, never to an OOM. Zero-norm
+    vectors produce NaN cosines, which compare False against the
+    threshold — exactly the oracle's NULL semantics (they neither
+    dominate nor get dropped). Strict key inequality (not row index)
+    guards duplicate keys: equal keys never dominate each other, matching
+    ``<`` in both engines."""
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("k", ignore_index=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"dk": pdf["k"][:0]})
+        m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        keys = pdf["k"].to_numpy()
+        # first row index of each key's equal-key run: strict dominance
+        # means row i dominates column j only when i < first_idx[j]
+        first_idx = np.searchsorted(keys, keys, side="left")
+        dropped = np.zeros(n, dtype=bool)
+        for j0 in range(1, n, tile):
+            j1 = min(j0 + tile, n)
+            cols = np.arange(j0, j1)
+            limit = first_idx[j0:j1]  # rows strictly below this dominate
+            acc = dropped[j0:j1]
+            for i0 in range(0, int(limit.max()), tile):
+                i1 = min(i0 + tile, int(limit.max()))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (m[i0:i1] @ m[cols].T) / np.outer(
+                        norms[i0:i1], norms[cols]
+                    )
+                    # half-away-from-zero at 4dp: the F.round/DuckDB ROUND
+                    # convention (np.round is half-even); NaN rides through
+                    sims = np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4 * np.sign(sims)
+                rows = np.arange(i0, i1)[:, None]
+                acc |= ((rows < limit[None, :]) & (sims >= threshold)).any(axis=0)
+            dropped[j0:j1] = acc
+        return pd.DataFrame({"dk": pdf["k"][dropped]})
+
+    return run
 
 
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:

@@ -2681,3 +2681,31 @@ def test_video_augment_fused_equals_composed(spark):
         ).collect()
     }
     assert fused and fused == composed
+
+
+def test_semdedup_cluster_kernel_tiling_and_edges():
+    """The tiled-GEMM dominance kernel (r12 semdedup rewrite) must be
+    tile-size invariant and honor the oracle's edge semantics: strictly
+    smaller keys dominate (equal keys never drop each other), zero-norm
+    vectors neither dominate nor get dropped (NULL-cosine semantics)."""
+    import pandas as pd
+
+    from fsql_spark.operators.similarity import _cluster_dropped_keys
+
+    pdf = pd.DataFrame({
+        "k": [5, 1, 1, 2, 3, 4, 6, 7],
+        "v": [
+            [1.0, 0.0],       # 5: dominated by 1 (identical direction)
+            [1.0, 0.0],       # 1 (first copy)
+            [1.0, 0.0],       # 1 (duplicate key: must NOT drop its twin)
+            [1.0, 0.0005],    # 2: cos vs 1 ~ 1.0 -> dropped
+            [0.0, 0.0],       # 3: zero norm -> kept
+            [0.0, 1.0],       # 4: orthogonal -> kept
+            [-1.0, 0.0],      # 6: opposite -> kept
+            [1.0, 0.0],       # 7: dominated
+        ],
+    })
+    want = {2, 5, 7}
+    for tile in (2, 3, 4096):
+        got = set(_cluster_dropped_keys(0.95, tile=tile)(pdf.copy())["dk"])
+        assert got == want, (tile, got)
