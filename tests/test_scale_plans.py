@@ -960,3 +960,18 @@ def test_resample_anchor_join_not_broadcast_and_grid_parallel(spark):
     # the explicit-width repartition survives in the plan (AQE leaves
     # user-specified widths alone; a column-only repartition is coalesced)
     assert "REPARTITION_BY_NUM" in plan or "Exchange hashpartitioning(user_id" in plan, plan[:1500]
+
+
+def test_semdedup_pairwise_is_single_exchange_gemm_kernel(spark):
+    """r12 rewrite claim: the SemDeDup in-cluster dominance scan is ONE
+    hash exchange on centroid_id feeding the Arrow GEMM kernel
+    (FlatMapGroupsInPandas) — not the old self-join's two-sided exchange,
+    and no join at all before the final kept-flag join-back."""
+    import __spark_entry__ as entry_mod
+
+    plan = plan_of(entry_mod.queries()["q_semantic_dedup"](spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    # exchanges: one for the kernel's groupBy, none for a pairwise join
+    assert plan.count("Exchange hashpartitioning") <= 2  # kernel + join-back
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
