@@ -1163,6 +1163,10 @@ def semantic_dedup(
             _cluster_dropped_keys(threshold),
             StructType([StructField("dk", assigned.schema["k"].dataType)]),
         )
+        # duplicate keys are legal input: the same key can be dropped as
+        # several rows (even across clusters, if its copies embed apart) and
+        # a non-distinct dk would multiply the left join's kept-flag rows
+        .distinct()
     )
     return assigned.join(dropped, assigned.k == F.col("dk"), "left").select(
         F.col("k").alias(key_col),

@@ -939,3 +939,57 @@ def test_bpe_apply_oracle_matches_engine_any_corpus(spark, corpus, tmp_path_fact
     finally:
         con.close()
     assert got == want
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),          # key (dups likely)
+            st.lists(st.integers(min_value=-3, max_value=3),  # small-grid vecs
+                     min_size=3, max_size=3),
+        ),
+        min_size=0, max_size=24,
+    ),
+    tile=st.sampled_from([2, 3, 5, 4096]),
+    threshold=st.sampled_from([0.5, 0.9, 0.95]),
+)
+def test_semdedup_kernel_matches_python_dominance_model(rows, tile, threshold):
+    """The r12 tiled-GEMM dominance kernel == an independent O(n^2)
+    pure-Python model on arbitrary clusters: duplicate keys, zero-norm
+    vectors, any tile size. Model: drop key b iff some STRICTLY smaller
+    key a has round-half-away(cos(a,b), 4) >= threshold; zero-norm
+    cosines are undefined and never trigger."""
+    import math
+
+    import pandas as pd
+
+    from fsql_spark.operators.similarity import _cluster_dropped_keys
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0.0 or nb == 0.0:
+            return None
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    def r4(x):
+        return math.floor(abs(x) * 1e4 + 0.5) / 1e4 * (1 if x >= 0 else -1)
+
+    want = set()
+    for kb, vb in rows:
+        for ka, va in rows:
+            if ka >= kb:
+                continue
+            c = cos(va, vb)
+            if c is not None and r4(c) >= threshold:
+                want.add(kb)
+                break
+
+    pdf = pd.DataFrame({
+        "k": [k for k, _ in rows],
+        "v": [[float(x) for x in v] for _, v in rows],
+    })
+    got = set(_cluster_dropped_keys(threshold, tile=tile)(pdf)["dk"])
+    assert got == want
