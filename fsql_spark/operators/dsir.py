@@ -218,9 +218,19 @@ def dsir_score_stateless(
             f"partial DSIR model: {len(ratio_rows)} rows for n_buckets="
             f"{n_buckets}; fit with dsir_fit (emits every bucket)"
         )
-    lr = np.empty(n_buckets, dtype=np.float64)
+    # np.full(nan) + post-check rather than np.empty: a model with a
+    # duplicate __bucket would pass the length check yet leave one slot
+    # uninitialized — nondeterministic llr instead of a loud refusal
+    # (ADVICE r12).
+    lr = np.full(n_buckets, np.nan, dtype=np.float64)
     for row in ratio_rows:
         lr[int(row["__bucket"])] = float(row["__lr"])
+    if np.isnan(lr).any():
+        missing = int(np.isnan(lr).sum())
+        raise ValueError(
+            f"malformed DSIR model: {missing} of {n_buckets} buckets unfilled "
+            "(duplicate or out-of-range __bucket rows); fit with dsir_fit"
+        )
 
     src = df.select(id_col, text_col, *carry_cols)
     schema = StructType(

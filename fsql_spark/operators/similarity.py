@@ -1181,9 +1181,13 @@ def _cluster_dropped_keys(threshold: float, tile: int = 4096):
     Rows sorted by key; a row is DROPPED iff any STRICTLY-smaller key in
     the cluster has 4dp-rounded cosine >= threshold against it (the same
     rule the SQL oracle states as ``k < k2 AND round(cos, 4) >= t``).
-    Tiling both GEMM dimensions at ``tile`` bounds peak memory at
-    ~``tile**2 * 8`` bytes (~134 MB) regardless of cluster size, so a
-    skewed cluster degrades to more tiles, never to an OOM. Zero-norm
+    Tiling both GEMM dimensions at ``tile`` bounds the SIMILARITY BLOCK's
+    peak memory at ~``tile**2 * 8`` bytes (~134 MB) regardless of cluster
+    size, so a skewed cluster's GEMM degrades to more tiles, not a bigger
+    block. The cluster's ROW data is still materialized whole in the task
+    (the pandas frame plus the n x d float64 matrix, O(cluster_size x
+    dim)) — ``n_centroids`` is the knob that sizes clusters to executor
+    memory. Zero-norm
     vectors produce NaN cosines, which compare False against the
     threshold — exactly the oracle's NULL semantics (they neither
     dominate nor get dropped). Strict key inequality (not row index)

@@ -63,10 +63,11 @@ _TARGET_PARTITION_BYTES = 192 << 20
 _ROW_OVERHEAD_BYTES = 48
 
 
-#: Files with dictionary-encoded text chunks need a one-row-group
-#: calibration read each (driver-side); past this many such files the
-#: distributed exact scan is cheaper than a driver-side file loop.
-_MAX_CALIBRATION_FILES = 64
+#: Dictionary-flagged row groups need bounded driver-side calibration
+#: sample reads (one per est-chars-per-row decade bucket per file); past
+#: this many total sample reads the distributed exact scan is cheaper
+#: than a driver-side file loop.
+_MAX_CALIBRATION_READS = 64
 
 
 def _footer_total_chars(df: DataFrame, text_col: str) -> int | None:
@@ -82,18 +83,25 @@ def _footer_total_chars(df: DataFrame, text_col: str) -> int | None:
     corpus undercounts characters by ORDERS of magnitude (measured: a
     5000-row single-value corpus reports 0 est vs 4.4M chars) and would
     undersize the gram exchange straight into the sort-spill cliff the
-    probe exists to avoid (ADVICE r11). A chunk that merely ATTEMPTED
+    probe exists to avoid (ADVICE r11). The footer can't say which row
+    groups are REALLY dict-encoded: a chunk that merely ATTEMPTED
     dictionary encoding and fell back to PLAIN still lists RLE_DICTIONARY
-    in ``encodings`` (all the driver testdata does), so bailing on the
-    encoding flag alone would disable the footer path everywhere. Instead,
-    any file whose text chunks carry a dictionary page gets CALIBRATED:
-    read ONLY its first row group's text column (bounded: one row group,
-    one column), take exact characters, and scale the file's footer
-    estimate by the observed exact/estimate ratio (per-row extrapolation
-    when the footer estimate is degenerate). Exact for single-row-group
-    files; decade-grade when later row groups differ. Past
-    ``_MAX_CALIBRATION_FILES`` such files the driver-side loop loses to
-    the distributed exact scan — return None.
+    in ``encodings`` AND keeps its partial dictionary page (measured on
+    pyarrow 16 — ``dictionary_page_offset`` is set on a
+    fallen-back-to-PLAIN chunk), so neither flag alone discriminates, and
+    one file can mix honest-PLAIN and degenerate-dict row groups (ADVICE
+    r12: calibrating such a file from its PLAIN-ish row group 0 measures
+    a ratio of ~1 and keeps the undercount). Instead, dictionary-flagged
+    row groups are BUCKETED by the decade of their footer-estimated
+    chars-per-row — row groups in the same decade share an encoding
+    regime — and each bucket is calibrated by reading ONE sample row
+    group (bounded: one row group, one column): exact characters vs the
+    footer estimate gives the bucket's scale ratio (per-row extrapolation
+    when the footer estimate is degenerate). Unflagged row groups keep
+    their direct footer estimate. Exact when every bucket holds one row
+    group; decade-grade otherwise — which is the contract. Past
+    ``_MAX_CALIBRATION_READS`` total sample reads the driver-side loop
+    loses to the distributed exact scan — return None.
 
     Applies only when the plan is a bare scan/filter/project over LOCAL
     parquet files (the plan-string check is the _spread technique);
@@ -111,8 +119,10 @@ def _footer_total_chars(df: DataFrame, text_col: str) -> int | None:
         files = df.inputFiles()
         if not files:
             return None
+        import math
+
         total_chars = 0
-        calibrated = 0
+        sample_reads = 0
         for f in files:
             if f.startswith("file:"):
                 f = f[5:]
@@ -124,40 +134,38 @@ def _footer_total_chars(df: DataFrame, text_col: str) -> int | None:
             if text_col not in names:
                 return None
             col_idx = names.index(text_col)
-            file_bytes = 0
-            file_rows = 0
-            has_dict_page = False
+            # buckets: est-chars-per-row decade -> [(rg, est, rows), ...]
+            buckets: dict[int, list[tuple[int, int, int]]] = {}
             for rg in range(meta.num_row_groups):
                 grp = meta.row_group(rg)
                 chunk = grp.column(col_idx)
-                file_bytes += chunk.total_uncompressed_size
-                file_rows += grp.num_rows
-                if chunk.dictionary_page_offset is not None:
-                    has_dict_page = True
-            est = max(file_bytes - 4 * file_rows, 0)
-            if has_dict_page:
-                calibrated += 1
-                if calibrated > _MAX_CALIBRATION_FILES:
+                rg_est = max(chunk.total_uncompressed_size - 4 * grp.num_rows, 0)
+                if chunk.dictionary_page_offset is None or grp.num_rows == 0:
+                    total_chars += rg_est
+                    continue
+                decade = math.floor(math.log10(max(rg_est / grp.num_rows, 0.1)))
+                buckets.setdefault(decade, []).append((rg, rg_est, grp.num_rows))
+            for members in buckets.values():
+                sample_reads += 1
+                if sample_reads > _MAX_CALIBRATION_READS:
                     return None
-                rg0 = meta.row_group(0)
-                exact0 = int(
+                # sample the bucket's largest row group (most rows -> the
+                # ratio is measured where most of the bucket's mass is)
+                calib_rg, est_c, rows_c = max(members, key=lambda m: m[2])
+                exact_c = int(
                     pc.sum(
                         pc.utf8_length(
-                            pf.read_row_group(0, columns=[text_col]).column(0)
+                            pf.read_row_group(calib_rg, columns=[text_col]).column(0)
                         )
                     ).as_py()
                     or 0
                 )
-                est0 = max(
-                    rg0.column(col_idx).total_uncompressed_size - 4 * rg0.num_rows, 0
-                )
-                if est0 > 0:
-                    est = int(est * (exact0 / est0))
-                elif rg0.num_rows > 0:
-                    est = int(exact0 * (file_rows / rg0.num_rows))
+                bucket_est = sum(m[1] for m in members)
+                bucket_rows = sum(m[2] for m in members)
+                if est_c > 0:
+                    total_chars += int(bucket_est * (exact_c / est_c))
                 else:
-                    return None
-            total_chars += est
+                    total_chars += int(exact_c * (bucket_rows / rows_c))
         return total_chars
     except Exception:
         return None

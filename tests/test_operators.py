@@ -2343,6 +2343,14 @@ def test_dsir_unseen_bucket_scores_smoothing_ratio(spark):
     with pytest.raises(ValueError, match="partial DSIR model"):
         dsir_score_stateless(new, rows[: B - 1], n_buckets=B)
 
+    # a duplicate-__bucket model passes the length check but leaves one
+    # slot unfilled — pre-fix that slot was np.empty garbage, yielding
+    # nondeterministic llr (ADVICE r12); now refused loudly
+    dup = rows[: B - 1] + [rows[0]]
+    assert len(dup) == B
+    with pytest.raises(ValueError, match="malformed DSIR model"):
+        dsir_score_stateless(new, dup, n_buckets=B)
+
 
 def test_hard_negative_topk_matches_numpy(spark):
     """Label-masked brute-force mining equals a full numpy reference:
@@ -2521,6 +2529,65 @@ def test_spans_footer_probe_calibrates_dictionary_chunks(spark, tmp_path):
     est = _footer_total_chars(scan, "text")
     assert est is not None
     assert truth * 0.5 <= est <= truth * 2  # decade-grade, not footer-degenerate
+
+
+def test_spans_footer_probe_calibrates_mixed_regime_row_groups(spark, tmp_path):
+    """ADVICE r12: one file can mix an effectively-PLAIN row group (unique
+    strings; the dictionary attempt fell back, so the chunk still carries a
+    dict page and the RLE_DICTIONARY flag) with a genuinely dict-encoded
+    one (repeated strings, footer est ~0). Calibrating the whole file from
+    row group 0 measures ratio ~1 and keeps the second group's
+    orders-of-magnitude undercount; the probe must scale each encoding
+    regime by its own sampled ratio."""
+    import random
+    import string
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fsql_spark.operators.spans import _footer_total_chars
+
+    random.seed(7)
+    uniq = [
+        "".join(random.choices(string.ascii_letters + string.digits, k=80))
+        for _ in range(3000)
+    ]
+    rep = ["the quick brown fox jumps over the lazy dog " * 20] * 3000
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    path = str(tmp_path / "mixed.parquet")
+    # tiny dictionary page limit forces the unique row group to fall back
+    # to PLAIN data pages while keeping its (partial) dictionary page
+    w = pq.ParquetWriter(path, schema, dictionary_pagesize_limit=4096)
+    w.write_table(
+        pa.table({"doc_id": list(range(3000)), "text": uniq}, schema=schema),
+        row_group_size=3000,
+    )
+    w.write_table(
+        pa.table({"doc_id": list(range(3000, 6000)), "text": rep}, schema=schema),
+        row_group_size=3000,
+    )
+    w.close()
+
+    meta = pq.ParquetFile(path).metadata
+    assert meta.num_row_groups == 2
+    names = [meta.schema.column(i).name for i in range(len(meta.schema))]
+    ci = names.index("text")
+    # the scenario is real: BOTH chunks carry a dict page, so the page
+    # flag alone cannot tell the PLAIN-fallback group from the dict one
+    assert all(
+        meta.row_group(rg).column(ci).dictionary_page_offset is not None
+        for rg in range(2)
+    )
+    est0 = meta.row_group(0).column(ci).total_uncompressed_size
+    est1 = meta.row_group(1).column(ci).total_uncompressed_size
+    assert est0 > 50 * est1  # regimes genuinely differ by decades
+
+    truth = sum(len(t) for t in uniq) + sum(len(t) for t in rep)
+    scan = spark.read.parquet(path).select("doc_id", "text")
+    est = _footer_total_chars(scan, "text")
+    assert est is not None
+    # single-decade-regime buckets with one row group each -> near-exact
+    assert truth * 0.9 <= est <= truth * 1.1, (est, truth)
 
 
 def test_corpus_pipeline_v3_selects_toward_target(spark):

@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo/tests")
 
 def main() -> None:
     rnd = int(sys.argv[1])
-    out_path = sys.argv[2] if len(sys.argv) > 2 else f"GATE_r{rnd:02d}.json".replace("r0", "r")
+    out_path = sys.argv[2] if len(sys.argv) > 2 else f"GATE_r{rnd}.json"
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entry_mod
