@@ -1308,6 +1308,303 @@ FROM assign a LEFT JOIN dropped d ON d.kb = a.vec_id
 """
 
 
+#: bump when incremental-SemDeDup semantics (assignment, rounding, drop
+#: rule) change — a persisted kept set written under old semantics must
+#: refuse loudly instead of silently mis-deduping every future batch
+_SEMDEDUP_FORMAT = 1
+
+_SEMDEDUP_META_COLS = ("__n_centroids", "__seed", "__semdedup_fmt")
+
+
+def write_semdedup_kept(
+    kept: DataFrame,
+    key_col: str,
+    vec_col: str,
+    url: str,
+    *,
+    centroids,
+    seed: int,
+) -> None:
+    """Persist the KEPT corpus for incremental SemDeDup: rows assigned
+    map-only with the same quantizer every future batch will use, written
+    partitioned by ``centroid_id`` so a new batch's dominance scan reads
+    ONLY the cluster directories it probes (partition pruning — at 100 TB
+    the kept set is the big side and a crawl batch touches a subset of
+    clusters). Config rides as constant metadata columns, validated on
+    read (the ``_SIG_META_COLS`` pattern: a kept set and a batch assigned
+    under different quantizers must never silently join)."""
+    from ..api import write_table
+
+    assigned = assign_with_centroids(kept, key_col, vec_col, centroids)
+    df = (
+        assigned.select(
+            F.col("k").alias(key_col), F.col("v").alias(vec_col), "centroid_id"
+        )
+        .withColumn("__n_centroids", F.lit(int(len(centroids))))
+        .withColumn("__seed", F.lit(int(seed)))
+        .withColumn("__semdedup_fmt", F.lit(_SEMDEDUP_FORMAT))
+    )
+    write_table(df, url, partition_by=["centroid_id"])
+
+
+def read_semdedup_kept(
+    spark: SparkSession, url: str, *, centroids, seed: int
+) -> DataFrame:
+    """Load a persisted kept set and REFUSE config mismatches: missing
+    metadata, mixed configs (appended-to table), wrong format version, or
+    a quantizer that differs from the one the caller is about to assign
+    new batches with (n_centroids / seed). Returns the kept rows with
+    ``centroid_id`` intact — assignment is never recomputed."""
+    from ..fs import get_url_and_fs
+
+    path, fs = get_url_and_fs(url)
+    df = spark.read.parquet(fs.spark_url(path))
+    missing = [c for c in _SEMDEDUP_META_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"SemDeDup kept table at {url} lacks metadata column(s) {missing} "
+            f"— rebuild with write_semdedup_kept (format v{_SEMDEDUP_FORMAT})"
+        )
+    configs = [
+        tuple(r) for r in df.select(*_SEMDEDUP_META_COLS).distinct().limit(3).collect()
+    ]
+    if len(configs) != 1:
+        raise ValueError(
+            f"SemDeDup kept table at {url} mixes configs {configs} "
+            "(appended-to table?) — rebuild it"
+        )
+    n_cent, got_seed, fmt = configs[0]
+    if fmt != _SEMDEDUP_FORMAT or n_cent != len(centroids) or got_seed != seed:
+        raise ValueError(
+            f"SemDeDup kept table at {url} was written with "
+            f"(n_centroids={n_cent}, seed={got_seed}, fmt=v{fmt}); this batch "
+            f"assigns with (n_centroids={len(centroids)}, seed={seed}, "
+            f"fmt=v{_SEMDEDUP_FORMAT}) — near-dups would land in different "
+            "clusters and silently survive. Rebuild the kept table or load "
+            "the matching quantizer."
+        )
+    return df.drop(*_SEMDEDUP_META_COLS)
+
+
+def semantic_dedup_against(
+    new: DataFrame,
+    kept: DataFrame,
+    key_col: str,
+    vec_col: str,
+    *,
+    centroids,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Incremental / cross-corpus SemDeDup — the production shape of the
+    Abbas et al. pipeline: dedup the NEW crawl batch against the KEPT
+    corpus. A new row is dropped iff some kept vector in its cluster has
+    4dp-rounded cosine >= threshold against it; kept rows always win (the
+    corpus is the prior — no min-key rule across sides), and new-vs-new
+    duplicates are NOT removed, compose with :func:`semantic_dedup` for
+    that (the :func:`~fsql_spark.operators.dedup.dedup_against` contract).
+
+    ``kept`` may be the persisted assigned table (from
+    :func:`read_semdedup_kept`, ``centroid_id`` present — assignment is
+    trusted, not recomputed) or raw vectors (assigned in-plan with the
+    same quantizer). Returns (key, centroid_id, kept) for every NEW row.
+
+    Scale shape: both assignments are MAP-ONLY (broadcast centroid
+    matrix); the kept side is pruned to the batch's clusters FIRST via a
+    broadcast semi-join on the <= n_centroids distinct centroid_ids the
+    batch probes (partition pruning when the kept table is written
+    partitioned by centroid_id), then ONE shuffle co-groups both sides on
+    ``centroid_id`` and the dominance scan is the tiled float64 GEMM of
+    :func:`semantic_dedup` — kept x new, never kept x kept. Per task the
+    cluster's row data is O(cluster_size x dim); ``n_centroids`` is the
+    knob that sizes clusters to executor memory."""
+    from pyspark.sql.types import StructField, StructType
+
+    new_assigned = assign_with_centroids(new, key_col, vec_col, centroids)
+    if "centroid_id" in kept.columns:
+        kept_assigned = kept.select(
+            F.col(key_col).alias("k"), _as_double(vec_col).alias("v"), "centroid_id"
+        )
+    else:
+        kept_assigned = assign_with_centroids(kept, key_col, vec_col, centroids)
+
+    probed = new_assigned.select("centroid_id").distinct()
+    kept_pruned = kept_assigned.join(F.broadcast(probed), "centroid_id", "left_semi")
+
+    # kept rows ride with a NULL key: the kernel only needs their vectors,
+    # and a null key sidesteps any key-type mismatch between corpora
+    both = new_assigned.select(
+        "centroid_id", "k", "v", F.lit(1).alias("side")
+    ).unionByName(
+        kept_pruned.select(
+            "centroid_id",
+            F.lit(None).cast(new_assigned.schema["k"].dataType).alias("k"),
+            "v",
+            F.lit(0).alias("side"),
+        )
+    )
+    dropped = (
+        both.groupBy("centroid_id")
+        .applyInPandas(
+            _cluster_dropped_against(threshold),
+            StructType([StructField("dk", new_assigned.schema["k"].dataType)]),
+        )
+        .distinct()
+    )
+    return new_assigned.join(dropped, new_assigned.k == F.col("dk"), "left").select(
+        F.col("k").alias(key_col),
+        "centroid_id",
+        F.col("dk").isNull().cast("int").alias("kept"),
+    )
+
+
+def _cluster_dropped_against(threshold: float, tile: int = 4096):
+    """Per-cluster cross-corpus dominance scan: a NEW row (side=1) is
+    dropped iff ANY kept vector (side=0) in the cluster has 4dp-rounded
+    cosine >= threshold against it. Same tiled float64 GEMM and rounding
+    conventions as :func:`_cluster_dropped_keys`, but the GEMM is
+    kept x new — the kept side never compares against itself, so a batch
+    probe costs |kept_cluster| x |new_cluster|, not the square of either.
+    Tiling bounds the similarity block at ~``tile**2 * 8`` bytes; the
+    cluster's row data is O(cluster_size x dim) per task, sized via
+    ``n_centroids``. Zero-norm vectors yield NaN cosines which compare
+    False — they neither dominate nor get dropped, the oracle's NULL
+    semantics."""
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        new_pdf = pdf[pdf["side"] == 1]
+        kept_pdf = pdf[pdf["side"] == 0]
+        if not len(new_pdf) or not len(kept_pdf):
+            return pd.DataFrame({"dk": new_pdf["k"][:0]})
+        mn = np.asarray(new_pdf["v"].tolist(), dtype=np.float64)
+        mk = np.asarray(kept_pdf["v"].tolist(), dtype=np.float64)
+        nn = np.sqrt((mn * mn).sum(axis=1))
+        nk = np.sqrt((mk * mk).sum(axis=1))
+        n_new, n_kept = len(mn), len(mk)
+        dropped = np.zeros(n_new, dtype=bool)
+        for j0 in range(0, n_new, tile):
+            j1 = min(j0 + tile, n_new)
+            acc = dropped[j0:j1]
+            for i0 in range(0, n_kept, tile):
+                i1 = min(i0 + tile, n_kept)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (mk[i0:i1] @ mn[j0:j1].T) / np.outer(
+                        nk[i0:i1], nn[j0:j1]
+                    )
+                    # half-away-from-zero at 4dp (F.round/DuckDB ROUND)
+                    sims = np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4 * np.sign(sims)
+                acc |= (sims >= threshold).any(axis=0)
+            dropped[j0:j1] = acc
+        return pd.DataFrame({"dk": new_pdf["k"][dropped]})
+
+    return run
+
+
+def q_semantic_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SemDeDup: the KEPT corpus is the even-id half of the
+    embeddings table; the NEW batch is the odd-id half plus exact clones
+    of every 10th even id (vec_id+100000) — the clones hit cosine 1.0
+    against their kept originals and must be dropped, the natural odd-id
+    rows survive (max natural pairwise cosine ~0.49 << 0.95). Centroids
+    are hash-sampled from the KEPT corpus only (the quantizer is trained
+    once on the corpus, then every batch assigns map-only — the
+    :func:`write_semdedup_kept` lifecycle, exercised with the persisted
+    table in tests/test_operators.py)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    kept = emb.where(F.col("vec_id") % 2 == 0)
+    clones = emb.where(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    new = emb.where(F.col("vec_id") % 2 == 1).unionByName(clones)
+    base = kept.select(F.col("vec_id").alias("k"), _as_double("embedding").alias("v"))
+    init = (
+        base.withColumn("__h", _centroid_seed_hash(F.col("k"), 42))
+        .orderBy("__h", "k")
+        .limit(16)
+        .select("v")
+        .collect()
+    )
+    import numpy as np
+
+    cents = np.array([r["v"] for r in init], dtype=np.float64)
+    return semantic_dedup_against(
+        new, kept, "vec_id", "embedding", centroids=cents, threshold=0.95
+    )
+
+
+# full replica of q_semantic_dedup_incremental: kept-corpus-sampled
+# centroids -> tie-broken argmax assignment of BOTH sides -> cross-corpus
+# in-cluster 4dp cosine -> any-kept-match drop rule (no min-key: kept wins)
+Q_SEMANTIC_DEDUP_INCREMENTAL_SQL = """
+WITH kept AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+),
+new_batch AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+corpus AS (
+  SELECT vec_id, embedding, 0 AS side FROM kept
+  UNION ALL
+  SELECT vec_id, embedding, 1 AS side FROM new_batch
+),
+ex AS (
+  SELECT vec_id, side, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM corpus
+),
+norms AS (SELECT vec_id, side, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id, side),
+cent AS (
+  SELECT vec_id AS cid_key,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '-42'), vec_id) AS INTEGER) - 1 AS cid
+  FROM kept
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '-42'), vec_id) <= 16
+),
+cvec AS (
+  SELECT c.cid, e.i, e.v / GREATEST(n.nrm, 1e-12) AS cv
+  FROM cent c
+  JOIN ex e ON e.vec_id = c.cid_key AND e.side = 0
+  JOIN norms n ON n.vec_id = c.cid_key AND n.side = 0
+),
+uvec AS (
+  SELECT e.vec_id, e.side, e.i, e.v / GREATEST(n.nrm, 1e-12) AS uv
+  FROM ex e JOIN norms n ON n.vec_id = e.vec_id AND n.side = e.side
+),
+sim AS (
+  SELECT u.vec_id, u.side, c.cid, SUM(u.uv * c.cv) AS s
+  FROM uvec u JOIN cvec c ON u.i = c.i
+  GROUP BY 1, 2, 3
+),
+assign AS (
+  SELECT vec_id, side, cid FROM (
+    SELECT vec_id, side, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, side ORDER BY s DESC, cid ASC) AS rn
+    FROM sim) WHERE rn = 1
+),
+pairs AS (
+  SELECT n.vec_id AS nk, k.vec_id AS kk
+  FROM assign n JOIN assign k ON n.cid = k.cid AND n.side = 1 AND k.side = 0
+),
+cos AS (
+  SELECT p.nk, ROUND(SUM(en.v * ek.v) / (nn.nrm * nk2.nrm), 4) AS c
+  FROM pairs p
+  JOIN ex en ON en.vec_id = p.nk AND en.side = 1
+  JOIN ex ek ON ek.vec_id = p.kk AND ek.side = 0 AND ek.i = en.i
+  JOIN norms nn ON nn.vec_id = p.nk AND nn.side = 1
+  JOIN norms nk2 ON nk2.vec_id = p.kk AND nk2.side = 0
+  GROUP BY p.nk, p.kk, nn.nrm, nk2.nrm
+),
+dropped AS (SELECT DISTINCT nk FROM cos WHERE c >= 0.95)
+SELECT a.vec_id, a.cid AS centroid_id,
+       CASE WHEN d.nk IS NULL THEN 1 ELSE 0 END AS kept
+FROM assign a LEFT JOIN dropped d ON d.nk = a.vec_id
+WHERE a.side = 1
+"""
+
+
 def hard_negative_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1453,6 +1750,7 @@ SELECT anchor_id, negative_id, rank FROM ranked WHERE rank <= 3
 
 SIMILARITY_QUERIES = {
     "q_semantic_dedup": q_semantic_dedup,
+    "q_semantic_dedup_incremental": q_semantic_dedup_incremental,
     "q_embedding_hard_negatives": q_embedding_hard_negatives,
 
     "q_embedding_similar_pairs": q_embedding_similar_pairs,
@@ -1468,6 +1766,7 @@ SIMILARITY_QUERIES = {
 
 SIMILARITY_ORACLES = {
     "q_semantic_dedup": Q_SEMANTIC_DEDUP_SQL,  # full SemDeDup replica
+    "q_semantic_dedup_incremental": Q_SEMANTIC_DEDUP_INCREMENTAL_SQL,
     "q_embedding_similar_pairs": Q_EMB_PAIRS_SQL,
     "q_embedding_knn": Q_EMB_KNN_SQL,
     "q_embedding_hard_negatives": Q_EMB_HARD_NEG_SQL,

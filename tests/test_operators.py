@@ -1775,6 +1775,97 @@ def test_ivf_centroid_persistence_roundtrip(spark, tmp_path):
         read_ivf_centroids(spark, url)
 
 
+def test_semantic_dedup_against_persisted_kept_lifecycle(spark, tmp_path):
+    """Incremental SemDeDup production lifecycle: persist the kept corpus
+    assigned under a fixed quantizer, dedup a new batch against the LOADED
+    table, and get exactly what the in-plan (raw-kept) path gives. Plus the
+    config guards: missing metadata, quantizer mismatch, mixed configs."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.similarity import (
+        _as_double,
+        _centroid_seed_hash,
+        read_semdedup_kept,
+        semantic_dedup_against,
+        write_semdedup_kept,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    kept = emb.where(F.col("vec_id") % 2 == 0)
+    clones = emb.where(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    new = emb.where(F.col("vec_id") % 2 == 1).unionByName(clones)
+    base = kept.select(F.col("vec_id").alias("k"), _as_double("embedding").alias("v"))
+    init = (
+        base.withColumn("__h", _centroid_seed_hash(F.col("k"), 42))
+        .orderBy("__h", "k").limit(16).select("v").collect()
+    )
+    cents = np.array([r["v"] for r in init], dtype=np.float64)
+
+    url = str(tmp_path / "kept_corpus")
+    write_semdedup_kept(kept, "vec_id", "embedding", url, centroids=cents, seed=42)
+    loaded = read_semdedup_kept(spark, url, centroids=cents, seed=42)
+    assert "centroid_id" in loaded.columns  # assignment persisted, not redone
+
+    via_disk = {
+        r["vec_id"]: (r["centroid_id"], r["kept"])
+        for r in semantic_dedup_against(
+            new, loaded, "vec_id", "embedding", centroids=cents
+        ).collect()
+    }
+    in_plan = {
+        r["vec_id"]: (r["centroid_id"], r["kept"])
+        for r in semantic_dedup_against(
+            new, kept, "vec_id", "embedding", centroids=cents
+        ).collect()
+    }
+    assert via_disk == in_plan
+    # every clone dropped against its kept original; naturals survive
+    assert all(kept_flag == 0 for k, (_, kept_flag) in via_disk.items() if k >= 100000)
+    assert all(kept_flag == 1 for k, (_, kept_flag) in via_disk.items() if k < 100000)
+
+    # cross-corpus ONLY: a new-vs-new duplicate pair both survive (the
+    # dedup_against contract — compose with semantic_dedup for within-batch)
+    twin = emb.where(F.col("vec_id") == 1).withColumn("vec_id", F.lit(200001))
+    new2 = emb.where(F.col("vec_id") == 1).unionByName(twin)
+    out2 = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup_against(
+            new2, kept, "vec_id", "embedding", centroids=cents
+        ).collect()
+    }
+    assert out2 == {1: 1, 200001: 1}
+
+    # quantizer-mismatch guards: different seed, different codebook size
+    with pytest.raises(ValueError, match="seed=7"):
+        read_semdedup_kept(spark, url, centroids=cents, seed=7)
+    with pytest.raises(ValueError, match="n_centroids=8"):
+        read_semdedup_kept(spark, url, centroids=cents[:8], seed=42)
+
+    # a bare table (no metadata) refuses
+    import pandas as pd
+    bare = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[0.0]], "centroid_id": [0]})
+    )
+    bare.write.mode("overwrite").parquet(str(tmp_path / "bare"))
+    with pytest.raises(ValueError, match="lacks metadata"):
+        read_semdedup_kept(spark, str(tmp_path / "bare"), centroids=cents, seed=42)
+
+    # mixed-config append refuses (the _SIG_META_COLS posture): a second
+    # writer appends into the SAME partitioned layout under another seed
+    write_semdedup_kept(
+        kept, "vec_id", "embedding", str(tmp_path / "other"), centroids=cents, seed=7
+    )
+    spark.read.parquet(str(tmp_path / "other")).write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(url)
+    with pytest.raises(ValueError, match="mixes configs"):
+        read_semdedup_kept(spark, url, centroids=cents, seed=42)
+
+
 def test_lm_catalog_entries_release_their_caches(spark):
     """q_doc_perplexity / q_perplexity_buckets materialize their bounded
     outputs and unpersist the corpus-scale tf / scored caches — repeated

@@ -975,3 +975,25 @@ def test_semdedup_pairwise_is_single_exchange_gemm_kernel(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # kernel + join-back
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_incremental_prunes_kept_side_and_broadcasts(spark):
+    """Incremental SemDeDup scale shape: the kept corpus is pruned to the
+    batch's clusters via a BROADCAST left-semi join (the big side never
+    shuffles to be pruned), the cross-corpus dominance scan is the Arrow
+    GEMM kernel behind hash exchanges on centroid_id only, and the
+    kept-flag join-back broadcasts the dropped-key set — no sort-merge
+    join, no cartesian product anywhere."""
+    import __spark_entry__ as entry_mod
+
+    plan = plan_of(entry_mod.queries()["q_semantic_dedup_incremental"](spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    # every hash exchange is the kernel's centroid_id co-group or the
+    # dropped-key distinct — never a full-table pairwise exchange
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan):
+        assert m.group(1) in ("centroid_id", "dk"), m.group(0)
