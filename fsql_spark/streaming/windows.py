@@ -201,17 +201,22 @@ def stream_to_partitioned_table(
     q.awaitTermination()
 
 
-def run_to_memory(stream_df: DataFrame, mode: str, state_partitions: int = 4) -> DataFrame:
+def run_to_memory(stream_df: DataFrame, mode: str, state_partitions: int = 16) -> DataFrame:
     """Execute a streaming query to completion (availableNow) into an
     in-memory sink; returns the result table.
 
     ``state_partitions`` pins shuffle/state-store partitioning for the query
-    (set at stream start, immutable afterwards): each state partition costs a
-    state-store instance + (for Python-stateful ops) a worker round trip per
-    batch, so small demo streams want few; size it to key cardinality in
-    production. Default 4: the testdata streams key on user_id (~1.5k keys
-    at sf0.1) — profiled 8 -> 4 shaves ~0.4 s/query of pure state-store
-    lifecycle with no further gain below 4 (PERF.md, round-5 note)."""
+    (set at stream start, immutable afterwards). Two costs pull opposite
+    ways: each partition is a state-store instance + (for Python-stateful
+    ops) a worker round trip per batch (favors few), but the stateful
+    kernel's addBatch parallelism is CAPPED at this count (favors many on
+    a wide host). Default 16 from the r13 profile of the worst entry
+    (stateful attribution, local[32]): at sf0.1 addBatch dominates and
+    4 -> 16 partitions is 2.61 -> 1.38 s/query (1.9x); at sf0.001 the
+    state-store lifecycle dominates and 4/8/16 tie within noise while 32
+    regresses ~30% (PERF.md r13; supersedes the r5 note profiled at
+    smaller scale where 4 won). In production size it to key cardinality /
+    executor count — it is immutable for the checkpoint's lifetime."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
