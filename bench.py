@@ -184,7 +184,96 @@ def _calibrate(spark) -> dict:
     return out
 
 
-def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None = None):
+#: Floor (best-observed) probe values for THIS host class — the exclusive
+#: local[32] container, recorded in BASELINE.md §host-calibration. The
+#: floor, not the mean: the numpy probe shows ~2.5x intrinsic spread even
+#: back-to-back on an idle host (BLAS thread scheduling on shared CPU), so
+#: transient inflation must not reclassify the host. A different deployment
+#: records its own floors once and edits these two constants.
+_PROBE_FLOOR = {"jvm_sec": 0.39, "numpy_sec": 1.8}
+
+#: Arrow/Python execution nodes: an entry whose executed plan carries any
+#: of these is numpy-bound (wall rides the BLAS/pandas kernel + Arrow
+#: transfer, normalized by the numpy probe); everything else is jvm-bound.
+_PY_PLAN_NODES = (
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapInPandas",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "PythonMapInArrow",
+)
+
+
+def _entry_class(name: str, df) -> str:
+    """Classify one catalog entry into its calibration family, ONCE per
+    bench run, from ground truth rather than a hand-maintained list:
+    ``stream`` (q_stream_*: wall is streaming-machinery fixed cost plus a
+    state kernel that already ran inside run_to_memory — the returned df
+    is only the batch-side tail, so plan inspection would misread it),
+    else ``numpy`` when the executed plan contains an Arrow/Python node,
+    else ``jvm``."""
+    if name.startswith("q_stream_"):
+        return "stream"
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return "jvm"
+    return "numpy" if any(n in plan for n in _PY_PLAN_NODES) else "jvm"
+
+
+def _host_class(calibration: dict) -> str:
+    """calm / loaded / hot from the MIN of the first/last probe pair per
+    kernel vs the pinned floors (<=1.5x floor = calm, <=3x = loaded, else
+    hot); the label is the WORSE of the two kernels. Cross-round rule
+    (BASELINE.md): only compare normalized family ratios across runs whose
+    host class matches; a calm-vs-hot wall-clock delta is host, not code."""
+    worst = "calm"
+    order = {"calm": 0, "loaded": 1, "hot": 2}
+    for kernel, floor in _PROBE_FLOOR.items():
+        vals = [
+            side[kernel]
+            for side in (calibration.get("first", {}), calibration.get("last", {}))
+            if kernel in side
+        ]
+        if not vals:
+            return "unknown"
+        ratio = min(vals) / floor
+        label = "calm" if ratio <= 1.5 else ("loaded" if ratio <= 3.0 else "hot")
+        if order[label] > order[worst]:
+            worst = label
+    return worst
+
+
+def _family_normalized(timings: dict, entry_class: dict, calibration: dict) -> dict:
+    """Per-family host-normalized ratios: family wall total divided by the
+    probe that bounds that family (numpy-bound entries by the numpy probe,
+    jvm/stream by the jvm probe; min of first/last — see _host_class).
+    Dimensionless multiples of the probe workload: stable across host
+    states where raw walls are not, so round-over-round PERF claims cite
+    THESE (VERDICT r12 task 4)."""
+    out: dict = {}
+    for fam, kernel in (("jvm", "jvm_sec"), ("numpy", "numpy_sec"), ("stream", "jvm_sec")):
+        vals = [
+            side[kernel]
+            for side in (calibration.get("first", {}), calibration.get("last", {}))
+            if kernel in side
+        ]
+        total = sum(
+            t for n, t in timings.items() if t == t and entry_class.get(n) == fam
+        )
+        n_entries = sum(1 for n in timings if entry_class.get(n) == fam)
+        if vals and n_entries:
+            out[fam] = {
+                "total_sec": round(total, 2),
+                "n": n_entries,
+                "normalized": round(total / min(vals), 2),
+            }
+    return out
+
+
+def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None = None,
+             entry_class: dict | None = None):
     """Time every query. ``repeat_under``: entries whose first run lands
     under this many seconds re-run twice more and report the MEDIAN (min/
     max recorded in the spread dict) — sub-2 s entries are dominated by
@@ -222,6 +311,8 @@ def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None 
                     spark = _fresh_spark(cpus)
                 break
             runs.append(time.perf_counter() - start)
+            if entry_class is not None and name not in entry_class:
+                entry_class[name] = _entry_class(name, df)
             # several operators persist() intermediates (LSH signatures etc.);
             # without this, 74 queries accumulate cached blocks and the GC
             # pressure inflates late-running queries' times run-over-run
@@ -301,7 +392,10 @@ def main() -> None:
     # comparisons). 3.0 (was 2.0): a host-variance window observed in r8
     # (PERF.md) showed 2-3 s entries swinging 2x run-over-run; the median
     # costs ~40 s more bench wall and keeps comparisons meaningful
-    spark, timings, spread = _run_all(spark, queries, sf_dir, cpus, repeat_under=3.0)
+    entry_class: dict = {}
+    spark, timings, spread = _run_all(
+        spark, queries, sf_dir, cpus, repeat_under=3.0, entry_class=entry_class
+    )
     total = round(sum(v for v in timings.values() if v == v), 4)
     out = {
         "metric": "total_query_wall_time",
@@ -309,6 +403,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "query_spread": spread,
+        "entry_class": entry_class,
         "sf": _sf_tag(sf_dir),
     }
 
@@ -326,6 +421,8 @@ def main() -> None:
 
     calibration = {"first": calibration_first, "last": _calibrate(spark)}
     out["calibration"] = calibration
+    out["calibration_class"] = _host_class(calibration)
+    out["family_normalized"] = _family_normalized(timings, entry_class, calibration)
 
     # The driver keeps only a short TAIL of stdout, so a single giant line
     # loses the headline fields (BENCH_r01..r03 all recorded parsed:null).
@@ -360,6 +457,8 @@ def main() -> None:
         "n_failed": sum(1 for t in timings.values() if t != t),
         "slowest": slowest,
         "calibration": calibration,
+        "calibration_class": out["calibration_class"],
+        "family_normalized": out["family_normalized"],
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(compact))

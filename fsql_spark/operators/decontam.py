@@ -68,6 +68,62 @@ def contamination_check(
     )
 
 
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_key: str,
+    corpus_text: str,
+    benchmark_text: str,
+    ngram: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The overlap-DECISION score real decontamination pipelines act on
+    (the GPT-3/PaLM appendix recipe): per corpus doc, the fraction of its
+    DISTINCT word ``ngram``-grams that appear anywhere in the benchmark,
+    plus the drop verdict at ``threshold``. Unlike
+    :func:`contamination_check` (hit count, flagged docs only), EVERY doc
+    with >= 1 gram comes back — the zero-hit rows are the point, a
+    decontamination report must show what it cleared. Docs shorter than
+    ``ngram`` words have no grams, carry no evidence, and are absent (the
+    repo-wide empty-bag convention, cf. DSIR scoring).
+
+    Output: (key, n_grams, n_hits, contamination 4dp, drop 0/1).
+
+    Scale shape: the benchmark gram set is DISTINCT-collapsed before the
+    join and broadcast (eval sets are MBs; the 100 TB side never
+    shuffles); per-doc grams are array_distinct'd BEFORE exploding so the
+    join input is bounded by distinct-grams-per-doc; one doc-keyed
+    map-side-combinable aggregate finishes."""
+    bench_grams = benchmark.select(
+        F.explode(
+            F.array_distinct(_gram_structs(F.col(benchmark_text), ngram))
+        ).alias("g")
+    ).distinct()
+    corpus_grams = corpus.select(
+        F.col(corpus_key).alias("k"),
+        F.explode(F.array_distinct(_gram_structs(F.col(corpus_text), ngram))).alias(
+            "g"
+        ),
+    )
+    hit = bench_grams.withColumn("__hit", F.lit(1))
+    scored = (
+        corpus_grams.join(F.broadcast(hit), "g", "left")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        )
+    )
+    frac = F.col("n_hits") / F.col("n_grams")
+    return scored.select(
+        F.col("k").alias(corpus_key),
+        "n_grams",
+        "n_hits",
+        F.round(frac, 4).alias("contamination"),
+        (F.round(frac, 4) >= threshold).cast("int").alias("drop"),
+    )
+
+
 def repetition_score(text: Column | str, ngram: int = 1) -> Column:
     """1 - distinct/total over word n-grams: 0 = no repetition, -> 1 for
     degenerate loops. The standard cheap repetition filter (drop > ~0.2 at
@@ -118,6 +174,45 @@ corpus AS (
 )
 SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_hits
 FROM corpus c JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+"""
+
+
+def q_contamination_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc contamination share vs the 20-lowest-doc_id stand-in eval
+    set at 4-grams, with the drop verdict at 50% — the full report
+    including cleared (zero-hit) docs."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.where(F.col("doc_id") < 20)
+    corpus = docs.where(F.col("doc_id") >= 20)
+    return contamination_fraction(
+        corpus, bench, "doc_id", "text", "text", ngram=4, threshold=0.5
+    )
+
+
+Q_CONTAMINATION_FRACTION_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 3, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+3], chr(1))
+         )) AS gs
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < 20
+),
+corpus AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id >= 20
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS contamination,
+       CAST(ROUND(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                  / COUNT(*), 4) >= 0.5 AS INTEGER) AS drop
+FROM corpus c LEFT JOIN bench b ON c.g = b.g
 GROUP BY c.doc_id
 """
 
@@ -228,12 +323,14 @@ ORDER BY source_a, source_b
 
 DECONTAM_QUERIES = {
     "q_contamination": q_contamination,
+    "q_contamination_fraction": q_contamination_fraction,
     "q_doc_repetition": q_doc_repetition,
     "q_source_containment": q_source_containment,
 }
 
 DECONTAM_ORACLES = {
     "q_contamination": Q_CONTAMINATION_SQL,
+    "q_contamination_fraction": Q_CONTAMINATION_FRACTION_SQL,
     "q_doc_repetition": Q_REPETITION_SQL,
     "q_source_containment": Q_SOURCE_CONTAINMENT_SQL,
 }

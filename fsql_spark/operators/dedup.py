@@ -1026,6 +1026,85 @@ def simhash_pairs(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    para_words: int = 15,
+    min_count: int = 2,
+) -> DataFrame:
+    """CCNet-style paragraph-hash dedup (Wenzek et al. 2020): hash every
+    paragraph, drop each duplicated paragraph occurrence EXCEPT its
+    canonical copy (min (key, paragraph-index) per hash — the repo's
+    min-key convention), and rewrite every document from its surviving
+    paragraphs. Complements doc-level MinHash (whole-doc near-dups) and
+    span dedup (substring granularity): boilerplate paragraphs repeated
+    across a crawl vanish while each document otherwise survives.
+
+    Paragraphs are fixed ``para_words``-word chunks — the boundary
+    generator for corpora whose newlines were already normalized away
+    (this repo's testdata); on real crawl text split on ``\\n`` first and
+    feed one row per paragraph. Documents with no words carry no
+    paragraphs and are absent (the repo-wide empty-bag convention).
+
+    Returns (key, n_paras, n_dropped, text) with ``text`` rebuilt from
+    surviving paragraphs in order.
+
+    Scale shape (100 TB): chunking is a JVM-only linear explosion; the
+    duplicate decision is ONE window over the paragraph-hash exchange
+    (count + canonical min ride the same partitioning — no join back);
+    the rebuild is one doc-keyed aggregate. Only (hash, key, idx) triples
+    plus surviving paragraph text ride shuffles — nothing quadratic, no
+    driver state."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    n_chunks = F.ceil(F.size("__ws") / F.lit(para_words)).cast("int")
+    chunked = (
+        df.select(F.col(key_col).alias("k"), words.alias("__ws"))
+        .where(F.size("__ws") > 0)
+        .select(
+            "k",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_chunks),
+                    lambda i: F.array_join(
+                        F.slice("__ws", (i - F.lit(1)) * para_words + 1, para_words),
+                        " ",
+                    ),
+                )
+            ).alias("idx", "para"),
+        )
+    )
+    by_hash = Window.partitionBy(F.sha2(F.col("para"), 256))
+    flagged = chunked.select(
+        "k",
+        "idx",
+        "para",
+        (F.count(F.lit(1)).over(by_hash) >= min_count).alias("__dup"),
+        F.min(F.struct("k", "idx")).over(by_hash).alias("__canon"),
+    )
+    kept_flag = (~F.col("__dup")) | (F.struct("k", "idx") == F.col("__canon"))
+    return (
+        flagged.withColumn("__kept", kept_flag)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum((~F.col("__kept")).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__kept"), F.struct("idx", "para"))
+                        )
+                    ),
+                    lambda s: s.para,
+                ),
+                " ",
+            ).alias(text_col),
+        )
+        .select(F.col("k").alias(key_col), "n_paras", "n_dropped", text_col)
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog entries + oracles
 # --------------------------------------------------------------------------
@@ -1399,8 +1478,59 @@ WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.95
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet paragraph-hash dedup over the documents table at 15-word
+    paragraphs: per doc, paragraph counts before/after plus the md5 of the
+    rewritten text (the value-level proof the rebuild agrees
+    byte-for-byte across engines, the q_strip_passages convention). The
+    synthetic corpus repeats phrases enough for ~8% of paragraph
+    occurrences to collide at sf0.01 — real drops, not a vacuous pass."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = paragraph_dedup(docs, "doc_id", "text", para_words=15, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.md5("text").alias("cleaned_fp"),
+    ).orderBy("doc_id")
+
+
+Q_PARAGRAPH_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(ws[(i-1)*15+1:i*15], ' ') AS para
+  FROM w, unnest(generate_series(1, CAST(ceil(len(ws) / 15.0) AS BIGINT))) AS t(i)
+  WHERE len(ws) > 0
+),
+flagged AS (
+  SELECT doc_id, idx, para,
+         COUNT(*) OVER (PARTITION BY para) >= 2 AS dup,
+         MIN(ROW(doc_id, idx)) OVER (PARTITION BY para) AS canon
+  FROM chunks
+),
+kept AS (
+  SELECT doc_id, idx, para,
+         (NOT dup) OR ROW(doc_id, idx) = canon AS keep
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY idx), ''))
+         AS cleaned_fp
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_paragraph_dedup": q_paragraph_dedup,
     "q_dedup_stats": q_dedup_stats,
     "q_jaccard_near_dups": q_jaccard_near_dups,
     "q_jaccard_prefix_pairs": q_jaccard_prefix_pairs,
@@ -1414,6 +1544,7 @@ DEDUP_QUERIES = {
 
 DEDUP_ORACLES = {
     "q_dedup_exact": Q_DEDUP_EXACT_SQL,
+    "q_paragraph_dedup": Q_PARAGRAPH_DEDUP_SQL,
     "q_dedup_stats": Q_DEDUP_STATS_SQL,
     "q_jaccard_near_dups": Q_JACCARD_SQL,
     "q_jaccard_prefix_pairs": Q_JACCARD_PREFIX_SQL,

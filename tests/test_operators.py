@@ -742,6 +742,53 @@ def test_dedup_against_incremental(spark):
     assert raw_kept == batch.count()
 
 
+def test_paragraph_dedup_canonical_survival_and_rebuild(spark):
+    """CCNet paragraph dedup semantics on a planted corpus: the canonical
+    (lowest (key, idx)) copy of a duplicated paragraph survives, every
+    other copy is dropped, unique paragraphs ride through untouched, and
+    the rebuilt text is exactly the surviving paragraphs in order."""
+    import pandas as pd
+
+    from fsql_spark.operators.dedup import paragraph_dedup
+
+    P = 3  # 3-word paragraphs for a readable fixture
+    boiler = "all rights reserved"
+    texts = {
+        1: f"alpha beta gamma {boiler} delta epsilon zeta",
+        2: f"{boiler} eta theta iota",
+        3: f"kappa lam mu {boiler}",
+        4: "nu xi omicron pi rho",  # unique; last chunk short (2 words)
+        5: "",  # no words -> absent from the output
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": [texts[d] for d in texts]})
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, "doc_id", "text", para_words=P).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 holds the canonical boiler copy (lowest doc_id): nothing drops
+    assert (out[1]["n_paras"], out[1]["n_dropped"]) == (3, 0)
+    assert out[1]["text"] == texts[1]
+    # docs 2 and 3 lose exactly their boiler paragraph
+    assert (out[2]["n_paras"], out[2]["n_dropped"]) == (2, 1)
+    assert out[2]["text"] == "eta theta iota"
+    assert (out[3]["n_paras"], out[3]["n_dropped"]) == (2, 1)
+    assert out[3]["text"] == "kappa lam mu"
+    # unique doc with a short tail chunk is untouched
+    assert (out[4]["n_paras"], out[4]["n_dropped"]) == (2, 0)
+    assert out[4]["text"] == texts[4]
+
+    # within-doc duplicates: first occurrence is canonical, later ones drop
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["a b c x y z a b c"]})
+    )
+    r = paragraph_dedup(df2, "doc_id", "text", para_words=3).collect()[0]
+    assert (r["n_paras"], r["n_dropped"]) == (3, 1)
+    assert r["text"] == "a b c x y z"
+
+
 def test_dedup_against_bloom_matches_exact_and_prefilters(spark):
     """The bloom path returns the BIT-IDENTICAL kept set (no false
     negatives by construction) while the prefilter routes definitely-novel
