@@ -98,8 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window is reserved for the globally-oldest verified entries, so a
     # burst of new entries can never push the single oldest entry out of
     # the current round's window (the round-11 starvation mode). At the
-    # current 200-entry catalog every entry gets a driver row within
-    # ceil(200/50) = 4 rounds; the oldest entry always gets one THIS round.
+    # current 203-entry catalog every entry gets a driver row within
+    # ceil(203/50) = 5 rounds; the oldest entry always gets one THIS round.
     last = _last_verified_round(set(oracle_sql()))
     names = _rotation_order(list(out), last)
     return {n: out[n] for n in names}
