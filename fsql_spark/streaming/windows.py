@@ -201,23 +201,30 @@ def stream_to_partitioned_table(
     q.awaitTermination()
 
 
-def run_to_memory(stream_df: DataFrame, mode: str, state_partitions: int = 16) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming query to completion (availableNow) into an
     in-memory sink; returns the result table.
 
     ``state_partitions`` pins shuffle/state-store partitioning for the query
     (set at stream start, immutable afterwards). Two costs pull opposite
-    ways: each partition is a state-store instance + (for Python-stateful
-    ops) a worker round trip per batch (favors few), but the stateful
-    kernel's addBatch parallelism is CAPPED at this count (favors many on
-    a wide host). Default 16 from the r13 profile of the worst entry
-    (stateful attribution, local[32]): at sf0.1 addBatch dominates and
-    4 -> 16 partitions is 2.61 -> 1.38 s/query (1.9x); at sf0.001 the
-    state-store lifecycle dominates and 4/8/16 tie within noise while 32
-    regresses ~30% (PERF.md r13; supersedes the r5 note profiled at
-    smaller scale where 4 won). In production size it to key cardinality /
+    ways: each partition is a state-store instance per stateful operator
+    per batch (a stream-stream join keeps FOUR stores per partition), but a
+    PYTHON-stateful kernel's addBatch parallelism is CAPPED at this count.
+    Default (None) auto-selects from the plan — the r13 profile on
+    local[32] at sf0.1: applyInPandasWithState entries are kernel-bound
+    (attribution 4 -> 16 partitions: 2.61 -> 1.38 s, 1.9x; the Arrow
+    kernel is the batch), while JVM-state streams are lifecycle-bound
+    (stream-stream join 16 -> 4: 4.4 -> 2.5 s; more stores, zero kernel
+    to parallelize), so Python-stateful plans get 16 and everything else
+    4 (PERF.md r13; supersedes the r5 flat-4 note, profiled before the
+    Python kernels existed). In production size it to key cardinality /
     executor count — it is immutable for the checkpoint's lifetime."""
     spark = stream_df.sparkSession
+    if state_partitions is None:
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+        state_partitions = 16 if "FlatMapGroupsInPandasWithState" in plan else 4
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
     try:
