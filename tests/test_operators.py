@@ -789,6 +789,119 @@ def test_paragraph_dedup_canonical_survival_and_rebuild(spark):
     assert r["text"] == "a b c x y z"
 
 
+def test_paragraph_dedup_matches_python_on_random_corpora(spark):
+    """Property sweep: paragraph_dedup equals an independent pure-Python
+    model (chunk -> count -> canonical-min survival -> rejoin) on random
+    corpora with forced collisions (tiny vocabulary, short paragraphs)."""
+    import random
+
+    import pandas as pd
+
+    from fsql_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(29)
+    vocab = ["aa", "bb", "cc"]
+    for trial in range(4):
+        P = rng.choice([2, 3])
+        texts = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 11)))
+            for d in range(1, 9)
+        }
+
+        # independent model
+        chunks = []  # (doc, idx, para)
+        for d in sorted(texts):
+            ws = [w for w in texts[d].split(" ") if w]
+            for i in range(0, len(ws), P):
+                chunks.append((d, i // P, " ".join(ws[i : i + P])))
+        from collections import Counter, defaultdict
+
+        cnt = Counter(p for _, _, p in chunks)
+        canon = {}
+        for d, i, p in sorted(chunks):
+            canon.setdefault(p, (d, i))
+        want = {}
+        for d in texts:
+            mine = [(i, p) for dd, i, p in chunks if dd == d]
+            kept = [p for i, p in mine if cnt[p] < 2 or canon[p] == (d, i)]
+            if mine:
+                want[d] = (len(mine), len(mine) - len(kept), " ".join(kept))
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": list(texts), "text": [texts[d] for d in texts]}
+            )
+        )
+        got = {
+            r["doc_id"]: (r["n_paras"], r["n_dropped"], r["text"])
+            for r in paragraph_dedup(df, "doc_id", "text", para_words=P).collect()
+        }
+        assert got == want, (trial, P, texts)
+
+
+def test_semantic_dedup_against_matches_numpy_on_random_vectors(spark):
+    """Property sweep: semantic_dedup_against equals an independent numpy
+    model (assign both sides by argmax cosine with low-id tie-break, drop
+    a new row iff any kept vector in its cluster has round(cos,4) >=
+    threshold) on random corpora, including planted exact clones and a
+    zero-norm vector on each side."""
+    import numpy as np
+
+    import pandas as pd
+
+    from fsql_spark.operators.similarity import semantic_dedup_against
+
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        d = 8
+        n_kept, n_new, n_cent = 30, 20, 4
+        kept_m = rng.standard_normal((n_kept, d))
+        new_m = rng.standard_normal((n_new, d))
+        # plant: new row 0 clones kept row 3; zero-norms on both sides
+        new_m[0] = kept_m[3]
+        kept_m[5] = 0.0
+        new_m[7] = 0.0
+        cents = kept_m[:n_cent].copy()
+        thr = float(rng.choice([0.8, 0.95]))
+
+        def norm(m):
+            return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+        def assign(m):
+            return (norm(m) @ norm(cents).T).argmax(axis=1)  # argmax = lowest tie
+
+        ka, na = assign(kept_m), assign(new_m)
+        want = {}
+        for j in range(n_new):
+            cluster = [i for i in range(n_kept) if ka[i] == na[j]]
+            dropped = False
+            for i in cluster:
+                denom = np.linalg.norm(kept_m[i]) * np.linalg.norm(new_m[j])
+                if denom == 0:
+                    continue  # NaN cosine: never dominates
+                c = float(kept_m[i] @ new_m[j] / denom)
+                c = np.floor(abs(c) * 1e4 + 0.5) / 1e4 * np.sign(c)
+                if c >= thr:
+                    dropped = True
+                    break
+            want[j] = (int(na[j]), 0 if dropped else 1)
+
+        kept_df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": range(n_kept), "embedding": list(map(list, kept_m))})
+        )
+        new_df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": range(n_new), "embedding": list(map(list, new_m))})
+        )
+        got = {
+            r["vec_id"]: (r["centroid_id"], r["kept"])
+            for r in semantic_dedup_against(
+                new_df, kept_df, "vec_id", "embedding", centroids=cents, threshold=thr
+            ).collect()
+        }
+        assert got == want, (trial, thr)
+        assert got[0][1] == 0  # the planted clone always drops
+
+
 def test_dedup_against_bloom_matches_exact_and_prefilters(spark):
     """The bloom path returns the BIT-IDENTICAL kept set (no false
     negatives by construction) while the prefilter routes definitely-novel
