@@ -839,6 +839,62 @@ def test_paragraph_dedup_matches_python_on_random_corpora(spark):
         assert got == want, (trial, P, texts)
 
 
+def test_contamination_fraction_matches_python_on_random_corpora(spark):
+    """Property sweep: contamination_fraction equals an independent
+    pure-Python model (distinct word n-grams per doc, benchmark set
+    membership, fraction + threshold verdict) on random tiny-vocab corpora
+    — including zero-hit docs (present) and sub-n-gram docs (absent)."""
+    import random
+
+    import pandas as pd
+
+    from fsql_spark.operators.decontam import contamination_fraction
+
+    rng = random.Random(37)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial in range(4):
+        n = rng.choice([2, 3])
+        thr = rng.choice([0.3, 0.6])
+        texts = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 7)))
+            for d in range(1, 10)
+        }
+        bench_ids = {1, 2}
+
+        def grams(t):
+            ws = t.split(" ") if t else []
+            return {tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+        bench_set = set().union(*(grams(texts[d]) for d in bench_ids))
+        want = {}
+        for d, t in texts.items():
+            if d in bench_ids:
+                continue
+            g = grams(t)
+            if not g:
+                continue
+            hits = len(g & bench_set)
+            frac = round(hits / len(g), 4)
+            want[d] = (len(g), hits, frac, int(frac >= thr))
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(texts), "text": [texts[d] for d in texts]})
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_hits"], r["contamination"], r["drop"])
+            for r in contamination_fraction(
+                df.where(f"doc_id NOT IN (1, 2)"),
+                df.where("doc_id IN (1, 2)"),
+                "doc_id",
+                "text",
+                "text",
+                ngram=n,
+                threshold=thr,
+            ).collect()
+        }
+        assert got == want, (trial, n, thr, texts)
+
+
 def test_semantic_dedup_against_matches_numpy_on_random_vectors(spark):
     """Property sweep: semantic_dedup_against equals an independent numpy
     model (assign both sides by argmax cosine with low-id tie-break, drop
