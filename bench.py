@@ -272,8 +272,25 @@ def _family_normalized(timings: dict, entry_class: dict, calibration: dict) -> d
     return out
 
 
+def _probe_tick(spark) -> float:
+    """A ~100 ms pinned JVM micro-kernel (fixed-size hash/agg over range)
+    timed between entries: the endpoint probes classify the RUN, but the
+    r13 benches showed minutes-long degraded windows mid-run that hit
+    whatever entries were executing (two identical-code runs blew up
+    DISJOINT entry sets — ppr read 4.7 s in one and 11.8 s in the other).
+    The tick trace localizes such windows post-hoc: an inflated entry
+    whose neighboring ticks are also inflated is host, not code."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, 40_000_000, 1, 4).select(
+        F.bit_count(F.xxhash64(F.col("id"))).alias("b")
+    ).agg(F.sum("b")).collect()
+    return round(time.perf_counter() - t0, 4)
+
+
 def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None = None,
-             entry_class: dict | None = None):
+             entry_class: dict | None = None, probe_ticks: dict | None = None):
     """Time every query. ``repeat_under``: entries whose first run lands
     under this many seconds re-run twice more and report the MEDIAN (min/
     max recorded in the spread dict) — sub-2 s entries are dominated by
@@ -287,7 +304,14 @@ def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None 
     spread on them a 2x host artifact reads as a regression."""
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
-    for name in sorted(queries):
+    for i, name in enumerate(sorted(queries)):
+        # every 3rd entry: ~0.2 s/tick, minutes-long windows span many
+        # entries, so this granularity localizes them at ~5% of their cost
+        if probe_ticks is not None and i % 3 == 0:
+            try:
+                probe_ticks[name] = _probe_tick(spark)
+            except Exception:
+                pass
         fn = queries[name]
         runs: list[float] = []
         failed = False
@@ -393,8 +417,10 @@ def main() -> None:
     # (PERF.md) showed 2-3 s entries swinging 2x run-over-run; the median
     # costs ~40 s more bench wall and keeps comparisons meaningful
     entry_class: dict = {}
+    probe_ticks: dict = {}
     spark, timings, spread = _run_all(
-        spark, queries, sf_dir, cpus, repeat_under=3.0, entry_class=entry_class
+        spark, queries, sf_dir, cpus, repeat_under=3.0,
+        entry_class=entry_class, probe_ticks=probe_ticks,
     )
     total = round(sum(v for v in timings.values() if v == v), 4)
     out = {
@@ -404,6 +430,7 @@ def main() -> None:
         "queries": timings,
         "query_spread": spread,
         "entry_class": entry_class,
+        "probe_ticks": probe_ticks,
         "sf": _sf_tag(sf_dir),
     }
 
@@ -461,6 +488,21 @@ def main() -> None:
         "family_normalized": out["family_normalized"],
         "detail": "BENCH_DETAIL.json",
     }
+    if probe_ticks:
+        ticks = sorted(probe_ticks.values())
+        floor = ticks[0]
+        compact["probe_ticks"] = {
+            "n": len(ticks),
+            "min": floor,
+            "med": ticks[len(ticks) // 2],
+            "max": ticks[-1],
+            # entries whose preceding tick read >3x the floor: the run had
+            # a hot window there — adjudicate those entries by their min
+            # sample, not the median (PERF.md r13 protocol)
+            "hot_windows": sorted(
+                n for n, t in probe_ticks.items() if t > 3 * floor
+            )[:10],
+        }
     print(json.dumps(compact))
 
 
