@@ -289,8 +289,25 @@ def _probe_tick(spark) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _entry_order(queries, seed: int | None) -> list:
+    """Seeded random permutation of the entry names. Alphabetical order made
+    minutes-long host windows wipe out one alphabetically-adjacent family
+    per run (all three r13 runs showed an e-section tick uptick, PERF.md
+    r13); a per-run permutation smears a window across families so
+    family-normalized ratios stop inheriting order bias. ``seed`` is
+    recorded in the artifact (``entry_order_seed``) so any run is exactly
+    reproducible; None keeps the legacy alphabetical order."""
+    names = sorted(queries)
+    if seed is not None:
+        import random
+
+        random.Random(seed).shuffle(names)
+    return names
+
+
 def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None = None,
-             entry_class: dict | None = None, probe_ticks: dict | None = None):
+             entry_class: dict | None = None, probe_ticks: dict | None = None,
+             order_seed: int | None = None):
     """Time every query. ``repeat_under``: entries whose first run lands
     under this many seconds re-run twice more and report the MEDIAN (min/
     max recorded in the spread dict) — sub-2 s entries are dominated by
@@ -304,7 +321,7 @@ def _run_all(spark, queries, sf_dir: str, cpus: str, repeat_under: float | None 
     spread on them a 2x host artifact reads as a regression."""
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
-    for i, name in enumerate(sorted(queries)):
+    for i, name in enumerate(_entry_order(queries, order_seed)):
         # every 3rd entry: ~0.2 s/tick, minutes-long windows span many
         # entries, so this granularity localizes them at ~5% of their cost
         if probe_ticks is not None and i % 3 == 0:
@@ -418,9 +435,15 @@ def main() -> None:
     # costs ~40 s more bench wall and keeps comparisons meaningful
     entry_class: dict = {}
     probe_ticks: dict = {}
+    # per-run random order seed (overridable for exact reproduction); the
+    # permutation decorrelates entries from rolling host windows — see
+    # _entry_order. time_ns is fine as a seed source: it only picks WHICH
+    # reproducible permutation this run uses.
+    env_seed = os.environ.get("FSQL_BENCH_ORDER_SEED")
+    order_seed = int(env_seed) if env_seed else time.time_ns() % (2**32)
     spark, timings, spread = _run_all(
         spark, queries, sf_dir, cpus, repeat_under=3.0,
-        entry_class=entry_class, probe_ticks=probe_ticks,
+        entry_class=entry_class, probe_ticks=probe_ticks, order_seed=order_seed,
     )
     total = round(sum(v for v in timings.values() if v == v), 4)
     out = {
@@ -431,6 +454,7 @@ def main() -> None:
         "query_spread": spread,
         "entry_class": entry_class,
         "probe_ticks": probe_ticks,
+        "entry_order_seed": order_seed,
         "sf": _sf_tag(sf_dir),
     }
 
@@ -486,7 +510,8 @@ def main() -> None:
         "calibration": calibration,
         "calibration_class": out["calibration_class"],
         "family_normalized": out["family_normalized"],
-        "detail": "BENCH_DETAIL.json",
+        "entry_order_seed": order_seed,
+        "detail": os.path.basename(detail_path),
     }
     if probe_ticks:
         ticks = sorted(probe_ticks.values())

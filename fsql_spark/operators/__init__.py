@@ -259,6 +259,20 @@ from .dsir import (  # noqa: F401
     dsir_logratio_scores,
     gumbel_topk,
 )
+from .quality import (  # noqa: F401
+    QUALITY_ORACLES,
+    QUALITY_QUERIES,
+    quality_classifier_fit,
+    quality_classifier_score,
+)
+from .domains import (  # noqa: F401
+    DOMAIN_ORACLES,
+    DOMAIN_QUERIES,
+    domain_cap,
+    domain_stats,
+    parse_domain,
+    topk_per_group,
+)
 
 
 def _merge_disjoint(*dicts: dict) -> dict:
@@ -306,6 +320,8 @@ EXTENSION_QUERIES = _merge_disjoint(
     HTML_QUERIES,
     SEQUENCE_QUERIES,
     DSIR_QUERIES,
+    QUALITY_QUERIES,
+    DOMAIN_QUERIES,
 )
 
 EXTENSION_ORACLES = _merge_disjoint(
@@ -336,4 +352,6 @@ EXTENSION_ORACLES = _merge_disjoint(
     HTML_ORACLES,
     SEQUENCE_ORACLES,
     DSIR_ORACLES,
+    QUALITY_ORACLES,
+    DOMAIN_ORACLES,
 )

@@ -36,6 +36,23 @@ def _gram_structs(text: Column, ngram: int) -> Column:
     )
 
 
+def benchmark_grams(
+    benchmark: DataFrame, benchmark_text: str, ngram: int = 5
+) -> DataFrame:
+    """The DISTINCT benchmark gram relation — the broadcast side of every
+    check here, exposed so the stateless crawl-ingest scorer
+    (:func:`contamination_score_stateless`) ships EXACTLY the set the
+    batch joins use (one definition of the gram identity; a tokenization
+    change cannot drift between batch and stream). ``array_distinct``
+    BEFORE explode: per-doc duplicate grams never enter the exploded
+    relation."""
+    return benchmark.select(
+        F.explode(
+            F.array_distinct(_gram_structs(F.col(benchmark_text), ngram))
+        ).alias("g")
+    ).distinct()
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -49,13 +66,7 @@ def contamination_check(
 
     Real pipelines use 8-13-grams; the knob is ``ngram``. Drop flagged docs
     with an anti-join on the result."""
-    # array_distinct BEFORE explode: per-doc duplicate grams never enter the
-    # exploded relation, shrinking both the broadcast set and the join input
-    bench_grams = (
-        benchmark.select(
-            F.explode(F.array_distinct(_gram_structs(F.col(benchmark_text), ngram))).alias("g")
-        ).distinct()
-    )
+    bench_grams = benchmark_grams(benchmark, benchmark_text, ngram)
     corpus_grams = corpus.select(
         F.col(corpus_key).alias("k"),
         F.explode(F.array_distinct(_gram_structs(F.col(corpus_text), ngram))).alias("g"),
@@ -94,11 +105,7 @@ def contamination_fraction(
     shuffles); per-doc grams are array_distinct'd BEFORE exploding so the
     join input is bounded by distinct-grams-per-doc; one doc-keyed
     map-side-combinable aggregate finishes."""
-    bench_grams = benchmark.select(
-        F.explode(
-            F.array_distinct(_gram_structs(F.col(benchmark_text), ngram))
-        ).alias("g")
-    ).distinct()
+    bench_grams = benchmark_grams(benchmark, benchmark_text, ngram)
     corpus_grams = corpus.select(
         F.col(corpus_key).alias("k"),
         F.explode(F.array_distinct(_gram_structs(F.col(corpus_text), ngram))).alias(
@@ -117,6 +124,82 @@ def contamination_fraction(
     frac = F.col("n_hits") / F.col("n_grams")
     return scored.select(
         F.col("k").alias(corpus_key),
+        "n_grams",
+        "n_hits",
+        F.round(frac, 4).alias("contamination"),
+        (F.round(frac, 4) >= threshold).cast("int").alias("drop"),
+    )
+
+
+def contamination_score_stateless(
+    df: DataFrame,
+    bench_gram_rows: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    threshold: float = 0.5,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """STATELESS per-document contamination scoring — decontamination at
+    crawl ingest, the production shape (score every arriving doc against
+    the fixed eval set; quarantine before the corpus ever lands). The
+    DISTINCT benchmark gram set (from :func:`benchmark_grams`, collected —
+    eval sets are KB-MB by nature, the same size argument that lets the
+    batch path broadcast it) rides as a Python set in the kernel closure;
+    each document grams itself and intersects ROW-LOCALLY inside one Arrow
+    batch — no join, no aggregation state, no watermark — so the same code
+    runs unmodified on a readStream (the
+    :func:`~fsql_spark.operators.dsir.dsir_score_stateless` posture).
+
+    Output/semantics match :func:`contamination_fraction` exactly —
+    (id, *carries, n_grams, n_hits, contamination 4dp, drop 0/1) over
+    per-doc DISTINCT grams, zero-gram docs absent — and the gram identity
+    is the collected output of the SAME relation the batch join broadcasts
+    (one definition, no batch/stream drift). The fraction is rounded
+    JVM-side after the kernel: Python ``round`` is banker's, Spark's is
+    HALF_UP, and the drop verdict sits exactly on the boundary."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bench = set()
+    for r in bench_gram_rows:
+        g = r["g"]
+        bench.add(g if isinstance(g, str) else tuple(g))
+
+    src = df.select(id_col, text_col, *carry_cols)
+    schema = StructType(
+        [src.schema[id_col]]
+        + [src.schema[c] for c in carry_cols]
+        + [StructField("n_grams", LongType()), StructField("n_hits", LongType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            carries = [pdf[c] for c in carry_cols]
+            for key, text, *extra in zip(pdf[id_col], pdf[text_col], *carries):
+                # replicate the JVM gram identity exactly: split on single
+                # space KEEPING empties (F.split semantics), n consecutive
+                # words, per-doc distinct
+                words = (text or "").split(" ")
+                if ngram == 1:
+                    grams = set(words)
+                else:
+                    k = len(words) - (ngram - 1)
+                    grams = {tuple(words[i : i + ngram]) for i in range(max(k, 0))}
+                if not grams:
+                    continue
+                rows.append((key, *extra, len(grams), len(grams & bench)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, *carry_cols, "n_grams", "n_hits"]
+            )
+
+    scored = src.mapInPandas(run, schema=schema)
+    frac = F.col("n_hits") / F.col("n_grams")
+    return scored.select(
+        id_col,
+        *carry_cols,
         "n_grams",
         "n_hits",
         F.round(frac, 4).alias("contamination"),

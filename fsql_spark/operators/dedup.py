@@ -1032,6 +1032,8 @@ def paragraph_dedup(
     text_col: str,
     para_words: int = 15,
     min_count: int = 2,
+    boundary: str = "chunk",
+    _plan: str = "agg_join",
 ) -> DataFrame:
     """CCNet-style paragraph-hash dedup (Wenzek et al. 2020): hash every
     paragraph, drop each duplicated paragraph occurrence EXCEPT its
@@ -1041,47 +1043,100 @@ def paragraph_dedup(
     span dedup (substring granularity): boilerplate paragraphs repeated
     across a crawl vanish while each document otherwise survives.
 
-    Paragraphs are fixed ``para_words``-word chunks — the boundary
-    generator for corpora whose newlines were already normalized away
-    (this repo's testdata); on real crawl text split on ``\\n`` first and
-    feed one row per paragraph. Documents with no words carry no
-    paragraphs and are absent (the repo-wide empty-bag convention).
+    ``boundary`` picks the paragraph generator: ``"newline"`` splits on
+    ``\\n`` (the CCNet-native boundary for real crawl text; empty lines
+    carry no content and are skipped, and the rebuilt text joins surviving
+    paragraphs with ``\\n``), ``"chunk"`` uses fixed ``para_words``-word
+    chunks — the fallback for corpora whose newlines were already
+    normalized away (this repo's testdata). Documents with no paragraphs
+    are absent from the output (the repo-wide empty-bag convention).
 
     Returns (key, n_paras, n_dropped, text) with ``text`` rebuilt from
     surviving paragraphs in order.
 
-    Scale shape (100 TB): chunking is a JVM-only linear explosion; the
-    duplicate decision is ONE window over the paragraph-hash exchange
-    (count + canonical min ride the same partitioning — no join back);
-    the rebuild is one doc-keyed aggregate. Only (hash, key, idx) triples
-    plus surviving paragraph text ride shuffles — nothing quadratic, no
-    driver state."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-    n_chunks = F.ceil(F.size("__ws") / F.lit(para_words)).cast("int")
-    chunked = (
-        df.select(F.col(key_col).alias("k"), words.alias("__ws"))
-        .where(F.size("__ws") > 0)
-        .select(
-            "k",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), n_chunks),
-                    lambda i: F.array_join(
-                        F.slice("__ws", (i - F.lit(1)) * para_words + 1, para_words),
-                        " ",
-                    ),
-                )
-            ).alias("idx", "para"),
+    Scale shape (100 TB): paragraph extraction is a JVM-only linear
+    explosion; the duplicate decision is a map-side-combined
+    ``groupBy(hash)`` count+min collapsed to the duplicated hashes only,
+    left-joined back to the paragraph stream (AQE broadcasts the dup set
+    when it is small, skew-splits the probe join when it is not). The r13
+    window formulation (ONE exchange, but every occurrence of a paragraph
+    in ONE task — window functions have no partial aggregation) was A/B'd
+    against this plan on planted boilerplate skew
+    (PARA_SKEW_STRESS_r14.jsonl, 2M docs, local[32]): uniform data ties
+    (4.8 vs 4.9 s — the extra pass costs ~1.5%), the window's single hot
+    task is absolute-size-bound and survives to ~10^6 occurrences of one
+    sha2 key (4.9 vs 6.3 s), the ranking flips at 10^7 (21.8 vs 21.0 s)
+    and widens at 5x10^7 (129 vs 113 s — 96% of all paragraph rows on ONE
+    key, a single task sorting ~6.5 GB). The operator's design target is
+    killing crawl boilerplate that repeats 10^8-10^9x at 100 TB: there
+    the window task must buffer tens of GB in one executor — an OOM, not
+    a slowdown — while this plan concentrates nothing anywhere. ~2%
+    uniform cost for an unbounded-downside hedge is the trade (``_plan``
+    keeps the window formulation reachable for the A/B harness). The
+    rebuild is one doc-keyed aggregate; only (hash, key, idx) triples
+    plus paragraph text ride shuffles — nothing quadratic, no driver
+    state."""
+    if boundary not in ("chunk", "newline"):
+        raise ValueError(f"boundary must be 'chunk' or 'newline', got {boundary!r}")
+    if boundary == "newline":
+        paras = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
+        chunked = (
+            df.select(F.col(key_col).alias("k"), paras.alias("__ps"))
+            .where(F.size("__ps") > 0)
+            .select("k", F.posexplode("__ps").alias("idx", "para"))
         )
-    )
-    by_hash = Window.partitionBy(F.sha2(F.col("para"), 256))
-    flagged = chunked.select(
-        "k",
-        "idx",
-        "para",
-        (F.count(F.lit(1)).over(by_hash) >= min_count).alias("__dup"),
-        F.min(F.struct("k", "idx")).over(by_hash).alias("__canon"),
-    )
+        joiner = "\n"
+    else:
+        words = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        n_chunks = F.ceil(F.size("__ws") / F.lit(para_words)).cast("int")
+        chunked = (
+            df.select(F.col(key_col).alias("k"), words.alias("__ws"))
+            .where(F.size("__ws") > 0)
+            .select(
+                "k",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(1), n_chunks),
+                        lambda i: F.array_join(
+                            F.slice("__ws", (i - F.lit(1)) * para_words + 1, para_words),
+                            " ",
+                        ),
+                    )
+                ).alias("idx", "para"),
+            )
+        )
+        joiner = " "
+    hashed = chunked.withColumn("__h", F.sha2(F.col("para"), 256))
+    if _plan == "window":
+        by_hash = Window.partitionBy("__h")
+        flagged = hashed.select(
+            "k",
+            "idx",
+            "para",
+            (F.count(F.lit(1)).over(by_hash) >= min_count).alias("__dup"),
+            F.min(F.struct("k", "idx")).over(by_hash).alias("__canon"),
+        )
+    else:
+        # count+min have map-side partial aggregation, so a 10^9-occurrence
+        # boilerplate hash collapses to one row per mapper before the
+        # exchange; the join back is AQE territory (skew-split when the dup
+        # set is big, broadcast when small). Non-duplicated hashes are
+        # filtered out of the build side — they need no decision.
+        dups = (
+            hashed.groupBy("__h")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(F.struct("k", "idx")).alias("__canon"),
+            )
+            .where(F.col("__cnt") >= min_count)
+        )
+        flagged = hashed.join(dups, "__h", "left").select(
+            "k",
+            "idx",
+            "para",
+            F.col("__cnt").isNotNull().alias("__dup"),
+            "__canon",
+        )
     kept_flag = (~F.col("__dup")) | (F.struct("k", "idx") == F.col("__canon"))
     return (
         flagged.withColumn("__kept", kept_flag)
@@ -1098,7 +1153,7 @@ def paragraph_dedup(
                     ),
                     lambda s: s.para,
                 ),
-                " ",
+                joiner,
             ).alias(text_col),
         )
         .select(F.col("k").alias(key_col), "n_paras", "n_dropped", text_col)
@@ -1495,6 +1550,75 @@ def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_paragraph_dedup_newline(spark: SparkSession, sf: str) -> DataFrame:
+    """The CCNet-NATIVE boundary path: the corpus text is first rebuilt
+    with real ``\\n`` paragraph breaks (every 12 words — deterministic,
+    SQL-replayable; the testdata normalized newlines away), then deduped
+    with ``boundary='newline'`` so the documented split-on-newline
+    contract is EXECUTED, not just described (r13 verdict task). 12-word
+    paragraphs (vs the chunk entry's 15) make the two entries' duplicate
+    graphs genuinely different."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    n_chunks = F.ceil(F.size("__ws") / F.lit(12)).cast("int")
+    nl_docs = (
+        docs.select("doc_id", words.alias("__ws"))
+        .where(F.size("__ws") > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), n_chunks),
+                    lambda i: F.array_join(
+                        F.slice("__ws", (i - F.lit(1)) * 12 + 1, 12), " "
+                    ),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    out = paragraph_dedup(nl_docs, "doc_id", "text", boundary="newline")
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.md5("text").alias("cleaned_fp"),
+    ).orderBy("doc_id")
+
+
+Q_PARAGRAPH_DEDUP_NEWLINE_SQL = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(ws[(i-1)*12+1:i*12], ' ') AS para
+  FROM w, unnest(generate_series(1, CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS t(i)
+  WHERE len(ws) > 0
+),
+flagged AS (
+  SELECT doc_id, idx, para,
+         COUNT(*) OVER (PARTITION BY para) >= 2 AS dup,
+         MIN(ROW(doc_id, idx)) OVER (PARTITION BY para) AS canon
+  FROM chunks
+),
+kept AS (
+  SELECT doc_id, idx, para,
+         (NOT dup) OR ROW(doc_id, idx) = canon AS keep
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY idx),
+                    '')) AS cleaned_fp
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 Q_PARAGRAPH_DEDUP_SQL = """
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -1531,6 +1655,7 @@ ORDER BY doc_id
 DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_paragraph_dedup": q_paragraph_dedup,
+    "q_paragraph_dedup_newline": q_paragraph_dedup_newline,
     "q_dedup_stats": q_dedup_stats,
     "q_jaccard_near_dups": q_jaccard_near_dups,
     "q_jaccard_prefix_pairs": q_jaccard_prefix_pairs,
@@ -1545,6 +1670,7 @@ DEDUP_QUERIES = {
 DEDUP_ORACLES = {
     "q_dedup_exact": Q_DEDUP_EXACT_SQL,
     "q_paragraph_dedup": Q_PARAGRAPH_DEDUP_SQL,
+    "q_paragraph_dedup_newline": Q_PARAGRAPH_DEDUP_NEWLINE_SQL,
     "q_dedup_stats": Q_DEDUP_STATS_SQL,
     "q_jaccard_near_dups": Q_JACCARD_SQL,
     "q_jaccard_prefix_pairs": Q_JACCARD_PREFIX_SQL,

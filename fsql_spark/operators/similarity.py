@@ -1310,10 +1310,28 @@ FROM assign a LEFT JOIN dropped d ON d.kb = a.vec_id
 
 #: bump when incremental-SemDeDup semantics (assignment, rounding, drop
 #: rule) change — a persisted kept set written under old semantics must
-#: refuse loudly instead of silently mis-deduping every future batch
-_SEMDEDUP_FORMAT = 1
+#: refuse loudly instead of silently mis-deduping every future batch.
+#: v2: centroid-matrix content fingerprint added to the metadata — two
+#: different codebooks can share (n_centroids, seed) (re-sampled after
+#: the kept corpus changed, or trained elsewhere), and a mismatched
+#: quantizer passing the guard is exactly the silent-survival failure
+#: the guard exists to stop (advice find).
+_SEMDEDUP_FORMAT = 2
 
-_SEMDEDUP_META_COLS = ("__n_centroids", "__seed", "__semdedup_fmt")
+_SEMDEDUP_META_COLS = ("__n_centroids", "__seed", "__semdedup_fmt", "__centroid_md5")
+
+
+def _centroid_fingerprint(centroids) -> str:
+    """Content hash of the quantizer: md5 of the float64 centroid matrix
+    rounded to 9 dp (absorbs sub-1e-9 serialization noise; any real
+    codebook difference — a re-sample, a retrain, a precision downcast —
+    changes the hash, which is the point: assignment geometry changed)."""
+    import hashlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.round(np.asarray(centroids, dtype="float64"), 9))
+    return hashlib.md5(arr.tobytes()).hexdigest()
 
 
 def write_semdedup_kept(
@@ -1343,6 +1361,7 @@ def write_semdedup_kept(
         .withColumn("__n_centroids", F.lit(int(len(centroids))))
         .withColumn("__seed", F.lit(int(seed)))
         .withColumn("__semdedup_fmt", F.lit(_SEMDEDUP_FORMAT))
+        .withColumn("__centroid_md5", F.lit(_centroid_fingerprint(centroids)))
     )
     write_table(df, url, partition_by=["centroid_id"])
 
@@ -1353,8 +1372,11 @@ def read_semdedup_kept(
     """Load a persisted kept set and REFUSE config mismatches: missing
     metadata, mixed configs (appended-to table), wrong format version, or
     a quantizer that differs from the one the caller is about to assign
-    new batches with (n_centroids / seed). Returns the kept rows with
-    ``centroid_id`` intact — assignment is never recomputed."""
+    new batches with — n_centroids / seed AND the centroid matrix's
+    content fingerprint, since two codebooks can share both scalars
+    (re-sampled or retrained elsewhere with the same seed). Returns the
+    kept rows with ``centroid_id`` intact — assignment is never
+    recomputed."""
     from ..fs import get_url_and_fs
 
     path, fs = get_url_and_fs(url)
@@ -1373,15 +1395,22 @@ def read_semdedup_kept(
             f"SemDeDup kept table at {url} mixes configs {configs} "
             "(appended-to table?) — rebuild it"
         )
-    n_cent, got_seed, fmt = configs[0]
-    if fmt != _SEMDEDUP_FORMAT or n_cent != len(centroids) or got_seed != seed:
+    n_cent, got_seed, fmt, got_md5 = configs[0]
+    want_md5 = _centroid_fingerprint(centroids)
+    if (
+        fmt != _SEMDEDUP_FORMAT
+        or n_cent != len(centroids)
+        or got_seed != seed
+        or got_md5 != want_md5
+    ):
         raise ValueError(
             f"SemDeDup kept table at {url} was written with "
-            f"(n_centroids={n_cent}, seed={got_seed}, fmt=v{fmt}); this batch "
-            f"assigns with (n_centroids={len(centroids)}, seed={seed}, "
-            f"fmt=v{_SEMDEDUP_FORMAT}) — near-dups would land in different "
-            "clusters and silently survive. Rebuild the kept table or load "
-            "the matching quantizer."
+            f"(n_centroids={n_cent}, seed={got_seed}, fmt=v{fmt}, "
+            f"centroid_md5={got_md5}); this batch assigns with "
+            f"(n_centroids={len(centroids)}, seed={seed}, "
+            f"fmt=v{_SEMDEDUP_FORMAT}, centroid_md5={want_md5}) — near-dups "
+            "would land in different clusters and silently survive. Rebuild "
+            "the kept table or load the matching quantizer."
         )
     return df.drop(*_SEMDEDUP_META_COLS)
 

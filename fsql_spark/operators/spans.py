@@ -139,8 +139,12 @@ def _footer_total_chars(df: DataFrame, text_col: str) -> int | None:
             for rg in range(meta.num_row_groups):
                 grp = meta.row_group(rg)
                 chunk = grp.column(col_idx)
+                if grp.num_rows == 0:
+                    # zero rows carry zero characters — a dictionary-flagged
+                    # empty group's bytes are pure dictionary pages, not text
+                    continue
                 rg_est = max(chunk.total_uncompressed_size - 4 * grp.num_rows, 0)
-                if chunk.dictionary_page_offset is None or grp.num_rows == 0:
+                if chunk.dictionary_page_offset is None:
                     total_chars += rg_est
                     continue
                 decade = math.floor(math.log10(max(rg_est / grp.num_rows, 0.1)))

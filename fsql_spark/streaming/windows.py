@@ -201,8 +201,39 @@ def stream_to_partitioned_table(
     q.awaitTermination()
 
 
+def checkpoint_state_partitions(checkpoint: str) -> int | None:
+    """The shuffle/state-store partition count an existing checkpoint was
+    created under, read from the latest offsets-log entry's
+    ``OffsetSeqMetadata.conf`` (the public on-disk format:
+    ``<checkpoint>/offsets/<batchId>`` line 2 is the metadata JSON whose
+    ``conf`` pins ``spark.sql.shuffle.partitions`` for the query's
+    lifetime). Returns None when the checkpoint has no completed offsets
+    entry yet (fresh dir — any partitioning is still legal)."""
+    import json
+    import os
+
+    odir = os.path.join(checkpoint, "offsets")
+    try:
+        batches = [f for f in os.listdir(odir) if f.isdigit()]
+    except OSError:
+        return None
+    if not batches:
+        return None
+    latest = max(batches, key=int)
+    try:
+        with open(os.path.join(odir, latest)) as f:
+            lines = f.read().splitlines()
+        meta = json.loads(lines[1])
+        return int(meta["conf"]["spark.sql.shuffle.partitions"])
+    except (OSError, ValueError, KeyError, IndexError):
+        return None
+
+
 def run_to_memory(
-    stream_df: DataFrame, mode: str, state_partitions: int | None = None
+    stream_df: DataFrame,
+    mode: str,
+    state_partitions: int | None = None,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Execute a streaming query to completion (availableNow) into an
     in-memory sink; returns the result table.
@@ -220,11 +251,39 @@ def run_to_memory(
     to parallelize), so Python-stateful plans get 16 and everything else
     4 (PERF.md r13; supersedes the r5 flat-4 note, profiled before the
     Python kernels existed). In production size it to key cardinality /
-    executor count — it is immutable for the checkpoint's lifetime."""
+    executor count — it is immutable for the checkpoint's lifetime.
+
+    ``checkpoint`` resumes from / writes to a durable checkpoint dir
+    (default: a fresh temp dir per call). Because the partition count IS
+    immutable per checkpoint, restarting against an existing checkpoint
+    under a different count — e.g. the auto-select choosing the other
+    profile after the plan changed — is refused loudly: Spark itself would
+    silently keep the checkpoint's old value and ignore the requested one,
+    which in production reads as "I re-tuned the query" while nothing
+    changed (r13 verdict task)."""
     spark = stream_df.sparkSession
     if state_partitions is None:
-        plan = stream_df._jdf.queryExecution().analyzed().toString()
-        state_partitions = 16 if "FlatMapGroupsInPandasWithState" in plan else 4
+        # plan inspection is an optimization, never a failure mode: if the
+        # internal _jdf handle is unavailable (Spark Connect) or analysis
+        # throws, fall back to the JVM-state profile instead of failing the
+        # query at partition selection (advice find)
+        try:
+            plan = stream_df._jdf.queryExecution().analyzed().toString()
+            state_partitions = 16 if "FlatMapGroupsInPandasWithState" in plan else 4
+        except Exception:
+            state_partitions = 4
+    if checkpoint is not None:
+        existing = checkpoint_state_partitions(checkpoint)
+        if existing is not None and existing != state_partitions:
+            raise ValueError(
+                f"checkpoint {checkpoint} was created with "
+                f"{existing} state partitions; this run requests "
+                f"{state_partitions}. The count is immutable for a "
+                "checkpoint's lifetime — Spark would silently keep "
+                f"{existing} and ignore the request. Pass "
+                f"state_partitions={existing} explicitly, or start a new "
+                "checkpoint to re-partition state."
+            )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
     try:
@@ -233,7 +292,10 @@ def run_to_memory(
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="fsql_ckpt_"))
+            .option(
+                "checkpointLocation",
+                checkpoint or tempfile.mkdtemp(prefix="fsql_ckpt_"),
+            )
             .trigger(availableNow=True)
             .start()
         )
@@ -1131,6 +1193,34 @@ def q_stream_dsir_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination AT CRAWL INGEST — the streaming twin of
+    #202 q_contamination_fraction (the q_stream_dsir_score playbook): the
+    distinct benchmark gram set is built batch-side from the fixed eval
+    slice (doc_id < 20) and shipped in the stateless kernel's closure;
+    every arriving corpus document grams itself and intersects row-locally
+    — no join, no aggregation state, no watermark. Same output schema,
+    same oracle SQL as the batch entry: the drop verdicts a crawl-time
+    quarantine makes must be EXACTLY the ones the batch audit would."""
+    from ..operators.decontam import benchmark_grams, contamination_score_stateless
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench_rows = benchmark_grams(
+        docs.where(F.col("doc_id") < 20), "text", ngram=4
+    ).collect()
+    stream = documents_stream(spark, sf).where(F.col("doc_id") >= 20)
+    scored = contamination_score_stateless(
+        stream, bench_rows, "doc_id", "text", ngram=4, threshold=0.5
+    )
+    return run_to_memory(scored, mode="append")
+
+
+from ..operators.decontam import Q_CONTAMINATION_FRACTION_SQL  # noqa: E402
+
+# the batch entry's oracle applies VERBATIM: the stream scores the same
+# corpus slice against the same benchmark gram set with the same arithmetic
+Q_STREAM_CONTAMINATION_SQL = Q_CONTAMINATION_FRACTION_SQL
+
 from ..operators.dsir import _DSIR_SCORES_CTE  # noqa: E402
 
 # composes the SHARED model/scoring CTEs (one SQL definition of the DSIR
@@ -1149,6 +1239,7 @@ ORDER BY d.lang
 
 STREAMING_QUERIES = {
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_contamination": q_stream_contamination,
     "q_stream_dsir_score": q_stream_dsir_score,
     "q_stream_markov": q_stream_markov,
     "q_stream_attribution": q_stream_attribution,
@@ -1171,6 +1262,7 @@ STREAMING_QUERIES = {
 
 STREAMING_ORACLES = {
     "q_stream_dedup": Q_STREAM_DEDUP_SQL,
+    "q_stream_contamination": Q_STREAM_CONTAMINATION_SQL,
     "q_stream_dsir_score": Q_STREAM_DSIR_SQL,
     "q_stream_markov": Q_STREAM_MARKOV_SQL,
     "q_stream_attribution": Q_STREAM_ATTRIBUTION_SQL,
@@ -1187,5 +1279,6 @@ STREAMING_ORACLES = {
     "q_stream_perplexity": Q_STREAM_PERPLEXITY_SQL,
     "q_stream_frame_sample": Q_STREAM_FRAME_SAMPLE_SQL,
     "q_stream_audio_decode": Q_STREAM_AUDIO_DECODE_SQL,
-    "q_stream_video_decode": Q_STREAM_VIDEO_DECODE_SQL,    "q_stream_html_extract": Q_STREAM_HTML_SQL,
+    "q_stream_video_decode": Q_STREAM_VIDEO_DECODE_SQL,
+    "q_stream_html_extract": Q_STREAM_HTML_SQL,
 }

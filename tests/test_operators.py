@@ -2060,6 +2060,18 @@ def test_semantic_dedup_against_persisted_kept_lifecycle(spark, tmp_path):
         read_semdedup_kept(spark, url, centroids=cents, seed=7)
     with pytest.raises(ValueError, match="n_centroids=8"):
         read_semdedup_kept(spark, url, centroids=cents[:8], seed=42)
+    # SAME (n_centroids, seed) but a different codebook matrix — the
+    # re-sampled/retrained-quantizer case the scalar guard cannot see;
+    # caught by the centroid content fingerprint (advice find)
+    cents_twin = cents.copy()
+    cents_twin[0, 0] += 0.5
+    with pytest.raises(ValueError, match="centroid_md5"):
+        read_semdedup_kept(spark, url, centroids=cents_twin, seed=42)
+    # content-based, not identity-based: an equal copy of the codebook loads
+    assert (
+        read_semdedup_kept(spark, url, centroids=cents.copy(), seed=42).count()
+        == kept.count()
+    )
 
     # a bare table (no metadata) refuses
     import pandas as pd
@@ -3182,3 +3194,193 @@ def test_semdedup_cluster_kernel_tiling_and_edges():
     for tile in (2, 3, 4096):
         got = set(_cluster_dropped_keys(0.95, tile=tile)(pdf.copy())["dk"])
         assert got == want, (tile, got)
+
+
+def test_paragraph_dedup_plans_agree_and_newline_boundary(spark):
+    """r14 skew A/B support: the window and agg+join formulations are the
+    SAME operator (value-identical on a real corpus); the newline boundary
+    splits on \\n, rebuilds with \\n, skips empty lines, and refuses an
+    unknown boundary."""
+    import pandas as pd
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {
+        r["doc_id"]: (r["n_paras"], r["n_dropped"], r["text"])
+        for r in paragraph_dedup(
+            docs, "doc_id", "text", para_words=15, _plan="window"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_paras"], r["n_dropped"], r["text"])
+        for r in paragraph_dedup(
+            docs, "doc_id", "text", para_words=15, _plan="agg_join"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+    boiler = "subscribe to our newsletter"
+    nl = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"unique one\n{boiler}\nunique two",
+                    f"{boiler}\n\nother paragraph",  # empty line skipped
+                    "solo paragraph",
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(nl, "doc_id", "text", boundary="newline").collect()
+    }
+    # doc 1 holds the canonical boiler (lowest key): intact, rebuilt with \n
+    assert (out[1]["n_paras"], out[1]["n_dropped"]) == (3, 0)
+    assert out[1]["text"] == f"unique one\n{boiler}\nunique two"
+    # doc 2: empty line carries no paragraph; boiler copy dropped
+    assert (out[2]["n_paras"], out[2]["n_dropped"]) == (2, 1)
+    assert out[2]["text"] == "other paragraph"
+    assert (out[3]["n_paras"], out[3]["n_dropped"]) == (1, 0)
+
+    with pytest.raises(ValueError, match="boundary"):
+        paragraph_dedup(nl, "doc_id", "text", boundary="sentence")
+
+
+def test_topk_per_group_exact_and_skew_proof_shape(spark):
+    """Salted exact per-group top-k: equals the single-window reference on
+    a real table for several (k, salt_buckets), including salt_buckets=1
+    (degenerates to the plain window) and k > group size."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fsql_spark.operators.domains import topk_per_group
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("doc_id").asc())
+    for k, s in ((1, 32), (5, 4), (5, 1), (10_000, 8)):
+        want = {
+            (r["lang"], r["doc_id"])
+            for r in docs.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .collect()
+        }
+        got = {
+            (r["lang"], r["doc_id"])
+            for r in topk_per_group(docs, "lang", ["doc_id"], k, salt_buckets=s).collect()
+        }
+        assert got == want, (k, s)
+    with pytest.raises(ValueError, match="k must be"):
+        topk_per_group(docs, "lang", ["doc_id"], 0)
+
+
+def test_parse_domain_heuristic(spark):
+    """URL -> (host, registered domain): scheme-less, userinfo, port,
+    deep subdomains, and single-label hosts all land sanely."""
+    import pandas as pd
+
+    from fsql_spark.operators.domains import parse_domain
+
+    cases = {
+        "https://www.example.com/a/b": ("www.example.com", "example.com"),
+        "http://a.b.news.co.uk:8080/x?q=1": ("a.b.news.co.uk", "co.uk"),
+        "ftp://user:pw@files.example.org/f": ("files.example.org", "example.org"),
+        "example.com/path": ("example.com", "example.com"),
+        "https://localhost/admin": ("localhost", "localhost"),
+        "HTTPS://MiXeD.CaSe.NET/": ("mixed.case.net", "case.net"),
+    }
+    df = spark.createDataFrame(pd.DataFrame({"url": list(cases)}))
+    host, reg = parse_domain("url")
+    got = {
+        r["url"]: (r["host"], r["domain"])
+        for r in df.select("url", host.alias("host"), reg.alias("domain")).collect()
+    }
+    assert got == cases
+
+
+def test_quality_classifier_fit_score_semantics(spark):
+    """The linear quality classifier: class refusals, partial-model
+    refusal, probabilities in (0,1), positive-class docs scoring higher on
+    average than negative (it did learn SOMETHING), and length-invariance
+    (a doc concatenated with itself keeps its p_good — mean pooling)."""
+    import pandas as pd
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.quality import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows, bias = quality_classifier_fit(docs, "text", F.col("lang") == "en", 512)
+    assert len(rows) == 512
+    scored = quality_classifier_score(docs, "doc_id", "text", rows, bias, 512)
+    pdf = scored.join(docs.select("doc_id", "lang"), "doc_id").toPandas()
+    assert ((pdf.p_good > 0) & (pdf.p_good < 1)).all()
+    assert pdf[pdf.lang == "en"].p_good.mean() > pdf[pdf.lang != "en"].p_good.mean()
+
+    # length invariance: text+text scores the same under mean pooling...
+    # up to the one boundary bigram the concatenation introduces, so build
+    # a doc from an exactly repeated text instead
+    base = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["aa bb cc", "aa bb cc aa bb cc"]})
+    )
+    # fit where both texts' grams exist
+    fit_corpus = docs.select("text", "lang").unionByName(
+        spark.createDataFrame(pd.DataFrame({"text": ["aa bb cc"], "lang": ["en"]}))
+    )
+    rows2, bias2 = quality_classifier_fit(fit_corpus, "text", F.col("lang") == "en", 512)
+    out = {
+        r["doc_id"]: r["p_good"]
+        for r in quality_classifier_score(base, "doc_id", "text", rows2, bias2, 512).collect()
+    }
+    # not exactly equal (the repeat splices one extra 'cc aa' bigram) but
+    # within the dilution of 1 gram among 11 — far tighter than a sum would be
+    assert abs(out[1] - out[2]) < 0.02
+
+    with pytest.raises(ValueError, match="both classes"):
+        quality_classifier_fit(docs, "text", F.lit(True), 512)
+    with pytest.raises(ValueError, match="partial quality model"):
+        quality_classifier_score(docs, "doc_id", "text", rows[:100], bias, 512)
+
+
+def test_contamination_stateless_matches_batch(spark):
+    """The crawl-ingest kernel scorer reproduces contamination_fraction
+    EXACTLY (same gram identity, same rounding) on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.decontam import (
+        benchmark_grams,
+        contamination_fraction,
+        contamination_score_stateless,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") < 20)
+    corpus = docs.where(F.col("doc_id") >= 20)
+    want = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contamination"], r["drop"])
+        for r in contamination_fraction(
+            corpus, bench, "doc_id", "text", "text", ngram=4, threshold=0.5
+        ).collect()
+    }
+    bench_rows = benchmark_grams(bench, "text", ngram=4).collect()
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contamination"], r["drop"])
+        for r in contamination_score_stateless(
+            corpus, bench_rows, "doc_id", "text", ngram=4, threshold=0.5
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    assert any(v[1] > 0 for v in got.values())  # real hits, not vacuous

@@ -429,3 +429,30 @@ def test_dsir_stateless_on_rate_source_with_watermark(spark, tmp_path):
     finally:
         q1.stop()
         q2.stop()
+
+
+def test_checkpoint_state_partition_mismatch_refused(spark, tmp_path):
+    """The state-partition count is immutable per checkpoint; a restart
+    requesting the other value must refuse LOUDLY — Spark itself would
+    silently keep the checkpoint's value and ignore the request (r13
+    verdict task). Same-value restarts proceed; fresh dirs accept any."""
+    import pytest
+
+    from fsql_spark.streaming.windows import checkpoint_state_partitions
+
+    ckpt = str(tmp_path / "ckpt")
+    agg = tumbling_counts(events_stream(spark, SF))
+    first = run_to_memory(agg, "complete", state_partitions=4, checkpoint=ckpt)
+    assert first.count() > 0
+    # the offsets log recorded the partitioning the state was built under
+    assert checkpoint_state_partitions(ckpt) == 4
+
+    with pytest.raises(ValueError, match="immutable"):
+        run_to_memory(agg, "complete", state_partitions=16, checkpoint=ckpt)
+
+    # matching count restarts cleanly (no new data -> empty incremental
+    # result is fine; the point is it starts instead of refusing)
+    run_to_memory(agg, "complete", state_partitions=4, checkpoint=ckpt)
+
+    # a fresh checkpoint dir is unconstrained
+    assert checkpoint_state_partitions(str(tmp_path / "nope")) is None

@@ -8,8 +8,8 @@ tasks 2 & 7): sf0.1 -> 10x wall ratios.
   like a real crawl).
 - q_semantic_dedup_incremental needs a SCALED embeddings table (the sf1
   corpus symlinks embeddings, so the old sweep's "sf1" row measured the
-  SAME 2000 vectors). Built here: 10 copies, vec_id offset 100k apart
-  per copy... offset by 10M per copy so clone ids (vec_id+100000) stay
+  SAME 2000 vectors). Built here: 10 copies, vec_id offset by 10M per
+  copy so clone ids (vec_id+100000) stay
   disjoint from later copies, each copy CIRCULARLY SHIFTED by its copy
   index — a random 64-dim vector and its shift are ~orthogonal, so
   cross-copy cosines stay far below threshold and the near-dup graph
