@@ -3384,3 +3384,163 @@ def test_contamination_stateless_matches_batch(spark):
     }
     assert got == want and len(got) > 0
     assert any(v[1] > 0 for v in got.values())  # real hits, not vacuous
+
+
+def test_quality_classifier_matches_python_on_random_corpora(spark):
+    """Property sweep: quality_classifier_fit/score equals an independent
+    pure-Python NB-linear model (md5-hashed uni+bigram buckets, Laplace
+    log-odds, class-prior bias, mean pooling, sigmoid) on random tiny-vocab
+    corpora at small B."""
+    import hashlib
+    import math
+    import random
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.quality import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    rng = random.Random(53)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(3):
+        B = rng.choice([16, 64])
+        texts = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9)))
+            for d in range(1, 13)
+        }
+        labels = {d: ("good" if d <= 5 else "raw") for d in texts}
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+        def gram_instances(t):
+            ws = [w for w in t.split(" ") if w]
+            return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+        p_cnt = [0] * B
+        n_cnt = [0] * B
+        for d, t in texts.items():
+            tgt = p_cnt if labels[d] == "good" else n_cnt
+            for g in gram_instances(t):
+                tgt[bucket(g)] += 1
+        p_tot, n_tot = sum(p_cnt), sum(n_cnt)
+        w = [
+            math.log((p_cnt[b] + 1.0) / (p_tot + B))
+            - math.log((n_cnt[b] + 1.0) / (n_tot + B))
+            for b in range(B)
+        ]
+        n_pos = sum(1 for d in labels if labels[d] == "good")
+        bias = math.log(n_pos / (len(labels) - n_pos))
+        want = {}
+        for d, t in texts.items():
+            gi = gram_instances(t)
+            if not gi:
+                continue
+            s = bias + sum(w[bucket(g)] for g in gi) / len(gi)
+            p = round(1.0 / (1.0 + math.exp(-s)), 4)
+            want[d] = (len(gi), p, int(p >= 0.5))
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(texts),
+                    "text": [texts[d] for d in texts],
+                    "lab": [labels[d] for d in texts],
+                }
+            )
+        )
+        rows, got_bias = quality_classifier_fit(df, "text", F.col("lab") == "good", B)
+        assert abs(got_bias - bias) < 1e-12
+        got = {
+            r["doc_id"]: (r["n_grams"], r["p_good"], r["keep"])
+            for r in quality_classifier_score(
+                df, "doc_id", "text", rows, got_bias, B
+            ).collect()
+        }
+        assert got == want, (trial, got, want)
+
+
+def test_topk_per_group_matches_python_on_random_groups(spark):
+    """Property sweep: salted exact top-k equals the pure-Python
+    sort-and-slice per group on random group layouts (unique order keys —
+    the documented total-order contract)."""
+    import random
+
+    import pandas as pd
+
+    from fsql_spark.operators.domains import topk_per_group
+
+    rng = random.Random(71)
+    for trial in range(3):
+        n = rng.randint(20, 120)
+        groups = [f"g{rng.randint(0, 6)}" for _ in range(n)]
+        keys = rng.sample(range(100_000), n)  # unique
+        k = rng.choice([1, 3, 7])
+        s = rng.choice([1, 4, 32])
+        want = set()
+        per = {}
+        for g, x in zip(groups, keys):
+            per.setdefault(g, []).append(x)
+        for g, xs in per.items():
+            want |= {(g, x) for x in sorted(xs)[:k]}
+        df = spark.createDataFrame(pd.DataFrame({"grp": groups, "key": keys}))
+        got = {
+            (r["grp"], r["key"])
+            for r in topk_per_group(df, "grp", ["key"], k, salt_buckets=s).collect()
+        }
+        assert got == want, (trial, k, s)
+
+
+def test_paragraph_dedup_newline_matches_python_on_random_corpora(spark):
+    """Property sweep: the newline boundary (both plans) equals an
+    independent pure-Python model — split on \\n, drop empty lines,
+    count -> canonical-min survival -> \\n rejoin — on random corpora with
+    forced collisions."""
+    import random
+
+    import pandas as pd
+
+    from fsql_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(83)
+    paras_pool = ["aa bb", "cc", "dd ee ff", "aa", "bb cc"]
+    for trial, plan in [(0, "window"), (1, "agg_join"), (2, "agg_join")]:
+        texts = {
+            d: "\n".join(
+                rng.choice(paras_pool + [""])  # empties exercise the skip
+                for _ in range(rng.randint(0, 6))
+            )
+            for d in range(1, 9)
+        }
+        # python model
+        occ = {}
+        doc_paras = {}
+        for d in sorted(texts):
+            ps = [p for p in texts[d].split("\n") if p != ""]
+            doc_paras[d] = ps
+            for i, p in enumerate(ps):
+                occ.setdefault(p, []).append((d, i))
+        want = {}
+        for d, ps in doc_paras.items():
+            if not ps:
+                continue
+            kept = [
+                p
+                for i, p in enumerate(ps)
+                if len(occ[p]) < 2 or min(occ[p]) == (d, i)
+            ]
+            want[d] = (len(ps), len(ps) - len(kept), "\n".join(kept))
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(texts), "text": [texts[d] for d in texts]})
+        )
+        got = {
+            r["doc_id"]: (r["n_paras"], r["n_dropped"], r["text"])
+            for r in paragraph_dedup(
+                df, "doc_id", "text", boundary="newline", _plan=plan
+            ).collect()
+        }
+        assert got == want, (trial, plan, got, want)
