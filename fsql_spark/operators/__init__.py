@@ -264,6 +264,7 @@ from .quality import (  # noqa: F401
     QUALITY_QUERIES,
     quality_classifier_fit,
     quality_classifier_score,
+    quality_score_stateless,
 )
 from .domains import (  # noqa: F401
     DOMAIN_ORACLES,

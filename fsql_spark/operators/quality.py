@@ -159,6 +159,89 @@ def quality_classifier_score(
     )
 
 
+def quality_score_stateless(
+    df: DataFrame,
+    weight_rows: list,
+    bias: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = QC_BUCKETS,
+    threshold: float = 0.5,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """STATELESS per-document classifier scoring — quality filtering AT
+    CRAWL INGEST, the DCLM deployment shape: the B-sized weight vector
+    rides as a numpy array in the kernel closure, each arriving document
+    hashes its own grams and mean-pools row-locally inside one Arrow
+    batch — no join, no aggregation state, no watermark — so the same
+    code runs unmodified on a readStream (the
+    :func:`~fsql_spark.operators.dsir.dsir_score_stateless` posture,
+    including the md5 gram-bucket memo and the partial/duplicate-model
+    refusals). Sigmoid + rounding + verdict happen JVM-side after the
+    kernel, exactly like the batch scorer, so batch and stream verdicts
+    share one arithmetic definition (and one oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if len(weight_rows) != n_buckets:
+        raise ValueError(
+            f"partial quality model: {len(weight_rows)} rows for n_buckets="
+            f"{n_buckets}; fit with quality_classifier_fit (emits every bucket)"
+        )
+    w = np.full(n_buckets, np.nan, dtype=np.float64)
+    for row in weight_rows:
+        w[int(row["__bucket"])] = float(row["__w"])
+    if np.isnan(w).any():
+        missing = int(np.isnan(w).sum())
+        raise ValueError(
+            f"malformed quality model: {missing} of {n_buckets} buckets "
+            "unfilled (duplicate or out-of-range __bucket rows); fit with "
+            "quality_classifier_fit"
+        )
+
+    src = df.select(id_col, text_col, *carry_cols)
+    schema = StructType(
+        [src.schema[id_col]]
+        + [src.schema[c] for c in carry_cols]
+        + [StructField("n_grams", LongType()), StructField("__sw", DoubleType())]
+    )
+
+    def run(batches):
+        import hashlib
+        from functools import lru_cache
+
+        @lru_cache(maxsize=1 << 20)
+        def bucket(g: str) -> int:
+            return int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+        for pdf in batches:
+            rows = []
+            carries = [pdf[c] for c in carry_cols]
+            for key, text, *extra in zip(pdf[id_col], pdf[text_col], *carries):
+                words = [x for x in (text or "").split(" ") if x]
+                if not words:
+                    continue
+                grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+                total = float(sum(w[bucket(g)] for g in grams))
+                rows.append((key, *extra, len(grams), total))
+            yield pd.DataFrame(
+                rows, columns=[id_col, *carry_cols, "n_grams", "__sw"]
+            )
+
+    scored = src.mapInPandas(run, schema=schema)
+    s = F.lit(float(bias)) + F.col("__sw") / F.col("n_grams")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), 4)
+    return scored.select(
+        id_col,
+        *carry_cols,
+        "n_grams",
+        p.alias("p_good"),
+        (p >= threshold).cast("int").alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # catalog entry + oracle
 # --------------------------------------------------------------------------

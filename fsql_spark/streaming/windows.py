@@ -1215,6 +1215,35 @@ def q_stream_contamination(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory(scored, mode="append")
 
 
+def q_stream_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-classifier filtering AT CRAWL INGEST — the streaming twin
+    of #205 q_quality_classifier (the DCLM deployment shape, same playbook
+    as q_stream_dsir_score): the B-row weight vector is fit batch-side on
+    the corpus, ships in the stateless kernel's closure, and every
+    arriving document is scored row-locally — no join, no aggregation
+    state, no watermark. Same output schema and the batch entry's oracle
+    VERBATIM: the keep verdicts a crawl-time filter makes must be exactly
+    the batch audit's."""
+    from ..operators.quality import (
+        QC_BUCKETS,
+        quality_classifier_fit,
+        quality_score_stateless,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    weight_rows, bias = quality_classifier_fit(
+        docs, "text", F.col("lang") == "en", QC_BUCKETS
+    )
+    scored = quality_score_stateless(
+        documents_stream(spark, sf), weight_rows, bias, "doc_id", "text", QC_BUCKETS
+    )
+    return run_to_memory(scored, mode="append")
+
+
+from ..operators.quality import Q_QUALITY_CLASSIFIER_SQL  # noqa: E402
+
+Q_STREAM_QUALITY_CLASSIFIER_SQL = Q_QUALITY_CLASSIFIER_SQL
+
 from ..operators.decontam import Q_CONTAMINATION_FRACTION_SQL  # noqa: E402
 
 # the batch entry's oracle applies VERBATIM: the stream scores the same
@@ -1240,6 +1269,7 @@ ORDER BY d.lang
 STREAMING_QUERIES = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_contamination": q_stream_contamination,
+    "q_stream_quality_classifier": q_stream_quality_classifier,
     "q_stream_dsir_score": q_stream_dsir_score,
     "q_stream_markov": q_stream_markov,
     "q_stream_attribution": q_stream_attribution,
@@ -1263,6 +1293,7 @@ STREAMING_QUERIES = {
 STREAMING_ORACLES = {
     "q_stream_dedup": Q_STREAM_DEDUP_SQL,
     "q_stream_contamination": Q_STREAM_CONTAMINATION_SQL,
+    "q_stream_quality_classifier": Q_STREAM_QUALITY_CLASSIFIER_SQL,
     "q_stream_dsir_score": Q_STREAM_DSIR_SQL,
     "q_stream_markov": Q_STREAM_MARKOV_SQL,
     "q_stream_attribution": Q_STREAM_ATTRIBUTION_SQL,

@@ -3544,3 +3544,40 @@ def test_paragraph_dedup_newline_matches_python_on_random_corpora(spark):
             ).collect()
         }
         assert got == want, (trial, plan, got, want)
+
+
+def test_quality_stateless_matches_batch(spark):
+    """The crawl-ingest kernel scorer reproduces the batch classifier
+    EXACTLY (same gram identity, same mean-pool arithmetic, same JVM-side
+    rounding) on the real corpus; partial/duplicate models refuse."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.quality import (
+        quality_classifier_fit,
+        quality_classifier_score,
+        quality_score_stateless,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows, bias = quality_classifier_fit(docs, "text", F.col("lang") == "en", 512)
+    want = {
+        r["doc_id"]: (r["n_grams"], r["p_good"], r["keep"])
+        for r in quality_classifier_score(
+            docs, "doc_id", "text", rows, bias, 512
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_grams"], r["p_good"], r["keep"])
+        for r in quality_score_stateless(
+            docs, rows, bias, "doc_id", "text", 512
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    with pytest.raises(ValueError, match="partial quality model"):
+        quality_score_stateless(docs, rows[:100], bias, "doc_id", "text", 512)
+    dup = rows[:-1] + [rows[0]]
+    with pytest.raises(ValueError, match="malformed quality model"):
+        quality_score_stateless(docs, dup, bias, "doc_id", "text", 512)
