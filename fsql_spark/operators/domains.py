@@ -11,17 +11,20 @@ Operators:
   heuristic — a public-suffix list lookup in production swaps in here).
 - :func:`domain_stats` — per-domain volume/duplication aggregate (one
   map-side-combined shuffle).
-- :func:`topk_per_group` — EXACT k-smallest rows per group via salted
-  two-phase selection. The naive plan (``row_number`` over a domain
-  window) has the paragraph-dedup failure mode: a mega-domain (wikipedia
-  at 10^8 pages) lands on ONE task. Phase 1 splits every group across
-  ``salt_buckets`` sub-partitions and takes a local top-k (per-task work
-  is bounded by group_size/S); phase 2 re-ranks only the surviving
-  <= S*k candidate rows per group — bounded, tiny. The union of per-salt
-  top-k provably contains the global top-k, so the result is exact.
+- :func:`topk_per_group` — EXACT k-smallest rows per group. A
+  rank-filtered window looks like the paragraph-dedup failure mode (a
+  mega-domain on ONE task), but on this engine it is NOT: Catalyst
+  rewrites ``row_number() <= k`` into ``WindowGroupLimit Partial``
+  BEFORE the exchange — a map-side per-group top-k, so a 10^8-page
+  domain ships <= k rows per mapper — plus a ``Final`` pass after. A
+  hand-salted two-phase variant was built, A/B'd, and REJECTED: it
+  re-implements exactly what the optimizer already does and pays an
+  extra exchange + sort for it (2.70 vs 1.03 s on 20M rows with one
+  group holding 10^7 — TOPK_SKEW_STRESS_r14.jsonl, PERF.md r14). A
+  plan-pinning test asserts the Partial limit stays in the plan, since
+  the rewrite is gated on ``spark.sql.window.group.limit.threshold``.
   (:func:`~fsql_spark.operators.sampling.sample_per_group` is the
-  single-window cousin — pseudo-random order, fine when groups are
-  bounded; this one is for when they aren't.)
+  pseudo-random-order cousin.)
 - :func:`domain_cap` — the curation step itself: keep at most ``cap``
   pages per domain, deterministically.
 
@@ -85,35 +88,28 @@ def topk_per_group(
     group_col: str,
     order_cols: list[str],
     k: int,
-    salt_buckets: int = 32,
 ) -> DataFrame:
     """EXACT k smallest rows per group under the (ascending, total) order
     given by ``order_cols`` — skew-proof. ``order_cols`` must be a total
     order within each group (include a unique tiebreaker key), otherwise
     which of the tied boundary rows survive is nondeterministic.
 
-    Plan shape: phase 1 ranks within (group, salt) where salt =
-    ``xxhash64(order_cols) % salt_buckets`` — a mega-group's rows spread
-    over ``salt_buckets`` tasks, each sorting ~1/S of it — and keeps the
-    local top-k. Phase 2 ranks the <= S*k survivors per group (bounded:
-    the hot group's second window sees at most salt_buckets*k rows, not
-    10^8). Correctness: any row in the global top-k is in the top-k of
-    its own salt bucket, so phase 1 never drops a winner."""
+    Plan shape: ``row_number() <= k`` triggers Catalyst's rank-limit
+    pushdown — ``WindowGroupLimit Partial`` runs BEFORE the exchange
+    (map-side per-group top-k: a mega-group contributes <= k rows per
+    mapper to the shuffle) and ``Final`` caps the merged survivors, so
+    the hot group's reduce task sees <= k * n_mappers rows, never 10^8.
+    A hand-salted two-phase formulation was A/B'd and rejected — it
+    duplicates this pushdown and pays an extra exchange + sort (2.70 vs
+    1.03 s on 20M rows, one group at 10^7; PERF.md r14). The pushdown is
+    gated on ``spark.sql.window.group.limit.threshold``; a plan test
+    pins the Partial node so a conf/engine regression fails loudly."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if salt_buckets < 1:
-        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     order = [F.col(c).asc() for c in order_cols]
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
-    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
-    local = (
-        df.withColumn("__rn", F.row_number().over(w1))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
-    )
-    w2 = Window.partitionBy(group_col).orderBy(*order)
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        local.withColumn("__rn", F.row_number().over(w2))
+        df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
@@ -124,14 +120,13 @@ def domain_cap(
     domain_col: str,
     key_col: str,
     cap: int,
-    salt_buckets: int = 32,
 ) -> DataFrame:
     """Keep at most ``cap`` pages per domain — deterministically the
     ``cap`` lowest ``key_col`` values (crawl order / discovery order in
     production; rank by a quality score instead by pre-sorting the key).
     The RefinedWeb-style contribution cap, skew-proof via
     :func:`topk_per_group`."""
-    return topk_per_group(df, domain_col, [key_col], cap, salt_buckets)
+    return topk_per_group(df, domain_col, [key_col], cap)
 
 
 # --------------------------------------------------------------------------

@@ -3253,32 +3253,43 @@ def test_paragraph_dedup_plans_agree_and_newline_boundary(spark):
 
 
 def test_topk_per_group_exact_and_skew_proof_shape(spark):
-    """Salted exact per-group top-k: equals the single-window reference on
-    a real table for several (k, salt_buckets), including salt_buckets=1
-    (degenerates to the plain window) and k > group size."""
+    """Exact per-group top-k: correct values on a real table for several
+    k (incl. k > group size), and the SKEW-PROOF plan shape is pinned —
+    Catalyst's rank-limit pushdown must put a Partial WindowGroupLimit
+    BEFORE the exchange (map-side per-group top-k; the optimizer feature
+    that made the hand-salted two-phase variant redundant, PERF.md r14).
+    The pushdown is gated on spark.sql.window.group.limit.threshold, so a
+    conf/engine regression fails here loudly."""
     import pytest
 
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from fsql_spark.operators.domains import topk_per_group
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select(
         "doc_id", "lang"
     )
-    w = Window.partitionBy("lang").orderBy(F.col("doc_id").asc())
-    for k, s in ((1, 32), (5, 4), (5, 1), (10_000, 8)):
+    per = {}
+    for r in docs.collect():
+        per.setdefault(r["lang"], []).append(r["doc_id"])
+    for k in (1, 5, 10_000):
         want = {
-            (r["lang"], r["doc_id"])
-            for r in docs.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= k)
-            .collect()
+            (lang, d) for lang, ds in per.items() for d in sorted(ds)[:k]
         }
         got = {
             (r["lang"], r["doc_id"])
-            for r in topk_per_group(docs, "lang", ["doc_id"], k, salt_buckets=s).collect()
+            for r in topk_per_group(docs, "lang", ["doc_id"], k).collect()
         }
-        assert got == want, (k, s)
+        assert got == want, k
+    out = topk_per_group(docs, "lang", ["doc_id"], 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("WindowGroupLimit")
+    assert partial != -1 and "Partial" in plan, plan[:500]
+    # the Partial limit must sit BELOW the exchange (later in the printed
+    # tree = earlier in execution): map-side top-k before any shuffle
+    last_limit = plan.rfind("WindowGroupLimit")
+    assert "Partial" in plan[last_limit : last_limit + 120]
+    assert plan.find("Exchange") < last_limit, plan[:800]
     with pytest.raises(ValueError, match="k must be"):
         topk_per_group(docs, "lang", ["doc_id"], 0)
 
@@ -3465,9 +3476,9 @@ def test_quality_classifier_matches_python_on_random_corpora(spark):
 
 
 def test_topk_per_group_matches_python_on_random_groups(spark):
-    """Property sweep: salted exact top-k equals the pure-Python
-    sort-and-slice per group on random group layouts (unique order keys —
-    the documented total-order contract)."""
+    """Property sweep: exact top-k equals the pure-Python sort-and-slice
+    per group on random group layouts (unique order keys — the documented
+    total-order contract)."""
     import random
 
     import pandas as pd
@@ -3480,7 +3491,6 @@ def test_topk_per_group_matches_python_on_random_groups(spark):
         groups = [f"g{rng.randint(0, 6)}" for _ in range(n)]
         keys = rng.sample(range(100_000), n)  # unique
         k = rng.choice([1, 3, 7])
-        s = rng.choice([1, 4, 32])
         want = set()
         per = {}
         for g, x in zip(groups, keys):
@@ -3490,9 +3500,9 @@ def test_topk_per_group_matches_python_on_random_groups(spark):
         df = spark.createDataFrame(pd.DataFrame({"grp": groups, "key": keys}))
         got = {
             (r["grp"], r["key"])
-            for r in topk_per_group(df, "grp", ["key"], k, salt_buckets=s).collect()
+            for r in topk_per_group(df, "grp", ["key"], k).collect()
         }
-        assert got == want, (trial, k, s)
+        assert got == want, (trial, k)
 
 
 def test_paragraph_dedup_newline_matches_python_on_random_corpora(spark):
