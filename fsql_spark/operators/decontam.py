@@ -181,8 +181,13 @@ def contamination_score_stateless(
             for key, text, *extra in zip(pdf[id_col], pdf[text_col], *carries):
                 # replicate the JVM gram identity exactly: split on single
                 # space KEEPING empties (F.split semantics), n consecutive
-                # words, per-doc distinct
-                words = (text or "").split(" ")
+                # words, per-doc distinct. NULL text must be absent like
+                # the batch path (split(NULL) -> NULL -> no explode rows)
+                # — coercing to "" would fabricate a {""} gram set at
+                # ngram=1 and emit a row the batch twin omits.
+                if text is None or text != text:  # None / NaN from pandas
+                    continue
+                words = text.split(" ")
                 if ngram == 1:
                     grams = set(words)
                 else:

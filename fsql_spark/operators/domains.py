@@ -57,9 +57,7 @@ def parse_domain(url: Column | str) -> tuple[Column, Column]:
     return host, reg
 
 
-def domain_stats(
-    df: DataFrame, domain_col: str, key_col: str, text_col: str
-) -> DataFrame:
+def domain_stats(df: DataFrame, domain_col: str, text_col: str) -> DataFrame:
     """Per-domain curation dashboard: page count, total chars, distinct
     texts, and the exact-duplicate fraction (1 - distinct/total, 4dp) —
     the numbers a per-domain blocklist/cap decision reads. One map-side-
@@ -172,17 +170,22 @@ def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     host, reg = parse_domain(_doc_url())
     pages = docs.select("doc_id", "text", reg.alias("domain"))
-    return domain_stats(pages, "domain", "doc_id", "text").orderBy("domain")
+    return domain_stats(pages, "domain", "text").orderBy("domain")
 
 
 Q_DOMAIN_STATS_SQL = f"""
-WITH pages AS (
+WITH hosts AS (
   SELECT doc_id, text,
-         regexp_extract(
-           lower(regexp_extract({_URL_SQL},
-             '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1)),
-           '([^.]+\\.[^.]+)$', 1) AS domain
+         lower(regexp_extract({_URL_SQL},
+           '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
   FROM documents
+),
+pages AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_matches(host, '[^.]+\\.[^.]+$')
+              THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+              ELSE host END AS domain
+  FROM hosts
 )
 SELECT domain,
        CAST(COUNT(*) AS BIGINT) AS n_pages,
@@ -197,8 +200,9 @@ ORDER BY domain
 
 def q_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     """Cap every domain's contribution at 20 pages (lowest doc_id first —
-    crawl order) via the salted exact top-k; report survivors as
-    (domain, doc_id) plus the host so the parse is value-checked too."""
+    crawl order) via the rank-limit-pushdown exact top-k; report
+    survivors as (domain, doc_id) plus the host so the parse is
+    value-checked too."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     host, reg = parse_domain(_doc_url())
     pages = docs.select("doc_id", host.alias("host"), reg.alias("domain"))
@@ -214,13 +218,17 @@ WITH pages AS (
            '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
   FROM documents
 ),
-ranked AS (
+domains AS (
   SELECT doc_id, host,
-         regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
-         ROW_NUMBER() OVER (
-           PARTITION BY regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
-           ORDER BY doc_id) AS rn
+         CASE WHEN regexp_matches(host, '[^.]+\\.[^.]+$')
+              THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+              ELSE host END AS domain
   FROM pages
+),
+ranked AS (
+  SELECT doc_id, host, domain,
+         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+  FROM domains
 )
 SELECT domain, doc_id, host
 FROM ranked

@@ -115,6 +115,25 @@ def quality_classifier_fit(
     return rows, bias
 
 
+def _check_weight_rows(weight_rows: list, n_buckets: int) -> None:
+    """Refuse partial / duplicate-bucket / out-of-range models loudly —
+    shared by the batch join scorer and the stateless kernel so both
+    reject exactly the same malformed inputs."""
+    if len(weight_rows) != n_buckets:
+        raise ValueError(
+            f"partial quality model: {len(weight_rows)} rows for n_buckets="
+            f"{n_buckets}; fit with quality_classifier_fit (emits every bucket)"
+        )
+    seen = {int(row["__bucket"]) for row in weight_rows}
+    if seen != set(range(n_buckets)):
+        missing = len(set(range(n_buckets)) - seen)
+        raise ValueError(
+            f"malformed quality model: {missing} of {n_buckets} buckets "
+            "unfilled (duplicate or out-of-range __bucket rows); fit with "
+            "quality_classifier_fit"
+        )
+
+
 def quality_classifier_score(
     df: DataFrame,
     id_col: str,
@@ -130,12 +149,12 @@ def quality_classifier_score(
     makes the score length-invariant (a 10x longer doc of the same
     character scores the same, unlike a summed llr). Docs with no grams
     carry no evidence and are absent (the repo-wide empty-bag convention).
-    A partial model is refused (the dsir_score_stateless posture)."""
-    if len(weight_rows) != n_buckets:
-        raise ValueError(
-            f"partial quality model: {len(weight_rows)} rows for n_buckets="
-            f"{n_buckets}; fit with quality_classifier_fit (emits every bucket)"
-        )
+    A partial or duplicate-bucket model is refused (the
+    dsir_score_stateless posture — a duplicated+missing bucket pair
+    passes a length-only check yet silently drops every gram hashing to
+    the hole through the inner join, shifting the mean; batch and stream
+    must refuse the SAME malformed inputs or their verdicts diverge)."""
+    _check_weight_rows(weight_rows, n_buckets)
     from .dedup import _spread
 
     spark = df.sparkSession
@@ -185,21 +204,10 @@ def quality_score_stateless(
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    if len(weight_rows) != n_buckets:
-        raise ValueError(
-            f"partial quality model: {len(weight_rows)} rows for n_buckets="
-            f"{n_buckets}; fit with quality_classifier_fit (emits every bucket)"
-        )
-    w = np.full(n_buckets, np.nan, dtype=np.float64)
+    _check_weight_rows(weight_rows, n_buckets)
+    w = np.empty(n_buckets, dtype=np.float64)
     for row in weight_rows:
         w[int(row["__bucket"])] = float(row["__w"])
-    if np.isnan(w).any():
-        missing = int(np.isnan(w).sum())
-        raise ValueError(
-            f"malformed quality model: {missing} of {n_buckets} buckets "
-            "unfilled (duplicate or out-of-range __bucket rows); fit with "
-            "quality_classifier_fit"
-        )
 
     src = df.select(id_col, text_col, *carry_cols)
     schema = StructType(

@@ -208,7 +208,11 @@ def checkpoint_state_partitions(checkpoint: str) -> int | None:
     ``<checkpoint>/offsets/<batchId>`` line 2 is the metadata JSON whose
     ``conf`` pins ``spark.sql.shuffle.partitions`` for the query's
     lifetime). Returns None when the checkpoint has no completed offsets
-    entry yet (fresh dir — any partitioning is still legal)."""
+    entry yet (fresh dir — any partitioning is still legal). An offsets
+    entry that EXISTS but cannot be parsed raises instead of returning
+    None: a silent None would disable the immutability guard exactly
+    where it matters (corrupt/truncated/foreign-format checkpoints are
+    the risky restarts, not the safe ones)."""
     import json
     import os
 
@@ -219,14 +223,19 @@ def checkpoint_state_partitions(checkpoint: str) -> int | None:
         return None
     if not batches:
         return None
-    latest = max(batches, key=int)
+    latest = os.path.join(odir, max(batches, key=int))
     try:
-        with open(os.path.join(odir, latest)) as f:
+        with open(latest) as f:
             lines = f.read().splitlines()
         meta = json.loads(lines[1])
         return int(meta["conf"]["spark.sql.shuffle.partitions"])
-    except (OSError, ValueError, KeyError, IndexError):
-        return None
+    except (OSError, ValueError, KeyError, IndexError) as exc:
+        raise ValueError(
+            f"checkpoint offsets entry {latest} exists but its metadata "
+            f"could not be parsed ({exc!r}) — cannot verify the state "
+            "partition count it was created under. Repair the checkpoint "
+            "or start a new one; do not restart blind against it."
+        ) from exc
 
 
 def run_to_memory(
@@ -254,13 +263,19 @@ def run_to_memory(
     executor count — it is immutable for the checkpoint's lifetime.
 
     ``checkpoint`` resumes from / writes to a durable checkpoint dir
-    (default: a fresh temp dir per call). Because the partition count IS
-    immutable per checkpoint, restarting against an existing checkpoint
-    under a different count — e.g. the auto-select choosing the other
-    profile after the plan changed — is refused loudly: Spark itself would
-    silently keep the checkpoint's old value and ignore the requested one,
-    which in production reads as "I re-tuned the query" while nothing
-    changed (r13 verdict task)."""
+    (default: a fresh temp dir per call). NOTE the resume semantics: the
+    source skips offsets already committed to the checkpoint while the
+    memory sink starts empty each call, so a second run against an
+    unchanged input returns an EMPTY (append mode) or recomputed-from-
+    state (complete mode) table — the result is incremental per
+    checkpoint, not a re-audit of the whole input. Memory-sink recovery
+    is also only supported by Spark in complete mode. Because the
+    partition count IS immutable per checkpoint, restarting against an
+    existing checkpoint under a different count — e.g. the auto-select
+    choosing the other profile after the plan changed — is refused
+    loudly: Spark itself would silently keep the checkpoint's old value
+    and ignore the requested one, which in production reads as "I
+    re-tuned the query" while nothing changed (r13 verdict task)."""
     spark = stream_df.sparkSession
     if state_partitions is None:
         # plan inspection is an optimization, never a failure mode: if the

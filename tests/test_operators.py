@@ -3289,7 +3289,8 @@ def test_topk_per_group_exact_and_skew_proof_shape(spark):
     # tree = earlier in execution): map-side top-k before any shuffle
     last_limit = plan.rfind("WindowGroupLimit")
     assert "Partial" in plan[last_limit : last_limit + 120]
-    assert plan.find("Exchange") < last_limit, plan[:800]
+    exch = plan.find("Exchange")
+    assert exch != -1 and exch < last_limit, plan[:800]
     with pytest.raises(ValueError, match="k must be"):
         topk_per_group(docs, "lang", ["doc_id"], 0)
 
@@ -3591,3 +3592,77 @@ def test_quality_stateless_matches_batch(spark):
     dup = rows[:-1] + [rows[0]]
     with pytest.raises(ValueError, match="malformed quality model"):
         quality_score_stateless(docs, dup, bias, "doc_id", "text", 512)
+
+
+def test_quality_batch_scorer_refuses_duplicate_bucket_model(spark):
+    """The batch join scorer must refuse the SAME malformed models the
+    stateless kernel refuses (review find: a duplicated+missing bucket
+    pair passes a length-only check, then the inner join silently drops
+    every gram hashing to the hole — batch and stream verdicts diverge)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.quality import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows, bias = quality_classifier_fit(docs, "text", F.col("lang") == "en", 128)
+    dup = rows[:-1] + [rows[0]]
+    with pytest.raises(ValueError, match="malformed quality model"):
+        quality_classifier_score(docs, "doc_id", "text", dup, bias, 128)
+
+
+def test_contamination_stateless_null_text_absent_like_batch(spark):
+    """NULL text must be absent from the kernel scorer's output exactly
+    like the batch path (review find: coercing NULL to '' fabricated a
+    {''} gram set at ngram=1 and emitted a row the batch twin omits)."""
+    import pandas as pd
+
+    from fsql_spark.operators.decontam import (
+        benchmark_grams,
+        contamination_fraction,
+        contamination_score_stateless,
+    )
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["aa bb", None, ""]})
+    )
+    bench = spark.createDataFrame(pd.DataFrame({"text": ["aa bb cc"]}))
+    for n in (1, 2):
+        want = {
+            r["doc_id"]: (r["n_grams"], r["n_hits"])
+            for r in contamination_fraction(
+                corpus, bench, "doc_id", "text", "text", ngram=n
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_hits"])
+            for r in contamination_score_stateless(
+                corpus, benchmark_grams(bench, "text", n).collect(),
+                "doc_id", "text", ngram=n,
+            ).collect()
+        }
+        assert got == want, (n, got, want)
+        assert 2 not in got  # NULL text carries no grams in either engine
+
+
+def test_checkpoint_metadata_corruption_refuses_loudly(tmp_path):
+    """An offsets entry that EXISTS but cannot be parsed must raise, not
+    silently disable the state-partition immutability guard (review
+    find)."""
+    import os
+
+    import pytest
+
+    from fsql_spark.streaming.windows import checkpoint_state_partitions
+
+    ck = tmp_path / "ckpt" / "offsets"
+    os.makedirs(ck)
+    (ck / "0").write_text("v1\n")  # truncated: no metadata line
+    with pytest.raises(ValueError, match="could not be parsed"):
+        checkpoint_state_partitions(str(tmp_path / "ckpt"))
+    # no offsets at all stays None (fresh dir)
+    assert checkpoint_state_partitions(str(tmp_path / "fresh")) is None

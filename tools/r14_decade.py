@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Round-14 decade rows for the five new catalog entries (#204-208):
+"""Round-14 decade rows for the six new catalog entries (#204-209):
 sf0.1 -> 10x wall ratios against the standard sf1 perf corpus
 (tools/sf1_spotbench.build_sf1 — 10 doc copies with copy-specific filler
 so dup/contamination graphs scale ~linearly, like a real crawl).
 
-All five are documents-driven, so the stock corpus suffices (no scaled
-embeddings needed this round). q_stream_contamination runs the genuine
-file-source stream against the sf1 documents parquet.
+All six are documents-driven, so the stock corpus suffices (no scaled
+embeddings needed this round). The q_stream_* entries run genuine
+file-source streams against the sf1 documents parquet.
 
 Warm paired runs in one JVM, noop sink. Run EXCLUSIVELY (PERF.md host
 contract). Usage: python tools/r14_decade.py [out.jsonl]
@@ -33,6 +33,7 @@ ENTRIES = [
     "q_domain_stats",
     "q_domain_cap",
     "q_stream_contamination",
+    "q_stream_quality_classifier",
 ]
 
 
