@@ -3666,3 +3666,36 @@ def test_checkpoint_metadata_corruption_refuses_loudly(tmp_path):
         checkpoint_state_partitions(str(tmp_path / "ckpt"))
     # no offsets at all stays None (fresh dir)
     assert checkpoint_state_partitions(str(tmp_path / "fresh")) is None
+
+
+def test_parse_domain_arbitrated_against_urllib(spark):
+    """Host extraction arbitrated against an INDEPENDENT implementation
+    (stdlib urllib.parse) — the repo's always-arbitrate codec policy
+    applied to URL parsing: for scheme-ful URLs the two must agree on the
+    host; random structured URLs sweep userinfo/port/case/depth."""
+    import random
+    from urllib.parse import urlsplit
+
+    import pandas as pd
+
+    from fsql_spark.operators.domains import parse_domain
+
+    rng = random.Random(97)
+    urls = []
+    for _ in range(60):
+        scheme = rng.choice(["http", "https", "ftp"])
+        user = rng.choice(["", "u@", "user:pw@"])
+        labels = [
+            rng.choice(["www", "cdn", "a", "News", "x9"])
+            for _ in range(rng.randint(0, 3))
+        ] + [rng.choice(["example", "Test", "site7"]), rng.choice(["com", "org", "co.uk"])]
+        host = ".".join(labels)
+        port = rng.choice(["", ":80", ":8443"])
+        path = rng.choice(["", "/", "/a/b?q=1#f"])
+        urls.append(f"{scheme}://{user}{host}{port}{path}")
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    h, _reg = parse_domain("url")
+    got = {r["url"]: r["host"] for r in df.select("url", h.alias("host")).collect()}
+    for u in urls:
+        want = (urlsplit(u).hostname or "").lower()
+        assert got[u] == want, (u, got[u], want)
