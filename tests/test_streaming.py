@@ -456,3 +456,28 @@ def test_checkpoint_state_partition_mismatch_refused(spark, tmp_path):
 
     # a fresh checkpoint dir is unconstrained
     assert checkpoint_state_partitions(str(tmp_path / "nope")) is None
+
+
+def test_auto_select_falls_back_when_plan_inspection_fails(spark):
+    """Plan inspection during state-partition auto-select is an
+    optimization, never a failure mode (advice find): if the internal
+    _jdf handle cannot produce an analyzed plan, run_to_memory must fall
+    back to the JVM-state profile and still execute the query."""
+    stream = tumbling_counts(events_stream(spark, SF))
+
+    class BoomQE:
+        """Proxy that breaks ONLY plan inspection; everything else (the
+        writeStream path) passes through to the real JVM handle."""
+
+        def __init__(self, real):
+            self.__dict__["_real"] = real
+
+        def queryExecution(self):
+            raise RuntimeError("no plan for you")
+
+        def __getattr__(self, name):
+            return getattr(self.__dict__["_real"], name)
+
+    stream._jdf = BoomQE(stream._jdf)
+    out = run_to_memory(stream, "complete")  # state_partitions=None -> auto
+    assert out.count() > 0
