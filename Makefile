@@ -6,17 +6,17 @@
 # wall-clock, which BENCH lines carry calibration probes for.
 #
 #   make test                 - full pytest suite
-#   make gate  ROUND=13       - strict driver-twin gate -> GATE_r13.json
+#   make gate  ROUND=14       - strict driver-twin gate -> GATE_r<N>.json
 #                               (every catalog entry hash-compared against
 #                               its DuckDB oracle at the driver's sf0.01)
-#   make bench ROUND=13       - exclusive-host clean bench ->
-#                               BENCH_CLEAN_r13.json (+ stdout JSON line)
-#   make verify ROUND=13      - gate + bench
+#   make bench ROUND=14       - exclusive-host clean bench ->
+#                               BENCH_CLEAN_r<N>.json (+ stdout JSON line)
+#   make verify ROUND=14      - gate + bench
 #
 # Run gate/bench EXCLUSIVELY (PERF.md host contract): concurrent Spark or
 # pytest on the same host pollutes wall-clocks and the calibration probes.
 
-ROUND ?= 13
+ROUND ?= 14
 PY ?= python
 SF_DIR ?= /root/testdata/sf0.1
 

@@ -188,7 +188,14 @@ def stream_to_partitioned_table(
 ) -> None:
     """Sink a stream into a Hive-partitioned parquet tree (availableNow) —
     the streaming half feeding the batch half: the result is exactly the
-    layout ``read_partitioned_table`` queries with partition pruning."""
+    layout ``read_partitioned_table`` queries with partition pruning.
+
+    For STATEFUL upstreams restarting against a durable ``checkpoint``,
+    the state-partition count is immutable for the checkpoint's lifetime
+    — inspect it with :func:`checkpoint_state_partitions` before changing
+    the session's shuffle partitioning (the :func:`run_to_memory` guard,
+    applied manually here because a stateless parquet append has no such
+    constraint and must not be refused)."""
     q = (
         stream_df.writeStream.format("parquet")
         .option("path", path)
