@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .sampling import fraction_to_hex_threshold
-from .similarity import cosine, ivf_assign
+from .similarity import ivf_assign
 
 
 def knn_graph(
@@ -59,34 +59,154 @@ def knn_graph(
 ) -> DataFrame:
     """Directed in-cluster kNN graph: (node, nbr, wgt) with ``wgt`` =
     cosine(node, nbr) in 1e-4 pips (INT — see module docstring) and at most
-    ``k`` out-edges per node (ranked by wgt desc, nbr asc). Quadratic only
-    within IVF clusters; assignment never shuffles the corpus."""
+    ``k`` out-edges per node (ranked by wgt desc NULLS LAST, nbr asc).
+    Quadratic only within IVF clusters; assignment never shuffles the
+    corpus.
+
+    Plan (r14): ONE exchange — ``groupBy(centroid_id).applyInPandas`` runs
+    the whole in-cluster score+rank as a tiled float64 GEMM per cluster
+    (the ``_query_matrix`` lesson: the interpreted zip_with/aggregate
+    cosine paid per candidate pair measured 25 s vs <1 s for 2k x 2k x 64,
+    and the r12 SemDeDup GEMM A/B replayed the same 3.3x on this corpus).
+    The r11-r13 formulation — a two-sided self-join on ``centroid_id``
+    plus a per-node ``row_number`` window — carried three exchanges and,
+    worse, hash-partitioned the quadratic work over at most
+    ``n_centroids`` distinct keys, so AQE's size-based coalescing (which
+    sees the compact pre-join rows, not the pair explosion) packed the
+    whole corpus-squared scoring into ONE task at sf scale. Values are
+    identical: same sampled-centroid assignment, pip = HALF_UP round of
+    cosine x 1e4 (NULL when either norm is 0, ranked last like the
+    window's desc-NULLS-LAST), same (wgt desc, nbr asc) tie order.
+
+    Cluster-size posture matches :func:`~.similarity._cluster_dropped_keys`:
+    the GEMM block is tiled (~134 MB cap), cluster ROW data is O(size x
+    dim) per task, and ``n_centroids`` is the knob that bounds it. Keys
+    duplicated across rows merge per key within a cluster (the window
+    semantics); rows sharing a key that embed into DIFFERENT clusters are
+    ranked per cluster — embedding tables are uniquely keyed, so the
+    declared entries never reach that edge."""
+    import numpy as np  # noqa: F401 (kernel import check at build time)
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     assigned, _ = ivf_assign(
         vectors, key_col, vec_col, n_centroids=n_centroids, iterations=0, seed=seed
     )
-    a = assigned.select(
-        "centroid_id", F.col("k").alias("node"), F.col("v").alias("_va")
+    schema = StructType(
+        [
+            StructField("node", assigned.schema["k"].dataType),
+            StructField("nbr", assigned.schema["k"].dataType),
+            StructField("wgt", IntegerType()),
+        ]
     )
-    b = assigned.select(
-        "centroid_id", F.col("k").alias("nbr"), F.col("v").alias("_vb")
-    )
-    scored = (
-        a.join(b, "centroid_id")
-        .where(F.col("node") != F.col("nbr"))
-        .select(
-            "node",
-            "nbr",
-            F.round(cosine(F.col("_va"), F.col("_vb")) * 10000.0, 0)
-            .cast("int")
-            .alias("wgt"),
-        )
-    )
-    w = Window.partitionBy("node").orderBy(F.desc("wgt"), F.asc("nbr"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
+        assigned.select("centroid_id", "k", "v")
+        .groupBy("centroid_id")
+        .applyInPandas(_cluster_knn_edges(k), schema)
     )
+
+
+def _cluster_knn_edges(k: int, tile: int = 4096):
+    """Per-cluster kNN scoring kernel: tiled GEMM + per-node top-k.
+
+    Emits, for every distinct key in the cluster, its best ``k`` edges
+    ordered by (pip weight desc, nbr asc) with NULL-weight candidates
+    (zero-norm on either side — cosine undefined) ranked after every
+    real weight, exactly the window formulation's ``desc`` NULLS LAST.
+    Pip = Spark's HALF_UP: ``sign(c) * floor(|c| * 1e4 + 0.5)``. Row
+    tiles bound the materialized similarity block at ``tile**2 * 8``
+    bytes (~134 MB) regardless of cluster size."""
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "node": pd.Series([], dtype=pdf["k"].dtype),
+                "nbr": pd.Series([], dtype=pdf["k"].dtype),
+                "wgt": pd.array([], dtype="Int32"),
+            }
+        )
+        if n < 2:
+            return empty
+        keys = pdf["k"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        nonzero = norms != 0.0
+
+        # candidate columns sorted by nbr key once: per-row stable sorts on
+        # the filled weight alone then preserve nbr-ascending among ties
+        order = np.argsort(keys, kind="stable")
+        keys_o = keys[order]
+        mat_o = mat[order]
+        norms_o = norms[order]
+        nz_o = nonzero[order]
+
+        out_node, out_nbr, out_wgt = [], [], []
+        unique_keys = len(np.unique(keys)) == n
+        for lo in range(0, n, tile):
+            rows = slice(lo, min(lo + tile, n))
+            sims = mat_o[rows] @ mat_o.T  # (r, n) — r <= tile
+            denom = np.outer(norms_o[rows], norms_o)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = sims / denom
+            pip = np.sign(cos) * np.floor(np.abs(cos) * 10000.0 + 0.5)
+            # NULL weight (either norm zero) ranks after every real pip
+            filled = np.where(
+                np.outer(nz_o[rows], nz_o), pip, -np.inf
+            )
+            for i in range(filled.shape[0]):
+                gi = lo + i
+                if unique_keys:
+                    mask = np.ones(n, dtype=bool)
+                    mask[gi] = False
+                else:
+                    mask = keys_o != keys_o[gi]
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                # stable sort on filled weight desc keeps the nbr-ascending
+                # pre-order among exact ties AND among the -inf (NULL) block
+                top = cand[np.argsort(-filled[i, cand], kind="stable")[:k]]
+                m = len(top)
+                out_node.extend([keys_o[gi]] * m)
+                out_nbr.extend(keys_o[top])
+                out_wgt.extend(
+                    int(pip[i, t]) if filled[i, t] != -np.inf else None
+                    for t in top
+                )
+        if not out_node:
+            return empty
+        if not unique_keys:
+            # duplicate keys: the window merges candidates of ALL rows of a
+            # key; re-rank the per-row top-k unions and keep k per key
+            df = pd.DataFrame({"node": out_node, "nbr": out_nbr, "wgt": out_wgt})
+            df["_wfill"] = [
+                -np.inf if w is None or w != w else float(w) for w in df["wgt"]
+            ]
+            df = df.sort_values(
+                ["node", "_wfill", "nbr"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            df = df.groupby("node", sort=False).head(k)
+            out_node = df["node"].tolist()
+            out_nbr = df["nbr"].tolist()
+            out_wgt = df["wgt"].tolist()
+        return pd.DataFrame(
+            {
+                "node": pd.Series(out_node, dtype=pdf["k"].dtype),
+                "nbr": pd.Series(out_nbr, dtype=pdf["k"].dtype),
+                "wgt": pd.array(
+                    [None if w is None or w != w else int(w) for w in out_wgt],
+                    dtype="Int32",
+                ),
+            }
+        )
+
+    return run
 
 
 def _seed_hash(key) -> "F.Column":
