@@ -98,6 +98,8 @@ def pagerank(
     damping: float = 0.85,
     tables: tuple[DataFrame, DataFrame] | None = None,
     seeds: DataFrame | None = None,
+    prevalidated_n: int | None = None,
+    copartitioned: bool = False,
 ) -> tuple[DataFrame, int]:
     """Weighted PageRank over a directed (src, dst, w) edge list with no
     dangling nodes -> ((node, rank) DataFrame, n_nodes).
@@ -120,6 +122,30 @@ def pagerank(
 
     Eager probes, all build-time and node-sized: the dangling-input
     refusal, the N count, and (personalized) the seed count.
+    ``prevalidated_n`` is the caller's guarantee that the graph is already
+    known dangling-free with that node count (a symmetrized
+    ``undirected_edges`` build, or the build-once cache whose builder ran
+    the witness at ingest): it skips the per-call witness — a full
+    edge-table distinct scan that at 100 TB costs a corpus pass PER
+    QUERY asked of the same graph — and the node count.
+
+    ``copartitioned=True`` is the caller's statement that ``tables`` are
+    persisted hash-partitioned by ``src`` at the loop width with the
+    cached plan FINALIZED (materialize with ``ew.count()`` before building
+    the loop — a lazy cache plans as adaptive-not-final, reports unknown
+    partitioning, and EnsureRequirements re-exchanges the edge table every
+    round). The loop then pins a shuffled-hash join (ranks build side):
+    each round's ranks come out of the previous ``groupBy("node")``
+    already hash-partitioned on the join key, so the join runs with ZERO
+    exchange — the edge table never moves after the one repartition —
+    where the default plan re-broadcasts the node-sized ranks table every
+    round (collect + ship per iteration; at corpus node counts that is not
+    a broadcastable side at all, and the SMJ fallback would re-exchange
+    ew per round). Build-side memory is nodes/width per task — the loop
+    width is the knob. Leave False for ad-hoc ``edges``: without the
+    co-partitioned cache the hint would shuffle the recomputed edge
+    subtree by src every round, which is strictly worse than broadcasting
+    node-sized ranks.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -130,23 +156,25 @@ def pagerank(
         raise ValueError("pass an edge list or prepared tables")
     ew, nodes = tables if tables is not None else pagerank_graph_tables(edges)
 
-    # dangling probe: a dst never seen as src has out-degree 0 — refuse.
-    # Reads ew (the caller-cached table), not the raw edge build; limit(1)
-    # stops at the first witness — no full count needed.
-    witness = (
-        ew.select("dst").distinct()
-        .join(nodes, F.col("dst") == F.col("node"), "left_anti")
-        .limit(1)
-        .collect()
-    )
-    if witness:
-        raise DanglingNodesError(
-            f"edge list has dangling node(s), e.g. {witness[0]['dst']!r} — "
-            "PageRank mass would leak; symmetrize the graph "
-            "(undirected_edges) or drop sinks first"
+    if prevalidated_n is None:
+        # dangling probe: a dst never seen as src has out-degree 0 — refuse.
+        # Reads ew (the caller-cached table), not the raw edge build; limit(1)
+        # stops at the first witness — no full count needed.
+        witness = (
+            ew.select("dst").distinct()
+            .join(nodes, F.col("dst") == F.col("node"), "left_anti")
+            .limit(1)
+            .collect()
         )
-
-    n = nodes.count()
+        if witness:
+            raise DanglingNodesError(
+                f"edge list has dangling node(s), e.g. {witness[0]['dst']!r} — "
+                "PageRank mass would leak; symmetrize the graph "
+                "(undirected_edges) or drop sinks first"
+            )
+        n = nodes.count()
+    else:
+        n = prevalidated_n
 
     # one exchange per round: the teleport mass rides the aggregate as a
     # baseline row per node (union, map-side) instead of a second join —
@@ -177,7 +205,8 @@ def pagerank(
             F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("rank"),
         )
     for _ in range(iterations):
-        contrib = ew.join(ranks, ew.src == ranks.node).select(
+        rhs = ranks.hint("shuffle_hash") if copartitioned else ranks
+        contrib = ew.join(rhs, ew.src == rhs.node).select(
             F.col("dst").alias("node"),
             (F.lit(damping) * F.col("rank") * F.col("share")).alias("part"),
         )
@@ -192,6 +221,10 @@ def pagerank(
 # --------------------------------------------------------------------------
 
 _PR_ITERATIONS = 5
+#: shuffle width of the node-sized iteration tables (the narrow-loop
+#: regime — see q_graph_pagerank docstring); also the partition count of
+#: the co-partitioned edge cache, so the loop join is exchange-free
+_PR_LOOP_WIDTH = 8
 _PR_DAMPING = 0.85
 
 
@@ -218,18 +251,25 @@ def order_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
 
 def order_graph_tables_cached(
     spark: SparkSession, sf: str
-) -> tuple[DataFrame, DataFrame]:
-    """Compute-once (ew, nodes) for a testdata sf dir: the first caller
-    materializes the share-annotated edge table + node universe into a
-    fingerprinted /tmp parquet cache (the corpus_signatures_cached
+) -> tuple[DataFrame, DataFrame, int]:
+    """Compute-once (ew, nodes, n_nodes) for a testdata sf dir: the first
+    caller materializes the share-annotated edge table + node universe into
+    a fingerprinted /tmp parquet cache (the corpus_signatures_cached
     lifecycle); every later question asked of the SAME graph — global
     PageRank, personalized PageRank from any seed set, degree audits —
     reads the slim graph tables instead of re-joining the fact tables.
     That is the 100 TB graph lifecycle: build the graph once, query it
     many times. The kernel fingerprint covers this module's builders so
-    an encoding/share change invalidates the cache."""
+    an encoding/share change invalidates the cache.
+
+    The dangling witness and the node count run ONCE at build time and
+    land in the cache's ``meta.json`` (r14): validating a graph per query
+    cost a full edge-table distinct scan each call; callers hand the
+    stored count to :func:`pagerank` as ``prevalidated_n``."""
     import hashlib
     import inspect
+    import json
+    import os
 
     from ..fsql_catalog import _build_once, _tree_dir
 
@@ -240,18 +280,32 @@ def order_graph_tables_cached(
     ).hexdigest()[:8]
 
     def build(staging: str) -> None:
-        import os
-
         ew, nodes = pagerank_graph_tables(order_graph_edges(spark, sf))
         ew.write.parquet(os.path.join(staging, "ew.parquet"))
         nodes.write.parquet(os.path.join(staging, "nodes.parquet"))
+        ew_w = spark.read.parquet(os.path.join(staging, "ew.parquet"))
+        nodes_w = spark.read.parquet(os.path.join(staging, "nodes.parquet"))
+        witness = (
+            ew_w.select("dst").distinct()
+            .join(nodes_w, F.col("dst") == F.col("node"), "left_anti")
+            .limit(1)
+            .collect()
+        )
+        if witness:  # unreachable for the symmetrized order graph; belt
+            raise DanglingNodesError(
+                f"order graph build produced dangling node {witness[0]['dst']!r}"
+            )
+        with open(os.path.join(staging, "meta.json"), "w") as fd:
+            json.dump({"n_nodes": nodes_w.count(), "dangling_free": True}, fd)
 
-    dest = _build_once(_tree_dir(sf, f"ordergraph_k{kern}", "lineitem"), build)
-    import os
-
+    # v2: meta.json (build-time witness + node count) joined the layout
+    dest = _build_once(_tree_dir(sf, f"ordergraph_v2_k{kern}", "lineitem"), build)
+    with open(os.path.join(dest, "meta.json")) as fd:
+        meta = json.load(fd)
     return (
         spark.read.parquet(os.path.join(dest, "ew.parquet")),
         spark.read.parquet(os.path.join(dest, "nodes.parquet")),
+        int(meta["n_nodes"]),
     )
 
 
@@ -261,11 +315,14 @@ def _q_graph_pagerank_frame(
     sf: str,
     edges: DataFrame | None = None,
     tables: tuple[DataFrame, DataFrame] | None = None,
+    prevalidated_n: int | None = None,
+    copartitioned: bool = False,
 ) -> DataFrame:
-    if edges is None:
+    if edges is None and tables is None:
         edges = order_graph_edges(spark, sf)
     ranks, n = pagerank(
-        edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING, tables=tables
+        edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING, tables=tables,
+        prevalidated_n=prevalidated_n, copartitioned=copartitioned,
     )
     supplier = spark.read.parquet(f"{sf}/supplier.parquet").select("s_suppkey", "s_name")
     return (
@@ -299,12 +356,23 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     overhead dominates."""
     from ..session import temp_conf
 
-    ew, nodes = order_graph_tables_cached(spark, sf)
-    ew, nodes = ew.persist(), nodes.persist()
+    ew0, nodes0, n = order_graph_tables_cached(spark, sf)
+    # co-partitioned loop (r14): ew persisted hash-partitioned by src at the
+    # loop width and MATERIALIZED before the loop is planned (a lazy cache
+    # plans adaptive-not-final -> unknown partitioning -> a defensive
+    # re-exchange of the edge table every round); each round's shuffled-hash
+    # join then runs with zero exchange against the groupBy-partitioned
+    # ranks, and the build-time-validated n skips the per-call witness scan
+    ew = ew0.repartition(_PR_LOOP_WIDTH, "src").persist()
+    nodes = nodes0.persist()
     try:
-        nodes.count()  # materialize both caches (first call builds the artifact)
-        with temp_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
-            out = _q_graph_pagerank_frame(spark, sf, tables=(ew, nodes))
+        ew.count()  # finalize the cached plan: the loop sees hashpartitioning(src)
+        with temp_conf(
+            spark, **{"spark.sql.shuffle.partitions": str(_PR_LOOP_WIDTH)}
+        ):
+            out = _q_graph_pagerank_frame(
+                spark, sf, tables=(ew, nodes), prevalidated_n=n, copartitioned=True
+            )
             pdf = out.toPandas()  # one row per supplier: 3 scalars
     finally:
         ew.unpersist()
@@ -370,8 +438,10 @@ def _q_graph_ppr_frame(
     sf: str,
     edges: DataFrame | None = None,
     tables: tuple[DataFrame, DataFrame] | None = None,
+    prevalidated_n: int | None = None,
+    copartitioned: bool = False,
 ) -> DataFrame:
-    if edges is None:
+    if edges is None and tables is None:
         edges = order_graph_edges(spark, sf)
     seeds = (
         spark.read.parquet(f"{sf}/customer.parquet")
@@ -381,6 +451,7 @@ def _q_graph_ppr_frame(
     ranks, n = pagerank(
         edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING,
         tables=tables, seeds=seeds,
+        prevalidated_n=prevalidated_n, copartitioned=copartitioned,
     )
     supplier = spark.read.parquet(f"{sf}/supplier.parquet").select("s_suppkey", "s_name")
     return (
@@ -403,12 +474,18 @@ def q_graph_ppr_segment(spark: SparkSession, sf: str) -> DataFrame:
     by construction."""
     from ..session import temp_conf
 
-    ew, nodes = order_graph_tables_cached(spark, sf)
-    ew, nodes = ew.persist(), nodes.persist()
+    ew0, nodes0, n = order_graph_tables_cached(spark, sf)
+    # same co-partitioned loop + build-time-validated n as q_graph_pagerank
+    ew = ew0.repartition(_PR_LOOP_WIDTH, "src").persist()
+    nodes = nodes0.persist()
     try:
-        nodes.count()  # materialize both caches (usually a slim parquet read)
-        with temp_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
-            out = _q_graph_ppr_frame(spark, sf, tables=(ew, nodes))
+        ew.count()  # finalize the cached plan: the loop sees hashpartitioning(src)
+        with temp_conf(
+            spark, **{"spark.sql.shuffle.partitions": str(_PR_LOOP_WIDTH)}
+        ):
+            out = _q_graph_ppr_frame(
+                spark, sf, tables=(ew, nodes), prevalidated_n=n, copartitioned=True
+            )
             pdf = out.toPandas()  # one row per supplier: 3 scalars
     finally:
         ew.unpersist()
@@ -510,14 +587,21 @@ def q_link_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     edges = undirected_edges(pairs, "doc_id", "target", "w")
-    ew, nodes = pagerank_graph_tables(edges)
-    ew, nodes = ew.persist(), nodes.persist()
+    ew0, nodes0 = pagerank_graph_tables(edges)
+    # the symmetrized build is dangling-free by construction, so the node
+    # count doubles as prevalidated_n (no witness scan); co-partitioned
+    # loop as in q_graph_pagerank (ew materialized pre-planning)
+    ew = ew0.repartition(_PR_LOOP_WIDTH, "src").persist()
+    nodes = nodes0.persist()
     try:
-        nodes.count()  # materialize at session width (the one corpus job)
-        with temp_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+        ew.count()  # the one corpus job: extract links + build + partition
+        n = nodes.count()
+        with temp_conf(
+            spark, **{"spark.sql.shuffle.partitions": str(_PR_LOOP_WIDTH)}
+        ):
             ranks, n = pagerank(
                 None, iterations=_PR_ITERATIONS, damping=_PR_DAMPING,
-                tables=(ew, nodes),
+                tables=(ew, nodes), prevalidated_n=n, copartitioned=True,
             )
             out = ranks.select(
                 F.col("node").alias("doc_id"),

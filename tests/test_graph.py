@@ -350,3 +350,62 @@ def test_kcore_peels_pendant_chain(spark):
 
     with _pytest.raises(ValueError, match="k and rounds"):
         kcore_nodes(df, "a", "b", k=0, rounds=1)
+
+
+# --------------------------------------------------------------------------
+# r14: prepared-tables fast path (prevalidated_n + copartitioned loop)
+# --------------------------------------------------------------------------
+
+from fsql_spark.operators.graph import pagerank_graph_tables  # noqa: E402
+
+
+def test_copartitioned_loop_matches_default_plan(spark):
+    """The co-partitioned shuffled-hash loop (prepared, finalized cache +
+    prevalidated_n) must produce byte-identical ranks to the default
+    broadcast loop — the r14 graph-entry rewrite's value contract."""
+    raw = [(1, 2, 3), (2, 3, 1), (3, 1, 2), (2, 4, 5), (4, 2, 1), (1, 4, 2)]
+    edges = spark.createDataFrame(raw, "src long, dst long, w long")
+    sym = undirected_edges(edges, "src", "dst", "w")
+    default, n_default = pagerank(sym, iterations=4)
+    want = _ranks(default)
+
+    ew0, nodes0 = pagerank_graph_tables(sym)
+    ew = ew0.repartition(4, "src").persist()
+    nodes = nodes0.persist()
+    try:
+        ew.count()  # finalize the cached plan before the loop is planned
+        n = nodes.count()
+        fast, n_fast = pagerank(
+            None, iterations=4, tables=(ew, nodes),
+            prevalidated_n=n, copartitioned=True,
+        )
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        # every round's rank join is the hinted shuffled-hash join (the
+        # BHJs visible inside the printed InMemoryRelation subtrees are the
+        # one-time cache build, not the loop)
+        assert plan.count("ShuffledHashJoin [src") >= 4
+        got = _ranks(fast)
+    finally:
+        ew.unpersist()
+        nodes.unpersist()
+    assert n_fast == n_default == n
+    # same math, different partial-sum arrival order (broadcast vs SHJ
+    # loop): agreement to ~1 ulp; the 4dp entry rounding absorbs it (the
+    # r12 GEMM-rewrite adjudication), pinned hash-green vs the oracle at
+    # sf0.001/0.01/0.1
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_prevalidated_n_skips_witness_and_is_trusted(spark):
+    """prevalidated_n is the caller's contract: the dangling witness does
+    not run (a dangling graph proceeds) and the teleport mass uses the
+    given n — so the parameter must only ever come from a build-time
+    validated cache."""
+    dangling = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    with pytest.raises(DanglingNodesError):
+        pagerank(dangling, iterations=1)
+    ranks, n = pagerank(dangling, iterations=1, prevalidated_n=1)
+    assert n == 1  # the witness did not run; the given n is trusted as-is
+    ranks.collect()  # and the loop executes (results undefined: leaky graph)
