@@ -169,20 +169,36 @@ def q_source_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise JSD between the documents table's source slices over the
     corpus top-50 vocabulary — the domain-mixing distance matrix.
 
-    The pairwise self-join references the (source, token) count stream six
-    times in one plan, so the ONE corpus-scale aggregate is persisted for
-    the call and the pairs-squared-sized result (190 rows here) is
-    materialized driver-side so the cache can be RELEASED per call — the
-    q_doc_perplexity pattern; ``lint_target`` exposes the real distributed
-    plan to the catalog-wide lint."""
+    r14 plan: the persisted-counts formulation re-scanned the corpus-sized
+    count cache SIX times (vocab cut, kept filter, totals, p, and both
+    sides of the pairwise join — ~14 32-task jobs profiled at sf0.1) for
+    downstream work the module docstring itself calls metadata-sized. The
+    top-K cut ``kept`` (<= sources x K rows — 50k at 1000 sources, the
+    documented bound) DETERMINES everything after it, so it is
+    materialized driver-side and re-fed as the ``counts=`` stream:
+    re-deriving the vocabulary from ``kept`` returns exactly the kept
+    tokens (same ordering, same limit), so every downstream value is
+    identical while the corpus cache is scanned twice (vocab + filter),
+    not six times. The cache still releases per call; ``lint_target``
+    exposes the real distributed plan to the catalog-wide lint."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     counts = group_token_counts(docs, "source").persist()
     try:
-        out = _q_source_js_frame(spark, sf, counts=counts)
-        pdf = out.toPandas()  # sources-choose-2 rows of 4 scalars
+        vocab = (
+            counts.groupBy("token")
+            .agg(F.sum("tf").alias("total_tf"))
+            .orderBy(F.desc("total_tf"), "token")
+            .limit(_TOP_K)
+            .select("token")
+        )
+        kept = counts.join(F.broadcast(vocab), "token")
+        kpdf = kept.toPandas()  # sources x K rows of (token, source, tf)
     finally:
         counts.unpersist()
-    return spark.createDataFrame(pdf, schema=out.schema)
+    kept_local = spark.createDataFrame(kpdf, schema=kept.schema)
+    # the cache is already released — the returned plan reads only the
+    # local kept table, so no driver-side result materialization is needed
+    return _q_source_js_frame(spark, sf, counts=kept_local)
 
 
 q_source_js_divergence.lint_target = _q_source_js_frame
