@@ -210,12 +210,39 @@ def jaccard_pairs(
                 "max_candidate_pairs explicitly."
             )
     t2 = cand_tok.select(F.col("k").alias("k2"), F.col("w").alias("w2"))
+    if max_shingle_df is None:
+        # no frequency cut => the candidate join already touches every
+        # shared DISTINCT shingle of every pair exactly once, so
+        # |intersection| is a COUNT on the join output (the formulation the
+        # DuckDB oracle uses) — map-side partial aggregation spreads the
+        # work that the old distinct-pairs + array_intersect verify
+        # concentrated into one AQE-coalesced task (small pair bytes, heavy
+        # per-row array CPU)
+        common = (
+            cand_tok.join(t2, (cand_tok.w == t2.w2) & (cand_tok.k < t2.k2))
+            .groupBy("k", "k2")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        sizes = base.select("k", F.size("sh").alias("n"))
+        s2n = sizes.select(F.col("k").alias("k2"), F.col("n").alias("n2"))
+        jac = F.col("c") / (F.col("n") + F.col("n2") - F.col("c"))
+        return (
+            common.join(sizes, "k")
+            .join(s2n, "k2")
+            .where(jac >= threshold)
+            .select(
+                F.col("k").alias("doc_a"),
+                F.col("k2").alias("doc_b"),
+                F.round(jac, 4).alias("jaccard"),
+            )
+        )
     cand_keys = (
         cand_tok.join(t2, (cand_tok.w == t2.w2) & (cand_tok.k < t2.k2))
         .select("k", "k2")
         .distinct()
     )
-    # verify on the FULL shingle sets (exact even under max_shingle_df)
+    # under max_shingle_df the cut index undercounts shared shingles, so
+    # verify on the FULL shingle sets (exact even under the cut)
     s1 = base.select("k", "sh")
     s2 = base.select(F.col("k").alias("k2"), F.col("sh").alias("sh2"))
     cands = cand_keys.join(s1, "k").join(s2, "k2")
