@@ -394,6 +394,12 @@ def _check_sig_width(sigs: DataFrame, num_hashes: int) -> None:
     resolves to NULL, which xxhash64 then IGNORES — short signatures make
     the tail bands hash a constant, i.e. one bucket containing EVERY doc
     (an accidental cross product), with no error raised. One-row probe."""
+    if getattr(sigs, "_fsql_sig_width", None) == num_hashes:
+        # table came straight from read_corpus_signatures, whose whole-table
+        # config check already proved every row is num_hashes-wide — skip
+        # the probe job (any transformation yields a NEW DataFrame object
+        # without the tag, so a caller reshaping the table still gets probed)
+        return
     row = sigs.select(F.size("sig").alias("w")).limit(1).collect()
     if row and row[0]["w"] != num_hashes:
         raise ValueError(
@@ -483,6 +489,10 @@ def minhash_lsh_pairs(
         # step) reuse them instead of recomputing k*|shingles| hashes per
         # reference. At scale this is a slim table: key + k longs + shingles.
         sigs = minhash_signatures(df, key_col, text_col, num_hashes, ngram).persist()
+        # materialize before planning the self-join: AQE submits both band
+        # sides' map stages concurrently and two racing cache-miss scans
+        # each run the full signature kernel (same fix as the phash entry)
+        sigs.count()
     banded = _banded_buckets(sigs, bands, rows_per_band)
     other = banded.select(
         F.col("k").alias("k2"), F.col("band").alias("band2"), F.col("bucket").alias("bucket2")
@@ -833,7 +843,11 @@ def read_corpus_signatures(
             f"({num_hashes}, {ngram}, {_SIG_FORMAT})"
             + (" — table contains MIXED configs" if len(configs) > 1 else "")
         )
-    return df.drop(*_SIG_META_COLS)
+    out = df.drop(*_SIG_META_COLS)
+    # the config check above proves every row's width: let _check_sig_width
+    # skip its one-row probe job for this exact DataFrame object
+    out._fsql_sig_width = num_hashes
+    return out
 
 
 def corpus_signatures_cached(
@@ -913,10 +927,12 @@ def minhash_lsh_pairs_against(
     Output: (new_key, corpus_key, jaccard)."""
     rows_per_band = num_hashes // bands
     new_sigs = minhash_signatures(df_new, key_col, text_col, num_hashes, ngram).persist()
+    new_sigs.count()  # see minhash_lsh_pairs: un-built caches race under AQE
     if corpus_sigs is None:
         if corpus is None:
             raise ValueError("pass either corpus or corpus_sigs")
         corpus_sigs = minhash_signatures(corpus, key_col, text_col, num_hashes, ngram).persist()
+        corpus_sigs.count()
     else:
         _check_sig_width(corpus_sigs, num_hashes)
         corpus_sigs = corpus_sigs.where(F.size("sh") > 0)  # see minhash_lsh_pairs
@@ -1031,6 +1047,7 @@ def simhash_pairs(
     sigs = _spread(df).select(
         F.col(key_col).alias("k"), simhash(F.col(text_col)).alias("sig")
     ).persist()
+    sigs.count()  # see minhash_lsh_pairs: un-built caches race under AQE
 
     def block(col: Column, i: int) -> Column:
         return F.shiftrightunsigned(col, i * block_bits).bitwiseAND(F.lit((1 << block_bits) - 1))

@@ -271,6 +271,11 @@ def q_image_phash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         documents_as_png(spark, sf, width=32), hash_size=8
     ).persist()
     try:
+        # materialize BEFORE planning the self-join: AQE submits both band
+        # join sides' map stages concurrently, and two racing cache-miss
+        # scans each run the full render+decode (profiler: two parallel
+        # 0.67s 32-task jobs instead of one build + cheap cache reads)
+        hashes.count()
         out = _q_phash_near_frame(spark, sf, hashes=hashes)
         pdf = out.toPandas()  # near-pair rows: 3 scalars each, LSH-bounded
     finally:
