@@ -137,6 +137,8 @@ def _spread(df: DataFrame) -> DataFrame:
     ``.rdd`` partition probe would make AQE finalize the plan eagerly —
     submitting its shuffle stages as immediate jobs that the caller's real
     action then recomputes. The logical-plan string check costs nothing."""
+    if df.isStreaming:
+        return df  # micro-batch sizing is the stream's own concern; .rdd throws
     plan = df._jdf.queryExecution().analyzed().toString()
     if any(node in plan for node in _SHUFFLED_PLAN_NODES):
         return df

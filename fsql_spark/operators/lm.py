@@ -270,9 +270,15 @@ def _pair_stream(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         ).otherwise(pairs)
 
     arr = F.transform(F.array(toks), _of)[0]
-    return df.select(F.col(id_col), F.explode(arr).alias("p")).select(
-        id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
-    )
+    from .dedup import _spread
+
+    # spread BEFORE the explosion: a single-file corpus arrives at scan
+    # parallelism (one task) and would serialize the whole pair stream and
+    # the partial aggregation above it; pairs are row-local, so placement
+    # cannot change them (no-op on many-file / already-shuffled inputs)
+    return _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(arr).alias("p")
+    ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
 
 
 def bigram_model(

@@ -43,7 +43,13 @@ def term_frequencies(
     dropped. Map-only: counting happens inside the Arrow batch (the tokens
     of one document are row-local by construction), so there is NO shuffle —
     unlike explode+groupBy, which exchanges the full token stream."""
-    src = df.select(id_col, text_col)
+    from .dedup import _spread
+
+    # single-file local corpora arrive at scan parallelism (often ONE
+    # task), which serializes the whole tokenize+count kernel; round-robin
+    # the compact (id, text) rows first — row-local computation, so
+    # placement cannot change results (no-op on many-file inputs)
+    src = _spread(df.select(id_col, text_col))
     schema = StructType(
         [src.schema[id_col], StructField(token_col, StringType()), StructField(tf_col, LongType())]
     )
@@ -343,8 +349,12 @@ def pmi_collocations(
     totals then come back from tiny aggregate-over-persisted actions and
     re-enter the plan as literals. ``min_count`` applies the standard
     low-frequency cut (PMI is notoriously noisy on rare pairs)."""
+    from .dedup import _spread
+
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-    base = df.select(words.alias("ws"))
+    # spread before the pair explosion (single-file corpora arrive at scan
+    # parallelism — the whole bigram count would run in one task otherwise)
+    base = _spread(df.select(words.alias("ws")))
     n = F.size("ws")
     # sequence(1, 0) would be a DESCENDING [1, 0] (the _word_shingles
     # lesson), so short docs short-circuit to an empty pair array
