@@ -2182,10 +2182,19 @@ def q_video_augment(spark: SparkSession, sf: str) -> DataFrame:
     the FUSED kernel (see :func:`video_augment_checksums_fused`): the
     uncompressed intermediate never crosses Arrow."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return (
-        video_augment_checksums_fused(docs)
-        .orderBy("media_id", "op")
-    )
+    # the sort's range-partitioner SAMPLING job runs the full map-only
+    # decode->augment->encode->decode chain, then the sort job recomputes
+    # it (no exchange below the sort => nothing reusable). Persist the
+    # checksum table (3 rows x 4 scalars per video) so sample + sort share
+    # ONE kernel pass, and release the cache via the driver-side
+    # materialization pattern (q_doc_perplexity).
+    pre = video_augment_checksums_fused(docs).persist()
+    try:
+        out = pre.orderBy("media_id", "op")
+        pdf = out.toPandas()
+    finally:
+        pre.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
 
 
 # source model (pack_y4m 8x8): frame p (1-based char) has luma sum 64*ascii
@@ -2229,11 +2238,17 @@ def q_image_augment(spark: SparkSession, sf: str) -> DataFrame:
     the checksum."""
     media = documents_as_png(spark, sf, width=32)
     aug = augment_images(media)
-    return (
-        image_position_checksums(aug, carry_cols=("op",))
-        .select("media_id", "op", "width", "height", "pos_checksum")
-        .orderBy("media_id", "op")
-    )
+    # see q_video_augment: persist the tiny checksum table so the sort's
+    # sampling job and the sort itself share ONE augment+decode pass
+    pre = image_position_checksums(aug, carry_cols=("op",)).select(
+        "media_id", "op", "width", "height", "pos_checksum"
+    ).persist()
+    try:
+        out = pre.orderBy("media_id", "op")
+        pdf = out.toPandas()
+    finally:
+        pre.unpersist()
+    return spark.createDataFrame(pdf, schema=out.schema)
 
 
 # the oracle recomputes each op's output pixel at (r, c) from its SOURCE
