@@ -270,15 +270,13 @@ def _pair_stream(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         ).otherwise(pairs)
 
     arr = F.transform(F.array(toks), _of)[0]
-    from .dedup import _spread
-
-    # spread BEFORE the explosion: a single-file corpus arrives at scan
-    # parallelism (one task) and would serialize the whole pair stream and
-    # the partial aggregation above it; pairs are row-local, so placement
-    # cannot change them (no-op on many-file / already-shuffled inputs)
-    return _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(arr).alias("p")
-    ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    # NOT spread (r14 A/B): shuffling the compact text rows to parallelize
+    # the pair explosion costs more than the one-task explosion itself at
+    # tested scale (the perplexity entries regressed 1.3->4 s under the
+    # spread); many-file corpora already arrive parallel.
+    return df.select(F.col(id_col), F.explode(arr).alias("p")).select(
+        id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
 
 
 def bigram_model(

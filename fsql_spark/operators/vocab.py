@@ -43,13 +43,12 @@ def term_frequencies(
     dropped. Map-only: counting happens inside the Arrow batch (the tokens
     of one document are row-local by construction), so there is NO shuffle —
     unlike explode+groupBy, which exchanges the full token stream."""
-    from .dedup import _spread
-
-    # single-file local corpora arrive at scan parallelism (often ONE
-    # task), which serializes the whole tokenize+count kernel; round-robin
-    # the compact (id, text) rows first — row-local computation, so
-    # placement cannot change results (no-op on many-file inputs)
-    src = _spread(df.select(id_col, text_col))
+    # NOT spread (r14 A/B): the tokenize+count kernel on a one-task
+    # single-file corpus costs LESS than the round-robin shuffle that
+    # would parallelize it (0.66 s vs 1.22 s warm at sf0.1) — the tf
+    # stream is consumed by aggregates that shuffle anyway, and a real
+    # many-file corpus already arrives parallel.
+    src = df.select(id_col, text_col)
     schema = StructType(
         [src.schema[id_col], StructField(token_col, StringType()), StructField(tf_col, LongType())]
     )
