@@ -485,22 +485,32 @@ def main() -> None:
     out["calibration_class"] = _host_class(calibration)
     out["family_normalized"] = _family_normalized(timings, entry_class, calibration)
 
-    # The driver keeps only a short TAIL of stdout, so a single giant line
-    # loses the headline fields (BENCH_r01..r03 all recorded parsed:null).
-    # Emit the full detail FIRST, then a compact final line that always
-    # survives truncation; per-query detail also lands in BENCH_DETAIL.json.
-    # FSQL_BENCH_DETAIL_PATH redirects the detail artifact so a builder's
+    # The driver keeps only a 2000-char TAIL of stdout (measured: the "tail"
+    # field of BENCH_r14.json / BENCH_r14_c8.json is exactly 2000 chars), so
+    # a single giant line loses the headline fields (BENCH_r01..r03 all
+    # recorded parsed:null) and the 209-entry per-query dict (~6 KB at 2 dp)
+    # can never survive inside the parsed compact line. Per-query
+    # comparability therefore lives in the detail artifact: the default
+    # detail path is PER-RUN — BENCH_DETAIL_c{cpus}_{seed}.json (r14
+    # verdict item 1: the driver's 8-CPU run clobbered the 32-CPU run's
+    # detail, leaving PERF_r14 with per_query={} and an empty scaling
+    # block) — and the same payload is mirrored to the legacy
+    # BENCH_DETAIL.json name for anything that greps the old path. The
+    # compact line names the per-run file in its "detail" field.
+    # FSQL_BENCH_DETAIL_PATH still redirects the artifact so a builder's
     # exclusive-host clean bench (BENCH_CLEAN_r{N}.json) and the driver's
     # post-round run can't overwrite each other (r11: the driver's
     # contended run clobbered the working-tree clean copy).
+    base_dir = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.environ.get("FSQL_BENCH_DETAIL_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        base_dir, f"BENCH_DETAIL_c{cpus}_{order_seed}.json"
     )
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-    except OSError as exc:
-        print(f"bench: could not write {detail_path}: {exc!r}", file=sys.stderr)
+    for path in dict.fromkeys([detail_path, os.path.join(base_dir, "BENCH_DETAIL.json")]):
+        try:
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError as exc:
+            print(f"bench: could not write {path}: {exc!r}", file=sys.stderr)
     print(json.dumps(out))
     slowest = dict(
         sorted(
@@ -514,6 +524,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": _sf_tag(sf_dir),
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t != t),
         "slowest": slowest,

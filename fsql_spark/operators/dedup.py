@@ -183,6 +183,15 @@ def jaccard_pairs(
       shingle is frequent can be missed — at a high threshold such pairs
       barely exist (frequent shingles are shared with everyone, so they can't
       dominate a high-Jaccard pair's intersection alone).
+
+    Contract: ``key_col`` values must be UNIQUE. The count-based verify of
+    the no-cut path counts join rows per (k, k2) — with duplicate keys the
+    shared shingles of every row-pair combination sum into one count
+    (jaccard can exceed 1), while the ``max_shingle_df`` branch's
+    array_intersect verify computes per-row-pair values, so the two
+    branches would disagree on the same degenerate input (advice find).
+    Deduplicate keys (or aggregate shingle sets per key) upstream; every
+    catalog caller feeds uniquely-keyed document tables.
     """
     base = _spread(df).select(
         F.col(key_col).alias("k"), _word_shingles(F.col(text_col), ngram).alias("sh")

@@ -302,10 +302,21 @@ def order_graph_tables_cached(
     dest = _build_once(_tree_dir(sf, f"ordergraph_v2_k{kern}", "lineitem"), build)
     with open(os.path.join(dest, "meta.json")) as fd:
         meta = json.load(fd)
+    # validate before trusting: prevalidated_n fully disables pagerank's
+    # dangling witness + node count, so a stale / hand-copied / partially
+    # written meta.json must fail loudly here rather than silently yield
+    # mass-leaking ranks (advice find)
+    n_nodes = int(meta.get("n_nodes", 0))
+    if meta.get("dangling_free") is not True or n_nodes <= 0:
+        raise DanglingNodesError(
+            f"order-graph cache {dest} has an invalid meta.json "
+            f"({meta!r}): expected dangling_free=true and n_nodes>0. "
+            "Delete the cache dir to rebuild it."
+        )
     return (
         spark.read.parquet(os.path.join(dest, "ew.parquet")),
         spark.read.parquet(os.path.join(dest, "nodes.parquet")),
-        int(meta["n_nodes"]),
+        n_nodes,
     )
 
 

@@ -45,5 +45,11 @@ def test_catalog_plan_has_no_scale_killers(name, spark):
 def test_materialized_entries_declare_lint_targets():
     """The driver-materialized LM entries (LocalTableScan results) must
     carry the lint_target hook exposing their real distributed plan."""
-    for name in ("q_doc_perplexity", "q_perplexity_buckets", "q_doc_bigram_perplexity"):
+    for name in (
+        "q_doc_perplexity",
+        "q_perplexity_buckets",
+        "q_doc_bigram_perplexity",
+        "q_image_augment",
+        "q_video_augment",
+    ):
         assert getattr(entry_mod.queries()[name], "lint_target", None) is not None
