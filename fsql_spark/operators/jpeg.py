@@ -331,6 +331,8 @@ def _build_encode_table(bits: list, values: list) -> dict:
 
 _ENC_DC = [_build_encode_table(*HUFF_DC_LUM), _build_encode_table(*HUFF_DC_CHROM)]
 _ENC_AC = [_build_encode_table(*HUFF_AC_LUM), _build_encode_table(*HUFF_AC_CHROM)]
+# dense array views for the vectorized encoder (symbol -> code/length)
+_ENC_DC_ARR = None  # filled in after _enc_table_arrays is defined
 
 
 #: decode-LUT cache keyed by the DHT payload — every image from the same
@@ -398,110 +400,224 @@ def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
     return _snap(_C @ blocks @ _C.T)
 
 
-def _encode_component_blocks(
-    writer: _BitWriter, blocks_q: np.ndarray, dc_tab: dict, ac_tab: dict, pred: int
-) -> int:
-    """Huffman-encode quantized blocks (already zigzagged, (n, 64) int32)."""
-    for zz in blocks_q:
-        diff = int(zz[0]) - pred
-        pred = int(zz[0])
-        size, bits = _magnitude(diff)
-        code, length = dc_tab[size]
-        writer.write(code, length)
-        if size:
-            writer.write(bits, size)
-        run = 0
-        nz = np.nonzero(zz[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(zz[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_tab[0xF0]  # ZRL
-                writer.write(code, length)
-                run -= 16
-            size, bits = _magnitude(v)
-            code, length = ac_tab[(run << 4) | size]
-            writer.write(code, length)
-            writer.write(bits, size)
-            run = 0
-        if last < 63:
-            code, length = ac_tab[0x00]  # EOB
-            writer.write(code, length)
-    return pred
+def _enc_table_arrays(table: dict, n: int) -> tuple:
+    """Dense (codes, lengths) int64 arrays for symbols 0..n-1 so the hot
+    vectorized paths index arrays instead of dict lookups. Missing
+    symbols keep length 0 (never emitted)."""
+    codes = np.zeros(n, dtype=np.int64)
+    lens = np.zeros(n, dtype=np.int64)
+    for sym, (c, ln) in table.items():
+        if sym < n:
+            codes[sym] = c
+            lens[sym] = ln
+    return codes, lens
 
 
-def _enc_ac_first_block(writer: _BitWriter, ac_tab: dict, zz, ss: int, se: int, al: int) -> None:
-    """Progressive AC first-scan encoding for one block (G.1.2.2 shape).
-    Blocks ending in EOB state flush an EOB0 IMMEDIATELY — the standard
-    AC tables carry no EOBn (n>0) symbols, so runs cannot span blocks
-    (the decoder still accepts foreign EOBn)."""
-    run = 0
-    emitted_any = False
-    for k in range(ss, se + 1):
-        t = int(zz[k])
-        m = (t if t >= 0 else -t) >> al
-        if m == 0:
-            run += 1
-            continue
+_POW2 = np.array([1 << i for i in range(17)], dtype=np.int64)
+
+_ENC_DC_ARR = [_enc_table_arrays(t, 12) for t in _ENC_DC]
+
+
+def _pack_symbols(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """One entropy-coded segment from (value, length) symbol arrays:
+    MSB-first concatenation, 1-bit padding to the byte boundary (the
+    flush convention), 0xFF byte stuffing — a single numpy pass instead
+    of per-bit ``_BitWriter`` calls. Only the low ``length`` bits of
+    each value are read, matching ``_BitWriter.write``'s masking."""
+    vals = np.asarray(vals, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    if vals.size == 0:
+        return b""
+    maxlen = int(lens.max())
+    shifts = lens[:, None] - 1 - np.arange(maxlen, dtype=np.int64)[None, :]
+    valid = shifts >= 0
+    bits = ((vals[:, None] >> np.where(valid, shifts, 0)) & 1).astype(np.uint8)
+    flat = bits[valid]
+    pad = (-flat.size) % 8
+    if pad:
+        flat = np.concatenate([flat, np.ones(pad, np.uint8)])
+    packed = np.packbits(flat)
+    ff = np.nonzero(packed == 0xFF)[0]
+    if ff.size:
+        packed = np.insert(packed, ff + 1, 0)
+    return packed.tobytes()
+
+
+def _interleaved_order(comp_blocks, factors, mcus_y, mcus_x, ncomp):
+    """Per component: (block indices in MCU-interleaved scan order, the
+    global slot of each such block in the interleaved sequence). The
+    slot arithmetic mirrors the nested (my, mx, ci, dy, dx) walk."""
+    sizes = [factors[ci][0] * factors[ci][1] for ci in range(ncomp)]
+    per_mcu = sum(sizes)
+    nm = mcus_y * mcus_x
+    my = np.arange(mcus_y)
+    mx = np.arange(mcus_x)
+    out = []
+    off = 0
+    for ci in range(ncomp):
+        h_i, v_i = factors[ci]
+        bx = comp_blocks[ci][1]
+        dy = np.arange(v_i)
+        dx = np.arange(h_i)
+        bidx = (
+            (my[:, None, None, None] * v_i + dy[None, None, :, None]) * bx
+            + mx[None, :, None, None] * h_i
+            + dx[None, None, None, :]
+        )
+        slots = np.arange(nm)[:, None] * per_mcu + off + np.arange(sizes[ci])[None, :]
+        out.append((bidx.reshape(-1), slots.reshape(-1)))
+        off += sizes[ci]
+    return out, nm * per_mcu
+
+
+def _dc_symbol_scatter(comp_blocks, orders, total, point_shift, restart_group=None):
+    """Vectorized DC difference coding for every block of every
+    component, scattered into global interleaved slot order. Returns
+    (codev, codel, bitv, bitl): per slot the Huffman symbol and the
+    appended magnitude bits (length 0 when size is 0).
+    ``restart_group``: (restart_interval, factors) — resets the DC
+    predictor at restart-segment boundaries (sequential mode only)."""
+    codev = np.empty(total, dtype=np.int64)
+    codel = np.empty(total, dtype=np.int64)
+    bitv = np.empty(total, dtype=np.int64)
+    bitl = np.empty(total, dtype=np.int64)
+    for ci, (bidx, slots) in enumerate(orders):
+        ca, la = _ENC_DC_ARR[0 if ci == 0 else 1]
+        zz = comp_blocks[ci][2]
+        dcv = zz[bidx, 0].astype(np.int64) >> point_shift
+        diffs = np.empty_like(dcv)
+        if dcv.size:
+            diffs[0] = dcv[0]
+            np.subtract(dcv[1:], dcv[:-1], out=diffs[1:])
+        if restart_group:
+            # predictor resets at restart boundaries: the component's
+            # first block of each segment diffs against 0
+            h_i, v_i = restart_group[1][ci]
+            diffs[:: restart_group[0] * h_i * v_i] = dcv[:: restart_group[0] * h_i * v_i]
+        absd = np.abs(diffs)
+        sizes = np.searchsorted(_POW2[:16], absd, side="right")  # == bit_length
+        bits = np.where(diffs >= 0, diffs, diffs + _POW2[sizes] - 1)
+        codev[slots] = ca[sizes]
+        codel[slots] = la[sizes]
+        bitv[slots] = bits
+        bitl[slots] = sizes
+    return codev, codel, bitv, bitl
+
+
+def _ac_seq_symbols(va: list, la: list, ac_tab: dict, row) -> None:
+    """Sequential AC run/size coding for one block; ``row`` is the
+    zigzagged tail (63 entries). Appends (value, length) symbols."""
+    nz = np.nonzero(row)[0]
+    if nz.size == 0:
+        c, ln = ac_tab[0x00]  # EOB
+        va.append(c)
+        la.append(ln)
+        return
+    zc, zl = ac_tab[0xF0]  # ZRL
+    prev = -1
+    for p in nz:
+        run = p - prev - 1
         while run > 15:
-            code, length = ac_tab[0xF0]
-            writer.write(code, length)
+            va.append(zc)
+            la.append(zl)
             run -= 16
-        size, bits = _magnitude(m if t >= 0 else -m)
-        code, length = ac_tab[(run << 4) | size]
-        writer.write(code, length)
-        writer.write(bits, size)
-        run = 0
-        emitted_any = True
-    if run > 0 or not emitted_any:
-        code, length = ac_tab[0x00]  # EOB0
-        writer.write(code, length)
+        size, bits = _magnitude(int(row[p]))
+        c, ln = ac_tab[(run << 4) | size]
+        va.append(c)
+        la.append(ln)
+        va.append(bits)
+        la.append(size)
+        prev = p
+    if nz[-1] != row.size - 1:
+        c, ln = ac_tab[0x00]
+        va.append(c)
+        la.append(ln)
 
 
-def _enc_ac_refine_block(writer: _BitWriter, ac_tab: dict, zz, ss: int, se: int, al: int) -> None:
-    """Progressive AC refinement encoding for one block (G.1.2.3):
+def _ac_first_symbols(va: list, la: list, ac_tab: dict, m_row, sign_row) -> None:
+    """Progressive AC first-scan coding for one block (G.1.2.2 shape).
+    ``m_row`` holds the point-transformed magnitudes, ``sign_row`` the
+    raw coefficients. Blocks ending in EOB state flush an EOB0
+    IMMEDIATELY — the standard AC tables carry no EOBn (n>0) symbols,
+    so runs cannot span blocks (the decoder still accepts foreign
+    EOBn)."""
+    nz = np.nonzero(m_row)[0]
+    if nz.size == 0:
+        c, ln = ac_tab[0x00]  # EOB0
+        va.append(c)
+        la.append(ln)
+        return
+    zc, zl = ac_tab[0xF0]
+    prev = -1
+    for p in nz:
+        run = p - prev - 1
+        while run > 15:
+            va.append(zc)
+            la.append(zl)
+            run -= 16
+        m = int(m_row[p])
+        size, bits = _magnitude(m if sign_row[p] >= 0 else -m)
+        c, ln = ac_tab[(run << 4) | size]
+        va.append(c)
+        la.append(ln)
+        va.append(bits)
+        la.append(size)
+        prev = p
+    if nz[-1] != m_row.size - 1:
+        c, ln = ac_tab[0x00]
+        va.append(c)
+        la.append(ln)
+
+
+def _ac_refine_symbols(va: list, la: list, ac_tab: dict, m_row, sign_row) -> None:
+    """Progressive AC refinement coding for one block (G.1.2.3):
     correction bits for history coefficients ride AFTER the next emitted
     symbol; a block ending in EOB state flushes EOB0 + its remaining
     correction bits immediately (EOB0-only discipline, as above)."""
-    absv = [(abs(int(zz[k]))) >> al for k in range(ss, se + 1)]
-    eob = ss - 1
-    for k in range(ss, se + 1):
-        if absv[k - ss] == 1:
-            eob = k
+    nz = np.nonzero(m_row)[0]
+    ec, el = ac_tab[0x00]
+    if nz.size == 0:
+        va.append(ec)
+        la.append(el)
+        return
+    ones = nz[m_row[nz] == 1]
+    eob = int(ones[-1]) if ones.size else -1
+    zc, zl = ac_tab[0xF0]
+    last = m_row.size - 1
+    prev = -1
     run = 0
     br: list = []
     ended_clean = False
-    for k in range(ss, se + 1):
-        m = absv[k - ss]
-        if m == 0:
-            run += 1
-            continue
-        while run > 15 and k <= eob:
-            code, length = ac_tab[0xF0]
-            writer.write(code, length)
+    for p in nz:
+        run += p - prev - 1
+        prev = p
+        while run > 15 and p <= eob:
+            va.append(zc)
+            la.append(zl)
             run -= 16
-            for b in br:
-                writer.write(b, 1)
+            va.extend(br)
+            la.extend([1] * len(br))
             br = []
+        m = int(m_row[p])
         if m > 1:  # history coefficient: one correction bit, deferred
             br.append(m & 1)
             continue
-        code, length = ac_tab[(run << 4) | 1]
-        writer.write(code, length)
-        writer.write(1 if int(zz[k]) >= 0 else 0, 1)
-        for b in br:
-            writer.write(b, 1)
+        c, ln = ac_tab[(run << 4) | 1]
+        va.append(c)
+        la.append(ln)
+        va.append(1 if sign_row[p] >= 0 else 0)
+        la.append(1)
+        va.extend(br)
+        la.extend([1] * len(br))
         br = []
         run = 0
-        ended_clean = k == se
+        ended_clean = p == last
+    run += last - prev
     if run > 0 or br or not ended_clean:
-        code, length = ac_tab[0x00]  # EOB0
-        writer.write(code, length)
-        for b in br:
-            writer.write(b, 1)
+        va.append(ec)
+        la.append(el)
+        va.extend(br)
+        la.extend([1] * len(br))
 
 
 def _progressive_scans(comp_blocks, factors, mcus_y, mcus_x, ncomp, height, width):
@@ -522,74 +638,84 @@ def _progressive_scans(comp_blocks, factors, mcus_y, mcus_x, ncomp, height, widt
     hmax = max(f[0] for f in factors[:ncomp])
     vmax = max(f[1] for f in factors[:ncomp])
 
-    def ni_blocks(ci):
+    def ni_order(ci):
         """Non-interleaved scans cover the component's OWN block grid
         (B.2.3), row-major, strided by the MCU-grid row width — the same
         geometry the decoder walks. MCU padding blocks are skipped; their
         pixels crop away."""
-        by, bx, _zz = comp_blocks[ci]
+        bx = comp_blocks[ci][1]
         h_i, v_i = factors[ci]
         bw = -(-(-(-width * h_i // hmax)) // 8)
         bh = -(-(-(-height * v_i // vmax)) // 8)
-        for r in range(bh):
-            for c in range(bw):
-                yield r * bx + c
+        return (np.arange(bh)[:, None] * bx + np.arange(bw)[None, :]).reshape(-1)
 
-    # scan 1: DC first, Al=1, interleaved over all components
-    w = _BitWriter()
-    preds = [0] * ncomp
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in all_comps:
-                by, bx, zz = comp_blocks[ci]
-                h_i, v_i = factors[ci]
-                dc_tab = _ENC_DC[0 if ci == 0 else 1]
-                for dy in range(v_i):
-                    for dx in range(h_i):
-                        bidx = (my * v_i + dy) * bx + (mx * h_i + dx)
-                        v = int(zz[bidx][0]) >> 1  # point transform (arith shift)
-                        size, bits = _magnitude(v - preds[ci])
-                        preds[ci] = v
-                        code, length = dc_tab[size]
-                        w.write(code, length)
-                        if size:
-                            w.write(bits, size)
-    w.flush()
-    scans.append((sos(all_comps, 0, 0, 0, 1), bytes(w.out)))
+    orders, total = _interleaved_order(comp_blocks, factors, mcus_y, mcus_x, ncomp)
 
-    # scan 2 per component: AC first 1..63, Al=1 (non-interleaved grid)
+    # scan 1: DC first, Al=1, interleaved over all components (vectorized
+    # diff/size/bits, scattered into slot order)
+    codev, codel, bitv, bitl = _dc_symbol_scatter(comp_blocks, orders, total, 1)
+    v2 = np.stack([codev, bitv], axis=1).reshape(-1)
+    l2 = np.stack([codel, bitl], axis=1).reshape(-1)
+    keep = l2 > 0
+    scans.append((sos(all_comps, 0, 0, 0, 1), _pack_symbols(v2[keep], l2[keep])))
+
+    # scan 2 per component: AC first 1..63, Al=1 (non-interleaved grid).
+    # The all-blocks-EOB case (every shifted magnitude zero — e.g. the
+    # constant-block corpus) collapses to a vectorized EOB0 run.
     for ci in all_comps:
-        by, bx, zz = comp_blocks[ci]
+        zz = comp_blocks[ci][2]
         ac_tab = _ENC_AC[0 if ci == 0 else 1]
-        w = _BitWriter()
-        for bidx in ni_blocks(ci):
-            _enc_ac_first_block(w, ac_tab, zz[bidx], 1, 63, 1)
-        w.flush()
-        scans.append((sos([ci], 1, 63, 0, 1), bytes(w.out)))
+        order = ni_order(ci)
+        tails = zz[order, 1:]
+        mags = np.abs(tails.astype(np.int64)) >> 1
+        has_ac = mags.any(axis=1)
+        ec, el = ac_tab[0x00]
+        if not has_ac.any():
+            vals = np.full(order.size, ec, dtype=np.int64)
+            lens = np.full(order.size, el, dtype=np.int64)
+        else:
+            va: list = []
+            la: list = []
+            for b in range(order.size):
+                if not has_ac[b]:
+                    va.append(ec)
+                    la.append(el)
+                else:
+                    _ac_first_symbols(va, la, ac_tab, mags[b], tails[b])
+            vals, lens = np.array(va, dtype=np.int64), np.array(la, dtype=np.int64)
+        scans.append((sos([ci], 1, 63, 0, 1), _pack_symbols(vals, lens)))
 
     # scan 3: DC refine (Ah=1, Al=0): one raw bit per block, no Huffman
-    w = _BitWriter()
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in all_comps:
-                by, bx, zz = comp_blocks[ci]
-                h_i, v_i = factors[ci]
-                for dy in range(v_i):
-                    for dx in range(h_i):
-                        bidx = (my * v_i + dy) * bx + (mx * h_i + dx)
-                        w.write(int(zz[bidx][0]) & 1, 1)
-    w.flush()
-    scans.append((sos(all_comps, 0, 0, 1, 0), bytes(w.out)))
+    dcbits = np.empty(total, dtype=np.int64)
+    for ci, (bidx, slots) in enumerate(orders):
+        dcbits[slots] = comp_blocks[ci][2][bidx, 0].astype(np.int64) & 1
+    scans.append(
+        (sos(all_comps, 0, 0, 1, 0), _pack_symbols(dcbits, np.ones(total, np.int64)))
+    )
 
     # scan 4 per component: AC refine (Ah=1, Al=0)
     for ci in all_comps:
-        by, bx, zz = comp_blocks[ci]
+        zz = comp_blocks[ci][2]
         ac_tab = _ENC_AC[0 if ci == 0 else 1]
-        w = _BitWriter()
-        for bidx in ni_blocks(ci):
-            _enc_ac_refine_block(w, ac_tab, zz[bidx], 1, 63, 0)
-        w.flush()
-        scans.append((sos([ci], 1, 63, 1, 0), bytes(w.out)))
+        order = ni_order(ci)
+        tails = zz[order, 1:]
+        mags = np.abs(tails.astype(np.int64))
+        has_ac = mags.any(axis=1)
+        ec, el = ac_tab[0x00]
+        if not has_ac.any():
+            vals = np.full(order.size, ec, dtype=np.int64)
+            lens = np.full(order.size, el, dtype=np.int64)
+        else:
+            va = []
+            la = []
+            for b in range(order.size):
+                if not has_ac[b]:
+                    va.append(ec)
+                    la.append(el)
+                else:
+                    _ac_refine_symbols(va, la, ac_tab, mags[b], tails[b])
+            vals, lens = np.array(va, dtype=np.int64), np.array(la, dtype=np.int64)
+        scans.append((sos([ci], 1, 63, 1, 0), _pack_symbols(vals, lens)))
     return scans
 
 
@@ -688,34 +814,69 @@ def encode_jpeg(
             comp_blocks, factors, mcus_y, mcus_x, ncomp, height, width
         )
     else:
-        writer = _BitWriter()
-        preds = [0] * len(planes)
-        mcu_count = 0
-        rst_n = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                    writer.flush()  # byte-align, then the bare RSTn marker
-                    writer.out += bytes([0xFF, 0xD0 + rst_n])
+        orders, total = _interleaved_order(comp_blocks, factors, mcus_y, mcus_x, ncomp)
+        rg = (restart_interval, factors) if restart_interval else None
+        codev, codel, bitv, bitl = _dc_symbol_scatter(comp_blocks, orders, total, 0, rg)
+        # per-slot component table index and AC-presence, in slot order
+        tab_seq = np.empty(total, dtype=np.int64)
+        bidx_seq = np.empty(total, dtype=np.int64)
+        ci_seq = np.empty(total, dtype=np.int64)
+        hasac_seq = np.empty(total, dtype=bool)
+        for ci, (bidx, slots) in enumerate(orders):
+            tab_seq[slots] = 0 if ci == 0 else 1
+            ci_seq[slots] = ci
+            bidx_seq[slots] = bidx
+            hasac_seq[slots] = (comp_blocks[ci][2][:, 1:] != 0).any(axis=1)[bidx]
+
+        def seq_symbols(lo: int, hi: int) -> tuple:
+            """(vals, lens) for slots [lo, hi): DC symbol + bits + AC coding."""
+            if not hasac_seq[lo:hi].any():
+                # every block ends at the DC coefficient: DC symbol, DC
+                # bits, EOB — fully vectorized
+                eob = np.array([enc_ac[0][0x00], enc_ac[1][0x00]], dtype=np.int64)
+                ts = tab_seq[lo:hi]
+                v3 = np.stack([codev[lo:hi], bitv[lo:hi], eob[ts, 0]], axis=1).reshape(-1)
+                l3 = np.stack([codel[lo:hi], bitl[lo:hi], eob[ts, 1]], axis=1).reshape(-1)
+                keep = l3 > 0
+                return v3[keep], l3[keep]
+            va: list = []
+            la: list = []
+            for s in range(lo, hi):
+                va.append(codev[s])
+                la.append(codel[s])
+                if bitl[s]:
+                    va.append(bitv[s])
+                    la.append(bitl[s])
+                ac_tab = enc_ac[tab_seq[s]]
+                if not hasac_seq[s]:
+                    c, ln = ac_tab[0x00]
+                    va.append(c)
+                    la.append(ln)
+                else:
+                    _ac_seq_symbols(
+                        va, la, ac_tab, comp_blocks[ci_seq[s]][2][bidx_seq[s], 1:]
+                    )
+            return np.array(va, dtype=np.int64), np.array(la, dtype=np.int64)
+
+        per_mcu = total // (mcus_y * mcus_x)
+        if restart_interval:
+            entropy = bytearray()
+            step = restart_interval * per_mcu
+            rst_n = 0
+            for lo in range(0, total, step):
+                if lo:
+                    entropy += bytes([0xFF, 0xD0 + rst_n])
                     rst_n = (rst_n + 1) & 7
-                    preds = [0] * len(planes)
-                mcu_count += 1
-                for ci, (by, bx, zz) in enumerate(comp_blocks):
-                    h_i, v_i = factors[ci]
-                    t = 0 if ci == 0 else 1
-                    for dy in range(v_i):
-                        for dx in range(h_i):
-                            bidx = (my * v_i + dy) * bx + (mx * h_i + dx)
-                            preds[ci] = _encode_component_blocks(
-                                writer, zz[bidx : bidx + 1], enc_dc[t], enc_ac[t], preds[ci]
-                            )
-        writer.flush()
+                entropy += _pack_symbols(*seq_symbols(lo, min(lo + step, total)))
+            entropy = bytes(entropy)
+        else:
+            entropy = _pack_symbols(*seq_symbols(0, total))
         sos = struct.pack(">B", ncomp)
         for ci in range(ncomp):
             t = 0 if ci == 0 else 1
             sos += struct.pack(">BB", ci + 1, (t << 4) | t)
         sos += b"\x00\x3f\x00"
-        scans = [(sos, bytes(writer.out))]
+        scans = [(sos, entropy)]
 
     # --- assemble the stream ---
     def seg(marker: int, payload: bytes) -> bytes:

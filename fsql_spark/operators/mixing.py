@@ -169,18 +169,22 @@ def q_source_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise JSD between the documents table's source slices over the
     corpus top-50 vocabulary — the domain-mixing distance matrix.
 
-    r14 plan: the persisted-counts formulation re-scanned the corpus-sized
-    count cache SIX times (vocab cut, kept filter, totals, p, and both
-    sides of the pairwise join — ~14 32-task jobs profiled at sf0.1) for
-    downstream work the module docstring itself calls metadata-sized. The
-    top-K cut ``kept`` (<= sources x K rows — 50k at 1000 sources, the
-    documented bound) DETERMINES everything after it, so it is
-    materialized driver-side and re-fed as the ``counts=`` stream:
-    re-deriving the vocabulary from ``kept`` returns exactly the kept
-    tokens (same ordering, same limit), so every downstream value is
-    identical while the corpus cache is scanned twice (vocab + filter),
-    not six times. The cache still releases per call; ``lint_target``
-    exposes the real distributed plan to the catalog-wide lint."""
+    The pairwise self-join references the (source, token) count stream six
+    times in one plan, so without help the corpus-scale tokenize+aggregate
+    runs six times. The top-K cut ``kept`` (<= sources x K rows — 50k at
+    1000 sources, the documented bound) DETERMINES everything after it:
+    persisting THAT, materialized while the corpus-sized count cache is
+    still alive, leaves the corpus scanned twice (vocab + filter) and the
+    six downstream references reading a kilobytes-sized cached relation.
+    r14 collected ``kept`` to the driver and re-fed it as a local table;
+    the paired A/B (OPTIMIZATION_r15.md) showed the driver round-trip +
+    local-plan jobs LOSING to a distributed persist of the same cut
+    (med 2.19 s vs 3.63/3.25 for the r14/r13 shapes), and at 100 TB the
+    collect is exactly the driver-materialization anti-pattern (guide §5).
+    The small cache lives as long as the returned DataFrame (the
+    dedup_incremental_bloom precedent — the result depends on it); a
+    session looping over many corpora should ``clearCache()`` between
+    them. ``lint_target`` exposes the distributed plan to the lint."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     counts = group_token_counts(docs, "source").persist()
     try:
@@ -191,14 +195,13 @@ def q_source_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
             .limit(_TOP_K)
             .select("token")
         )
-        kept = counts.join(F.broadcast(vocab), "token")
-        kpdf = kept.toPandas()  # sources x K rows of (token, source, tf)
+        # sources x K rows: one partition keeps every downstream exchange
+        # of this metadata-sized side trivial
+        kept = counts.join(F.broadcast(vocab), "token").coalesce(1).persist()
+        kept.count()  # materialize before releasing the corpus cache
     finally:
         counts.unpersist()
-    kept_local = spark.createDataFrame(kpdf, schema=kept.schema)
-    # the cache is already released — the returned plan reads only the
-    # local kept table, so no driver-side result materialization is needed
-    return _q_source_js_frame(spark, sf, counts=kept_local)
+    return _q_source_js_frame(spark, sf, counts=kept)
 
 
 q_source_js_divergence.lint_target = _q_source_js_frame
