@@ -751,6 +751,12 @@ def dedup_against_bloom(
         seen = seen.persist()
     if bloom is not None:
         bm_bytes, n_bits, n_hashes = bloom
+        # r15 A/B note: under a streaming df_new the micro-batch planner
+        # re-runs this static subtree per batch; both an eager count (pin
+        # the cache) and localCheckpoint (materialized blocks in-plan) were
+        # tried on q_stream_ingest_dedup and LOST (3.34 s baseline vs 3.47
+        # eager-count vs 4.69 checkpoint warm) — the per-batch rebuild is
+        # not the floor, the lazy persist stays.
     else:
         n = seen.count() if expected_items is None else expected_items
         n_bits, n_hashes = _bloom_params(n, fpp, max_bits)

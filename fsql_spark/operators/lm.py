@@ -42,6 +42,7 @@ def unigram_model(
     text_col: str = "text",
     top_k: int = 30_000,
     tf: DataFrame | None = None,
+    counts: DataFrame | None = None,
 ) -> tuple[DataFrame, float, int, int]:
     """Laplace-smoothed unigram model over the corpus: the ``top_k`` tokens
     by total term frequency (ties broken lexically — deterministic cut).
@@ -58,7 +59,10 @@ def unigram_model(
     Pass a (persisted) ``tf`` stream from :func:`~fsql_spark.operators.
     vocab.term_frequencies` to share one tokenization pass between model
     training and document scoring — at corpus scale the text is tokenized
-    ONCE, never per consumer.
+    ONCE, never per consumer. ``counts`` goes one step further: an already
+    token-keyed ``(token, total_tf)`` relation (e.g. summed from a bigram
+    pair-count table, whose ``cur`` column enumerates every occurrence)
+    skips the tokenize AND the token shuffle here entirely.
 
     The returned model is MATERIALIZED (driver-held, rebuilt as a local
     DataFrame): it is vocabulary-sized metadata by definition — the
@@ -69,12 +73,13 @@ def unigram_model(
     corpus."""
     from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
-    if tf is not None:
-        counts = tf.groupBy("token").agg(
-            F.count(F.lit(1)).alias("doc_freq"), F.sum("tf").alias("total_tf")
-        )
-    else:
-        counts = vocabulary(corpus, id_col, text_col)
+    if counts is None:
+        if tf is not None:
+            counts = tf.groupBy("token").agg(
+                F.count(F.lit(1)).alias("doc_freq"), F.sum("tf").alias("total_tf")
+            )
+        else:
+            counts = vocabulary(corpus, id_col, text_col)
     counts = counts.persist()
     try:
         # T and V are model metadata: one aggregate over the token-keyed
@@ -286,6 +291,7 @@ def bigram_model(
     text_col: str = "text",
     top_k: int = 100_000,
     pairs: DataFrame | None = None,
+    pair_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Laplace-smoothed bigram table: the ``top_k`` (prev, cur) pairs by
     corpus count (ties lexical — deterministic cut) with
@@ -302,13 +308,18 @@ def bigram_model(
     back into the corpus. Pass a (persisted) ``pairs`` stream from
     :func:`_pair_stream` to share ONE pair-extraction pass between model
     training and document scoring (the ``tf=`` convention of
-    :func:`unigram_model`)."""
+    :func:`unigram_model`). ``pair_counts`` goes one step further: an
+    already (prev, cur)-keyed ``(prev, cur, c12)`` count table (prev NULL
+    rows — document-first tokens — welcome, filtered here) skips the
+    corpus-scale shuffle entirely, letting ONE pair-count aggregate feed
+    both LM layers."""
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
-    if pairs is None:
-        pairs = _pair_stream(corpus, id_col, text_col)
-    pairs = pairs.where(F.col("prev").isNotNull())
-    counts = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c12")).persist()
+    if pair_counts is None:
+        if pairs is None:
+            pairs = _pair_stream(corpus, id_col, text_col)
+        pair_counts = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c12"))
+    counts = pair_counts.where(F.col("prev").isNotNull()).persist()
     try:
         ctx = counts.groupBy("prev").agg(F.sum("c12").alias("cctx"))
         rows = (
@@ -689,11 +700,24 @@ def q_doc_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     the bigram table from exact counts, the COALESCE backoff chain."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     # ONE pair-extraction pass shared by bigram training and scoring (the
-    # tf= convention of q_doc_perplexity); released on every path
+    # tf= convention of q_doc_perplexity); released on every path. r15: the
+    # unigram layer previously re-tokenized the corpus (vocabulary() inside
+    # unigram_model — a second full text pass) and the bigram layer
+    # re-shuffled the occurrence stream; the ``cur`` column of the pair
+    # table enumerates every token occurrence, so ONE (prev, cur) count
+    # aggregate now feeds both layers: unigram counts are its cur-keyed
+    # sums (pair-count-sized input, not corpus-sized), T/V/topk identical
+    # by construction. Entry profile: summed job time 2.92 -> 2.36 s (the
+    # corpus pass is the single-task tokenize job, now run once not twice);
+    # wall at sf0.1 is scheduler-dominated and moves less.
     pairs = _pair_stream(docs).persist()
+    pc = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c12")).persist()
     try:
-        uni, oov_lp, _, vocab_size = unigram_model(docs, top_k=_TOP_K)
-        bi = bigram_model(docs, vocab_size, top_k=_TOP_B, pairs=pairs)
+        uni_counts = pc.groupBy(F.col("cur").alias("token")).agg(
+            F.sum("c12").alias("total_tf")
+        )
+        uni, oov_lp, _, vocab_size = unigram_model(docs, top_k=_TOP_K, counts=uni_counts)
+        bi = bigram_model(docs, vocab_size, top_k=_TOP_B, pair_counts=pc)
         out = (
             doc_bigram_cross_entropy(docs, uni, oov_lp, bi, pairs=pairs)
             .where(F.col("doc_id") < 300)
@@ -709,6 +733,7 @@ def q_doc_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         pdf = out.toPandas()  # <=300 rows
     finally:
         pairs.unpersist()
+        pc.unpersist()
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
