@@ -134,38 +134,49 @@ def strip_duplicated_passages(
     behavior as suffix-array span dedup, which also removes overlapping
     duplicate ranges wholesale).
 
-    Scale shape: windows and tokens are linear explosions (JVM-only); the
-    canonical assignment is one passage-keyed aggregate; coverage is a
-    (key, idx)-keyed anti-join; the rebuild is one per-doc aggregate of
-    (idx, token) pairs — every shuffle is keyed on doc ids or 64-bit-ish
-    keys, nothing quadratic."""
-    w = passage_windows(df, key_col, text_col, k)
-    stats = w.groupBy("passage").agg(
+    Scale shape (r15): windows are a linear JVM explosion whose rows carry
+    ``xxhash64(passage)`` instead of the k-token string — the module
+    docstring's petabyte form: the stats shuffle and the dup join move
+    8-byte keys, not passages (identical output modulo a ~2^-64 collision,
+    hash-checked against the oracle). The removal decision collapses to ONE
+    compact per-doc aggregate — the window-start positions of removed
+    spans, a few ints per affected doc — and the rewrite is a pure JVM
+    array expression per document (drop tokens whose index some removed
+    window covers, re-join). The pre-r15 shape shipped every covered
+    (doc, idx) pair and every token of the corpus through an anti-join
+    plus a collect_list/array_sort rebuild shuffle; this form moves
+    decisions, not payloads (guide §2.3): the only doc-keyed shuffle left
+    carries removed-position lists.
+
+    Unique-``key_col`` contract (the jaccard_pairs convention): documents
+    are rewritten per input row, each against the union of its key's
+    removal positions."""
+    w = passage_windows(df, key_col, text_col, k).select(
+        "k", "pos", F.xxhash64("passage").alias("ph")
+    )
+    stats = w.groupBy("ph").agg(
         F.countDistinct("k").alias("n_docs"), F.min("k").alias("canon")
     )
-    dup = stats.where(F.col("n_docs") >= min_docs).select("passage", "canon")
-    rem = w.join(dup, "passage").where(F.col("k") != F.col("canon")).select("k", "pos")
-    covered = rem.select(
-        "k", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx")
-    ).distinct()
-    toks = _spread(df).select(
-        F.col(key_col).alias("k"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("idx", "tok"),
+    dup = stats.where(F.col("n_docs") >= min_docs).select("ph", "canon")
+    rem = w.join(dup, "ph").where(F.col("k") != F.col("canon")).select("k", "pos")
+    rem_pos = rem.groupBy("k").agg(F.collect_set("pos").alias("__rp"))
+    base = _spread(df).select(F.col(key_col).alias("k"), F.col(text_col).alias("__t"))
+    joined = base.join(rem_pos, "k", "left")
+    toks = F.split(F.col("__t"), " ")
+    idxed = F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    kept = F.filter(
+        idxed,
+        lambda s: ~F.exists(
+            F.col("__rp"), lambda p: (p <= s["i"]) & (s["i"] <= p + F.lit(k - 1))
+        ),
     )
-    kept = toks.join(covered, ["k", "idx"], "left_anti")
-    rebuilt = kept.groupBy("k").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "tok"))), lambda s: s["tok"]
-            ),
-        ).alias("__text")
+    # concat_ws over the split tokens is byte-identical to the original
+    # text (empty tokens from repeated separators survive the round-trip),
+    # so untouched docs — the vast majority — skip the per-token lambdas
+    rebuilt = F.when(F.col("__rp").isNull(), F.col("__t")).otherwise(
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
     )
-    # docs whose every token was covered vanish from `kept` — restore as ''
-    all_keys = df.select(F.col(key_col).alias("k")).distinct()
-    return all_keys.join(rebuilt, "k", "left").select(
-        F.col("k").alias(key_col), F.coalesce("__text", F.lit("")).alias(text_col)
-    )
+    return joined.select(F.col("k").alias(key_col), rebuilt.alias(text_col))
 
 
 def containment_pairs_against(

@@ -43,14 +43,26 @@ def main() -> None:
     for name in names:
         fn = queries[name]
         runs = []
-        for _ in range(3):
+        n_runs = int(os.environ.get("FSQL_TIME_RUNS", "3"))
+        for _ in range(n_runs):
             spark.sparkContext.setJobDescription(f"time:{name}")
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 4))
             spark.sparkContext.setJobDescription(None)
-        out[name] = {"med": round(statistics.median(runs), 4), "runs": runs}
+            # match bench.py's timed loop: caches an entry persists must not
+            # carry into its next sample (the bench clears per run, so a
+            # cache-reusing second sample here would flatter the change)
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+        out[name] = {
+            "med": round(statistics.median(runs), 4),
+            "min": round(min(runs), 4),
+            "runs": runs,
+        }
     print(json.dumps(out))
 
 
