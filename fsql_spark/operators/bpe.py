@@ -89,6 +89,20 @@ def bpe_pair_stats(
     )
 
 
+def _guard_vocab(word_counts: DataFrame, max_words: int = MAX_DRIVER_WORDS) -> list:
+    """Collect a (word, n) vocabulary relation under the driver budget —
+    raises instead of silently attempting a driver OOM (shared by the
+    learner and the r15 single-scan entries)."""
+    rows = word_counts.limit(max_words + 1).collect()
+    if len(rows) > max_words:
+        raise ValueError(
+            f"distinct-word table exceeds max_words={max_words}; raise the "
+            "budget or pre-filter the corpus (the merge loop is sequential "
+            "by definition — see bpe.py's module docstring)"
+        )
+    return rows
+
+
 def bpe_learn_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -109,13 +123,7 @@ def bpe_learn_merges(
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
     spark = df.sparkSession
-    rows = word_frequencies(df, text_col).limit(max_words + 1).collect()
-    if len(rows) > max_words:
-        raise ValueError(
-            f"distinct-word table exceeds max_words={max_words}; raise the "
-            "budget or pre-filter the corpus (the merge loop is sequential "
-            "by definition — see bpe.py's module docstring)"
-        )
+    rows = _guard_vocab(word_frequencies(df, text_col), max_words)
     words = {tuple(r["word"]): int(r["n"]) for r in rows}
     merges, _ = _merge_loop_incremental(words, num_merges)
     return spark.createDataFrame(
@@ -360,6 +368,8 @@ def bpe_apply_merges(
     merges: list,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: list | None = None,
+    words_stream: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize the corpus under a learned merge list: (id, n_words,
     n_tokens, n_chars) per document with >= 1 word — the
@@ -386,35 +396,59 @@ def bpe_apply_merges(
     stream and map-side-combines per doc: one vocab aggregate + one
     doc-keyed shuffle, both of compact integer rows. At vocabularies
     beyond the broadcast threshold drop the hint and the planner falls
-    back to a shuffle join on the word key — still never quadratic."""
+    back to a shuffle join on the word key — still never quadratic.
+
+    r15 single-scan knobs: callers that already COLLECTED the vocabulary
+    (every learn-then-apply entry: the merge loop needs it driver-side
+    anyway) pass it as ``vocab`` (word strings) and the per-word counts
+    come from the same ``_apply_merge`` chain the learner uses — by the
+    module's unroll identity, exactly the replace-chain's counts (pinned
+    by tests) — shipped back as a LocalTableScan instead of re-exploding
+    the corpus for a distinct-word aggregate. ``words_stream`` likewise
+    lets the caller hand in the (id_col, word) explosion — persisted, so
+    the learn pass's vocabulary aggregate and this function's doc
+    aggregate share ONE corpus scan."""
     sep = "\x1f"
-    wrapped = F.concat(
-        F.lit(sep), F.array_join(F.split(F.col("word"), ""), sep + sep), F.lit(sep)
-    )
-    folded = wrapped
-    for left, right in merges:
-        folded = F.replace(
-            folded,
-            F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
-            F.lit(f"{sep}{left}{right}{sep}"),
+    stream = words_stream
+    if stream is None:
+        stream = df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+            ).alias("word"),
         )
-    stream = df.select(
-        F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-        ).alias("word"),
-    )
-    tokmap = (
-        stream.select("word").distinct()
-        .withColumn("__s", folded)
-        .select(
-            "word",
-            (F.length("__s")
-             - F.length(F.replace(F.col("__s"), F.lit(sep + sep), F.lit(sep))) + 1)
-            .cast("long").alias("__tok"),
-            F.length("word").cast("long").alias("__chr"),
+    if vocab is not None:
+        rows = []
+        for w in vocab:
+            toks = list(w)
+            for left, right in merges:
+                toks = _apply_merge(toks, (left, right), left + right)
+            rows.append((w, len(toks), len(w)))
+        tokmap = df.sparkSession.createDataFrame(
+            rows, "word string, __tok long, __chr long"
         )
-    )
+    else:
+        wrapped = F.concat(
+            F.lit(sep), F.array_join(F.split(F.col("word"), ""), sep + sep), F.lit(sep)
+        )
+        folded = wrapped
+        for left, right in merges:
+            folded = F.replace(
+                folded,
+                F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
+                F.lit(f"{sep}{left}{right}{sep}"),
+            )
+        tokmap = (
+            stream.select("word").distinct()
+            .withColumn("__s", folded)
+            .select(
+                "word",
+                (F.length("__s")
+                 - F.length(F.replace(F.col("__s"), F.lit(sep + sep), F.lit(sep))) + 1)
+                .cast("long").alias("__tok"),
+                F.length("word").cast("long").alias("__chr"),
+            )
+        )
     return (
         stream.join(F.broadcast(tokmap), "word")
         .groupBy(id_col)
@@ -426,16 +460,42 @@ def bpe_apply_merges(
     )
 
 
+def _learn_apply_counts(
+    spark: SparkSession, sf: str, num_merges: int = 15
+) -> tuple[DataFrame, DataFrame]:
+    """Shared learn+apply pass for the BPE entries (r15 single-scan shape):
+    ONE persisted corpus explosion feeds both the vocabulary collect (the
+    merge learner needs it driver-side regardless) and the per-doc token
+    aggregate, and the per-word token counts ride back as a vocab-sized
+    LocalTableScan from the driver-side ``_apply_merge`` chain — the
+    pre-r15 shape exploded the corpus twice (learn + apply) and ran a
+    third distinct-word aggregate just to re-derive counts the collected
+    vocabulary already determines. Returns (docs, per-doc counts)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    stream = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).alias("word"),
+    ).persist()
+    rows = _guard_vocab(stream.groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    words = {tuple(r["word"]): int(r["n"]) for r in rows}
+    learned, _ = _merge_loop_incremental(words, num_merges)
+    merges = [(left, right) for _, left, right, _, _ in learned]
+    counts = bpe_apply_merges(
+        docs, merges, vocab=[r["word"] for r in rows], words_stream=stream
+    )
+    return docs, counts
+
+
 def q_bpe_tokenized_lengths(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document token counts under the corpus's own 15 learned BPE
     merges — learn (driver loop over the zipf-bounded word table), then
-    apply distributedly (chained replace on the DISTINCT word table,
-    broadcast-joined back to the word stream):
+    apply distributedly (vocab-sized token-count table broadcast-joined
+    back to the shared persisted word stream — one corpus scan total):
     (doc_id, n_words, n_tokens, n_chars) — exact integers only."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
-    learned = bpe_learn_merges(docs, "text", num_merges=15).orderBy("rank").collect()
-    merges = [(r["left"], r["right"]) for r in learned]
-    return bpe_apply_merges(docs, merges).orderBy("doc_id")
+    _, counts = _learn_apply_counts(spark, sf, num_merges=15)
+    return counts.orderBy("doc_id")
 
 
 def _bpe_apply_sql(num_merges: int) -> str:
@@ -505,9 +565,7 @@ def q_pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
     sum. One oracle replays learn, apply, AND the running-sum packing."""
     from .sampling import pack_shards
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
-    learned = bpe_learn_merges(docs, "text", num_merges=15).orderBy("rank").collect()
-    counts = bpe_apply_merges(docs, [(r["left"], r["right"]) for r in learned])
+    docs, counts = _learn_apply_counts(spark, sf, num_merges=15)
     withlang = counts.join(docs.select("doc_id", "lang"), "doc_id")
     packed = pack_shards(
         withlang, "doc_id", "n_tokens", budget=_PACK_TOKEN_BUDGET,

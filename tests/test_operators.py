@@ -2584,6 +2584,39 @@ def test_bpe_apply_merges_matches_python_tokenizer(spark):
     assert got == want  # doc 3 (empty) absent from both
 
 
+def test_bpe_apply_vocab_path_equals_replace_chain(spark):
+    """The r15 single-scan apply (driver-tokenized vocab + shared word
+    stream) must equal the chained-replace path row for row — the two
+    formulations of the same tokenizer cannot drift."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from fsql_spark.operators.bpe import bpe_apply_merges
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["the theme thesis", "aaa aa a", "", "th aaaa the", "x  y"],
+    }))
+    merges = [("t", "h"), ("a", "a"), ("th", "e"), ("aa", "aa")]
+    base = {tuple(r) for r in bpe_apply_merges(docs, merges).collect()}
+    stream = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).alias("word"),
+    ).persist()
+    vocab = [r["word"] for r in stream.select("word").distinct().collect()]
+    fast = {
+        tuple(r)
+        for r in bpe_apply_merges(
+            docs, merges, vocab=vocab, words_stream=stream
+        ).collect()
+    }
+    stream.unpersist()
+    assert fast == base
+
+
 def test_dsir_stateless_equals_batch_scorer(spark):
     """The closure-model kernel scorer (streaming face) must produce the
     SAME per-doc (n_grams, llr) as the batch broadcast-join scorer — the
