@@ -728,6 +728,7 @@ Q_LINK_PAGERANK_SQL = _link_pagerank_oracle_sql(_PR_ITERATIONS, _PR_DAMPING)
 def hits(
     edges: DataFrame,
     iterations: int = 3,
+    edges_dst: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Weighted HITS (Kleinberg) over a directed (src, dst, w) edge list ->
     ((node, auth), (node, hub)) — UNNORMALIZED scores after ``iterations``
@@ -739,12 +740,25 @@ def hits(
     plan lint forbids). Dangling is NATURAL here: sinks simply keep hub 0
     — authorities don't need out-edges, unlike PageRank's mass
     conservation. The plan is LAZY: 2K unrolled join+aggregate pairs;
-    callers should pass a persisted ``edges``."""
+    callers should pass a persisted ``edges``.
+
+    ``edges_dst`` (r15, the pagerank co-partitioning lesson applied
+    asymmetrically): a copy of ``edges`` persisted hash-partitioned by
+    ``dst`` at the loop's shuffle width and MATERIALIZED before the loop
+    is planned. Each round's hub step then joins it against the
+    dst-partitioned ``auth`` aggregate with a pinned shuffled-hash join —
+    zero exchange and no per-round sort of the edge table, where the
+    default plan sort-merge-joins (the auth side's post-aggregation size
+    is unknown to the planner, so it never broadcasts). The src-side join
+    stays a broadcast of the node-sized hub — the SYMMETRIC double-cache
+    was A/B'd and rejected in r14 (building the second keyed copy cost
+    more than the sorts it saved)."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     srcs = edges.select(F.col("src").alias("node")).distinct()
     dsts = edges.select(F.col("dst").alias("node")).distinct()
     hub = srcs.withColumn("hub", F.lit(1.0))
+    ed = edges_dst if edges_dst is not None else edges
     auth = None
     for _ in range(iterations):
         auth = (
@@ -753,8 +767,10 @@ def hits(
             .agg(F.sum(F.col("w") * F.col("hub")).alias("auth"))
             .select(F.col("dst").alias("node"), "auth")
         )
+        if edges_dst is not None:
+            auth = auth.hint("shuffle_hash")
         hub = (
-            edges.join(auth, edges.dst == auth.node)
+            ed.join(auth, ed.dst == auth.node)
             .groupBy("src")
             .agg(F.sum(F.col("w") * F.col("auth")).alias("hub"))
             .select(F.col("src").alias("node"), "hub")
@@ -802,7 +818,16 @@ def q_graph_hits_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     try:
         edges.count()  # materialize at session width (the one corpus job)
         with temp_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
-            auth, _hub = hits(edges, iterations=_HITS_ITERATIONS)
+            # dst-keyed copy for the hub-step joins (see hits() docstring):
+            # materialized eagerly so the loop plans against its final
+            # hashpartitioning(dst, 8) — paired with the dst-partitioned
+            # auth aggregate, each round's hub join runs exchange- and
+            # sort-free where the default plan sort-merge-joined
+            edges_dst = edges.repartition(8, "dst").persist()
+            edges_dst.count()
+            auth, _hub = hits(
+                edges, iterations=_HITS_ITERATIONS, edges_dst=edges_dst
+            )
             # three actions follow (sum, count, collect): persist the
             # node-sized result so the 2K-join chain runs once
             auth = auth.persist()
@@ -824,6 +849,7 @@ def q_graph_hits_suppliers(spark: SparkSession, sf: str) -> DataFrame:
             )
             pdf = out.toPandas()  # one row per supplier: 3 scalars
             auth.unpersist()
+            edges_dst.unpersist()
     finally:
         edges.unpersist()
     return spark.createDataFrame(pdf, schema=out.schema)
