@@ -284,16 +284,40 @@ def run_to_memory(
     and ignore the requested one, which in production reads as "I
     re-tuned the query" while nothing changed (r13 verdict task)."""
     spark = stream_df.sparkSession
+    # plan inspection is an optimization, never a failure mode: if the
+    # internal _jdf handle is unavailable (Spark Connect) or analysis
+    # throws, fall back to the JVM-state profile instead of failing the
+    # query at partition selection (advice find)
+    try:
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        plan = None
     if state_partitions is None:
-        # plan inspection is an optimization, never a failure mode: if the
-        # internal _jdf handle is unavailable (Spark Connect) or analysis
-        # throws, fall back to the JVM-state profile instead of failing the
-        # query at partition selection (advice find)
-        try:
-            plan = stream_df._jdf.queryExecution().analyzed().toString()
-            state_partitions = 16 if "FlatMapGroupsInPandasWithState" in plan else 4
-        except Exception:
-            state_partitions = 4
+        state_partitions = (
+            16 if plan is not None and "FlatMapGroupsInPandasWithState" in plan else 4
+        )
+    # availableNow appends one empty finalization micro-batch after the data
+    # batches. It exists to EMIT results an append-mode query was
+    # withholding until the watermark passed (windowed aggregates, non-inner
+    # stream-stream joins, event-time timeouts); for everything else —
+    # complete/update mode, stateless maps, dedup and inner interval joins,
+    # which all emit in the batch the row arrives — it emits nothing and
+    # only pays a full WAL + per-batch planning round (~0.3 s/entry at
+    # sf0.1, r15 stream profile). Skip it exactly when the plan has nothing
+    # to finalize; when the plan cannot be inspected, keep it (safe side).
+    import re
+
+    if mode != "append":
+        skip_final_batch = True
+    elif plan is None:
+        skip_final_batch = False
+    else:
+        joins = re.findall(r"\bJoin (\w+)", plan)
+        skip_final_batch = (
+            "Aggregate" not in plan
+            and "FlatMapGroups" not in plan
+            and all(j == "Inner" for j in joins)
+        )
     if checkpoint is not None:
         existing = checkpoint_state_partitions(checkpoint)
         if existing is not None and existing != state_partitions:
@@ -307,9 +331,17 @@ def run_to_memory(
                 "checkpoint to re-partition state."
             )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    except Exception:
+        prev_ndb = "true"
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if skip_final_batch:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+            )
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -324,6 +356,7 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
     return spark.table(name)
 
 

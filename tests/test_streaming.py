@@ -481,3 +481,35 @@ def test_auto_select_falls_back_when_plan_inspection_fails(spark):
     stream._jdf = BoomQE(stream._jdf)
     out = run_to_memory(stream, "complete")  # state_partitions=None -> auto
     assert out.count() > 0
+
+
+def test_final_batch_skip_restores_conf_and_keeps_finalizing_aggregates(spark):
+    """r15: run_to_memory skips availableNow's empty finalization
+    micro-batch only for plans with nothing to finalize (complete/update
+    mode, stateless/pass-through append); an append-mode WATERMARKED
+    AGGREGATE — whose final windows are emitted BY that batch — must keep
+    it, and the session conf must come back either way."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(key)
+
+    # pass-through append (dedup): skip path exercised
+    from fsql_spark.streaming.windows import stream_dedup
+
+    ded = stream_dedup(events_stream(spark, SF), ["user_id", "event_type"])
+    run_to_memory(ded, "append")
+    assert spark.conf.get(key) == before
+
+    # append-mode watermarked aggregate: the finalization batch must stay —
+    # with it skipped this emits ZERO rows (every window is withheld until
+    # the watermark passes, which for a single-batch source only the
+    # closing no-data batch advances)
+    agg = (
+        events_stream(spark, SF)
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    out = run_to_memory(agg, "append")
+    assert out.count() > 0  # finalized windows emitted
+    assert spark.conf.get(key) == before
