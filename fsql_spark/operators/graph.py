@@ -1164,7 +1164,12 @@ ORDER BY doc_a, doc_b
 
 
 def kcore_nodes(
-    pairs: DataFrame, a_col: str, b_col: str, k: int, rounds: int
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    k: int,
+    rounds: int,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Nodes surviving ``rounds`` synchronous peels toward the k-core ->
     (node, deg) with deg the node's degree in the surviving subgraph —
@@ -1181,7 +1186,18 @@ def kcore_nodes(
     nodes). Rounds therefore truncate lineage with ``localCheckpoint``,
     the :func:`~fsql_spark.operators.clustering.connected_components`
     loop posture: one edges-sized materialization per round, peeling
-    shrinks it monotonically."""
+    shrinks it monotonically.
+
+    ``loop_partitions`` (r15): the two-shuffle-width regimes every other
+    iterative graph operator here already uses (pagerank/HITS/
+    connected_components). The BASE adjacency build — symmetrize +
+    distinct over the corpus-scale pair stream — materializes at the
+    session width first; each peel round after that works on the
+    surviving subgraph, which the peel shrinks monotonically, so its
+    3 shuffles/round run under this narrow width instead of launching a
+    task per mostly-empty session-width partition (3 rounds x 3 stages x
+    32 partitions of scheduler overhead at sf0.1). None keeps the single-
+    width behavior for callers that tune the session width themselves."""
     if k < 1 or rounds < 1:
         raise ValueError(f"k and rounds must be >= 1, got k={k} rounds={rounds}")
     a, b = F.col(a_col), F.col(b_col)
@@ -1193,12 +1209,26 @@ def kcore_nodes(
     adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     ).localCheckpoint()
-    for _ in range(rounds):
-        deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select("node")
-        adj = adj.join(keep, "node", "left_semi").join(
-            keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
-        ).localCheckpoint()
+
+    def peel(current: DataFrame) -> DataFrame:
+        for _ in range(rounds):
+            deg = current.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+            keep = deg.where(F.col("deg") >= k).select("node")
+            current = current.join(keep, "node", "left_semi").join(
+                keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+            ).localCheckpoint()
+        return current
+
+    if loop_partitions is None:
+        adj = peel(adj)
+    else:
+        from ..session import temp_conf
+
+        with temp_conf(
+            pairs.sparkSession,
+            **{"spark.sql.shuffle.partitions": str(loop_partitions)},
+        ):
+            adj = peel(adj)
     return adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
 
 
@@ -1225,7 +1255,10 @@ def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("_target") != "")
         .select("doc_id", F.col("_target").cast("long").alias("target"))
     )
-    out = kcore_nodes(pairs, "doc_id", "target", k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    out = kcore_nodes(
+        pairs, "doc_id", "target", k=_KCORE_K, rounds=_KCORE_ROUNDS,
+        loop_partitions=8,
+    )
     return out.select(F.col("node").alias("doc_id"), "deg").orderBy("doc_id")
 
 

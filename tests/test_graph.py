@@ -351,6 +351,16 @@ def test_kcore_peels_pendant_chain(spark):
     with _pytest.raises(ValueError, match="k and rounds"):
         kcore_nodes(df, "a", "b", k=0, rounds=1)
 
+    # the narrow loop width is an execution-only knob: identical output,
+    # and the session width is restored after the loop
+    prev = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    narrow = {
+        r["node"]: r["deg"]
+        for r in kcore_nodes(df, "a", "b", k=2, rounds=3, loop_partitions=2).collect()
+    }
+    assert narrow == got
+    assert df.sparkSession.conf.get("spark.sql.shuffle.partitions") == prev
+
 
 # --------------------------------------------------------------------------
 # r14: prepared-tables fast path (prevalidated_n + copartitioned loop)
